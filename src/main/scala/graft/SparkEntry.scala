@@ -1,13 +1,606 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Vocabulary
+import graft.functors.TimeOfDayFunctor
+import graft.ingest.{EventDataset, Splits}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.preprocess.{NumericKernel, Viod}
+import graft.serve.BatchBuilder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle where the semantics
+  * are ANSI-SQL-expressible) per implemented operator from SURVEY.md §2 and
+  * the north-star extension ops.
+  *
+  * Oracle-fidelity notes (learned against the driver testdata):
+  *  - `events.ts` is nanosecond-precision parquet; Spark truncates to
+  *    microseconds on read while DuckDB keeps ns. Any query whose OUTPUT
+  *    depends on sub-second arithmetic truncates to whole seconds on BOTH
+  *    sides (`date_trunc('second', ts)`) so the values are bit-identical.
+  *    Pure ORDERING by ts is safe untruncated (no two events share a µs).
+  *  - Money aggregates go through DECIMAL casts (per-row double→decimal is
+  *    deterministic and tie-free; decimal sums are exact in both engines)
+  *    then back to DOUBLE, sidestepping FP-order differences between Spark's
+  *    partial aggregation and DuckDB's sequential sum.
+  *  - Aggregates that are inherently FP-order-sensitive (mean/stddev of logs)
+  *    are rounded to 6 dp on both sides.
+  *  - Every aggregate/computed column is aliased to the SAME name in the
+  *    Spark query and the SQL (driver compares by sorted column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Table reader. The driver's `events.ts` is TIMESTAMP(NANOS) parquet,
+    * which Spark 4 refuses outright — read nanos as LONG and convert with
+    * integer division (ns values ≈ 1.7e18 overflow double's 2^53 mantissa,
+    * so `DIV`, never `/`). Truncation to µs matches DuckDB ordering; queries
+    * whose VALUES depend on sub-second arithmetic truncate to whole seconds
+    * on both sides (see oracle-fidelity notes above). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Events with raw (µs) timestamps — ordering-only queries. */
+  private def dsRaw(s: SparkSession, dir: String): EventDataset =
+    EventDataset.fromRawEvents(t(s, dir, "events"))
+
+  /** Events truncated to whole seconds — value-bearing time arithmetic. */
+  private def dsSec(s: SparkSession, dir: String): EventDataset =
+    EventDataset.fromRawEvents(
+      t(s, dir, "events").withColumn("ts", date_trunc("second", col("ts"))))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q18_subject_seqs")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────── reference-parity core (events table) ─────────────
+    "q01_ingest_events" -> ((s, dir) => {
+      dsRaw(s, dir).events
+        .select(col("event_id"), col("subject_id"),
+          unix_timestamp(col("timestamp")).as("ts_sec"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    "q02_sort_events" -> ((s, dir) => {
+      dsRaw(s, dir).eventsOrdered
+        .select(col("event_id"), col("subject_id"), col("event_type"),
+          col("event_idx"))
+        .orderBy("subject_id", "event_idx")
+    }),
+
+    "q03_event_types" -> ((s, dir) => dsRaw(s, dir).eventTypes),
+
+    "q04_events_per_subject" -> ((s, dir) =>
+      dsRaw(s, dir).eventsPerSubject.orderBy("subject_id")),
+
+    "q05_agg_by_time_type" -> ((s, dir) => {
+      val agg = dsRaw(s, dir).aggByTimeType
+      val nMeas = agg.measurements.groupBy("event_id")
+        .agg(count(lit(1)).as("n_meas"))
+      agg.events.join(nMeas, Seq("event_id"))
+        .select(col("event_id"), col("subject_id"),
+          unix_timestamp(col("timestamp")).as("ts_sec"), col("event_type"),
+          col("n_meas"))
+        .orderBy("event_id")
+    }),
+
+    "q06_inter_event_min" -> ((s, dir) => {
+      dsSec(s, dir).interEventMinutes
+        .select(col("event_id"), col("subject_id"), col("delta_min"))
+        .orderBy("event_id")
+    }),
+
+    "q07_tte_stats" -> ((s, dir) => {
+      val d = dsSec(s, dir)
+      d.tteStats(d.events).select(
+        round(col("mean_log_inter_event_time_min"), 6)
+          .as("mean_log_tte"),
+        round(col("std_log_inter_event_time_min"), 6).as("std_log_tte"))
+    }),
+
+    "q08_time_of_day" -> ((s, dir) => {
+      dsRaw(s, dir).events
+        .withColumn("time_of_day", TimeOfDayFunctor().expr)
+        .groupBy("time_of_day").agg(count(lit(1)).as("n"))
+        .orderBy("time_of_day")
+    }),
+
+    "q09_vocab_event_type" -> ((s, dir) => {
+      Vocabulary.fit(dsRaw(s, dir).events, "event_type")
+        .select(col("element"), col("n"), col("idx"),
+          round(col("freq"), 9).as("freq"))
+        .orderBy("idx")
+    }),
+
+    "q10_value_types" -> ((s, dir) => {
+      NumericKernel.inferValueTypes(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        minValidVocabElementObservations = 10,
+        minTrueFloatFrequency = 0.25,
+        minUniqueNumericalObservations = 20,
+        maxNumericalValueFrequency = 0.3)
+        .select(col("key"), col("n"), col("n_unique"),
+          round(col("int_fraction"), 9).as("int_fraction"),
+          round(col("mode_frequency"), 9).as("mode_frequency"),
+          col("value_type"))
+        .orderBy("key")
+    }),
+
+    "q11_drop_censor" -> ((s, dir) => {
+      val v = col("value")
+      t(s, dir, "events").select(col("event_id"), v,
+        NumericKernel.dropOrCensor(v,
+          lit(0.05), lit(false), lit(300.0), lit(false),
+          lit(1.0), lit(200.0)).as("value_clean"))
+        .orderBy("event_id")
+    }),
+
+    "q12_std_scaler" -> ((s, dir) => {
+      NumericKernel.fitStandardScaler(t(s, dir, "events"), "event_type",
+          "value")
+        .select(col("key"), round(col("norm_mean"), 6).as("norm_mean"),
+          round(col("norm_std"), 6).as("norm_std"))
+        .orderBy("key")
+    }),
+
+    "q13_quantiles" -> ((s, dir) => {
+      NumericKernel.fitQuantiles(t(s, dir, "events"), "event_type", "value",
+          nQuantiles = 5)
+        .select(col("key"),
+          transform(col("quantiles"), q => round(q, 6)).as("quantiles"))
+        .orderBy("key")
+    }),
+
+    "q14_reencode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        NumericKernel.reencodeKey(col("l_returnflag"), col("l_quantity"),
+          lit("categorical_integer")).as("key2"),
+        NumericKernel.reencodeValue(col("l_quantity"),
+          lit("categorical_integer")).as("v2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // xxhash64-seeded → not DuckDB-expressible → rows-only checks.
+    "q15_splits" -> ((s, dir) => {
+      Splits.subjectSplits(
+        dsRaw(s, dir).subjects, Seq(0.8), Seq("train", "held_out"),
+        seed = 42)
+        .orderBy("subject_id")
+    }),
+
+    "q16_viod" -> ((s, dir) => {
+      Viod.fitPerKey(t(s, dir, "events"), "event_type", "value")
+        .orderBy("key")
+    }),
+
+    "q17_task_windows" -> ((s, dir) => {
+      val ev = dsSec(s, dir).events
+      val tasks = ev.groupBy(col("subject_id").as("task_subject_id"))
+        .agg(min(col("timestamp")).as("start_time"))
+        .withColumn("end_time",
+          col("start_time") + expr("INTERVAL 30 DAYS"))
+      BatchBuilder.taskWindows(ev, tasks)
+        .groupBy(col("task_subject_id").as("subject_id"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("subject_id")
+    }),
+
+    "q18_subject_seqs" -> ((s, dir) => {
+      val d = dsSec(s, dir)
+      // event_type vocab at unified offset 1 (event_type pinned measurement,
+      // SURVEY §2.9) — the flagship collect_list pipeline.
+      val vocab = Vocabulary.fit(d.events, "event_type")
+      val indexed = Vocabulary.lookup(d.measurements, "key", vocab, "vidx")
+        .select(col("event_id"), (col("vidx") + 1L).as("unified_idx"),
+          col("value"), lit(1L).as("measurement_idx"))
+      BatchBuilder.subjectSequences(d.events, indexed)
+        .select(col("subject_id"), size(col("time")).as("seq_len"),
+          element_at(col("time"), -1).as("last_min"),
+          aggregate(flatten(col("dynamic_indices")), lit(0L),
+            (acc, x) => acc + x).as("sum_uidx"))
+        .orderBy("subject_id")
+    }),
+
+    // ───────────── TPC-H-ish relational/bench queries ─────────────
+    "q19_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(20,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q20_revenue_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(20,4)")).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q21_region_stats" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    "q22_topk_customers" -> ((s, dir) => {
+      val w = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("rank")
+    }),
+
+    // ───────────── north-star: dedup / text / similarity ─────────────
+    "q23_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q24_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long")
+          .as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    "q25_quality" -> ((s, dir) => {
+      val f = TextOps.qualityFeatures(col("text"))
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), f("n_tokens").cast("long").as("n_tokens"),
+          round(f("stopword_ratio"), 6).as("stopword_ratio"),
+          round(f("mean_word_len"), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q26_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q27_minhash_lsh" -> ((s, dir) => {
+      // char-5 shingles: the driver corpus is same-vocabulary word soup, so
+      // char-3 shingles saturate (every doc pair ≥ 0.5 jaccard → O(n²)
+      // verified pairs); 5-grams spanning word boundaries discriminate.
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        k = 64, bands = 16, shingleN = 5, jaccardThreshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)
+          .as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q28_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q29_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = 10)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"))
+        .orderBy("q_vec_id", "rank")
+    }),
+
+    "q30_embed_neardup" -> ((s, dir) => {
+      // Driver embeddings are near-orthogonal random vectors (max pairwise
+      // cos ≈ 0.51) — 0.3/8-planes exercises the bucketed pipeline with a
+      // non-empty result; production near-dup would use 0.95.
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, nPlanes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q31_media_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      val frames = Multimodal.sampleFrames(media, frameBytes = 64)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      media.select(col("media_id"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .join(frames, Seq("media_id"))
+        .orderBy("media_id")
+    }))
+
+  /** DuckDB oracles over the same parquet tables. Keys absent here get the
+    * driver's weaker rows-only check (seeded-hash ops: q15/q16/q27/q28/q30).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_ingest_events" ->
+      """SELECT event_id, user_id AS subject_id,
+        |CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q02_sort_events" ->
+      """SELECT event_id, user_id AS subject_id, event_type,
+        |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS INT) AS event_idx
+        |FROM events ORDER BY subject_id, event_idx""".stripMargin,
+
+    "q03_event_types" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "q04_events_per_subject" ->
+      """SELECT user_id AS subject_id, count(*) AS n_events FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_agg_by_time_type" ->
+      """WITH merged AS (
+        |  SELECT user_id, ts, event_type, count(*) AS n_meas
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(row_number() OVER (ORDER BY user_id, ts, event_type) - 1
+        |         AS BIGINT) AS event_id,
+        |       user_id AS subject_id,
+        |       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |       event_type, n_meas
+        |FROM merged ORDER BY event_id""".stripMargin,
+
+    "q06_inter_event_min" ->
+      """SELECT event_id, user_id AS subject_id,
+        |(epoch(date_trunc('second', ts)) -
+        | epoch(date_trunc('second',
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))) / 60
+        |  AS delta_min
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q07_tte_stats" ->
+      """WITH d AS (
+        |  SELECT (epoch(date_trunc('second', ts)) -
+        |          epoch(date_trunc('second',
+        |            lag(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)))) / 60 AS dm
+        |  FROM events)
+        |SELECT round(avg(ln(dm + 1)), 6) AS mean_log_tte,
+        |       round(stddev_samp(ln(dm + 1)), 6) AS std_log_tte
+        |FROM d WHERE dm IS NOT NULL""".stripMargin,
+
+    "q08_time_of_day" ->
+      """SELECT CASE WHEN hour(ts) < 6 THEN 'EARLY_AM'
+        |            WHEN hour(ts) < 12 THEN 'AM'
+        |            WHEN hour(ts) < 21 THEN 'PM'
+        |            ELSE 'LATE_PM' END AS time_of_day, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_vocab_event_type" ->
+      """WITH c AS (SELECT event_type AS element, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+        |SELECT element, n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, element) AS INT)
+        |         AS idx,
+        |       round(n / (SELECT tot FROM t), 9) AS freq
+        |FROM c
+        |UNION ALL SELECT 'UNK', 0, 0, 0.0
+        |ORDER BY idx""".stripMargin,
+
+    "q10_value_types" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag AS key, l_quantity AS v, count(*) AS cnt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT key, CAST(sum(cnt) AS BIGINT) AS n,
+        |         count(*) AS n_unique,
+        |         CAST(sum(CASE WHEN v = floor(v) THEN cnt ELSE 0 END)
+        |              AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS int_fraction,
+        |         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |           AS mode_frequency
+        |  FROM pv GROUP BY key)
+        |SELECT key, n, n_unique,
+        |       round(int_fraction, 9) AS int_fraction,
+        |       round(mode_frequency, 9) AS mode_frequency,
+        |       CASE WHEN n < 10 THEN 'dropped'
+        |            WHEN n_unique = 1 THEN 'dropped'
+        |            WHEN int_fraction > 0.75
+        |                 AND (n_unique < 20 OR mode_frequency > 0.3)
+        |              THEN 'categorical_integer'
+        |            WHEN n_unique < 20 OR mode_frequency > 0.3
+        |              THEN 'categorical_float'
+        |            WHEN int_fraction > 0.75 THEN 'integer'
+        |            ELSE 'float' END AS value_type
+        |FROM st ORDER BY key""".stripMargin,
+
+    "q11_drop_censor" ->
+      """SELECT event_id, value,
+        |CASE WHEN value <= 0.05 OR value >= 300.0 THEN NULL
+        |     WHEN value < 1.0 THEN 1.0
+        |     WHEN value > 200.0 THEN 200.0
+        |     ELSE value END AS value_clean
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q12_std_scaler" ->
+      """SELECT event_type AS key,
+        |round(avg(value), 6) AS norm_mean,
+        |round(stddev_samp(value), 6) AS norm_std
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_quantiles" ->
+      """SELECT event_type AS key,
+        |list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
+        |  x -> round(x, 6)) AS quantiles
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_reencode" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_returnflag || '__EQ_' ||
+        |  CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) AS key2,
+        |CAST(NULL AS DOUBLE) AS v2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q17_task_windows" ->
+      """WITH tasks AS (
+        |  SELECT user_id, min(date_trunc('second', ts)) AS st
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id AS subject_id, count(*) AS n_in_window
+        |FROM events e JOIN tasks t ON e.user_id = t.user_id
+        | AND date_trunc('second', e.ts) >= t.st
+        | AND date_trunc('second', e.ts) <= t.st + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_subject_seqs" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type)
+        |SELECT user_id AS subject_id,
+        |       CAST(count(*) AS INT) AS seq_len,
+        |       (epoch(max(date_trunc('second', ts))) -
+        |        epoch(min(date_trunc('second', ts)))) / 60 AS last_min,
+        |       CAST(sum(idx + 1) AS BIGINT) AS sum_uidx
+        |FROM events e JOIN v USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_base,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |              AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |count(*) AS count_order,
+        |sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_revenue_priority" ->
+      """SELECT o_orderpriority,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |              AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_region_stats" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_topk_customers" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+        |  AS INT) AS rank, c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY rank LIMIT 10""".stripMargin,
+
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(CASE WHEN trim(text) = '' THEN 0
+        |     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |  AS n_tokens,
+        |CAST(len(regexp_extract_all(text,
+        |  '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT)
+        |  AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','on','for',
+        |     'with','as','at','by','be','this','that','are','was'],
+        |    lower(x)))) AS DOUBLE) /
+        |    greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+        |  round(CAST(list_sum(list_transform(toks, x -> length(x)))
+        |    AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q26_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, CAST(len(list_filter(tk,
+        |    x -> list_contains(['der','die','und','das','ist','von','den',
+        |      'mit'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) AS score FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'en', CAST(len(list_filter(tk,
+        |    x -> list_contains(['the','and','of','to','in','is','you',
+        |      'that','it'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'es', CAST(len(list_filter(tk,
+        |    x -> list_contains(['el','la','de','que','y','en','un','los',
+        |      'se'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', CAST(len(list_filter(tk,
+        |    x -> list_contains(['le','la','de','et','les','des','est','un',
+        |      'une'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', CAST(len(list_filter(tk,
+        |    x -> list_contains(['的','了','是','我','不','在','有','他'],
+        |      x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN score > 0.0 THEN lang ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, lang, score, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+        |      FROM s)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q29_ann_brute" ->
+      """SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
+        |CAST(row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |             CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) AS INT) AS rank
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5
+        |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q31_media_frames" ->
+      """SELECT doc_id AS media_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT),
+        |  1) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary as data, not objects.
+  *
+  * The reference's `Vocabulary` (/root/reference/EventStream/EventStreamData/
+  * vocabulary.py:13-133) is an in-memory list with 'UNK' pinned at index 0 and
+  * the remaining elements sorted by descending observed frequency, plus a
+  * rare-element folding `filter`. Here a vocabulary is a small DataFrame
+  * `(element STRING, idx INT, freq DOUBLE)` built with one aggregation; hot
+  * lookup paths broadcast-join it (UNK default via coalesce(idx, 0)).
+  *
+  * At 100 TB the element-count aggregation is the only wide stage (map-side
+  * partial counts make it cheap); the vocab itself stays tiny and broadcasts.
+  */
+object Vocabulary {
+
+  val UNK = "UNK"
+
+  /** Build a vocabulary from an observation column: count, frequency-sort,
+    * pin UNK at 0. Ties broken by element string ascending so idx assignment
+    * is deterministic (the reference's argsort is stable on its insertion
+    * order; we make the order explicit instead — SURVEY §7 "make ordering
+    * explicit"). */
+  def fit(obs: DataFrame, col: String): DataFrame = {
+    val counts = obs
+      .filter(org.apache.spark.sql.functions.col(col).isNotNull)
+      .groupBy(org.apache.spark.sql.functions.col(col).cast("string")
+        .as("element"))
+      .agg(count(lit(1)).as("n"))
+    val total = Option(counts.agg(sum("n")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val w = Window.orderBy(desc("n"), asc("element"))
+    val ranked = counts
+      .withColumn("idx", row_number().over(w))
+      .withColumn("freq", org.apache.spark.sql.functions.col("n") / lit(
+        total.toDouble))
+    val unk = obs.sparkSession.range(1).select(
+      lit(UNK).as("element"), lit(0L).as("n"), lit(0).as("idx"),
+      lit(0.0).as("freq"))
+    unk.unionByName(ranked.select("element", "n", "idx", "freq"))
+  }
+
+  /** Fold elements observed fewer than `minN` times (or with frequency below
+    * a proportion) into UNK; UNK absorbs the dropped tail's count/frequency
+    * and survivors are re-indexed densely (vocabulary.py:84-112). */
+  def filterRare(vocab: DataFrame, minValid: CountOrProportion,
+      totalObservations: Long): DataFrame = {
+    val minN = minValid.resolve(totalObservations)
+    val kept = vocab.filter(col("element") === UNK || col("n") >= minN)
+    val dropped = vocab
+      .filter(col("element") =!= UNK && col("n") < minN)
+      .agg(coalesce(sum("n"), lit(0L)).as("dn"),
+        coalesce(sum("freq"), lit(0.0)).as("df"))
+    val w = Window.orderBy(desc("n"), asc("element"))
+    kept.crossJoin(broadcast(dropped))
+      .select(
+        col("element"),
+        when(col("element") === UNK, col("n") + col("dn"))
+          .otherwise(col("n")).as("n"),
+        when(col("element") === UNK, col("freq") + col("df"))
+          .otherwise(col("freq")).as("freq"))
+      .withColumn("idx",
+        when(col("element") === UNK, lit(0))
+          .otherwise(row_number().over(
+            Window.orderBy(col("element") === UNK, desc("n"),
+              asc("element")))))
+  }
+
+  /** True iff vocabulary collapsed to just UNK → measurement should drop
+    * (event_stream_dataset.py:1355-1364). */
+  def isDegenerate(vocab: DataFrame): Boolean =
+    vocab.filter(col("element") =!= UNK).limit(1).count() == 0
+
+  /** Attach vocabulary indices to an observation column; unknown → 0 (UNK),
+    * the reference's `idxmap.get(v, 0)` lookup semantics
+    * (event_stream_pytorch_dataset.py:359-363). Broadcast join — the vocab is
+    * always small relative to observations. */
+  def lookup(obs: DataFrame, obsCol: String, vocab: DataFrame,
+      outCol: String): DataFrame = {
+    val v = vocab.select(col("element"), col("idx"))
+    obs.join(broadcast(v), obs(obsCol).cast("string") === v("element"),
+        "left")
+      .withColumn(outCol, coalesce(col("idx"), lit(0)))
+      .drop("element", "idx")
+  }
+
+  /** Driver-side map for hot batch-builder paths (always small). */
+  def toMap(vocab: DataFrame): Map[String, Int] =
+    vocab.select("element", "idx").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+}

@@ -1,0 +1,71 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native character-n-gram shingle expression.
+  *
+  * The composable form — `transform(sequence(1, length-n+1), i =>
+  * substr(s, i, n))` + `array_distinct` — pays Spark's interpreted
+  * higher-order-function cost per CHARACTER (~10µs/element measured on the
+  * driver corpus: 13s for 5000 small docs), and `substr` on UTF8 strings is
+  * an O(len) scan per call, making the composed operator O(len²).
+  *
+  * This expression walks the UTF-8 byte stream once, records codepoint
+  * boundaries, and emits each distinct shingle as a byte-range copy —
+  * O(len·n) with a single JVM call per row (CodegenFallback; the per-row
+  * work utterly dominates the one virtual call, unlike the per-element
+  * interpreted lambda it replaces).
+  */
+case class CharShingleExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(n >= 1, s"shingle size must be >= 1: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // Codepoint start offsets (UTF-8: continuation bytes are 10xxxxxx).
+    val offsets = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offsets(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    offsets(nChars) = bytes.length
+    if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var c = 0
+    while (c + n <= nChars) {
+      val from = offsets(c)
+      val until = offsets(c + n)
+      seen.add(UTF8String.fromBytes(bytes, from, until - from))
+      c += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharShingleExpr = copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Distinct character n-gram shingles of a string column (insertion
+    * order = first occurrence, matching the composable form's
+    * `array_distinct` semantics). */
+  def charShingles(s: Column, n: Int): Column =
+    Bridge.toColumn(CharShingleExpr(Bridge.toExpression(s), n))
+}

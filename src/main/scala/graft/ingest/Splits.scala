@@ -1,0 +1,59 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Subject-level train/tune/held-out splits.
+  *
+  * Reference semantics (event_stream_dataset.py:702-740): a seeded random
+  * permutation of subject ids is cut at cumulative fractions; the final
+  * fraction may be implicit (remainder). Bit-compat with numpy's permutation
+  * is impossible and not required (SURVEY §4 randomness note) — the contract
+  * is set-level: splits partition the subject set, sizes match the requested
+  * fractions, assignment is a pure function of (subject_id, seed).
+  *
+  * Implementation: order subjects by a seeded pseudo-random key and cut by
+  * ntile-style fraction boundaries computed from the total count. One tiny
+  * shuffle over the distinct-subject table (subjects ≪ events); the result
+  * joins back to events/measurements as a broadcast or semi-join.
+  */
+object Splits {
+
+  /** Returns (subject_id, split) with split ∈ splitNames. `fracs` may sum to
+    * < 1; a final remainder split gets the last name (reference behavior:
+    * fracs=[0.8] + names=['train','held_out'] → 80/20). */
+  def subjectSplits(subjects: DataFrame, fracs: Seq[Double],
+      splitNames: Seq[String], seed: Long): DataFrame = {
+    require(splitNames.length == fracs.length ||
+      splitNames.length == fracs.length + 1,
+      "need one split name per fraction (+1 for the remainder)")
+    val f = if (splitNames.length == fracs.length) fracs
+            else fracs :+ (1.0 - fracs.sum)
+    require(math.abs(f.sum - 1.0) < 1e-9, s"fractions must sum to 1: $f")
+    val cum = f.scanLeft(0.0)(_ + _).tail
+
+    // Seeded pseudo-random but reproducible key per subject: xxhash64 of
+    // (subject_id, seed) — stable across runs and partitionings, unlike
+    // rand(seed) which depends on partition layout.
+    val keyed = subjects.select(col("subject_id"))
+      .distinct()
+      .withColumn("rk", xxhash64(col("subject_id"), lit(seed)))
+    val total = keyed.count()
+    val w = Window.orderBy("rk", "subject_id")
+    val ranked = keyed.withColumn("rn", row_number().over(w))
+    val boundaries = cum.map(c => math.round(c * total))
+    val splitExpr = splitNames.zip(boundaries).reverse
+      .foldLeft(lit(splitNames.last)) { case (acc, (name, b)) =>
+        when(col("rn") <= b, lit(name)).otherwise(acc)
+      }
+    ranked.select(col("subject_id"), splitExpr.as("split"))
+  }
+
+  /** Restrict a frame carrying subject_id to one split via broadcast
+    * semi-join — the reference's isin-mask filters (§2.2) at scale. */
+  def forSplit(df: DataFrame, splits: DataFrame, split: String): DataFrame =
+    df.join(
+      broadcast(splits.filter(col("split") === split).select("subject_id")),
+      Seq("subject_id"), "left_semi")
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star extension).
+  *
+  * Images / audio / video travel as opaque `binary` columns with a typed
+  * metadata struct; heavy decode / feature-extraction runs per partition so
+  * a real implementation can amortize codec/model initialization per task
+  * (the Scala analogue of arrow-batched pandas UDFs). The decode kernel here
+  * is a clearly marked deterministic STUB (this container has no image/audio
+  * codecs); everything around it — schema, batching, partitioning, output
+  * shape — is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical media schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))),
+      nullable = true)))
+
+  /** Wrap any table into the media schema, faking payloads from a string
+    * column — lets the full pipeline run on the driver's text-only testdata.
+    */
+  def synthesizeMedia(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Int, mean_byte: Double, feature: Array[Float])
+
+  /** STUB decode kernel: a real build replaces this body with an actual
+    * codec (e.g. JPEG decode + CNN features). Deterministic fake: byte
+    * histogram moments + an 8-dim folded-byte feature so downstream
+    * operators (ANN over features, dedup) are exercised end to end. */
+  def decodeStub(payload: Array[Byte]): (Int, Double, Array[Float]) = {
+    if (payload == null) return (0, 0.0, Array.fill(8)(0f))
+    var sum = 0L
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b
+      feat(i % 8) += b / 255.0f
+      i += 1
+    }
+    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    (payload.length, mean, feat)
+  }
+
+  /** Per-partition decode / feature-extraction: the distributed shape a real
+    * decoder needs (init once per partition, stream rows, no driver
+    * collect). Narrow — preserves partitioning of the input scan. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        // [init expensive codec/model state here, once per partition]
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (n, mean, feat) = decodeStub(payload)
+          MediaFeatures(id, n, mean, feat)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Frame-sampling shape for video-like payloads: deterministic byte-range
+    * "frames" every `frameBytes` bytes — the plumbing (explode to frames,
+    * per-frame features, frame index) is what a real video pipeline needs.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64): DataFrame = {
+    // substr works on BINARY: each "frame" is a byte range — the real
+    // pipeline replaces the slicing with keyframe offsets from the codec.
+    val nFrames = greatest(
+      ceil(length(col("payload")).cast("double") / frameBytes).cast("int"),
+      lit(1))
+    media.select(col("media_id"),
+      posexplode(
+        transform(sequence(lit(0), nFrames - 1),
+          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+        .as(Seq("frame_idx", "frame")))
+  }
+}

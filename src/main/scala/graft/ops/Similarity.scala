@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.expressions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the full corpus: embarrassingly parallel, zero shuffle on the
+  * corpus side, one shuffle for the per-query top-k. Scale path: IVF — a
+  * coarse k-means-style partition by nearest centroid so each query probes
+  * only its closest `nProbe` cells — and random-hyperplane LSH bucketing.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Queries must be small enough to broadcast (the usual shape:
+    * thousands of queries against billions of corpus rows).
+    *
+    * Plan at scale: `broadcast(queries)` → BroadcastNestedLoopJoin (a pure
+    * map-side cross product, corpus scanned once, no corpus shuffle) → the
+    * native CosineSimilarity expression (codegen) → per-query top-k via
+    * row_number over a window partitioned by query id: ONE shuffle whose key
+    * cardinality = |queries|.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
+          .as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-bucket of `nPlanes` pseudo-random hyperplane dot products.
+    * Hyperplane components are seeded xxhash64 draws mapped to ±1 — fully
+    * deterministic, no stored model, identical on every executor. */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int, seed: Long)
+      : Column =
+    aggregate(
+      sequence(lit(0), lit(nPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        // dot(v, h_p) where h_p[i] = ±1 from hash(p, i, seed)
+        val dot = aggregate(
+          sequence(lit(0), lit(dim - 1)),
+          lit(0.0d),
+          (s, i) => s +
+            element_at(v, i + 1).cast("double") *
+              when(pmod(xxhash64(p, i, lit(seed)), lit(2)) === 0, 1.0)
+                .otherwise(-1.0))
+        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
+      })
+
+  /** LSH-bucketed ANN: corpus and queries bucketed by hyperplane signs; each
+    * query joins only its bucket (equi-join, hash-partitioned — the 100 TB
+    * path when queries are too many to broadcast). Recall is tunable via
+    * nPlanes (fewer planes → bigger buckets → higher recall, more compute).
+    * Returns per-query top-k within the probed bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nPlanes: Int = 8, dim: Int = 64, seed: Long = 7)
+      : DataFrame = {
+    val c = corpus.withColumn("bucket",
+      hyperplaneBucket(col(vecCol), nPlanes, dim, seed))
+    val q = queries.withColumn("bucket",
+      hyperplaneBucket(col(qVecCol), nPlanes, dim, seed))
+    val scored = q.join(c, Seq("bucket"))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
+          .as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) index: assign every corpus vector to its nearest
+    * of `centroids` (a small broadcast table (centroid_id, vec)); queries
+    * probe their `nProbe` nearest cells only. Centroids typically come from
+    * a sample + k-means; any small table works. */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      nProbe: Int = 1): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        -VectorFunctions.cosineSimilarity(col(vecCol), col(cVecCol)))
+    val w = Window.partitionBy(idCol).orderBy(col("cdist"), col(cIdCol))
+    scored.withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nProbe)
+      .drop(cVecCol, "cdist")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extensions; BASELINE.json). All pure Column expressions — whole-stage
+  * codegen end to end, narrow (no shuffle), so they stream over 100 TB of
+  * documents at scan speed with filters/pruning pushed to Parquet.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `split` on \s+ after trim — the baseline
+    * tokenizer; see `bpeishTokenCount` for the regex-piece variant. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish token estimate: counts regex pieces (word fragments of ≤4
+    * chars, numbers, punctuation) the way byte-pair tokenizers tend to cut —
+    * a deterministic, dependency-free stand-in for a real BPE vocab. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** English-ish stopwords used by the quality heuristics. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "be", "this", "that", "are", "was")
+
+  /** Quality-score feature block (length / punctuation / stopword ratios) —
+    * the standard pre-training quality filters. Returns a struct column. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = when(length(trim(text)) === 0, 0).otherwise(size(toks))
+    val nChars = length(text)
+    val nPunct = length(text) - length(regexp_replace(text,
+      "[!-/:-@\\[-`{-~]", ""))
+    val nStop = size(filter(toks, t => lower(t).isin(Stopwords: _*)))
+    val meanWordLen = when(nTok === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nTok)
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (nStop.cast("double") / greatest(nTok, lit(1))).as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"))
+  }
+
+  /** Composite quality score in [0,1]: fraction of passed filters (length in
+    * range, low punctuation, has stopwords, sane word length) — the
+    * Gopher-rules shape. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val checks = Seq(
+      f("n_tokens") >= 10 && f("n_tokens") <= 100000,
+      f("punct_ratio") <= 0.2,
+      f("stopword_ratio") >= 0.01,
+      f("mean_word_len") >= 2 && f("mean_word_len") <= 12)
+    checks.map(c => when(c, 1.0).otherwise(0.0))
+      .reduce(_ + _) / checks.length.toDouble
+  }
+
+  /** Language-ID by stopword-set voting: score each candidate language by
+    * the fraction of tokens in its tiny stopword set; pick the argmax,
+    * 'und' when nothing matches. An n-gram-free heuristic that is pure
+    * Catalyst (a real model would be a broadcast n-gram table join). */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scored = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        (size(filter(toks, t => t.isin(sw: _*))).cast("double") / n)
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best("score") > 0.0, best("lang")).otherwise("und")
+  }
+
+  /** Document fingerprint: 64-bit FNV-1a-style rolling hash over the
+    * whitespace-normalized, lowercased text — deterministic content id for
+    * exact-dup detection that survives whitespace/case jitter. Uses
+    * xxhash64 (codegen'd, seed-stable) over the normalized form. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles (default 3) for Jaccard/MinHash pipelines.
+    * Normalization stays in codegen'd Column land; the sliding window is a
+    * native expression (see CharShingleExpr — the composable
+    * transform+substr form is O(len²) with interpreted lambdas). */
+  def charShingles(text: Column, n: Int = 3): Column =
+    graft.expressions.TextExpressions.charShingles(
+      regexp_replace(lower(trim(text)), "\\s+", " "), n)
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

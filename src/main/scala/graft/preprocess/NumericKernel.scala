@@ -1,0 +1,170 @@
+package graft.preprocess
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pure-Catalyst numeric preprocessing kernels.
+  *
+  * Every kernel here is a Column expression (no UDFs): whole-stage codegen
+  * keeps these in the hot loop, and at 100 TB the transform phase is a single
+  * narrow `select` after one broadcast join to the fit-parameters table
+  * (SURVEY §2.7).
+  */
+object NumericKernel {
+
+  /** Drop-or-censor scalar kernel (reference event_stream_dataset.py:152-211):
+    * null the value when outside drop bounds (inclusivity-aware: an INCLUSIVE
+    * drop bound means the bound value itself survives), then clamp to censor
+    * bounds. All bound columns are nullable; null bound = unbounded. */
+  def dropOrCensor(
+      v: Column,
+      dropLo: Column, dropLoIncl: Column,
+      dropHi: Column, dropHiIncl: Column,
+      censorLo: Column, censorHi: Column): Column = {
+    val belowDrop = dropLo.isNotNull &&
+      (when(coalesce(dropLoIncl, lit(false)), v < dropLo)
+        .otherwise(v <= dropLo))
+    val aboveDrop = dropHi.isNotNull &&
+      (when(coalesce(dropHiIncl, lit(false)), v > dropHi)
+        .otherwise(v >= dropHi))
+    val dropped = when(belowDrop || aboveDrop, lit(null).cast("double"))
+      .otherwise(v)
+    val censoredLo = when(censorLo.isNotNull && dropped < censorLo, censorLo)
+      .otherwise(dropped)
+    when(censorHi.isNotNull && censoredLo > censorHi, censorHi)
+      .otherwise(censoredLo)
+  }
+
+  /** Unit-implied bounds (reference event_stream_dataset.py:59-141): units
+    * like '%' imply [0,100] etc. Returned as a lookup table to broadcast-join
+    * on `unit`, then merged with declared bounds via least/greatest with
+    * inclusivity resolution. */
+  def unitBounds(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("%", 0.0, 100.0),
+      ("percent", 0.0, 100.0),
+      ("proportion", 0.0, 1.0),
+      ("fraction", 0.0, 1.0)
+    ).toDF("unit", "unit_lo", "unit_hi")
+  }
+
+  /** Value-type inference aggregation (event_stream_dataset.py:1216-1277).
+    * One groupBy(key) pass computing every statistic the rule cascade needs;
+    * the cascade itself is a pure expression over the aggregate row.
+    *
+    * Rules, in order (with thresholds resolved against train counts):
+    *  1. n < minValidVocab                       → dropped
+    *  2. nunique == 1                            → dropped
+    *  3 .int-fraction > 1 - minTrueFloatFreq     → integer-ish
+    *  4. nunique < minUniqueNumerical OR
+    *     mode-frequency > maxNumericalValueFreq  → categorical_{int,float}
+    *  5. else                                    → integer | float
+    */
+  def inferValueTypes(
+      kv: DataFrame, keyCol: String, valCol: String,
+      minValidVocabElementObservations: Long,
+      minTrueFloatFrequency: Double,
+      minUniqueNumericalObservations: Long,
+      maxNumericalValueFrequency: Double): DataFrame = {
+    val perValue = kv
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perValue.groupBy("key").agg(
+      sum("cnt").as("n"),
+      count(lit(1)).as("n_unique"),
+      (sum(when(col("v") === floor(col("v")), col("cnt"))
+        .otherwise(lit(0L))) / sum("cnt")).as("int_fraction"),
+      (max("cnt") / sum("cnt")).as("mode_frequency"))
+    val isIntish = col("int_fraction") > lit(1.0 - minTrueFloatFrequency)
+    val isCat = col("n_unique") < lit(minUniqueNumericalObservations) ||
+      col("mode_frequency") > lit(maxNumericalValueFrequency)
+    stats.withColumn("value_type",
+      when(col("n") < lit(minValidVocabElementObservations), "dropped")
+        .when(col("n_unique") === 1, "dropped")
+        .when(isIntish && isCat, "categorical_integer")
+        .when(isCat, "categorical_float")
+        .when(isIntish, "integer")
+        .otherwise("float"))
+  }
+
+  /** Numeric→categorical re-encode (event_stream_dataset.py:288-368):
+    * CATEGORICAL_INTEGER keys become "key__EQ_{round(v)}", CATEGORICAL_FLOAT
+    * keys "key__EQ_{v}"; the value column is nulled. Returns (newKey,
+    * newValue) expressions given the per-key value_type column. */
+  def reencodeKey(key: Column, v: Column, valueType: Column): Column =
+    when(valueType === "categorical_integer" && v.isNotNull,
+      concat(key, lit("__EQ_"), round(v).cast("long").cast("string")))
+      .when(valueType === "categorical_float" && v.isNotNull,
+        concat(key, lit("__EQ_"), v.cast("string")))
+      .otherwise(key)
+
+  def reencodeValue(v: Column, valueType: Column): Column =
+    when(valueType.isin("categorical_integer", "categorical_float"),
+      lit(null).cast("double"))
+      .when(valueType === "integer", round(v))
+      .when(valueType === "dropped", lit(null).cast("double"))
+      .otherwise(v)
+
+  /** Standard-score normalizer fit: per-key mean/std on train (sample std,
+    * matching pandas ddof=1). */
+  def fitStandardScaler(kv: DataFrame, keyCol: String, valCol: String)
+      : DataFrame =
+    kv.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(avg(col(valCol)).as("norm_mean"),
+        stddev_samp(col(valCol)).as("norm_std"))
+
+  /** Standard-score transform; identity when params absent
+    * (event_stream_dataset.py:1578-1595). */
+  def applyStandardScaler(v: Column, mean: Column, std: Column): Column =
+    when(mean.isNotNull && std.isNotNull && std =!= 0.0, (v - mean) / std)
+      .otherwise(v)
+
+  /** Quantile-normalizer fit: per-key equi-spaced quantiles (the reference
+    * uses sklearn QuantileTransformer, event_stream_dataset.py:48-54;
+    * SURVEY §2.7 maps it to stored quantiles + interpolated inverse-ECDF).
+    * Exact at test scale via percentile; swap `percentile` for
+    * `percentile_approx` in 100 TB mode (documented escape hatch). */
+  def fitQuantiles(kv: DataFrame, keyCol: String, valCol: String,
+      nQuantiles: Int = 101, exact: Boolean = true): DataFrame = {
+    val ps = array((0 until nQuantiles)
+      .map(i => lit(i.toDouble / (nQuantiles - 1))): _*)
+    val agg =
+      if (exact) percentile(col(valCol), ps)
+      else percentile_approx(col(valCol), ps, lit(10000))
+    kv.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(agg.as("quantiles"))
+  }
+
+  /** Interpolated ECDF transform: v → rank in [0,1] by linear interpolation
+    * between the fitted quantiles (sklearn QuantileTransformer forward
+    * transform semantics, uniform output). Pure array expressions — stays in
+    * codegen; no UDF. */
+  def applyQuantileTransform(v: Column, quantiles: Column): Column = {
+    val n = size(quantiles)
+    // index of last quantile <= v  (aggregate over the small quantile array)
+    val idx = aggregate(quantiles, lit(0),
+      (acc, q) => when(q <= v, acc + 1).otherwise(acc)) - 1
+    val loIdx = greatest(least(idx, n - lit(2)), lit(0))
+    val qlo = element_at(quantiles, loIdx + 1)
+    val qhi = element_at(quantiles, loIdx + 2)
+    val frac = when(qhi === qlo, lit(0.0)).otherwise((v - qlo) / (qhi - qlo))
+    val pos = (loIdx.cast("double") + least(greatest(frac, lit(0.0)),
+      lit(1.0))) / (n - 1).cast("double")
+    when(v.isNull, lit(null).cast("double"))
+      .otherwise(least(greatest(pos, lit(0.0)), lit(1.0)))
+  }
+
+  /** ±inf → null normalization (event_stream_pytorch_dataset.py:370-376). */
+  def nanInfToNull(v: Column): Column =
+    when(isnan(v) || v === Double.PositiveInfinity ||
+      v === Double.NegativeInfinity, lit(null).cast("double")).otherwise(v)
+
+  /** Inlier predicate with absent-model default-true
+    * (event_stream_dataset.py:1551-1576): exclusive bounds. */
+  def isInlier(v: Column, lo: Column, hi: Column): Column =
+    coalesce(v > lo && v < hi, lit(true))
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage-timing harness for operator tuning (not part of the driver
+  * contract). Usage: runMain graft.tools.Explore <sfDir>. */
+object Explore {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[explore] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[explore] docs: ${docs.count()}")
+
+    val k = 64; val bands = 16; val rows = k / bands; val n = 5
+    val withSh = docs.select(col("doc_id").as("id"),
+      TextOps.charShingles(col("text"), n).as("sh"))
+    time("shingles size sum")(
+      withSh.agg(sum(size(col("sh")))).show())
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k, n)
+    time("signatures")(println(sigs.count()))
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "bucket")))
+    val w = Window.partitionBy("band", "bucket").orderBy("id")
+    val capped = banded.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 1000).select("band", "bucket", "id")
+    time("bucket stats")(
+      capped.groupBy("band", "bucket").count()
+        .agg(count(lit(1)).as("n_buckets"), max("count"), avg("count"))
+        .show())
+    val pairs = capped
+      .join(capped.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    time("candidate pairs")(println(pairs.count()))
+    time("exact jaccard verify")(println(
+      pairs.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("j") >= 0.5).count()))
+    spark.stop()
+  }
+}
