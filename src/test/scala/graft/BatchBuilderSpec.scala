@@ -1,0 +1,123 @@
+package graft
+
+import graft.serve.BatchBuilder
+import graft.functors.{AgeFunctor, TimeOfDayFunctor, TimeDependentFunctor}
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Batch construction (reference event_stream_pytorch_dataset.py) +
+  * functors + multimodal plumbing. */
+class BatchBuilderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("buildOffsets: event_type pinned at idx 1 offset 1, contiguous") {
+    val offs = BatchBuilder.buildOffsets(
+      Seq(("lab", 5L), ("event_type", 3L), ("dx", 7L)))
+    assert(offs.map(_.measurement) == Seq("event_type", "dx", "lab"))
+    assert(offs.map(_.measurementIdx) == Seq(1, 2, 3))
+    assert(offs.map(_.offset) == Seq(1L, 4L, 11L))
+  }
+
+  test("subjectSequences: ragged arrays ordered by time") {
+    val events = Seq(
+      (0L, 1L, ts("2024-01-01 00:10:00"), "A"),
+      (1L, 1L, ts("2024-01-01 00:00:00"), "B"),
+      (2L, 2L, ts("2024-01-01 00:00:00"), "A"))
+      .toDF("event_id", "subject_id", "timestamp", "event_type")
+    val meas = Seq(
+      (0L, 2L, Some(1.5), 1L), (0L, 3L, None, 1L), (1L, 4L, Some(2.5), 1L))
+      .toDF("event_id", "unified_idx", "value", "measurement_idx")
+    val out = BatchBuilder.subjectSequences(events, meas)
+      .orderBy("subject_id")
+      .select("subject_id", "time", "dynamic_indices", "dynamic_values")
+      .as[(Long, Seq[Double], Seq[Seq[Long]], Seq[Seq[Option[Double]]])]
+      .collect()
+    val s1 = out(0)
+    assert(s1._1 == 1L)
+    assert(s1._2 == Seq(0.0, 10.0)) // minutes from sequence start
+    assert(s1._3 == Seq(Seq(4L), Seq(2L, 3L))) // B's event first
+    assert(s1._4 == Seq(Seq(Some(2.5)), Seq(Some(1.5), None)))
+    val s2 = out(1)
+    assert(s2._2 == Seq(0.0) && s2._3 == Seq(Seq[Long]()))
+  }
+
+  test("subjectSequences: minSeqLen filter and window truncation") {
+    val events = (0 until 10).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:0$i:00"), "A")) :+
+      (10L, 2L, ts("2024-01-01 00:00:00"), "A")
+    val ev = events.toDF("event_id", "subject_id", "timestamp", "event_type")
+    val meas = Seq.empty[(Long, Long, Option[Double], Long)]
+      .toDF("event_id", "unified_idx", "value", "measurement_idx")
+    val out = BatchBuilder.subjectSequences(ev, meas,
+      maxSeqLen = 4, minSeqLen = 2, seed = 7)
+    val rows = out.select("subject_id", "time")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(!rows.contains(2L)) // below minSeqLen
+    assert(rows(1L).length == 4) // truncated to window
+    // deterministic for fixed seed
+    val again = BatchBuilder.subjectSequences(ev, meas,
+      maxSeqLen = 4, minSeqLen = 2, seed = 7)
+      .select("subject_id", "time").as[(Long, Seq[Double])].collect().toMap
+    assert(again(1L) == rows(1L))
+  }
+
+  test("taskWindows: interval join restricts to [start, end]") {
+    val events = Seq(
+      (0L, 1L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, 1L, ts("2024-01-05 00:00:00"), "A"),
+      (2L, 1L, ts("2024-02-01 00:00:00"), "A"))
+      .toDF("event_id", "subject_id", "timestamp", "event_type")
+    val tasks = Seq((1L, ts("2024-01-01 00:00:00"),
+      ts("2024-01-10 00:00:00"), "y1"))
+      .toDF("task_subject_id", "start_time", "end_time", "label")
+    val joined = BatchBuilder.taskWindows(events, tasks)
+    assert(joined.count() == 2)
+    assert(joined.select("label").distinct().as[String].collect().toSeq
+      == Seq("y1"))
+  }
+
+  test("padTo pads ragged arrays on either side") {
+    val df = Seq(Seq(1.0, 2.0)).toDF("a")
+    val r = df.select(
+      BatchBuilder.padTo(col("a"), 4).as("right"),
+      BatchBuilder.padTo(col("a"), 4, leftPad = true).as("left"))
+      .as[(Seq[Option[Double]], Seq[Option[Double]])].collect().head
+    assert(r._1 == Seq(Some(1.0), Some(2.0), None, None))
+    assert(r._2 == Seq(None, None, Some(1.0), Some(2.0)))
+  }
+
+  test("functors: age and time-of-day expressions") {
+    val events = Seq((1L, ts("2024-01-01 05:00:00")),
+      (1L, ts("2024-01-01 13:00:00")), (1L, ts("2024-01-01 22:00:00")))
+      .toDF("subject_id", "timestamp")
+    val subjects = Seq((1L, ts("2004-01-01 00:00:00")))
+      .toDF("subject_id", "dob")
+    val out = TimeDependentFunctor.addColumns(events, subjects,
+      Seq(AgeFunctor("dob"), TimeOfDayFunctor()))
+    val rows = out.select("age", "time_of_day")
+      .as[(Double, String)].collect()
+    assert(rows.forall(r => math.abs(r._1 - 20.0) < 0.1))
+    assert(rows.map(_._2).toSeq == Seq("EARLY_AM", "PM", "LATE_PM"))
+  }
+
+  test("multimodal: synthesized media → features → frames") {
+    val docs = Seq((1L, "hello world this is a test document"),
+      (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(media)
+      .as[Multimodal.MediaFeatures].collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 35)
+    assert(feats(1L).feature.length == 8)
+    assert(feats(2L).n_bytes == 1)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(frames(1L) == math.ceil(35 / 16.0).toLong)
+    assert(frames(2L) == 1L)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Type-system semantics (reference types.py:37-133, config.py:155-200,
+  * utils.py:11-26). */
+class CoreSpec extends AnyFunSuite {
+
+  test("countOrProportion resolves counts and proportions") {
+    // reference utils.py:11-26: int passes through; float p → ceil(p*total)
+    assert(CountOrProportion.count(5).resolve(1000) == 5)
+    assert(CountOrProportion.proportion(0.1).resolve(1000) == 100)
+    assert(CountOrProportion.proportion(0.001).resolve(1500) == 2) // ceil
+    intercept[IllegalArgumentException](
+      CountOrProportion.proportion(1.5).resolve(10))
+  }
+
+  test("enum round-trip") {
+    for (t <- TemporalityType.all)
+      assert(TemporalityType.fromString(t.name) == t)
+    for (m <- DataModality.all)
+      assert(DataModality.fromString(m.name) == m)
+    for (v <- NumericValueType.all)
+      assert(NumericValueType.fromString(v.name) == v)
+    intercept[IllegalArgumentException](TemporalityType.fromString("nope"))
+  }
+
+  test("measurement config validity rules (config.py:158-200)") {
+    // static numeric unsupported (:165-168)
+    intercept[IllegalArgumentException](MeasurementConfig(
+      "m", TemporalityType.Static,
+      DataModality.UnivariateRegression).validated)
+    // dynamic univariate regression unsupported (:172-175)
+    intercept[IllegalArgumentException](MeasurementConfig(
+      "m", TemporalityType.Dynamic,
+      DataModality.UnivariateRegression).validated)
+    // multivariate regression requires values column
+    intercept[IllegalArgumentException](MeasurementConfig(
+      "m", TemporalityType.Dynamic,
+      DataModality.MultivariateRegression).validated)
+    // functional time-dependent requires functor
+    intercept[IllegalArgumentException](MeasurementConfig(
+      "m", TemporalityType.FunctionalTimeDependent,
+      DataModality.UnivariateRegression).validated)
+    // valid combos pass
+    MeasurementConfig("m", TemporalityType.Dynamic,
+      DataModality.MultivariateRegression,
+      valuesColumn = Some("v")).validated
+    MeasurementConfig("m", TemporalityType.Static,
+      DataModality.SingleLabelClassification).validated
+  }
+
+  test("config JSON emit is well-formed") {
+    val cfg = DatasetConfig(
+      measurements = Seq(MeasurementConfig("m", TemporalityType.Dynamic,
+        DataModality.MultivariateRegression, valuesColumn = Some("v"))),
+      minValidColumnObservations = Some(CountOrProportion.count(10)),
+      minTrueFloatFrequency = Some(0.1))
+    val json = cfg.toJson
+    assert(json.contains("\"min_valid_column_observations\": 10"))
+    assert(json.contains("\"values_column\": \"v\""))
+    // escaping
+    assert(JsonUtil.str("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
+  }
+}

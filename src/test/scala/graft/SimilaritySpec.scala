@@ -1,0 +1,92 @@
+package graft
+
+import graft.expressions.VectorFunctions
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector similarity: native cosine expression + ANN operators. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression: correctness, nulls, length mismatch") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Some(1.0)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Some(0.0)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f), Some(1.0)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), Some(-1.0)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f), Some(0.0)) // zero norm → 0
+    ).toDF("a", "b", "want")
+    df.select(col("want"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("got"))
+      .as[(Option[Double], Option[Double])].collect()
+      .foreach { case (want, got) =>
+        assert(got.isDefined && math.abs(got.get - want.get) < 1e-9) }
+    // length mismatch → null
+    val bad = Seq((Seq(1.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect()
+    assert(bad.head.isEmpty)
+    // null input → null
+    val nul = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect()
+    assert(nul.head.isEmpty)
+  }
+
+  test("cosine expression matches a double-precision reference") {
+    val r = new scala.util.Random(1)
+    val rows = Seq.fill(50)((Seq.fill(16)(r.nextFloat()),
+      Seq.fill(16)(r.nextFloat())))
+    val got = rows.toDF("a", "b")
+      .select(VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), c) =>
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(c - dot / (na * nb)) < 1e-12)
+    }
+  }
+
+  test("bruteForceTopK: self is rank 1, k respected, ties by id") {
+    val r = new scala.util.Random(2)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(8)(r.nextFloat())))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3)
+      .map { case (i, v) => (i, v) }.toDF("q_id", "q_vec")
+    val top = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+    val byQ = top.select("q_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.find(_._3 == 1).get._2 == q) // self first (cos=1)
+    }
+  }
+
+  test("ivfAssign routes vectors to nearest centroid") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val centroids = Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(0.0f, 1.0f)))
+      .toDF("c_id", "c_vec")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      centroids, "c_id", "c_vec", nProbe = 1)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(assigned(1L) == 10L && assigned(2L) == 10L &&
+      assigned(3L) == 20L)
+  }
+
+  test("lshTopK finds identical vector in same bucket") {
+    val r = new scala.util.Random(3)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(16)(r.nextFloat())))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = Seq((0L, vecs.head._2)).toDF("q_id", "q_vec")
+    val top = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", k = 3, nPlanes = 4, dim = 16)
+      .select("vec_id", "rank").as[(Long, Int)].collect()
+    assert(top.find(_._2 == 1).map(_._1).contains(0L)) // self in bucket
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators (north-star extensions). */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charShingles: native expression semantics") {
+    val df = Seq("abcd", "ab", "", "aaaa", "héllo").toDF("t")
+    val out = df.select(col("t"),
+      TextOps.charShingles(col("t"), 3).as("sh"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("abcd") == Seq("abc", "bcd"))
+    assert(out("ab") == Seq()) // shorter than n
+    assert(out("") == Seq())
+    assert(out("aaaa") == Seq("aaa")) // distinct
+    assert(out("héllo") == Seq("hél", "éll", "llo")) // multi-byte safe
+  }
+
+  test("charShingles normalizes case and whitespace") {
+    val df = Seq("A  B\tC").toDF("t")
+    val out = df.select(TextOps.charShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("a b", " b ", "b c"))
+  }
+
+  test("tokens / tokenCount handle empties") {
+    val df = Seq(("a b  c", 3), ("", 0), ("   ", 0), ("one", 1))
+      .toDF("t", "want")
+    val got = df.select(col("want"),
+      TextOps.tokenCount(col("t")).as("n")).as[(Int, Int)].collect()
+    got.foreach { case (want, n) => assert(n == want) }
+  }
+
+  test("fingerprint is whitespace/case-jitter invariant") {
+    val df = Seq("Hello  World", "hello world", "HELLO\tWORLD", "other")
+      .toDF("t")
+    val fps = df.select(TextOps.fingerprint(col("t")).as("fp"))
+      .as[Long].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+  }
+
+  test("langId votes by stopword sets") {
+    val df = Seq(
+      ("the cat and the dog in the house", "en"),
+      ("le chat et les chiens est une", "fr"),
+      ("el perro que la casa y los gatos", "es"),
+      ("xyzzy qwerty plugh", "und")).toDF("t", "want")
+    df.select(col("want"), TextOps.langId(col("t")).as("got"))
+      .as[(String, String)].collect()
+      .foreach { case (want, got) => assert(got == want, s"$want != $got") }
+  }
+
+  test("qualityScore rewards prose, punishes garbage") {
+    val prose = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the woods to find some food for the winter"
+    val garbage = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val df = Seq(prose, garbage).toDF("t")
+    val scores = df.select(TextOps.qualityScore(col("t")).as("s"))
+      .as[Double].collect()
+    assert(scores(0) > scores(1))
+    assert(scores(0) == 1.0)
+  }
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val df = Seq(
+      (10L, "Hello  World"), (3L, "hello world"), (7L, "unique doc"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 7L))
+  }
+
+  test("jaccard on array columns") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")), (Seq[String](), Seq[String]()))
+      .toDF("a", "b")
+    val j = df.select(Dedup.jaccard(col("a"), col("b")).as("j"))
+      .as[Double].collect()
+    assert(j(0) == 0.5 && j(1) == 1.0 && j(2) == 0.0)
+  }
+
+  test("minhashLsh finds planted near-dups, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while birds sing in the morning light of early spring"
+    val nearDup = base.replace("morning", "evening")
+    val unrelated = "completely different content about database engines " +
+      "and distributed query processing with columnar storage formats"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 64, bands = 16, shingleN = 5, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming budget") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "totally other words entirely unrelated corpus"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature estimate correlates with true jaccard") {
+    // identical docs → identical signatures
+    val docs = Seq((1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+  }
+}
