@@ -4,7 +4,7 @@ import graft.core.Vocabulary
 import graft.functors.TimeOfDayFunctor
 import graft.ingest.{EventDataset, Splits}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
-import graft.preprocess.{NumericKernel, Viod}
+import graft.preprocess.{NumericKernel, Preprocessor, Viod}
 import graft.serve.BatchBuilder
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -325,6 +325,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ─────── end-to-end preprocess lifecycle (fit on train → transform
+    // all). The split here is subject_id % 5 < 4 — deliberately
+    // SQL-expressible so the WHOLE pipeline is oracle-checked (the
+    // production split is the seeded-hash Splits operator, q15). ───────
+    "q32_preprocess_std" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val train = ev.filter(col("user_id") % 5 < 4)
+      val fit = Preprocessor.fit(train, "event_type", "value",
+        Preprocessor.Config(normalizer = Some("std")))
+      Preprocessor.transform(ev, "event_type", "value", fit)
+        .select(col("event_id"), col("final_key"),
+          round(col("value_norm"), 6).as("value_norm"), col("key_idx"))
+        .orderBy("event_id")
+    }),
+
+    "q33_preprocess_reencode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val train = li.filter(col("l_orderkey") % 5 < 4)
+      // minUnique=60 > the 50 distinct quantities → categorical_integer
+      // branch: keys re-encode to "flag__EQ_qty", values null, vocab over
+      // the re-encoded key space.
+      val fit = Preprocessor.fit(train, "l_returnflag", "l_quantity",
+        Preprocessor.Config(minUniqueNumericalObservations = 60,
+          normalizer = None))
+      Preprocessor.transform(li, "l_returnflag", "l_quantity", fit)
+        .select(col("l_orderkey"), col("l_linenumber"), col("final_key"),
+          col("value_clean"), col("key_idx"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q31_media_frames" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(
         t(s, dir, "documents"), "doc_id", "text")
@@ -596,6 +626,44 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q32_preprocess_std" ->
+      """WITH train AS (SELECT * FROM events WHERE user_id % 5 < 4),
+        |stats AS (SELECT event_type, avg(value) AS m,
+        |                 stddev_samp(value) AS s
+        |          FROM train WHERE value IS NOT NULL GROUP BY 1),
+        |vocab AS (SELECT event_type,
+        |                 row_number() OVER (ORDER BY count(*) DESC,
+        |                                    event_type) AS idx
+        |          FROM train GROUP BY 1)
+        |SELECT e.event_id, e.event_type AS final_key,
+        |       round((e.value - st.m) / st.s, 6) AS value_norm,
+        |       coalesce(v.idx, 0) AS key_idx
+        |FROM events e
+        |LEFT JOIN stats st USING (event_type)
+        |LEFT JOIN vocab v USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q33_preprocess_reencode" ->
+      """WITH train AS (SELECT * FROM lineitem WHERE l_orderkey % 5 < 4),
+        |vocab AS (
+        |  SELECT l_returnflag || '__EQ_' ||
+        |         CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR)
+        |           AS element, count(*) AS n
+        |  FROM train GROUP BY 1),
+        |v2 AS (SELECT element,
+        |              row_number() OVER (ORDER BY n DESC, element) AS idx
+        |       FROM vocab)
+        |SELECT l_orderkey, l_linenumber,
+        |       l_returnflag || '__EQ_' ||
+        |         CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR)
+        |           AS final_key,
+        |       CAST(NULL AS DOUBLE) AS value_clean,
+        |       coalesce(v2.idx, 0) AS key_idx
+        |FROM lineitem l
+        |LEFT JOIN v2 ON l_returnflag || '__EQ_' ||
+        |  CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) = v2.element
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q31_media_frames" ->
       """SELECT doc_id AS media_id,
