@@ -5,7 +5,7 @@ import graft.functors.TimeOfDayFunctor
 import graft.ingest.{EventDataset, Splits}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.preprocess.{NumericKernel, Preprocessor, Viod}
-import graft.serve.BatchBuilder
+import graft.serve.{BatchBuilder, EmbeddingGather}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -325,6 +325,65 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q34_embedding_gather" -> ((s, dir) => {
+      // DataEmbeddingLayer relational form: per subject, weighted sum of
+      // the event_type-vocab-indexed embedding vectors (weight = value).
+      val ev = dsRaw(s, dir)
+      val vocab = Vocabulary.fit(ev.events, "event_type")
+      val items = Vocabulary.lookup(
+        t(s, dir, "events").select(
+          col("user_id").as("subject_id"), col("event_type"),
+          col("value")),
+        "event_type", vocab, "vidx")
+      EmbeddingGather.gather(items, "subject_id", "vidx", "value",
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("subject_id"),
+          transform(col("emb"), x => round(x, 6)).as("emb"))
+        .orderBy("subject_id")
+    }),
+
+    "q35_task_labels" -> ((s, dir) => {
+      // Task-conditioned extraction with label passthrough
+      // (event_stream_pytorch_dataset.py:239-246): two labelled windows
+      // per subject ([start, start+15d) 'early', [start+15d, start+30d]
+      // 'late'), one aggregate row per task row.
+      val ev = dsSec(s, dir).events
+      val base = ev.groupBy(col("subject_id").as("task_subject_id"))
+        .agg(min(col("timestamp")).as("t0"))
+      val tasks = base.select(col("task_subject_id"),
+        explode(array(
+          struct(col("t0").as("start_time"),
+            (col("t0") + expr("INTERVAL 15 DAYS") -
+              expr("INTERVAL 1 SECOND")).as("end_time"),
+            lit("early").as("label")),
+          struct((col("t0") + expr("INTERVAL 15 DAYS")).as("start_time"),
+            (col("t0") + expr("INTERVAL 30 DAYS")).as("end_time"),
+            lit("late").as("label")))).as("w"))
+        .select(col("task_subject_id"), col("w.*"))
+      BatchBuilder.taskWindows(ev, tasks)
+        .groupBy(col("task_subject_id").as("subject_id"), col("label"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("subject_id", "label")
+    }),
+
+    "q36_unit_bounds" -> ((s, dir) => {
+      // Unit-implied bounds enrichment (event_stream_dataset.py:59-141):
+      // broadcast-join a unit→bounds table, then drop/censor with the
+      // unit bounds merged in.
+      val ev = t(s, dir, "events")
+        .withColumn("unit",
+          when(col("event_type") === "click", lit("proportion"))
+            .otherwise(lit("%")))
+      val enriched = ev.join(broadcast(NumericKernel.unitBounds(s)),
+        Seq("unit"), "left")
+      enriched.select(col("event_id"), col("unit"),
+        NumericKernel.dropOrCensor(col("value"),
+          col("unit_lo"), lit(true), col("unit_hi"), lit(true),
+          lit(null).cast("double"), lit(null).cast("double"))
+          .as("value_bounded"))
+        .orderBy("event_id")
+    }),
+
     // ─────── end-to-end preprocess lifecycle (fit on train → transform
     // all). The split here is subject_id % 5 < 4 — deliberately
     // SQL-expressible so the WHOLE pipeline is oracle-checked (the
@@ -626,6 +685,55 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q34_embedding_gather" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.user_id, e.value, em.embedding
+        |  FROM events e
+        |  JOIN v USING (event_type)
+        |  JOIN embeddings em ON em.vec_id = v.idx),
+        |d AS (
+        |  SELECT user_id, i.g AS pos,
+        |         sum(value * embedding[i.g]) AS s
+        |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
+        |  GROUP BY 1, 2)
+        |SELECT user_id AS subject_id,
+        |       list(round(s, 6) ORDER BY pos) AS emb
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_task_labels" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(date_trunc('second', ts)) AS t0
+        |  FROM events GROUP BY 1),
+        |tasks AS (
+        |  SELECT user_id, t0 AS start_time,
+        |         t0 + INTERVAL 15 DAY - INTERVAL 1 SECOND AS end_time,
+        |         'early' AS label FROM t0
+        |  UNION ALL
+        |  SELECT user_id, t0 + INTERVAL 15 DAY,
+        |         t0 + INTERVAL 30 DAY, 'late' FROM t0)
+        |SELECT e.user_id AS subject_id, t.label, count(*) AS n_events
+        |FROM events e JOIN tasks t ON e.user_id = t.user_id
+        | AND date_trunc('second', e.ts) >= t.start_time
+        | AND date_trunc('second', e.ts) <= t.end_time
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_unit_bounds" ->
+      """SELECT event_id,
+        |CASE WHEN event_type = 'click' THEN 'proportion' ELSE '%' END
+        |  AS unit,
+        |CASE WHEN event_type = 'click' THEN
+        |       CASE WHEN value < 0.0 OR value > 1.0 THEN NULL ELSE value END
+        |     ELSE
+        |       CASE WHEN value < 0.0 OR value > 100.0 THEN NULL
+        |            ELSE value END
+        |END AS value_bounded
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q32_preprocess_std" ->
       """WITH train AS (SELECT * FROM events WHERE user_id % 5 < 4),

@@ -68,12 +68,15 @@ final case class EventDataset(
     */
   def aggByTimeType: EventDataset = {
     val keyCols = Seq("subject_id", "timestamp", "event_type")
-    val merged = events
-      .groupBy(keyCols.map(col): _*)
-      .agg(collect_set("event_id").as("old_event_ids"))
-      .withColumn("event_id",
-        row_number().over(Window.orderBy(keyCols.map(col): _*))
-          .cast("long") - 1)
+    // Dense ids via range-partition + sortWithinPartitions + zipWithIndex
+    // (Ids.denseIds) — a global row_number window would funnel every merged
+    // event through ONE partition; this shape keeps the ordering global
+    // (range partitioner orders partitions) with no single-partition stage.
+    val merged = Ids.denseIds(
+      events
+        .groupBy(keyCols.map(col): _*)
+        .agg(collect_set("event_id").as("old_event_ids")),
+      "event_id", keyCols)
     val mapping = merged
       .select(col("event_id").as("new_event_id"),
         explode(col("old_event_ids")).as("event_id"))
