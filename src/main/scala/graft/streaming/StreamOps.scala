@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming surface for event streams.
+  *
+  * The reference has no incremental execution (SURVEY §2.11) — its "event
+  * stream" is a data shape. These operators give the engine a true
+  * streaming path for the same data shape: the batch `EventDataset`
+  * operators compose with these because both speak the
+  * (subject_id, timestamp, event_type, value) schema.
+  *
+  * All operators take/return untyped DataFrames so they bind to
+  * `spark.readStream` sources (kafka/files/memory) unchanged. Each
+  * documents its state-store footprint — the streaming analogue of
+  * shuffle discipline at 100 TB/day rates.
+  */
+object StreamOps {
+
+  /** Sliding/tumbling windowed event counts + value stats per event_type,
+    * late data bounded by `watermarkDelay`. State: one row per
+    * (window, event_type) — bounded by watermark eviction. */
+  def windowedTypeStats(events: DataFrame, windowDur: String,
+      slideDur: Option[String] = None,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val w = slideDur match {
+      case Some(s) => window(col("timestamp"), windowDur, s)
+      case None    => window(col("timestamp"), windowDur)
+    }
+    events
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("win.start").as("win_start"),
+        col("win.end").as("win_end"), col("event_type"), col("n"),
+        col("avg_value"))
+  }
+
+  /** Per-subject session windows: events closer than `gap` merge into one
+    * session (native session_window — state per open session, evicted at
+    * watermark + gap). */
+  def sessionize(events: DataFrame, gap: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(session_window(col("timestamp"), gap).as("sess"),
+        col("subject_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("subject_id"), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("n_events"), col("sum_value"))
+
+  /** Running per-subject state via mapGroupsWithState: event count,
+    * last-seen timestamp, and an online (Welford) mean of `value` — the
+    * custom-state path for semantics session_window can't express.
+    * State: one SubjectState per live subject. Production deployments
+    * bound liveness with an event-time watermark + timeout; kept NoTimeout
+    * here because processing-time timeouts re-trigger empty batches
+    * (and deadlock processAllAvailable in tests). */
+  final case class SubjectEvent(subject_id: Long, timestamp: Timestamp,
+      event_type: String, value: Double)
+  final case class SubjectState(nEvents: Long, lastTs: Long, mean: Double)
+  final case class SubjectUpdate(subject_id: Long, n_events: Long,
+      last_ts: Long, mean_value: Double)
+
+  def runningSubjectStats(events: Dataset[SubjectEvent])
+      : Dataset[SubjectUpdate] = {
+    implicit val se = Encoders.product[SubjectState]
+    implicit val ue = Encoders.product[SubjectUpdate]
+    implicit val le = Encoders.scalaLong
+    events.groupByKey(_.subject_id)
+      .mapGroupsWithState[SubjectState, SubjectUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (sid, rows, state: GroupState[SubjectState]) =>
+          val prev =
+            if (state.exists) state.get else SubjectState(0L, 0L, 0.0)
+          var n = prev.nEvents
+          var last = prev.lastTs
+          var mean = prev.mean
+          rows.foreach { e =>
+            n += 1
+            mean += (e.value - mean) / n // Welford online mean
+            last = math.max(last, e.timestamp.getTime)
+          }
+          state.update(SubjectState(n, last, mean))
+          SubjectUpdate(sid, n, last, mean)
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.StreamOps
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured-Streaming operators driven through MemoryStream → memory
+  * sink — a real incremental execution, not a batch shortcut. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def event(t: String, subj: Long, typ: String, v: Double) =
+    (subj, ts(t), typ, v)
+
+  test("windowedTypeStats: tumbling window counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF()
+      .toDF("subject_id", "timestamp", "event_type", "value")
+    val out = StreamOps.windowedTypeStats(df, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        event("2024-01-01 00:01:00", 1, "A", 1.0),
+        event("2024-01-01 00:02:00", 2, "A", 3.0),
+        event("2024-01-01 00:11:00", 1, "B", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .select("win_start", "event_type", "n", "avg_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 00:00:00"), "A", 2L, 2.0)))
+      assert(rows.contains((ts("2024-01-01 00:10:00"), "B", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based session windows per subject") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF()
+      .toDF("subject_id", "timestamp", "event_type", "value")
+    val out = StreamOps.sessionize(df, "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        event("2024-01-01 00:00:00", 1, "A", 1.0),
+        event("2024-01-01 00:03:00", 1, "A", 2.0), // same session
+        event("2024-01-01 01:00:00", 1, "A", 4.0)) // new session
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("subject_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("runningSubjectStats: mapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SubjectEvent]
+    val out = StreamOps.runningSubjectStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(StreamOps.SubjectEvent(1L,
+        ts("2024-01-01 00:00:00"), "A", 10.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.SubjectEvent(1L,
+        ts("2024-01-01 00:05:00"), "A", 20.0))
+      q.processAllAvailable()
+      // state persisted across micro-batches: n=2, mean=15
+      val last = spark.table("running")
+        .orderBy(desc("n_events")).limit(1)
+        .select("n_events", "mean_value").as[(Long, Double)]
+        .collect().head
+      assert(last == ((2L, 15.0)))
+    } finally q.stop()
+  }
+}
