@@ -325,6 +325,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q37_to_events_nested" -> ((s, dir) => {
+      // to_events normalization (event_stream_dataset.py:370-413): orders
+      // become 'order' events with nested metadata, then nested→flat
+      // explode (:570-593) and a per-subject rollup.
+      val orders = t(s, dir, "orders")
+      val ev = EventDataset.toEvents(orders, "order", "o_custkey",
+        "o_orderdate", Seq("o_totalprice"))
+        .withColumn("event_id", col("subject_id") * 1000000 +
+          row_number().over(Window.partitionBy("subject_id")
+            .orderBy("timestamp")).cast("long"))
+      EventDataset.explodeNested(ev)
+        .groupBy("subject_id")
+        .agg(count(lit(1)).as("n_meta"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("subject_id")
+    }),
+
+    "q38_restricted_scan" -> ((s, dir) => {
+      // Restricted measurements scan (event_stream_dataset.py:789-863):
+      // conjunctive predicate on the denormalized event_type/subject_id —
+      // both push down to the parquet scan in the long layout.
+      val ds = dsRaw(s, dir)
+      ds.measurementsFor(
+        eventTypes = Some(Seq("click", "purchase")),
+        subjectIds = Some((0L until 50L).toSeq))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "q34_embedding_gather" -> ((s, dir) => {
       // DataEmbeddingLayer relational form: per subject, weighted sum of
       // the event_type-vocab-indexed embedding vectors (weight = value).
@@ -685,6 +718,19 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q37_to_events_nested" ->
+      """SELECT o_custkey AS subject_id, count(*) AS n_meta,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q38_restricted_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND user_id < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_embedding_gather" ->
       """WITH v AS (
