@@ -98,9 +98,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two ARRAY<LONG> columns hold equal values —
+  * the MinHash signature-agreement estimator's hot loop. The composable
+  * `aggregate(zip_with(a, b, _===_), ...)` form pays interpreted-lambda
+  * cost per component per row (k×|pairs| evals across an LSH candidate
+  * set); this is one fused primitive loop inside whole-stage codegen.
+  * Null if either side is null or lengths differ. */
+case class ArrayLongEqCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $c = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  }
+         |  ${ev.value} = $c;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayLongEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level API: cosine similarity of two vector columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.toColumn(CosineSimilarity(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Column-level API: # of equal components of two long-array columns. */
+  def arrayLongEqCount(a: Column, b: Column): Column =
+    Bridge.toColumn(ArrayLongEqCount(
       Bridge.toExpression(a), Bridge.toExpression(b)))
 }

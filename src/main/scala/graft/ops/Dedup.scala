@@ -128,9 +128,8 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("id_b"))
       .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k)
+        VectorFunctions.arrayLongEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
       .filter(col("est") >= estKeep)
       .select("id_a", "id_b")
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))

@@ -80,10 +80,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Fit IVF centroids with MLlib KMeans over (a sample of) the corpus —
+    * the standard coarse quantizer. Returns a small driver-built table
+    * (centroid_id LONG, c_vec ARRAY<DOUBLE>) ready to broadcast into
+    * `ivfAssign`. At 100 TB fit on `vecs.sample(...)`; KMeans cost is
+    * O(sample × k × iters) and the model is k×dim doubles. */
+  def fitIvfCentroids(vecs: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = vecs.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+      .toDF("centroid_id", "c_vec")
+  }
+
   /** IVF (inverted-file) index: assign every corpus vector to its nearest
     * of `centroids` (a small broadcast table (centroid_id, vec)); queries
     * probe their `nProbe` nearest cells only. Centroids typically come from
-    * a sample + k-means; any small table works. */
+    * a sample + k-means (`fitIvfCentroids`); any small table works. */
   def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cIdCol: String, cVecCol: String,
       nProbe: Int = 1): DataFrame = {
@@ -94,5 +114,24 @@ object Similarity {
     scored.withColumn("probe_rank", row_number().over(w))
       .filter(col("probe_rank") <= nProbe)
       .drop(cVecCol, "cdist")
+  }
+
+  /** Full IVF ANN: corpus in 1 cell each, queries probe `nProbe` cells,
+    * exact cosine + top-k inside the probed cells only — the shuffle is an
+    * equi-join on centroid_id instead of a corpus-wide cross product. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val c = ivfAssign(corpus, idCol, vecCol, centroids, "centroid_id",
+      "c_vec", nProbe = 1).drop("probe_rank")
+    val q = ivfAssign(queries, qIdCol, qVecCol, centroids, "centroid_id",
+      "c_vec", nProbe = nProbe).drop("probe_rank")
+    val scored = q.join(c, Seq("centroid_id"))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
+          .as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }
