@@ -121,7 +121,10 @@ object Preprocessor {
         Vocabulary.filterRare(rawVocab, m, total)
       case None => rawVocab
     }
-    Fit(withNorm, vocab)
+    // Fit state is per-key-cardinality small but its LINEAGE scans the full
+    // train set — cache so repeated transforms (or multi-split application)
+    // don't re-run the fit aggregations per use.
+    Fit(withNorm.cache(), vocab.cache())
   }
 
   /** Apply a fit to any split's observations: broadcast-join the per-key
