@@ -325,6 +325,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q39_age_functor" -> ((s, dir) => {
+      // AgeFunctor over a synthesized subjects table (testdata has no
+      // dob column): dob = 2000-01-01 + subject_id days.
+      val d = dsSec(s, dir)
+      val subjects = d.subjects.withColumn("dob",
+        timestamp_seconds(lit(946684800L) + col("subject_id") * 86400L))
+      graft.functors.TimeDependentFunctor.addColumns(
+        d.events, subjects, Seq(graft.functors.AgeFunctor("dob")))
+        .select(col("event_id"), round(col("age"), 9).as("age"))
+        .orderBy("event_id")
+    }),
+
+    "q40_log_tte_time" -> ((s, dir) => {
+      // Log-TTE-normalized cumulative time: μ/σ rounded to 9 dp on BOTH
+      // sides so the exp/cumsum chain is bit-deterministic downstream.
+      val d = dsSec(s, dir)
+      val stats = d.tteStats(d.events).select(
+        round(col("mean_log_inter_event_time_min"), 9).as("m"),
+        round(col("std_log_inter_event_time_min"), 9).as("sd"))
+      BatchBuilder.logTteNormalizedTime(
+          d.events.crossJoin(broadcast(stats)), col("m"), col("sd"))
+        .select(col("event_id"), round(col("t_norm"), 6).as("t_norm"))
+        .orderBy("event_id")
+    }),
+
     "q37_to_events_nested" -> ((s, dir) => {
       // to_events normalization (event_stream_dataset.py:370-413): orders
       // become 'order' events with nested metadata, then nested→flat
@@ -718,6 +743,31 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q39_age_functor" ->
+      """SELECT event_id,
+        |round((epoch(date_trunc('second', ts)) -
+        |       (946684800 + user_id * 86400)) / 31536000.0, 9) AS age
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q40_log_tte_time" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |         (epoch(date_trunc('second', ts)) -
+        |          epoch(date_trunc('second',
+        |            lag(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)))) / 60 AS dm
+        |  FROM events),
+        |s AS (SELECT round(avg(ln(dm + 1)), 9) AS m,
+        |             round(stddev_samp(ln(dm + 1)), 9) AS sd
+        |      FROM d WHERE dm IS NOT NULL)
+        |SELECT event_id,
+        |  round(sum(CASE WHEN dm IS NULL THEN 0.0
+        |                 ELSE exp((ln(dm + 1) - s.m) / s.sd) END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        6) AS t_norm
+        |FROM d, s ORDER BY event_id""".stripMargin,
 
     "q37_to_events_nested" ->
       """SELECT o_custkey AS subject_id, count(*) AS n_meta,

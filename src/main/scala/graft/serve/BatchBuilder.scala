@@ -109,6 +109,25 @@ object BatchBuilder {
         .as("dynamic_measurement_indices"))
   }
 
+  /** Log-TTE-normalized cumulative time
+    * (event_stream_pytorch_dataset.py:312-321): per subject,
+    * Δ' = exp((log(Δ_minutes + 1) − μ)/σ) with the first event's undefined
+    * delta as 0 (the reference's fillna(0)), t' = running sum of Δ'.
+    * μ/σ are the train-split log-TTE moments (EventDataset.tteStats).
+    * One window over the subject partition — no extra shuffle when the
+    * frame is already subject-partitioned. */
+  def logTteNormalizedTime(events: DataFrame, meanLogTte: Column,
+      stdLogTte: Column): DataFrame = {
+    val w = Window.partitionBy("subject_id").orderBy("timestamp", "event_id")
+    val deltaMin = (col("timestamp").cast("double") -
+      lag(col("timestamp").cast("double"), 1).over(w)) / 60.0
+    val deltaNorm = when(deltaMin.isNull, lit(0.0))
+      .otherwise(exp((log(deltaMin + 1) - meanLogTte) / stdLogTte))
+    events.withColumn("t_norm",
+      sum(deltaNorm).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
   /** Task-conditioned extraction (event_stream_pytorch_dataset.py:239-246,
     * 288-292): one output row per task row, events restricted to
     * [start_time, end_time]. Equi key + range predicate — Catalyst runs it
