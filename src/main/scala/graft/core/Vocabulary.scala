@@ -31,13 +31,15 @@ object Vocabulary {
       .groupBy(org.apache.spark.sql.functions.col(col).cast("string")
         .as("element"))
       .agg(count(lit(1)).as("n"))
-    val total = Option(counts.agg(sum("n")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Rank and total via windows over the (vocab-cardinality-sized) counts
+    // frame — fully lazy, no driver action inside plan construction. The
+    // single-partition window matches the global-rank semantics the vocab
+    // needs anyway; vocabularies are assumed driver-broadcastable.
     val w = Window.orderBy(desc("n"), asc("element"))
     val ranked = counts
       .withColumn("idx", row_number().over(w))
-      .withColumn("freq", org.apache.spark.sql.functions.col("n") / lit(
-        total.toDouble))
+      .withColumn("freq", org.apache.spark.sql.functions.col("n") /
+        sum("n").over(Window.partitionBy()))
     val unk = obs.sparkSession.range(1).select(
       lit(UNK).as("element"), lit(0L).as("n"), lit(0).as("idx"),
       lit(0.0).as("freq"))
