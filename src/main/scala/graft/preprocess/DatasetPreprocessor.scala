@@ -1,0 +1,125 @@
+package graft.preprocess
+
+import graft.core.{DataModality, DatasetConfig, MeasurementConfig, TemporalityType, Vocabulary}
+import graft.functors.TimeDependentFunctor
+import graft.ingest.{EventDataset, Splits}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-level preprocessing orchestration — the reference's
+  * `preprocess_metadata` (event_stream_dataset.py:930-1013) driving the
+  * per-measurement source routing of §2.8 (:1302-1308):
+  *
+  *   DYNAMIC measurements           → train rows of the measurements table
+  *   STATIC measurements            → train rows of the subjects table
+  *   FUNCTIONAL_TIME_DEPENDENT      → functor columns computed on train
+  *                                    events (⋈ broadcast subjects)
+  *
+  * All fits see ONLY the train split (leakage rule, :1043/:1125/:1304);
+  * transform applies the fitted params to every split. The fitted state is
+  * a map of small DataFrames (see Preprocessor.Fit) — the immutable
+  * analogue of the reference's `inferred_measurement_configs`.
+  */
+object DatasetPreprocessor {
+
+  final case class FittedDataset(
+      dynamic: Map[String, Preprocessor.Fit],
+      dynamicCategorical: Map[String, DataFrame],
+      static: Map[String, DataFrame],
+      timeDependent: Map[String, Preprocessor.Fit])
+
+  def fit(ds: EventDataset, splits: DataFrame, cfg: DatasetConfig,
+      functors: Seq[TimeDependentFunctor] = Nil,
+      pcfg: Preprocessor.Config = Preprocessor.Config()): FittedDataset = {
+    val trainMeas = Splits.forSplit(ds.measurements, splits, "train")
+    val trainSubj = Splits.forSplit(ds.subjects, splits, "train")
+    val trainEvents = Splits.forSplit(
+      TimeDependentFunctor.addColumns(ds.events, ds.subjects, functors),
+      splits, "train")
+
+    val dynamic = cfg.measurements.collect {
+      case m if m.temporality == TemporalityType.Dynamic &&
+          m.modality == DataModality.MultivariateRegression =>
+        val obs = trainMeas.filter(col("measurement") === m.name)
+        m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
+    }.toMap
+
+    val dynamicCategorical = cfg.measurements.collect {
+      case m if m.temporality == TemporalityType.Dynamic &&
+          (m.modality == DataModality.SingleLabelClassification ||
+            m.modality == DataModality.MultiLabelClassification) =>
+        val obs = trainMeas.filter(col("measurement") === m.name)
+        m.name -> Vocabulary.fit(obs, "key").cache()
+    }.toMap
+
+    val static = cfg.measurements.collect {
+      case m if m.temporality == TemporalityType.Static =>
+        m.name -> Vocabulary.fit(trainSubj, m.name).cache()
+    }.toMap
+
+    val timeDependent = cfg.measurements.collect {
+      case m if m.temporality == TemporalityType.FunctionalTimeDependent =>
+        // univariate: the functor column under a constant key
+        val obs = trainEvents.select(lit(m.name).as("key"),
+          col(m.name).cast("double").as("value"))
+        m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
+    }.toMap
+
+    FittedDataset(dynamic, dynamicCategorical, static, timeDependent)
+  }
+
+  /** Transform every split with train-fit params.
+    * Returns (measurements with per-measurement transforms applied,
+    * events with functor columns + normalized FTD values,
+    * subjects with per-static-measurement vocab indices). */
+  def transform(ds: EventDataset, fit: FittedDataset,
+      functors: Seq[TimeDependentFunctor] = Nil)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // dynamic numeric: transform each measurement's slice, union back
+    val untouched = ds.measurements.filter(
+      !col("measurement").isin(
+        (fit.dynamic.keySet ++ fit.dynamicCategorical.keySet).toSeq: _*))
+    val numericParts = fit.dynamic.map { case (name, f) =>
+      Preprocessor.transform(
+        ds.measurements.filter(col("measurement") === name),
+        "key", "value", f)
+    }
+    val catParts = fit.dynamicCategorical.map { case (name, vocab) =>
+      Vocabulary.lookup(
+        ds.measurements.filter(col("measurement") === name),
+        "key", vocab, "key_idx")
+        .withColumn("final_key", col("key"))
+        .withColumn("value_clean", lit(null).cast("double"))
+        .withColumn("is_inlier", lit(true))
+        .withColumn("value_norm", lit(null).cast("double"))
+    }
+    val transformedMeas = (numericParts ++ catParts)
+      .reduceOption(_.unionByName(_))
+      .map(_.unionByName(untouched
+        .withColumn("final_key", col("key"))
+        .withColumn("value_clean", col("value"))
+        .withColumn("is_inlier", lit(true))
+        .withColumn("value_norm", col("value"))
+        .withColumn("key_idx", lit(0))))
+      .getOrElse(ds.measurements)
+
+    // events: functor columns + FTD normalization
+    val withFunctors =
+      TimeDependentFunctor.addColumns(ds.events, ds.subjects, functors)
+    val transformedEvents = fit.timeDependent.foldLeft(withFunctors) {
+      case (ev, (name, f)) =>
+        val obs = ev.select(col("*"), lit(name).as("__ftd_key"))
+        Preprocessor.transform(obs, "__ftd_key", name, f)
+          .withColumnRenamed("value_norm", s"${name}_norm")
+          .drop("__ftd_key", "final_key", "value_clean", "is_inlier",
+            "key_idx")
+    }
+
+    // subjects: static vocab indices
+    val transformedSubjects = fit.static.foldLeft(ds.subjects) {
+      case (subj, (name, vocab)) =>
+        Vocabulary.lookup(subj, name, vocab, s"${name}_idx")
+    }
+    (transformedMeas, transformedEvents, transformedSubjects)
+  }
+}
