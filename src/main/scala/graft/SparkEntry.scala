@@ -133,10 +133,12 @@ object SparkEntry {
     }),
 
     "q11_drop_censor" -> ((s, dir) => {
+      // inclusive drop bounds (reference semantics: the bound value itself
+      // is dropped) — oracle: value <= 0.05 OR value >= 300 → NULL
       val v = col("value")
       t(s, dir, "events").select(col("event_id"), v,
         NumericKernel.dropOrCensor(v,
-          lit(0.05), lit(false), lit(300.0), lit(false),
+          lit(0.05), lit(true), lit(300.0), lit(true),
           lit(1.0), lit(200.0)).as("value_clean"))
         .orderBy("event_id")
     }),
@@ -425,18 +427,22 @@ object SparkEntry {
     }),
 
     "q36_unit_bounds" -> ((s, dir) => {
-      // Unit-implied bounds enrichment (event_stream_dataset.py:59-141):
-      // broadcast-join a unit→bounds table, then drop/censor with the
-      // unit bounds merged in.
+      // Unit-implied bounds enrichment (reference UNIT_BOUNDS,
+      // event_stream_dataset.py:59-62: % → [0,1] exclusive): broadcast-
+      // join the unit→bounds table, then drop with the unit bounds. A
+      // synthetic proportion column keeps the test discriminative (raw
+      // values are 0.03–327 — all would drop against [0,1]).
       val ev = t(s, dir, "events")
         .withColumn("unit",
           when(col("event_type") === "click", lit("proportion"))
             .otherwise(lit("%")))
+        .withColumn("prop", col("value") / 400.0)
       val enriched = ev.join(broadcast(NumericKernel.unitBounds(s)),
         Seq("unit"), "left")
       enriched.select(col("event_id"), col("unit"),
-        NumericKernel.dropOrCensor(col("value"),
-          col("unit_lo"), lit(true), col("unit_hi"), lit(true),
+        NumericKernel.dropOrCensor(col("prop"),
+          col("unit_lo"), col("unit_lo_incl"),
+          col("unit_hi"), col("unit_hi_incl"),
           lit(null).cast("double"), lit(null).cast("double"))
           .as("value_bounded"))
         .orderBy("event_id")
@@ -823,12 +829,8 @@ object SparkEntry {
       """SELECT event_id,
         |CASE WHEN event_type = 'click' THEN 'proportion' ELSE '%' END
         |  AS unit,
-        |CASE WHEN event_type = 'click' THEN
-        |       CASE WHEN value < 0.0 OR value > 1.0 THEN NULL ELSE value END
-        |     ELSE
-        |       CASE WHEN value < 0.0 OR value > 100.0 THEN NULL
-        |            ELSE value END
-        |END AS value_bounded
+        |CASE WHEN value / 400.0 < 0.0 OR value / 400.0 > 1.0 THEN NULL
+        |     ELSE value / 400.0 END AS value_bounded
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q32_preprocess_std" ->

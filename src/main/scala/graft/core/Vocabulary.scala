@@ -83,11 +83,14 @@ object Vocabulary {
     * always small relative to observations. */
   def lookup(obs: DataFrame, obsCol: String, vocab: DataFrame,
       outCol: String): DataFrame = {
-    val v = vocab.select(col("element"), col("idx"))
-    obs.join(broadcast(v), obs(obsCol).cast("string") === v("element"),
-        "left")
-      .withColumn(outCol, coalesce(col("idx"), lit(0)))
-      .drop("element", "idx")
+    // reserved names on the broadcast side — dropping bare "element"/"idx"
+    // would silently delete caller columns with those names
+    val v = vocab.select(col("element").as("__vocab_element"),
+      col("idx").as("__vocab_idx"))
+    obs.join(broadcast(v),
+        obs(obsCol).cast("string") === v("__vocab_element"), "left")
+      .withColumn(outCol, coalesce(col("__vocab_idx"), lit(0)))
+      .drop("__vocab_element", "__vocab_idx")
   }
 
   /** Driver-side map for hot batch-builder paths (always small). */

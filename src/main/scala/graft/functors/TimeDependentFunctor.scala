@@ -16,6 +16,9 @@ trait TimeDependentFunctor extends Serializable {
   def outputModality: DataModality
   /** Expression over the joined (events ⋈ subjects) frame. */
   def expr: Column
+  /** True when `expr` references subject static columns — drives the
+    * events⋈subjects broadcast join in `addColumns`. */
+  def requiresStatics: Boolean = false
 }
 
 /** Age in years at event time (time_dependent_functor.py:47-57): exact
@@ -23,6 +26,7 @@ trait TimeDependentFunctor extends Serializable {
 final case class AgeFunctor(dobCol: String) extends TimeDependentFunctor {
   val name = "age"
   val outputModality: DataModality = DataModality.UnivariateRegression
+  override val requiresStatics = true
   def expr: Column =
     (col("timestamp").cast("double") - col(dobCol).cast("double")) /
       (365.0 * 24 * 3600)
@@ -45,10 +49,7 @@ object TimeDependentFunctor {
     * plug in by providing a Column expression. */
   def addColumns(events: DataFrame, subjects: DataFrame,
       functors: Seq[TimeDependentFunctor]): DataFrame = {
-    val needsSubjects = functors.exists {
-      case _: AgeFunctor => true
-      case _             => false
-    }
+    val needsSubjects = functors.exists(_.requiresStatics)
     val base =
       if (needsSubjects)
         events.join(broadcast(subjects), Seq("subject_id"), "left")

@@ -203,6 +203,11 @@ object Dedup {
     * Hamming distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // the 4×16-bit chunking guarantees candidates only up to distance 3
+    // (pigeonhole: d+1 chunks needed) — reject budgets it can't honor
+    require(maxHamming <= 3,
+      s"4-chunk banding only guarantees recall for maxHamming <= 3, " +
+        s"got $maxHamming")
     val sigs = simhashSignatures(docs, idCol, textCol)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
@@ -244,9 +249,8 @@ object Dedup {
     * collide with high probability). Verify with the native cosine
     * expression. */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 7)
-      : DataFrame = {
-    val dim = 64 // driver testdata embedding width; derive if needed
+      threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 7,
+      dim: Int = 64): DataFrame = {
     val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes,
         dim, seed))

@@ -13,20 +13,22 @@ import org.apache.spark.sql.functions._
 object NumericKernel {
 
   /** Drop-or-censor scalar kernel (reference event_stream_dataset.py:152-211):
-    * null the value when outside drop bounds (inclusivity-aware: an INCLUSIVE
-    * drop bound means the bound value itself survives), then clamp to censor
-    * bounds. All bound columns are nullable; null bound = unbounded. */
+    * null the value when outside drop bounds, then clamp to censor bounds.
+    * Inclusivity follows the reference exactly: an INCLUSIVE drop bound
+    * drops the bound value itself (`val <= lo` / `val >= hi`); exclusive
+    * drops strictly-outside only (`val < lo` / `val > hi`) — reference
+    * docstring :168-181. All bound columns are nullable; null = unbounded. */
   def dropOrCensor(
       v: Column,
       dropLo: Column, dropLoIncl: Column,
       dropHi: Column, dropHiIncl: Column,
       censorLo: Column, censorHi: Column): Column = {
     val belowDrop = dropLo.isNotNull &&
-      (when(coalesce(dropLoIncl, lit(false)), v < dropLo)
-        .otherwise(v <= dropLo))
+      (when(coalesce(dropLoIncl, lit(false)), v <= dropLo)
+        .otherwise(v < dropLo))
     val aboveDrop = dropHi.isNotNull &&
-      (when(coalesce(dropHiIncl, lit(false)), v > dropHi)
-        .otherwise(v >= dropHi))
+      (when(coalesce(dropHiIncl, lit(false)), v >= dropHi)
+        .otherwise(v > dropHi))
     val dropped = when(belowDrop || aboveDrop, lit(null).cast("double"))
       .otherwise(v)
     val censoredLo = when(censorLo.isNotNull && dropped < censorLo, censorLo)
@@ -35,18 +37,20 @@ object NumericKernel {
       .otherwise(censoredLo)
   }
 
-  /** Unit-implied bounds (reference event_stream_dataset.py:59-141): units
-    * like '%' imply [0,100] etc. Returned as a lookup table to broadcast-join
-    * on `unit`, then merged with declared bounds via least/greatest with
-    * inclusivity resolution. */
+  /** Unit-implied bounds (reference UNIT_BOUNDS,
+    * event_stream_dataset.py:59-62): ('%','percent') → [0, 1] with
+    * EXCLUSIVE flags (percentages are stored as proportions in the
+    * reference). 'proportion'/'fraction' are engine extensions with the
+    * same bounds. Returned as a lookup table to broadcast-join on `unit`,
+    * then merged with declared bounds via least/greatest. */
   def unitBounds(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
-      ("%", 0.0, 100.0),
-      ("percent", 0.0, 100.0),
-      ("proportion", 0.0, 1.0),
-      ("fraction", 0.0, 1.0)
-    ).toDF("unit", "unit_lo", "unit_hi")
+      ("%", 0.0, false, 1.0, false),
+      ("percent", 0.0, false, 1.0, false),
+      ("proportion", 0.0, false, 1.0, false),
+      ("fraction", 0.0, false, 1.0, false)
+    ).toDF("unit", "unit_lo", "unit_lo_incl", "unit_hi", "unit_hi_incl")
   }
 
   /** Value-type inference aggregation (event_stream_dataset.py:1216-1277).

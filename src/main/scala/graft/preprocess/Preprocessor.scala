@@ -135,11 +135,15 @@ object Preprocessor {
     val meta = fit.perKey.withColumnRenamed("key", "__k")
     val joined = obs.join(broadcast(meta),
       obs(keyCol).cast("string") === col("__k"), "left")
+    // Keys never seen at fit time get NULLED values (the reference nulls
+    // values whose key is outside the fitted space,
+    // event_stream_dataset.py:1408) — NOT identity passthrough.
+    val seen = col("__k").isNotNull
     val vt = coalesce(col("value_type"), lit("float"))
     val v = col(valCol).cast("double")
     val finalKey = NumericKernel.reencodeKey(
       col(keyCol).cast("string"), v, vt)
-    val v1 = NumericKernel.reencodeValue(v, vt)
+    val v1 = when(seen, NumericKernel.reencodeValue(v, vt))
     val isInlier = NumericKernel.isInlier(v1, col("viod_lo"),
       col("viod_hi"))
     val vInlier = when(isInlier, v1)
@@ -153,7 +157,7 @@ object Preprocessor {
     val stage = joined
       .withColumn("final_key", finalKey)
       .withColumn("value_clean", vInlier)
-      .withColumn("is_inlier", v1.isNotNull && isInlier)
+      .withColumn("is_inlier", seen && v1.isNotNull && isInlier)
       .withColumn("value_norm", vNorm)
       .drop("__k", "value_type", "viod_lo", "viod_hi", "norm_mean",
         "norm_std", "quantiles")

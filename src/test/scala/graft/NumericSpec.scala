@@ -9,26 +9,27 @@ class NumericSpec extends SparkSpec {
   import spark.implicits._
 
   test("dropOrCensor: inclusivity-aware drop then censor clamp") {
-    // reference :152-211 — an INCLUSIVE drop bound keeps the bound value
+    // reference :168-181 — an INCLUSIVE drop bound drops the bound value
+    // itself (val <= lo / val >= hi); exclusive drops strictly-outside only
     val df = Seq(
       (-5.0, "below drop"),
-      (0.0, "at exclusive drop lo -> dropped"),
+      (0.0, "at exclusive drop lo -> kept, censored up"),
       (0.5, "below censor lo -> clamped"),
       (5.0, "inside"),
       (95.0, "above censor hi -> clamped"),
-      (100.0, "at inclusive drop hi -> kept but censored"),
+      (100.0, "at inclusive drop hi -> dropped"),
       (200.0, "above drop")).toDF("v", "why")
     val out = df.select(col("why"), NumericKernel.dropOrCensor(col("v"),
-      lit(0.0), lit(false), // drop lo exclusive: v <= 0 dropped
-      lit(100.0), lit(true), // drop hi inclusive: only v > 100 dropped
+      lit(0.0), lit(false), // drop lo exclusive: only v < 0 dropped
+      lit(100.0), lit(true), // drop hi inclusive: v >= 100 dropped
       lit(1.0), lit(90.0)).as("r"))
       .as[(String, Option[Double])].collect().toMap
     assert(out("below drop").isEmpty)
-    assert(out("at exclusive drop lo -> dropped").isEmpty)
+    assert(out("at exclusive drop lo -> kept, censored up").contains(1.0))
     assert(out("below censor lo -> clamped").contains(1.0))
     assert(out("inside").contains(5.0))
     assert(out("above censor hi -> clamped").contains(90.0))
-    assert(out("at inclusive drop hi -> kept but censored").contains(90.0))
+    assert(out("at inclusive drop hi -> dropped").isEmpty)
     assert(out("above drop").isEmpty)
     // null propagates
     val nul = Seq(Option.empty[Double]).toDF("v")
