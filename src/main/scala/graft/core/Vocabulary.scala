@@ -46,6 +46,15 @@ object Vocabulary {
     unk.unionByName(ranked.select("element", "n", "idx", "freq"))
   }
 
+  /** Vocabulary over ARRAY-valued observations (the reference's nested
+    * ExpandableDfDict cells, vocabulary.py:114-123: lists inside cells are
+    * flattened while counting, NaN/null skipped): explode then count —
+    * O(total elements) narrow + one aggregation, vs the reference's
+    * recursive Python walk. */
+  def fitNested(obs: DataFrame, arrayCol: String): DataFrame =
+    fit(obs.select(explode_outer(
+      org.apache.spark.sql.functions.col(arrayCol)).as("__el")), "__el")
+
   /** Fold elements observed fewer than `minN` times (or with frequency below
     * a proportion) into UNK; UNK absorbs the dropped tail's count/frequency
     * and survivors are re-indexed densely (vocabulary.py:84-112). */

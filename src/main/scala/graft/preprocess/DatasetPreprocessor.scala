@@ -26,25 +26,48 @@ object DatasetPreprocessor {
       dynamic: Map[String, Preprocessor.Fit],
       dynamicCategorical: Map[String, DataFrame],
       static: Map[String, DataFrame],
-      timeDependent: Map[String, Preprocessor.Fit])
+      timeDependent: Map[String, Preprocessor.Fit],
+      /** Measurements dropped by the observation-count rule
+        * (event_stream_dataset.py:1048-1050,1346-1348). */
+      dropped: Set[String] = Set.empty)
 
   def fit(ds: EventDataset, splits: DataFrame, cfg: DatasetConfig,
       functors: Seq[TimeDependentFunctor] = Nil,
       pcfg: Preprocessor.Config = Preprocessor.Config()): FittedDataset = {
-    val trainMeas = Splits.forSplit(ds.measurements, splits, "train")
+    val trainMeasAll = Splits.forSplit(ds.measurements, splits, "train")
     val trainSubj = Splits.forSplit(ds.subjects, splits, "train")
     val trainEvents = Splits.forSplit(
       TimeDependentFunctor.addColumns(ds.events, ds.subjects, functors),
       splits, "train")
 
-    val dynamic = cfg.measurements.collect {
+    // Column-drop rule: a DYNAMIC measurement observed fewer than
+    // minValidColumnObservations times on train (count or proportion of
+    // train events) is dropped before any fitting.
+    val dropped: Set[String] = cfg.minValidColumnObservations match {
+      case Some(m) =>
+        val totalTrainEvents = trainEvents.count()
+        val observed = trainMeasAll.groupBy("measurement")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val minN = m.resolve(totalTrainEvents)
+        cfg.measurements.collect {
+          case mc if mc.temporality == TemporalityType.Dynamic &&
+            observed.getOrElse(mc.name, 0L) < minN => mc.name
+        }.toSet
+      case None => Set.empty
+    }
+    val trainMeas = trainMeasAll
+    val keptMeasurements = cfg.measurements
+      .filterNot(m => dropped.contains(m.name))
+
+    val dynamic = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Dynamic &&
           m.modality == DataModality.MultivariateRegression =>
         val obs = trainMeas.filter(col("measurement") === m.name)
         m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
     }.toMap
 
-    val dynamicCategorical = cfg.measurements.collect {
+    val dynamicCategorical = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Dynamic &&
           (m.modality == DataModality.SingleLabelClassification ||
             m.modality == DataModality.MultiLabelClassification) =>
@@ -52,12 +75,12 @@ object DatasetPreprocessor {
         m.name -> Vocabulary.fit(obs, "key").cache()
     }.toMap
 
-    val static = cfg.measurements.collect {
+    val static = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Static =>
         m.name -> Vocabulary.fit(trainSubj, m.name).cache()
     }.toMap
 
-    val timeDependent = cfg.measurements.collect {
+    val timeDependent = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.FunctionalTimeDependent =>
         // univariate: the functor column under a constant key
         val obs = trainEvents.select(lit(m.name).as("key"),
@@ -65,7 +88,8 @@ object DatasetPreprocessor {
         m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
     }.toMap
 
-    FittedDataset(dynamic, dynamicCategorical, static, timeDependent)
+    FittedDataset(dynamic, dynamicCategorical, static, timeDependent,
+      dropped)
   }
 
   /** Transform every split with train-fit params.
@@ -75,10 +99,13 @@ object DatasetPreprocessor {
   def transform(ds: EventDataset, fit: FittedDataset,
       functors: Seq[TimeDependentFunctor] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
-    // dynamic numeric: transform each measurement's slice, union back
+    // dynamic numeric: transform each measurement's slice, union back.
+    // Dropped measurements' rows are removed entirely (the reference drops
+    // the column).
     val untouched = ds.measurements.filter(
       !col("measurement").isin(
-        (fit.dynamic.keySet ++ fit.dynamicCategorical.keySet).toSeq: _*))
+        (fit.dynamic.keySet ++ fit.dynamicCategorical.keySet ++
+          fit.dropped).toSeq: _*))
     val numericParts = fit.dynamic.map { case (name, f) =>
       Preprocessor.transform(
         ds.measurements.filter(col("measurement") === name),

@@ -74,6 +74,39 @@ class DatasetPreprocessorSpec extends SparkSpec {
     assert(sexIdx(1L) > 0 && sexIdx(2L) == 0)
   }
 
+  test("observation-count drop rule removes under-observed measurements") {
+    val events = (0L until 10L).map(i =>
+      (i, 1L, ts(f"2024-01-01 0$i:00:00"), "A"))
+      .toDF("event_id", "subject_id", "timestamp", "event_type")
+    val meas = ((0L until 8L).map(i =>
+      (i, i, "A", 1L, "common", "k", Some(i.toDouble))) :+
+      (8L, 0L, "A", 1L, "rare", "k", Some(1.0)))
+      .toDF("metadata_id", "event_id", "event_type", "subject_id",
+        "measurement", "key", "value")
+    val ds = EventDataset(events, meas, Seq(Tuple1(1L)).toDF("subject_id"))
+    val splits = Seq((1L, "train")).toDF("subject_id", "split")
+    val cfg = DatasetConfig(
+      measurements = Seq(
+        MeasurementConfig("common", TemporalityType.Dynamic,
+          DataModality.MultivariateRegression,
+          valuesColumn = Some("value")),
+        MeasurementConfig("rare", TemporalityType.Dynamic,
+          DataModality.MultivariateRegression,
+          valuesColumn = Some("value"))),
+      // 0.5 of 10 train events = 5 observations required
+      minValidColumnObservations =
+        Some(CountOrProportion.proportion(0.5)))
+    val pcfg = Preprocessor.Config(minValidVocabElementObservations = 1,
+      minUniqueNumericalObservations = 2,
+      maxNumericalValueFrequency = 0.9)
+    val fit = DatasetPreprocessor.fit(ds, splits, cfg, Nil, pcfg)
+    assert(fit.dropped == Set("rare"))
+    assert(fit.dynamic.keySet == Set("common"))
+    val (tm, _, _) = DatasetPreprocessor.transform(ds, fit)
+    assert(tm.filter(col("measurement") === "rare").count() == 0)
+    assert(tm.filter(col("measurement") === "common").count() == 8)
+  }
+
   test("functional-time-dependent measurement fit+transform") {
     val events = Seq(
       (0L, 1L, ts("2024-01-01 05:00:00"), "A"),

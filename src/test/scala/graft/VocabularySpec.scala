@@ -40,6 +40,20 @@ class VocabularySpec extends SparkSpec {
       Seq("a", 2), Seq("zzz", 0), Seq("b", 1)))
   }
 
+  test("fitNested flattens array cells while counting, skipping nulls") {
+    // vocabulary.py:114-123: nested lists flattened, NaN skipped
+    val nested = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("b", null)),
+      (3L, Seq.empty[String]),
+      (4L, null)).toDF("id", "els")
+    val v = Vocabulary.fitNested(nested, "els")
+    assertSameRows(v.select("element", "n", "idx"), Seq(
+      Seq("UNK", 0L, 0),
+      Seq("a", 2L, 1),
+      Seq("b", 2L, 2)))
+  }
+
   test("degenerate vocab detection") {
     val v = Vocabulary.fit(obs, "el")
     assert(!Vocabulary.isDegenerate(v))
