@@ -89,10 +89,14 @@ object Dedup {
       : DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
+    // Both frames feed two downstream branches (banding + est join; shA +
+    // shB) — cache so the shingle/signature computation runs once, not
+    // per branch. Signature frame is |docs| × k longs; shingle frame is
+    // the normalized text → bounded by corpus size.
     val withSh = docs.select(
       col(idCol).as("id"),
-      TextOps.charShingles(col(textCol), shingleN).as("sh"))
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
+      TextOps.charShingles(col(textCol), shingleN).as("sh")).cache()
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN).cache()
     // Bands carry ONLY (id, band, bucket): the shingle arrays — by far the
     // widest payload — never ride through the band explode or the bucket
     // shuffle; they are joined back for the (deduped) candidate pairs only.
