@@ -307,6 +307,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Full near-dup dedup chain: LSH pairs → connected components →
+    // canonical survivor per cluster (seeded-hash → rows-only check).
+    "q41_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 64, bands = 16, shingleN = 5, jaccardThreshold = 0.5)
+      Dedup.dedupByPairs(docs, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q29_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)

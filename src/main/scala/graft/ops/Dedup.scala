@@ -144,6 +144,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list via iterative
+    * min-label propagation — the step every dedup pipeline needs after
+    * candidate pairs: transitively-linked docs form one cluster keyed by
+    * the minimum id. Converges in O(log(longest path)) label-exchange
+    * rounds in practice (near-dup clusters are small and dense); each
+    * round is one join + one aggregation, all hash-partitioned on id —
+    * no driver-side graph. Returns (id, label) for every id that appears
+    * in a pair; non-paired docs are implicitly their own cluster. */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      val changed = next.join(
+          labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep one canonical doc (minimum id) per near-dup cluster: docs in a
+    * cluster survive iff they ARE the cluster label; unpaired docs always
+    * survive. */
+  def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val labels = clusterPairs(pairs)
+    docs.join(labels, docs(idCol) === labels("id"), "left")
+      .filter(col("id").isNull || col("label") === docs(idCol))
+      .drop("id", "label")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
