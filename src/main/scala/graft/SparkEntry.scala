@@ -307,6 +307,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q42_corpus_pipeline" -> ((s, dir) => {
+      // the pre-training corpus pipeline in one plan: exact dedup →
+      // quality filter (Gopher-rules composite ≥ 0.75) → language rollup
+      val docs = Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      docs.select(TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("qs"))
+        .filter(col("qs") >= 0.75)
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("qs")), 6).as("avg_quality"))
+        .orderBy("lang_pred")
+    }),
+
     // Full near-dup dedup chain: LSH pairs → connected components →
     // canonical survivor per cluster (seeded-hash → rows-only check).
     "q41_neardup_dedup" -> ((s, dir) => {
@@ -749,6 +762,79 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
         |      FROM s)
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q42_corpus_pipeline" ->
+      """WITH uniq AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |d AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(text), '\s+') AS toks,
+        |         string_split_regex(trim(lower(text)), '\s+') AS ltoks
+        |  FROM documents JOIN uniq USING (doc_id)),
+        |feat AS (
+        |  SELECT doc_id, toks, ltoks,
+        |    CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS ntok,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+        |      AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','on',
+        |       'for','with','as','at','by','be','this','that','are',
+        |       'was'], lower(x)))) AS DOUBLE) /
+        |      greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
+        |    CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks)
+        |               END) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks,
+        |                x -> length(x))) AS DOUBLE) / len(toks)
+        |    END AS mwl
+        |  FROM d),
+        |scored AS (
+        |  SELECT doc_id, ltoks,
+        |    ((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0
+        |           ELSE 0.0 END) +
+        |     (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |     (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END) +
+        |     (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END))
+        |      / 4.0 AS qs
+        |  FROM feat),
+        |langscore AS (
+        |  SELECT doc_id, 'de' AS lang, CAST(len(list_filter(ltoks,
+        |    x -> list_contains(['der','die','und','das','ist','von','den',
+        |      'mit'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS score FROM scored
+        |  UNION ALL
+        |  SELECT doc_id, 'en', CAST(len(list_filter(ltoks,
+        |    x -> list_contains(['the','and','of','to','in','is','you',
+        |      'that','it'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) FROM scored
+        |  UNION ALL
+        |  SELECT doc_id, 'es', CAST(len(list_filter(ltoks,
+        |    x -> list_contains(['el','la','de','que','y','en','un','los',
+        |      'se'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) FROM scored
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', CAST(len(list_filter(ltoks,
+        |    x -> list_contains(['le','la','de','et','les','des','est',
+        |      'un','une'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) FROM scored
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', CAST(len(list_filter(ltoks,
+        |    x -> list_contains(['的','了','是','我','不','在','有','他'],
+        |      x))) AS DOUBLE) /
+        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) FROM scored),
+        |langpick AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score > 0.0 THEN lang ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, lang, score, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY score DESC, lang DESC)
+        |          AS rk FROM langscore)
+        |  WHERE rk = 1)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |       round(avg(qs), 6) AS avg_quality
+        |FROM scored JOIN langpick USING (doc_id)
+        |WHERE qs >= 0.75
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q29_ann_brute" ->
       """SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
