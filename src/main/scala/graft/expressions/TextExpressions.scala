@@ -62,10 +62,58 @@ case class CharShingleExpr(child: Expression, n: Int)
       : CharShingleExpr = copy(child = newChild)
 }
 
+/** Count of elements of a string-array column contained in a static set
+  * (duplicates counted), optionally lowercasing each element first.
+  *
+  * Replaces `size(filter(arr, t => lower(t).isin(set)))`, whose
+  * interpreted lambda walks a |set|-long Or-chain per ELEMENT (~2 ms/row
+  * measured for the quality+langid stack on the driver corpus). One
+  * hash-set probe per element, single JVM call per row. */
+case class CountInSetExpr(child: Expression, set: Seq[String],
+    lowercase: Boolean)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(e => s.add(UTF8String.fromString(e)))
+    s
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.getUTF8String(i)
+        val probe = if (lowercase) e.toLowerCase else e
+        if (lookup.contains(probe)) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CountInSetExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
     * `array_distinct` semantics). */
   def charShingles(s: Column, n: Int): Column =
     Bridge.toColumn(CharShingleExpr(Bridge.toExpression(s), n))
+
+  /** Count of array elements present in `set` (duplicates counted). */
+  def countInSet(arr: Column, set: Seq[String],
+      lowercase: Boolean = false): Column =
+    Bridge.toColumn(CountInSetExpr(Bridge.toExpression(arr), set,
+      lowercase))
 }

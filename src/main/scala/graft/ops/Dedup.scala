@@ -90,13 +90,15 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // Both frames feed two downstream branches (banding + est join; shA +
-    // shB) — cache so the shingle/signature computation runs once, not
-    // per branch. Signature frame is |docs| × k longs; shingle frame is
-    // the normalized text → bounded by corpus size.
+    // shB). No explicit cache: the branches share their shuffle subplans,
+    // which AQE's exchange reuse dedupes within the query — and explicit
+    // .cache() inside operators accumulates CacheManager entries that tax
+    // every later query's plan lookup in long sessions (measured: the
+    // bench total WORSENED with operator-internal caching).
     val withSh = docs.select(
       col(idCol).as("id"),
-      TextOps.charShingles(col(textCol), shingleN).as("sh")).cache()
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN).cache()
+      TextOps.charShingles(col(textCol), shingleN).as("sh"))
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
     // Bands carry ONLY (id, band, bucket): the shingle arrays — by far the
     // widest payload — never ride through the band explode or the bucket
     // shuffle; they are joined back for the (deduped) candidate pairs only.
@@ -154,22 +156,28 @@ object Dedup {
     * in a pair; non-paired docs are implicitly their own cluster. */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .cache()
+    // Materialize the (small) pair list ONCE via localCheckpoint: the
+    // union references it twice and the iterative loop would otherwise
+    // replay the potentially-expensive upstream plan (e.g. a full LSH)
+    // every iteration. localCheckpoint truncates lineage without
+    // registering a CacheManager entry that would tax later queries.
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
+      // localCheckpoint per round: truncates the iterative lineage (no
+      // exponential replay) without CacheManager registration
       val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label")).cache()
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
       val changed = next.join(
           labels.withColumnRenamed("label", "__old"), Seq("id"))
         .filter(col("label") =!= col("__old")).limit(1).count() > 0
-      labels.unpersist()
       labels = next
       converged = !changed
       i += 1

@@ -31,17 +31,21 @@ object TextOps {
     "for", "with", "as", "at", "by", "be", "this", "that", "are", "was")
 
   /** Quality-score feature block (length / punctuation / stopword ratios) —
-    * the standard pre-training quality filters. Returns a struct column. */
+    * the standard pre-training quality filters. Returns a struct column.
+    * Hot-loop discipline: stopword counting is a native set-probe
+    * expression and summed token length is `length(concat_ws("", toks))`
+    * — no interpreted per-token lambdas (those cost ~2 ms/doc for this
+    * stack). */
   def qualityFeatures(text: Column): Column = {
     val toks = tokens(text)
     val nTok = when(length(trim(text)) === 0, 0).otherwise(size(toks))
     val nChars = length(text)
     val nPunct = length(text) - length(regexp_replace(text,
       "[!-/:-@\\[-`{-~]", ""))
-    val nStop = size(filter(toks, t => lower(t).isin(Stopwords: _*)))
+    val nStop = graft.expressions.TextExpressions.countInSet(
+      toks, Stopwords, lowercase = true)
     val meanWordLen = when(nTok === 0, 0.0)
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast("double") / nTok)
+      .otherwise(length(concat_ws("", toks)).cast("double") / nTok)
     struct(
       nChars.as("n_chars"),
       nTok.as("n_tokens"),
@@ -80,8 +84,8 @@ object TextOps {
     val n = greatest(size(toks), lit(1)).cast("double")
     val scored = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
       struct(
-        (size(filter(toks, t => t.isin(sw: _*))).cast("double") / n)
-          .as("score"),
+        (graft.expressions.TextExpressions.countInSet(toks, sw)
+          .cast("double") / n).as("score"),
         lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)

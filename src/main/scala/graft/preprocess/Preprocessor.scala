@@ -122,9 +122,11 @@ object Preprocessor {
       case None => rawVocab
     }
     // Fit state is per-key-cardinality small but its LINEAGE scans the full
-    // train set — cache so repeated transforms (or multi-split application)
-    // don't re-run the fit aggregations per use.
-    Fit(withNorm.cache(), vocab.cache())
+    // train set — materialize via localCheckpoint so repeated transforms
+    // (or multi-split application) don't re-run the fit aggregations per
+    // use. localCheckpoint rather than cache(): CacheManager entries tax
+    // plan lookup for every later query in long sessions.
+    Fit(withNorm.localCheckpoint(true), vocab.localCheckpoint(true))
   }
 
   /** Apply a fit to any split's observations: broadcast-join the per-key

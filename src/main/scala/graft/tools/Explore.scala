@@ -23,6 +23,29 @@ object Explore {
       println(f"[explore] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // query-timing mode: Explore <sfDir> qNN [qNN...] times contract
+    // queries in isolation (fresh session, no cross-query cache effects)
+    if (args.length > 1 && args(1) == "q42breakdown") {
+      val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+      time("exact dedup only")(
+        println(Dedup.exact(docsRaw, "doc_id", "text").count()))
+      time("langId+qs no dedup")(println(
+        docsRaw.select(TextOps.langId(col("text")).as("l"),
+          TextOps.qualityScore(col("text")).as("qs"))
+          .filter(col("qs") >= 0.75).groupBy("l").count().count()))
+      time("qs only")(println(
+        docsRaw.select(TextOps.qualityScore(col("text")).as("qs"))
+          .filter(col("qs") >= 0.75).count()))
+      spark.stop()
+      return
+    }
+    if (args.length > 1) {
+      args.drop(1).foreach { q =>
+        time(q)(println(graft.SparkEntry.queries(q)(spark, sfDir).count()))
+      }
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[explore] docs: ${docs.count()}")
 
