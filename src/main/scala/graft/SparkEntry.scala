@@ -307,6 +307,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q43_tumbling_daily" -> ((s, dir) => {
+      // Batch twin of StreamOps.windowedTypeStats: tumbling 1-day windows
+      // per event_type — identical semantics batch/stream (the streaming
+      // path adds only the watermark).
+      // avg over the in-window OFFSET (0..86400), not raw epoch seconds:
+      // epoch ~1.7e9 with 6 decimals overflows double's 15.9 significant
+      // digits, so FP-order noise breaks the round-6 oracle compare.
+      dsSec(s, dir).events
+        .withColumn("win", window(col("timestamp"), "1 day"))
+        .groupBy(col("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(unix_timestamp(col("timestamp")) -
+            unix_timestamp(col("win.start"))), 6).as("avg_offset_sec"))
+        .select(unix_timestamp(col("win.start")).as("win_start"),
+          col("event_type"), col("n"), col("avg_offset_sec"))
+        .orderBy("win_start", "event_type")
+    }),
+
     "q42_corpus_pipeline" -> ((s, dir) => {
       // the pre-training corpus pipeline in one plan: exact dedup →
       // quality filter (Gopher-rules composite ≥ 0.75) → language rollup
@@ -762,6 +780,13 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
         |      FROM s)
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q43_tumbling_daily" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+        |event_type, count(*) AS n,
+        |round(avg(epoch(date_trunc('second', ts)) -
+        |          epoch(date_trunc('day', ts))), 6) AS avg_offset_sec
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q42_corpus_pipeline" ->
       """WITH uniq AS (
