@@ -530,9 +530,9 @@ object SparkEntry {
         .orderBy("media_id")
     }))
 
-  /** DuckDB oracles over the same parquet tables. Keys absent here get the
-    * driver's weaker rows-only check (seeded-hash ops: q15/q16/q27/q28/q30).
-    */
+  /** DuckDB oracles over the same parquet tables. Keys absent here get
+    * the driver's weaker rows-only check (seeded-hash ops:
+    * q15/q16/q27/q28/q30/q41). */
   def oracleSql: Map[String, String] = Map(
     "q01_ingest_events" ->
       """SELECT event_id, user_id AS subject_id,

@@ -75,7 +75,10 @@ case class CountInSetExpr(child: Expression, set: Seq[String],
 
   @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](set.size * 2)
-    set.foreach(e => s.add(UTF8String.fromString(e)))
+    // normalize the set the same way as the probes — a mixed-case set
+    // entry with lowercase=true must still match
+    set.foreach(e => s.add(UTF8String.fromString(
+      if (lowercase) e.toLowerCase else e)))
     s
   }
 

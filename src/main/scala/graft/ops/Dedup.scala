@@ -182,6 +182,10 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] clusterPairs: NOT converged after " +
+        s"$maxIter rounds — labels may split clusters whose graph " +
+        s"diameter exceeds the budget; raise maxIter")
     labels
   }
 
@@ -190,10 +194,13 @@ object Dedup {
     * survive. */
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame)
       : DataFrame = {
+    // reserved names on the label side — bare "id"/"label" would collide
+    // with (or silently delete) caller columns
     val labels = clusterPairs(pairs)
-    docs.join(labels, docs(idCol) === labels("id"), "left")
-      .filter(col("id").isNull || col("label") === docs(idCol))
-      .drop("id", "label")
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    docs.join(labels, docs(idCol) === col("__cc_id"), "left")
+      .filter(col("__cc_id").isNull || col("__cc_label") === docs(idCol))
+      .drop("__cc_id", "__cc_label")
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */

@@ -45,7 +45,10 @@ object DatasetPreprocessor {
     // train events) is dropped before any fitting.
     val dropped: Set[String] = cfg.minValidColumnObservations match {
       case Some(m) =>
-        val totalTrainEvents = trainEvents.count()
+        // count train events WITHOUT the functor/subjects join — only the
+        // row count matters here
+        val totalTrainEvents =
+          Splits.forSplit(ds.events, splits, "train").count()
         val observed = trainMeasAll.groupBy("measurement")
           .agg(count(lit(1)).as("n")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -56,14 +59,13 @@ object DatasetPreprocessor {
         }.toSet
       case None => Set.empty
     }
-    val trainMeas = trainMeasAll
     val keptMeasurements = cfg.measurements
       .filterNot(m => dropped.contains(m.name))
 
     val dynamic = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Dynamic &&
           m.modality == DataModality.MultivariateRegression =>
-        val obs = trainMeas.filter(col("measurement") === m.name)
+        val obs = trainMeasAll.filter(col("measurement") === m.name)
         m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
     }.toMap
 
@@ -71,13 +73,13 @@ object DatasetPreprocessor {
       case m if m.temporality == TemporalityType.Dynamic &&
           (m.modality == DataModality.SingleLabelClassification ||
             m.modality == DataModality.MultiLabelClassification) =>
-        val obs = trainMeas.filter(col("measurement") === m.name)
-        m.name -> Vocabulary.fit(obs, "key").cache()
+        val obs = trainMeasAll.filter(col("measurement") === m.name)
+        m.name -> Vocabulary.fit(obs, "key").localCheckpoint(true)
     }.toMap
 
     val static = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Static =>
-        m.name -> Vocabulary.fit(trainSubj, m.name).cache()
+        m.name -> Vocabulary.fit(trainSubj, m.name).localCheckpoint(true)
     }.toMap
 
     val timeDependent = keptMeasurements.collect {
@@ -120,15 +122,17 @@ object DatasetPreprocessor {
         .withColumn("is_inlier", lit(true))
         .withColumn("value_norm", lit(null).cast("double"))
     }
+    // The augmented untouched frame is ALWAYS the base (so dropped
+    // measurements are excluded and the output schema is stable even when
+    // no measurement was fitted); fitted parts union into it.
+    val untouchedAugmented = untouched
+      .withColumn("final_key", col("key"))
+      .withColumn("value_clean", col("value"))
+      .withColumn("is_inlier", lit(true))
+      .withColumn("value_norm", col("value"))
+      .withColumn("key_idx", lit(0))
     val transformedMeas = (numericParts ++ catParts)
-      .reduceOption(_.unionByName(_))
-      .map(_.unionByName(untouched
-        .withColumn("final_key", col("key"))
-        .withColumn("value_clean", col("value"))
-        .withColumn("is_inlier", lit(true))
-        .withColumn("value_norm", col("value"))
-        .withColumn("key_idx", lit(0))))
-      .getOrElse(ds.measurements)
+      .foldLeft(untouchedAugmented)(_.unionByName(_))
 
     // events: functor columns + FTD normalization
     val withFunctors =
