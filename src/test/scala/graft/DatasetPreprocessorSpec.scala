@@ -107,6 +107,32 @@ class DatasetPreprocessorSpec extends SparkSpec {
     assert(tm.filter(col("measurement") === "common").count() == 8)
   }
 
+  test("transform with ALL measurements dropped: stable schema, no rows") {
+    // regression: the union base must be the augmented untouched frame,
+    // not raw measurements — dropped rows excluded, output columns present
+    val events = (0L until 10L).map(i =>
+      (i, 1L, ts(f"2024-01-01 0$i:00:00"), "A"))
+      .toDF("event_id", "subject_id", "timestamp", "event_type")
+    val meas = Seq((0L, 0L, "A", 1L, "rare", "k", Some(1.0)))
+      .toDF("metadata_id", "event_id", "event_type", "subject_id",
+        "measurement", "key", "value")
+    val ds = EventDataset(events, meas, Seq(Tuple1(1L)).toDF("subject_id"))
+    val splits = Seq((1L, "train")).toDF("subject_id", "split")
+    val cfg = DatasetConfig(
+      measurements = Seq(MeasurementConfig("rare",
+        TemporalityType.Dynamic, DataModality.MultivariateRegression,
+        valuesColumn = Some("value"))),
+      minValidColumnObservations = Some(CountOrProportion.count(5)))
+    val fit = DatasetPreprocessor.fit(ds, splits, cfg)
+    assert(fit.dropped == Set("rare") && fit.dynamic.isEmpty)
+    val (tm, _, _) = DatasetPreprocessor.transform(ds, fit)
+    assert(tm.count() == 0) // dropped rows excluded even with no fits
+    // schema is stable: the transform output columns exist
+    for (c <- Seq("final_key", "value_clean", "is_inlier", "value_norm",
+        "key_idx"))
+      assert(tm.columns.contains(c), s"missing $c")
+  }
+
   test("functional-time-dependent measurement fit+transform") {
     val events = Seq(
       (0L, 1L, ts("2024-01-01 05:00:00"), "A"),
