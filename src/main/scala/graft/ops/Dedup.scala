@@ -98,21 +98,37 @@ object Dedup {
     val withSh = docs.select(
       col(idCol).as("id"),
       TextOps.charShingles(col(textCol), shingleN).as("sh"))
+    // k longs per doc; consumed by banding AND the est joins — materialize
+    // once (localCheckpoint, not cache: see SCALE.md hot-loop discipline)
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
+      .localCheckpoint(true)
     // Bands carry ONLY (id, band, bucket): the shingle arrays — by far the
     // widest payload — never ride through the band explode or the bucket
     // shuffle; they are joined back for the (deduped) candidate pairs only.
+    // localCheckpoint: the band list feeds the oversized-bucket scan AND
+    // the anti-join left side AND the pair self-join — without
+    // materialization each consumer would replay the signature pipeline
+    // (no shared exchange to reuse). (id,band,bucket) triples are k/rows
+    // rows per doc of 3 longs — small at any corpus size.
     val banded = sigs
       .select(col("id"),
         // xxhash64 hashes the band's signature slice (array) + band id.
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "bucket")))
-    // Rank within bucket to cap degenerate buckets deterministically.
-    val w = Window.partitionBy("band", "bucket").orderBy("id")
+      .localCheckpoint(true)
+    // Degenerate buckets (boilerplate/empty content hashing together) are
+    // DROPPED whole: keeping even a capped prefix of a 100k-doc bucket
+    // still yields a quadratic pair blowup, and a broadcast anti-join on
+    // the (tiny) oversized-bucket list is cheaper than the per-bucket
+    // sort a row_number cap needs. True near-dups lost this way are
+    // pathological duplicates that collide in other bands anyway.
+    val oversized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucketSize)
+      .select("band", "bucket")
     val capped = banded
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= maxBucketSize)
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
       .select("band", "bucket", "id")
     val pairs = capped
       .join(capped.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
