@@ -10,17 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Full materialization: the noop v2 sink evaluates every row and column
+    // of the final projection. A bare .count() lets Catalyst prune the
+    // expensive projections of non-aggregating queries (and EliminateSorts
+    // their orderBy) down to a parquet row count — that's not the workload.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Warm up the session (codegen compiler, parquet footer cache, shuffle
     // machinery) so the first timed query isn't charged with JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // A failed query must NOT report its (fast) time-to-failure as if it
     // were a result — record it as -1 so regressions are visible.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { run(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false

@@ -152,11 +152,14 @@ object SparkEntry {
     }),
 
     "q13_quantiles" -> ((s, dir) => {
+      // posexplode to scalar rows: the driver's comparator hashes columns
+      // and cannot sort array cells, so list outputs are contract-hostile.
       NumericKernel.fitQuantiles(t(s, dir, "events"), "event_type", "value",
           nQuantiles = 5)
-        .select(col("key"),
-          transform(col("quantiles"), q => round(q, 6)).as("quantiles"))
-        .orderBy("key")
+        .select(col("key"), posexplode(col("quantiles")))
+        .select(col("key"), col("pos").cast("int").as("q_idx"),
+          round(col("col"), 6).as("q"))
+        .orderBy("key", "q_idx")
     }),
 
     "q14_reencode" -> ((s, dir) => {
@@ -438,9 +441,12 @@ object SparkEntry {
         "event_type", vocab, "vidx")
       EmbeddingGather.gather(items, "subject_id", "vidx", "value",
         t(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("subject_id"),
-          transform(col("emb"), x => round(x, 6)).as("emb"))
-        .orderBy("subject_id")
+        // scalar rows (subject, 1-based pos, value): array cells break the
+        // driver's pandas comparator.
+        .select(col("subject_id"), posexplode(col("emb")))
+        .select(col("subject_id"), (col("pos") + 1).as("pos"),
+          round(col("col"), 6).as("emb_val"))
+        .orderBy("subject_id", "pos")
     }),
 
     "q35_task_labels" -> ((s, dir) => {
@@ -605,28 +611,55 @@ object SparkEntry {
     "q10_value_types" ->
       """WITH pv AS (
         |  SELECT l_returnflag AS key, l_quantity AS v, count(*) AS cnt
-        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT key, round_even(v, 0) AS rv,
+        |         sum(cnt) AS cnt_r,
+        |         count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_raw,
+        |         sum(CASE WHEN v = floor(v) THEN cnt ELSE 0 END) AS int_cnt,
+        |         max(CASE WHEN v IS NOT NULL THEN cnt END) AS max_cnt_raw
+        |  FROM pv GROUP BY 1, 2),
         |st AS (
-        |  SELECT key, CAST(sum(cnt) AS BIGINT) AS n,
-        |         count(*) AS n_unique,
-        |         CAST(sum(CASE WHEN v = floor(v) THEN cnt ELSE 0 END)
-        |              AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS int_fraction,
-        |         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
-        |           AS mode_frequency
-        |  FROM pv GROUP BY key)
+        |  SELECT key,
+        |    CAST(sum(cnt_r) AS BIGINT) AS n_obs,
+        |    CAST(sum(CASE WHEN rv IS NOT NULL THEN cnt_r ELSE 0 END)
+        |      AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN rv IS NOT NULL THEN n_raw ELSE 0 END)
+        |      AS BIGINT) AS n_unique_raw,
+        |    CAST(count(CASE WHEN rv IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_unique_rounded,
+        |    CAST(sum(int_cnt) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN rv IS NOT NULL THEN cnt_r END) AS DOUBLE)
+        |      AS int_fraction,
+        |    CAST(max(CASE WHEN rv IS NOT NULL THEN max_cnt_raw END)
+        |      AS DOUBLE) /
+        |      CAST(sum(CASE WHEN rv IS NOT NULL THEN cnt_r END) AS DOUBLE)
+        |      AS mf_raw,
+        |    CAST(max(CASE WHEN rv IS NOT NULL THEN cnt_r END) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN rv IS NOT NULL THEN cnt_r END) AS DOUBLE)
+        |      AS mf_rounded
+        |  FROM pr GROUP BY key),
+        |eff AS (
+        |  SELECT key, n_obs, n, int_fraction,
+        |    int_fraction > 0.75 AS intish,
+        |    CASE WHEN int_fraction > 0.75 THEN n_unique_rounded
+        |         ELSE n_unique_raw END AS n_unique,
+        |    CASE WHEN int_fraction > 0.75 THEN mf_rounded
+        |         ELSE mf_raw END AS mode_frequency
+        |  FROM st)
         |SELECT key, n, n_unique,
         |       round(int_fraction, 9) AS int_fraction,
         |       round(mode_frequency, 9) AS mode_frequency,
-        |       CASE WHEN n < 10 THEN 'dropped'
-        |            WHEN n_unique = 1 THEN 'dropped'
-        |            WHEN int_fraction > 0.75
-        |                 AND (n_unique < 20 OR mode_frequency > 0.3)
-        |              THEN 'categorical_integer'
+        |       CASE WHEN n_obs < 10 THEN 'dropped'
+        |            WHEN (n_unique < 20 OR mode_frequency > 0.3)
+        |                 AND n_unique = 1 THEN 'dropped'
+        |            WHEN (n_unique < 20 OR mode_frequency > 0.3)
+        |                 AND intish THEN 'categorical_integer'
         |            WHEN n_unique < 20 OR mode_frequency > 0.3
         |              THEN 'categorical_float'
-        |            WHEN int_fraction > 0.75 THEN 'integer'
+        |            WHEN intish THEN 'integer'
         |            ELSE 'float' END AS value_type
-        |FROM st ORDER BY key""".stripMargin,
+        |FROM eff ORDER BY key""".stripMargin,
 
     "q11_drop_censor" ->
       """SELECT event_id, value,
@@ -644,16 +677,18 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q13_quantiles" ->
-      """SELECT event_type AS key,
-        |list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
-        |  x -> round(x, 6)) AS quantiles
-        |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH q AS (
+        |  SELECT event_type AS key,
+        |         quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]) AS qs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT key, CAST(i - 1 AS INT) AS q_idx, round(qs[CAST(i AS INT)], 6) AS q
+        |FROM q CROSS JOIN generate_series(1, 5) AS t(i)
+        |ORDER BY key, q_idx""".stripMargin,
 
     "q14_reencode" ->
       """SELECT l_orderkey, l_linenumber,
         |l_returnflag || '__EQ_' ||
-        |  CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) AS key2,
+        |  CAST(CAST(round_even(l_quantity, 0) AS BIGINT) AS VARCHAR) AS key2,
         |CAST(NULL AS DOUBLE) AS v2
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -922,12 +957,12 @@ object SparkEntry {
         |  JOIN embeddings em ON em.vec_id = v.idx),
         |d AS (
         |  SELECT user_id, i.g AS pos,
-        |         sum(value * embedding[i.g]) AS s
+        |         sum(value * embedding[CAST(i.g AS INT)]) AS s
         |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
         |  GROUP BY 1, 2)
-        |SELECT user_id AS subject_id,
-        |       list(round(s, 6) ORDER BY pos) AS emb
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+        |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
+        |       round(s, 6) AS emb_val
+        |FROM d ORDER BY subject_id, pos""".stripMargin,
 
     "q35_task_labels" ->
       """WITH t0 AS (
@@ -975,7 +1010,7 @@ object SparkEntry {
       """WITH train AS (SELECT * FROM lineitem WHERE l_orderkey % 5 < 4),
         |vocab AS (
         |  SELECT l_returnflag || '__EQ_' ||
-        |         CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR)
+        |         CAST(CAST(round_even(l_quantity, 0) AS BIGINT) AS VARCHAR)
         |           AS element, count(*) AS n
         |  FROM train GROUP BY 1),
         |v2 AS (SELECT element,
@@ -983,13 +1018,13 @@ object SparkEntry {
         |       FROM vocab)
         |SELECT l_orderkey, l_linenumber,
         |       l_returnflag || '__EQ_' ||
-        |         CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR)
+        |         CAST(CAST(round_even(l_quantity, 0) AS BIGINT) AS VARCHAR)
         |           AS final_key,
         |       CAST(NULL AS DOUBLE) AS value_clean,
         |       coalesce(v2.idx, 0) AS key_idx
         |FROM lineitem l
         |LEFT JOIN v2 ON l_returnflag || '__EQ_' ||
-        |  CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) = v2.element
+        |  CAST(CAST(round_even(l_quantity, 0) AS BIGINT) AS VARCHAR) = v2.element
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q31_media_frames" ->

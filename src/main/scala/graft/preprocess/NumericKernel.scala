@@ -53,17 +53,22 @@ object NumericKernel {
     ).toDF("unit", "unit_lo", "unit_lo_incl", "unit_hi", "unit_hi_incl")
   }
 
-  /** Value-type inference aggregation (event_stream_dataset.py:1216-1277).
-    * One groupBy(key) pass computing every statistic the rule cascade needs;
-    * the cascade itself is a pure expression over the aggregate row.
+  /** Value-type inference aggregation (event_stream_dataset.py:1216-1277,
+    * `_infer_val_type`). Two small groupBy passes over the per-value counts
+    * compute every statistic the rule cascade needs; the cascade itself is
+    * a pure expression over the aggregate row.
     *
-    * Rules, in order (with thresholds resolved against train counts):
-    *  1. n < minValidVocab                       → dropped
-    *  2. nunique == 1                            → dropped
-    *  3 .int-fraction > 1 - minTrueFloatFreq     → integer-ish
-    *  4. nunique < minUniqueNumerical OR
-    *     mode-frequency > maxNumericalValueFreq  → categorical_{int,float}
-    *  5. else                                    → integer | float
+    * Reference fidelity notes:
+    *  - Rule 1 (too few observations → dropped) counts ALL key observations
+    *    including null values (`total_key_obs`, :1229-1235); every other
+    *    statistic is over `vals.dropna()`.
+    *  - int-ness (`int_fraction`) is measured on RAW values (:1250-1252),
+    *    but once a key is integer-ish the reference rounds
+    *    (`vals.round(0)`, np HALF_EVEN = banker's) BEFORE `value_counts`
+    *    (:1253-1257) — so `n_unique`/`mode_frequency` for integer-ish keys
+    *    are over the ROUNDED value space (near-integer floats merge).
+    *  - The single-unique-value → dropped rule fires only INSIDE the
+    *    categorical branch (:1267-1270), not unconditionally.
     */
   def inferValueTypes(
       kv: DataFrame, keyCol: String, valCol: String,
@@ -72,34 +77,60 @@ object NumericKernel {
       minUniqueNumericalObservations: Long,
       maxNumericalValueFrequency: Double): DataFrame = {
     val perValue = kv
-      .filter(col(valCol).isNotNull)
       .groupBy(col(keyCol).as("key"), col(valCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val stats = perValue.groupBy("key").agg(
-      sum("cnt").as("n"),
-      count(lit(1)).as("n_unique"),
-      (sum(when(col("v") === floor(col("v")), col("cnt"))
-        .otherwise(lit(0L))) / sum("cnt")).as("int_fraction"),
-      (max("cnt") / sum("cnt")).as("mode_frequency"))
+    // collapse to the banker's-rounded value space while carrying raw-space
+    // stats; the null-value group (rv IS NULL ⟺ v IS NULL) only feeds n_obs.
+    val perRounded = perValue
+      .groupBy(col("key"), bround(col("v")).as("rv"))
+      .agg(
+        sum("cnt").as("cnt_r"),
+        count(when(col("v").isNotNull, lit(1))).as("n_raw"),
+        sum(when(col("v") === floor(col("v")), col("cnt"))
+          .otherwise(lit(0L))).as("int_cnt"),
+        max(when(col("v").isNotNull, col("cnt"))).as("max_cnt_raw"))
+    val nonNull = col("rv").isNotNull
+    val stats = perRounded.groupBy("key").agg(
+      sum("cnt_r").as("n_obs"),
+      sum(when(nonNull, col("cnt_r")).otherwise(lit(0L))).as("n"),
+      sum("n_raw").as("n_unique_raw"),
+      count(when(nonNull, lit(1))).as("n_unique_rounded"),
+      (sum("int_cnt") / sum(when(nonNull, col("cnt_r")))).as("int_fraction"),
+      (max(when(nonNull, col("max_cnt_raw"))) /
+        sum(when(nonNull, col("cnt_r")))).as("mode_frequency_raw"),
+      (max(when(nonNull, col("cnt_r"))) /
+        sum(when(nonNull, col("cnt_r")))).as("mode_frequency_rounded"))
     val isIntish = col("int_fraction") > lit(1.0 - minTrueFloatFrequency)
-    val isCat = col("n_unique") < lit(minUniqueNumericalObservations) ||
-      col("mode_frequency") > lit(maxNumericalValueFrequency)
-    stats.withColumn("value_type",
-      when(col("n") < lit(minValidVocabElementObservations), "dropped")
-        .when(col("n_unique") === 1, "dropped")
-        .when(isIntish && isCat, "categorical_integer")
-        .when(isCat, "categorical_float")
-        .when(isIntish, "integer")
-        .otherwise("float"))
+    val nUnique = when(isIntish, col("n_unique_rounded"))
+      .otherwise(col("n_unique_raw"))
+    val modeFreq = when(isIntish, col("mode_frequency_rounded"))
+      .otherwise(col("mode_frequency_raw"))
+    val isCat = nUnique < lit(minUniqueNumericalObservations) ||
+      modeFreq > lit(maxNumericalValueFrequency)
+    stats
+      .withColumn("n_unique", nUnique)
+      .withColumn("mode_frequency", modeFreq)
+      .withColumn("value_type",
+        when(col("n_obs") < lit(minValidVocabElementObservations), "dropped")
+          .when(isCat && nUnique === 1, "dropped")
+          .when(isCat && isIntish, "categorical_integer")
+          .when(isCat, "categorical_float")
+          .when(isIntish, "integer")
+          .otherwise("float"))
+      .select("key", "n", "n_unique", "int_fraction", "mode_frequency",
+        "value_type")
   }
 
   /** Numeric→categorical re-encode (event_stream_dataset.py:288-368):
     * CATEGORICAL_INTEGER keys become "key__EQ_{round(v)}", CATEGORICAL_FLOAT
     * keys "key__EQ_{v}"; the value column is nulled. Returns (newKey,
-    * newValue) expressions given the per-key value_type column. */
+    * newValue) expressions given the per-key value_type column.
+    * Rounding is `bround` (HALF_EVEN) to match np.round / pandas
+    * .round(0) banker's rounding — Spark's `round` is HALF_UP and diverges
+    * on exact .5 ties. */
   def reencodeKey(key: Column, v: Column, valueType: Column): Column =
     when(valueType === "categorical_integer" && v.isNotNull,
-      concat(key, lit("__EQ_"), round(v).cast("long").cast("string")))
+      concat(key, lit("__EQ_"), bround(v).cast("long").cast("string")))
       .when(valueType === "categorical_float" && v.isNotNull,
         concat(key, lit("__EQ_"), v.cast("string")))
       .otherwise(key)
@@ -107,7 +138,7 @@ object NumericKernel {
   def reencodeValue(v: Column, valueType: Column): Column =
     when(valueType.isin("categorical_integer", "categorical_float"),
       lit(null).cast("double"))
-      .when(valueType === "integer", round(v))
+      .when(valueType === "integer", bround(v))
       .when(valueType === "dropped", lit(null).cast("double"))
       .otherwise(v)
 

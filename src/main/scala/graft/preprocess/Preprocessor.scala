@@ -110,8 +110,15 @@ object Preprocessor {
 
     // 5. vocabulary over the FINAL key space (categorical keys re-encoded
     //    to "key__EQ_v" — event_stream_dataset.py:288-368 — so the vocab
-    //    indexes exactly what transform emits).
-    val finalKeys = obs.join(types, Seq("key"))
+    //    indexes exactly what transform emits). value_type='dropped' keys
+    //    are excluded: in the reference they fall below
+    //    min_valid_vocab_element_observations during categorical processing
+    //    and fold into UNK (:1279-1310), so transform must emit key_idx=0
+    //    for them regardless of the fold config.
+    // join against withViod (not types): the all-outliers guard can flip a
+    // key to 'dropped' after inference, and that key must fold too.
+    val finalKeys = obs.join(withViod.select("key", "value_type"), Seq("key"))
+      .filter(col("value_type") =!= "dropped")
       .select(NumericKernel.reencodeKey(col("key"), col("v"),
         col("value_type")).as("final_key"))
     val rawVocab = Vocabulary.fit(finalKeys, "final_key")

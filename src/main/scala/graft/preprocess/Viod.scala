@@ -115,25 +115,45 @@ object Viod {
     Thresholds(threshSmall, threshLarge)
   }
 
+  /** splitmix64 finalizer over the value's raw bits — a deterministic,
+    * order-free rank for the sampling cap. */
+  private def hashRank(v: Double): Long = {
+    var z = java.lang.Double.doubleToLongBits(v) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Typed Aggregator: per-key VIOD fit in one groupBy pass. Buffer holds the
-    * key's values (optionally capped); merge concatenates. */
+    * key's values; with a cap, the kept subset is the `maxValuesPerKey`
+    * SMALLEST values by splitmix64(bits(v)) rank — a deterministic uniform
+    * sample independent of partition layout and reduce/merge order (equal
+    * values are interchangeable, so multiset truncation at ties is stable).
+    * Buffers are allowed to grow to 2× the cap between prunings so the
+    * amortized cost stays O(1) per value. */
   class ViodAggregator(maxValuesPerKey: Int = Int.MaxValue)
       extends Aggregator[Double, ArrayBuffer[Double], Thresholds] {
+    private def prune(b: ArrayBuffer[Double]): ArrayBuffer[Double] =
+      if (b.length <= maxValuesPerKey) b
+      else {
+        val kept = b.toArray.sortBy(v => (hashRank(v), v))
+          .take(maxValuesPerKey)
+        b.clear()
+        b ++= kept
+      }
+    private def maybePrune(b: ArrayBuffer[Double]): ArrayBuffer[Double] =
+      if (maxValuesPerKey < Int.MaxValue / 2 &&
+        b.length >= 2 * maxValuesPerKey) prune(b)
+      else b
     def zero: ArrayBuffer[Double] = ArrayBuffer.empty
-    def reduce(b: ArrayBuffer[Double], v: Double): ArrayBuffer[Double] = {
-      if (b.length < maxValuesPerKey) b += v
-      b
-    }
+    def reduce(b: ArrayBuffer[Double], v: Double): ArrayBuffer[Double] =
+      maybePrune(b += v)
     def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double])
-        : ArrayBuffer[Double] = {
-      val room = maxValuesPerKey - a.length
-      if (room >= b.length) a ++= b else a ++= b.take(math.max(room, 0))
-      a
-    }
+        : ArrayBuffer[Double] = maybePrune(a ++= b)
     def finish(b: ArrayBuffer[Double]): Thresholds =
       if (b.isEmpty) Thresholds(Double.NegativeInfinity,
         Double.PositiveInfinity)
-      else fitArray(b.toArray)
+      else fitArray(prune(b).toArray)
     def bufferEncoder: Encoder[ArrayBuffer[Double]] =
       Encoders.kryo[ArrayBuffer[Double]]
     def outputEncoder: Encoder[Thresholds] = Encoders.product[Thresholds]

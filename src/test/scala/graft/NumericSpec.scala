@@ -64,9 +64,42 @@ class NumericSpec extends SparkSpec {
     assert(out("flt") == "float")
   }
 
+  test("inferValueTypes: rounded value_counts, gated 1-unique drop, " +
+    "null-inclusive min-obs (reference :1229-1270)") {
+    // integer-ish keys round (np HALF_EVEN) BEFORE value_counts: 20 raw
+    // distinct values collapse to 16 rounded ints → categorical_integer
+    // (raw n_unique=20 would have said plain 'integer').
+    val merge = (1 to 16).map(i => ("m", i.toDouble)) ++
+      Seq(("m", 1.0000001), ("m", 2.0000001), ("m", 3.0000001),
+        ("m", 4.0000001))
+    // 1-unique → dropped fires ONLY inside the categorical branch: with the
+    // categorical thresholds disabled a constant key stays 'integer'.
+    val const = Seq.fill(20)(("c", 7.0))
+    // rule-1 min-obs counts null-valued observations too: 6 values + 8
+    // nulls = 14 obs ≥ 10 → NOT dropped.
+    val sparse = (1 to 6).map(i => ("s", Some(i + 0.5))) ++
+      Seq.fill(8)(("s", Option.empty[Double]))
+    val out1 = NumericKernel.inferValueTypes(merge.toDF("k", "v"), "k", "v",
+      10, 0.25, 20, 0.5)
+      .select("key", "value_type", "n_unique")
+      .as[(String, String, Long)].collect().head
+    assert(out1._2 == "categorical_integer" && out1._3 == 16L)
+    val out2 = NumericKernel.inferValueTypes(const.toDF("k", "v"), "k", "v",
+      10, 0.25, minUniqueNumericalObservations = 1,
+      maxNumericalValueFrequency = 1.0)
+      .select("key", "value_type").as[(String, String)].collect().head
+    assert(out2._2 == "integer")
+    val out3 = NumericKernel.inferValueTypes(
+      sparse.toDF("k", "v"), "k", "v", 10, 0.25, 3, 0.5)
+      .select("key", "value_type", "n").as[(String, String, Long)]
+      .collect().head
+    assert(out3._2 == "float" && out3._3 == 6L)
+  }
+
   test("categorical re-encode key__EQ_val (reference :288-368)") {
     val df = Seq(("hr", 72.4, "categorical_integer"),
       ("hr", 72.5, "categorical_integer"),
+      ("hr", 73.5, "categorical_integer"),
       ("bp", 1.25, "categorical_float"),
       ("wt", 80.1, "float")).toDF("k", "v", "vt")
     val out = df.select(
@@ -74,7 +107,9 @@ class NumericSpec extends SparkSpec {
       NumericKernel.reencodeValue(col("v"), col("vt")).as("v2"))
       .as[(String, Option[Double])].collect().toSet
     assert(out.contains(("hr__EQ_72", None)))
-    assert(out.contains(("hr__EQ_73", None))) // round half-up
+    // np.round is HALF_EVEN (banker's): 72.5 → 72, 73.5 → 74
+    assert(!out.contains(("hr__EQ_73", None)))
+    assert(out.contains(("hr__EQ_74", None)))
     assert(out.contains(("bp__EQ_1.25", None)))
     assert(out.contains(("wt", Some(80.1)))) // untouched
   }
