@@ -254,11 +254,17 @@ object SparkEntry {
     }),
 
     "q22_topk_customers" -> ((s, dir) => {
-      val w = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
-      t(s, dir, "customer")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("rank", "c_custkey", "c_name", "c_acctbal")
+      // top-k the scalable way: orderBy+limit plans as TakeOrderedAndProject
+      // (per-partition heaps, no global window funneling the table through
+      // one partition); the rank is then assigned over just the k rows.
+      val top = t(s, dir, "customer")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+      graft.ingest.Ids.denseIdsBy(top, "rank0",
+          Seq(col("c_acctbal").desc, col("c_custkey")))
+        .select((col("rank0") + 1L).cast("int").as("rank"),
+          col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy("rank")
     }),
 

@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vocabulary as data, not objects.
@@ -26,24 +25,30 @@ object Vocabulary {
     * order; we make the order explicit instead — SURVEY §7 "make ordering
     * explicit"). */
   def fit(obs: DataFrame, col: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    // One wide aggregation over the observations (map-side partial counts),
+    // materialized once via localCheckpoint: the rank job and every
+    // downstream broadcast re-read the tiny counts partitions instead of
+    // re-scanning the source.
     val counts = obs
-      .filter(org.apache.spark.sql.functions.col(col).isNotNull)
-      .groupBy(org.apache.spark.sql.functions.col(col).cast("string")
-        .as("element"))
+      .filter(c(col).isNotNull)
+      .groupBy(c(col).cast("string").as("element"))
       .agg(count(lit(1)).as("n"))
-    // Rank and total via windows over the (vocab-cardinality-sized) counts
-    // frame — fully lazy, no driver action inside plan construction. The
-    // single-partition window matches the global-rank semantics the vocab
-    // needs anyway; vocabularies are assumed driver-broadcastable.
-    val w = Window.orderBy(desc("n"), asc("element"))
-    val ranked = counts
-      .withColumn("idx", row_number().over(w))
-      .withColumn("freq", org.apache.spark.sql.functions.col("n") /
-        sum("n").over(Window.partitionBy()))
+      .localCheckpoint(true)
+    // Global frequency rank WITHOUT a single-partition window: range
+    // partition on the rank key + zipWithIndex (graft.ingest.Ids pattern) —
+    // scales to arbitrary vocab cardinality (re-encoded key__EQ_v spaces
+    // can reach tens of millions of elements).
+    val ranked = graft.ingest.Ids
+      .denseIdsBy(counts, "idx0", Seq(c("n").desc, c("element")))
+      .withColumn("idx", (c("idx0") + 1L).cast("int"))
+    val total = counts.agg(sum("n").cast("double").as("__total"))
+    val withFreq = ranked.crossJoin(broadcast(total))
+      .withColumn("freq", c("n") / c("__total"))
     val unk = obs.sparkSession.range(1).select(
       lit(UNK).as("element"), lit(0L).as("n"), lit(0).as("idx"),
       lit(0.0).as("freq"))
-    unk.unionByName(ranked.select("element", "n", "idx", "freq"))
+    unk.unionByName(withFreq.select("element", "n", "idx", "freq"))
   }
 
   /** Vocabulary over ARRAY-valued observations (the reference's nested
@@ -61,24 +66,23 @@ object Vocabulary {
   def filterRare(vocab: DataFrame, minValid: CountOrProportion,
       totalObservations: Long): DataFrame = {
     val minN = minValid.resolve(totalObservations)
-    val kept = vocab.filter(col("element") === UNK || col("n") >= minN)
-    val dropped = vocab
+    val base = vocab.localCheckpoint(true)
+    val dropped = base
       .filter(col("element") =!= UNK && col("n") < minN)
       .agg(coalesce(sum("n"), lit(0L)).as("dn"),
         coalesce(sum("freq"), lit(0.0)).as("df"))
-    val w = Window.orderBy(desc("n"), asc("element"))
-    kept.crossJoin(broadcast(dropped))
-      .select(
-        col("element"),
-        when(col("element") === UNK, col("n") + col("dn"))
-          .otherwise(col("n")).as("n"),
-        when(col("element") === UNK, col("freq") + col("df"))
-          .otherwise(col("freq")).as("freq"))
-      .withColumn("idx",
-        when(col("element") === UNK, lit(0))
-          .otherwise(row_number().over(
-            Window.orderBy(col("element") === UNK, desc("n"),
-              asc("element")))))
+    // survivors re-rank densely from 1 (same range-partitioned rank pattern
+    // as fit — no single-partition window stage)
+    val survivors = graft.ingest.Ids.denseIdsBy(
+        base.filter(col("element") =!= UNK && col("n") >= minN),
+        "idx0", Seq(col("n").desc, col("element")))
+      .select(col("element"), col("n"), col("freq"),
+        (col("idx0") + 1L).cast("int").as("idx"))
+    val unk = base.filter(col("element") === UNK)
+      .crossJoin(broadcast(dropped))
+      .select(col("element"), (col("n") + col("dn")).as("n"),
+        (col("freq") + col("df")).as("freq"), lit(0).as("idx"))
+    unk.unionByName(survivors)
   }
 
   /** True iff vocabulary collapsed to just UNK → measurement should drop

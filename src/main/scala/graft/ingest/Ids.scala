@@ -20,11 +20,19 @@ object Ids {
   /** Attach a dense 0-based `idCol` ordered by `orderCols` (which must be a
     * unique key for determinism). */
   def denseIds(df: DataFrame, idCol: String, orderCols: Seq[String])
-      : DataFrame = {
+      : DataFrame =
+    denseIdsBy(df, idCol, orderCols.map(col))
+
+  /** Column-expression variant: `orderExprs` may carry sort direction
+    * (e.g. `col("n").desc`). `repartitionByRange` + `sortWithinPartitions`
+    * both honor the direction, so descending global ranks need no negation
+    * tricks. */
+  def denseIdsBy(df: DataFrame, idCol: String,
+      orderExprs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val spark = df.sparkSession
     val ordered = df
-      .repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+      .repartitionByRange(orderExprs: _*)
+      .sortWithinPartitions(orderExprs: _*)
     val withId = ordered.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }

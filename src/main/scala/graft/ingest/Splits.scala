@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Subject-level train/tune/held-out splits.
@@ -36,12 +35,18 @@ object Splits {
     // Seeded pseudo-random but reproducible key per subject: xxhash64 of
     // (subject_id, seed) — stable across runs and partitionings, unlike
     // rand(seed) which depends on partition layout.
+    // Materialize the keyed subject table once (it is ≪ events but can
+    // still be hundreds of millions of rows at 100 TB), then rank it with
+    // range-partition + zipWithIndex — a global row_number() window would
+    // funnel every subject through one partition.
     val keyed = subjects.select(col("subject_id"))
       .distinct()
       .withColumn("rk", xxhash64(col("subject_id"), lit(seed)))
+      .localCheckpoint(true)
     val total = keyed.count()
-    val w = Window.orderBy("rk", "subject_id")
-    val ranked = keyed.withColumn("rn", row_number().over(w))
+    val ranked = Ids
+      .denseIdsBy(keyed, "rn0", Seq(col("rk"), col("subject_id")))
+      .withColumn("rn", col("rn0") + 1L)
     val boundaries = cum.map(c => math.round(c * total))
     val splitExpr = splitNames.zip(boundaries).reverse
       .foldLeft(lit(splitNames.last)) { case (acc, (name, b)) =>
