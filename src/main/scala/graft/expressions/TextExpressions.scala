@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable.ArrayBuffer
 
 /** Native character-n-gram shingle expression.
   *
@@ -107,6 +108,101 @@ case class CountInSetExpr(child: Expression, set: Seq[String],
       : CountInSetExpr = copy(child = newChild)
 }
 
+/** Distinct character-n-gram shingle HASHES (xxhash64 of the shingle's
+  * UTF-8 bytes, seed 42 — bit-identical to `xxhash64(shingle_string)`)
+  * as a SORTED array<long>.
+  *
+  * The string-emitting CharShingleExpr above allocates one UTF8String per
+  * shingle (~15M allocations per 5k-doc corpus pass) only for downstream
+  * `xxhash64(s)` to hash the bytes and discard the string. This walks the
+  * byte stream once and hashes each codepoint window in place: zero
+  * per-shingle allocation. Sorting makes the distinct step an in-place
+  * dedup and gives downstream set ops a canonical order. */
+case class CharShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(n >= 1, s"shingle size must be >= 1: $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val offsets = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offsets(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    offsets(nChars) = bytes.length
+    if (nChars < n) return new GenericArrayData(Array.empty[Long])
+    val m = nChars - n + 1
+    val hs = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      val from = offsets(c)
+      hs(c) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          offsets(c + n) - from, 42L)
+      c += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+      r += 1
+    }
+    val out = if (w + 1 == m) hs else java.util.Arrays.copyOf(hs, w + 1)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharShingleHashExpr = copy(child = newChild)
+}
+
+/** Hashes of whitespace-separated tokens (xxhash64 of each token's UTF-8
+  * bytes, seed 42 — bit-identical to exploding `split(text, '\\s+')` and
+  * hashing each token), duplicates KEPT (SimHash weights by occurrence).
+  * One byte-stream walk, zero per-token allocation. */
+case class WsTokenHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+      b == '\f' || b == 0x0B
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val buf = new ArrayBuffer[Long]()
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start)
+        buf += org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42L)
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WsTokenHashExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
@@ -119,4 +215,13 @@ object TextExpressions {
       lowercase: Boolean = false): Column =
     Bridge.toColumn(CountInSetExpr(Bridge.toExpression(arr), set,
       lowercase))
+
+  /** Sorted distinct xxhash64 hashes of the string's char n-gram
+    * shingles. */
+  def charShingleHashes(s: Column, n: Int): Column =
+    Bridge.toColumn(CharShingleHashExpr(Bridge.toExpression(s), n))
+
+  /** xxhash64 hashes of whitespace tokens (duplicates kept). */
+  def wsTokenHashes(s: Column): Column =
+    Bridge.toColumn(WsTokenHashExpr(Bridge.toExpression(s)))
 }

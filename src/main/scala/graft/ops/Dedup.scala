@@ -60,10 +60,13 @@ object Dedup {
     * absent (no candidates by construction). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int): DataFrame = {
+    // shingle hashes come straight off the byte stream (native expression,
+    // zero per-shingle string allocation); xxhash64-of-bytes seed 42 makes
+    // them bit-identical to xxhash64(shingle_string), so signatures are
+    // unchanged vs the string path.
     val exploded = docs.select(
       col(idCol).as("id"),
-      explode(TextOps.charShingles(col(textCol), shingleN)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      explode(TextOps.charShingleHashes(col(textCol), shingleN)).as("h"))
     val aggs = (0 until k).map { i =>
       min(xxhash64(lit(splitmix64(i.toLong)), col("h"))).as(s"m$i")
     }
@@ -95,9 +98,13 @@ object Dedup {
     // .cache() inside operators accumulates CacheManager entries that tax
     // every later query's plan lookup in long sessions (measured: the
     // bench total WORSENED with operator-internal caching).
+    // shingle sets as sorted hash arrays: exact Jaccard over 64-bit longs
+    // is both cheaper to compare and ~5-10× narrower to join than the
+    // string shingle arrays (hash collisions at 64 bits are negligible at
+    // any corpus size).
     val withSh = docs.select(
       col(idCol).as("id"),
-      TextOps.charShingles(col(textCol), shingleN).as("sh"))
+      TextOps.charShingleHashes(col(textCol), shingleN).as("sh"))
     // k longs per doc; consumed by banding AND the est joins — materialize
     // once (localCheckpoint, not cache: see SCALE.md hot-loop discipline)
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
@@ -261,10 +268,13 @@ object Dedup {
     * `minhashSignatures`: 64 longs per doc with map-side partial sums. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // token hashes straight off the byte stream (native expression — no
+    // per-token string allocation); empty tokens from leading separators
+    // are skipped rather than hashed.
     val exploded = docs.select(
       col(idCol).as("id"),
-      explode(TextOps.tokens(lower(col(textCol)))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      explode(graft.expressions.TextExpressions.wsTokenHashes(
+        lower(col(textCol)))).as("h"))
     val aggs = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"b$i")

@@ -107,6 +107,15 @@ object TextOps {
     graft.expressions.TextExpressions.charShingles(
       regexp_replace(lower(trim(text)), "\\s+", " "), n)
 
+  /** Character n-gram shingles as sorted distinct xxhash64 hashes — same
+    * normalization as `charShingles`, but the shingle strings are never
+    * materialized (native expression hashes each byte window in place).
+    * Preferred form for MinHash/Jaccard pipelines: hashing is the only
+    * thing those ever do with a shingle. */
+  def charShingleHashes(text: Column, n: Int = 3): Column =
+    graft.expressions.TextExpressions.charShingleHashes(
+      regexp_replace(lower(trim(text)), "\\s+", " "), n)
+
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))

@@ -19,6 +19,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out("héllo") == Seq("hél", "éll", "llo")) // multi-byte safe
   }
 
+  test("charShingleHashes ≡ sorted distinct xxhash64(charShingles); " +
+    "wsTokenHashes ≡ xxhash64 per split token") {
+    val df = Seq("the quick brown fox", "aaaa bbbb aaaa", "héllo wörld", "x")
+      .toDF("t")
+    val sh = df.select(col("t"),
+      TextOps.charShingles(col("t"), 5).as("s"),
+      TextOps.charShingleHashes(col("t"), 5).as("h"))
+      .withColumn("s_hashed", transform(col("s"), x => xxhash64(x)))
+      .as[(String, Seq[String], Seq[Long], Seq[Long])].collect()
+    sh.foreach { case (_, _, hashed, viaStrings) =>
+      assert(hashed == viaStrings.distinct.sorted)
+    }
+    val tok = df.select(col("t"),
+      graft.expressions.TextExpressions.wsTokenHashes(lower(col("t")))
+        .as("h"),
+      transform(split(trim(lower(col("t"))), "\\s+"), x => xxhash64(x))
+        .as("ref"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+    tok.foreach { case (_, h, ref) => assert(h == ref) }
+  }
+
   test("charShingles normalizes case and whitespace") {
     val df = Seq("A  B\tC").toDF("t")
     val out = df.select(TextOps.charShingles(col("t"), 3).as("sh"))
