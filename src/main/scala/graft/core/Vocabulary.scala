@@ -34,18 +34,30 @@ object Vocabulary {
       .filter(c(col).isNotNull)
       .groupBy(c(col).cast("string").as("element"))
       .agg(count(lit(1)).as("n"))
+    fitFromCounts(counts)
+  }
+
+  /** Build a vocabulary from PRE-AGGREGATED (element, n) counts — for
+    * callers that already hold the counts from a fused aggregation pass
+    * (e.g. Preprocessor.fit) and must not re-scan the observations.
+    * Checkpoints the counts, then ranks WITHOUT a single-partition window:
+    * range partition on the rank key + zipWithIndex (graft.ingest.Ids
+    * pattern) — scales to arbitrary vocab cardinality (re-encoded
+    * key__EQ_v spaces can reach tens of millions of elements). */
+  def fitFromCounts(countsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val counts = countsDf
+      .filter(c("element").isNotNull)
+      .select(c("element").cast("string").as("element"),
+        c("n").cast("long").as("n"))
       .localCheckpoint(true)
-    // Global frequency rank WITHOUT a single-partition window: range
-    // partition on the rank key + zipWithIndex (graft.ingest.Ids pattern) —
-    // scales to arbitrary vocab cardinality (re-encoded key__EQ_v spaces
-    // can reach tens of millions of elements).
     val ranked = graft.ingest.Ids
       .denseIdsBy(counts, "idx0", Seq(c("n").desc, c("element")))
       .withColumn("idx", (c("idx0") + 1L).cast("int"))
     val total = counts.agg(sum("n").cast("double").as("__total"))
     val withFreq = ranked.crossJoin(broadcast(total))
       .withColumn("freq", c("n") / c("__total"))
-    val unk = obs.sparkSession.range(1).select(
+    val unk = countsDf.sparkSession.range(1).select(
       lit(UNK).as("element"), lit(0L).as("n"), lit(0).as("idx"),
       lit(0.0).as("freq"))
     unk.unionByName(withFreq.select("element", "n", "idx", "freq"))

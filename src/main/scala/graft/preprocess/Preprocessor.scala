@@ -43,88 +43,125 @@ object Preprocessor {
   final case class Fit(perKey: DataFrame, vocab: DataFrame)
 
   /** Fit numeric + categorical metadata on TRAIN observations.
-    * `obs` must carry (keyCol STRING, valCol DOUBLE). */
+    * `obs` must carry (keyCol STRING, valCol DOUBLE).
+    *
+    * Scan discipline (the fit statistics are all per-key-small; the train
+    * scans are the cost): pass 1 infers value types (one wide aggregation);
+    * pass 2 (only when VIOD is enabled) fits outlier bounds; pass 3 is ONE
+    * fused groupBy(key, final_key) that simultaneously produces the
+    * normalizer statistics (over VIOD inliers), the all-outliers drop
+    * guard's inlier counts, and the final-key vocabulary counts. Everything
+    * downstream assembles from those tiny aggregates — 2 train scans
+    * without VIOD, 3 with (previously 3-5). */
   def fit(trainObs: DataFrame, keyCol: String, valCol: String,
       cfg: Config): Fit = {
     val obs = trainObs.select(col(keyCol).cast("string").as("key"),
       col(valCol).cast("double").as("v"))
 
-    // 1. per-key value-type inference (one groupBy pass).
+    // 1. per-key value-type inference (one wide pass; tiny result).
+    //    Checkpointed: three consumers below broadcast it.
     val types = NumericKernel.inferValueTypes(obs, "key", "v",
       cfg.minValidVocabElementObservations,
       cfg.minTrueFloatFrequency,
       cfg.minUniqueNumericalObservations,
       cfg.maxNumericalValueFrequency)
       .select(col("key"), col("value_type"))
+      .localCheckpoint(true)
 
-    // 2. type-adjusted values for downstream numeric fits (INTEGER keys
-    //    round; categorical/dropped keys contribute no numeric values).
-    val adjusted = obs.join(types, Seq("key"))
-      .withColumn("v1", NumericKernel.reencodeValue(col("v"),
-        col("value_type")))
-      .filter(col("value_type").isin("integer", "float") &&
-        col("v1").isNotNull)
-
-    // 3. optional VIOD outlier bounds per key + all-outliers drop guard
-    //    (event_stream_dataset.py:1198-1208).
-    val withViod = cfg.outlierDetector match {
+    // 2. optional VIOD outlier bounds per key (its own pass: the typed
+    //    Aggregator needs the raw values; event_stream_dataset.py:1198).
+    val bounds = cfg.outlierDetector match {
       case Some("viod") =>
-        val bounds = Viod.fitPerKey(adjusted, "key", "v1")
-        val inlierCounts = adjusted.join(bounds, Seq("key"))
-          .filter(col("v1") > col("viod_lo") && col("v1") < col("viod_hi"))
-          .groupBy("key").agg(count(lit(1)).as("n_inliers"))
-        types.join(bounds, Seq("key"), "left")
-          .join(inlierCounts, Seq("key"), "left")
-          .withColumn("value_type",
-            when(col("viod_lo").isNotNull &&
-              coalesce(col("n_inliers"), lit(0L)) === 0, lit("dropped"))
-              .otherwise(col("value_type")))
-          .drop("n_inliers")
+        val adjusted = obs.join(broadcast(types), Seq("key"))
+          .withColumn("v1", NumericKernel.reencodeValue(col("v"),
+            col("value_type")))
+          .filter(col("value_type").isin("integer", "float") &&
+            col("v1").isNotNull)
+        Viod.fitPerKey(adjusted, "key", "v1")
       case _ =>
-        types.withColumn("viod_lo", lit(null).cast("double"))
-          .withColumn("viod_hi", lit(null).cast("double"))
+        types.select(col("key"), lit(null).cast("double").as("viod_lo"),
+          lit(null).cast("double").as("viod_hi")).limit(0)
     }
+    val typesB = types.join(bounds, Seq("key"), "left")
+      .localCheckpoint(true)
 
-    // 4. normalizer fit on train inliers only (:1208 — outliers are nulled
-    //    before the normalizer sees them).
-    val inliers = adjusted.join(withViod.select("key", "viod_lo", "viod_hi"),
-        Seq("key"), "left")
-      .filter(NumericKernel.isInlier(col("v1"), col("viod_lo"),
-        col("viod_hi")))
-    val withNorm = cfg.normalizer match {
-      case Some("std") =>
-        withViod.join(NumericKernel.fitStandardScaler(inliers, "key", "v1"),
-          Seq("key"), "left")
-          .withColumn("quantiles",
-            lit(null).cast("array<double>"))
+    // 3. the fused pass: one scan, one shuffle keyed by (key, final_key).
+    //    Per group: vocab count, inlier count (drop guard), and the
+    //    normalizer moments/quantiles over inlier values. For numeric keys
+    //    final_key == key, so their group row carries the per-key stats.
+    val numeric = col("value_type").isin("integer", "float")
+    val v1 = when(numeric,
+      NumericKernel.reencodeValue(col("v"), col("value_type")))
+    val inlier = NumericKernel.isInlier(col("v1"), col("viod_lo"),
+      col("viod_hi"))
+    val vIn = when(col("__inlier"), col("v1"))
+    val normAggs = cfg.normalizer match {
+      case Some("std") => Seq(
+        avg(vIn).as("norm_mean"), stddev_samp(vIn).as("norm_std"))
       case Some("quantile") =>
-        withViod.join(NumericKernel.fitQuantiles(inliers, "key", "v1",
-            cfg.nQuantiles), Seq("key"), "left")
+        val ps = array((0 until cfg.nQuantiles)
+          .map(i => lit(i.toDouble / (cfg.nQuantiles - 1))): _*)
+        Seq(percentile(vIn, ps).as("quantiles"))
+      case _ => Seq.empty
+    }
+    val statAggs = Seq(
+      count(when(col("final_key").isNotNull, lit(1))).as("n_fk"),
+      count(when(col("__inlier") && col("v1").isNotNull, lit(1)))
+        .as("n_inliers")) ++ normAggs
+    val grouped = obs.join(broadcast(typesB), Seq("key"))
+      .withColumn("final_key", NumericKernel.reencodeKey(col("key"),
+        col("v"), col("value_type")))
+      .withColumn("v1", v1)
+      .withColumn("__inlier", inlier)
+      .groupBy(col("key"), col("value_type"), col("final_key"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .localCheckpoint(true)
+
+    // all-outliers drop guard (event_stream_dataset.py:1198-1208): a key
+    // whose every value is a VIOD outlier drops entirely. Per-key verdict
+    // from the numeric keys' own group rows (final_key == key).
+    val guard = grouped.filter(numeric)
+      .join(typesB.select("key", "viod_lo"), Seq("key"), "left")
+      .filter(col("viod_lo").isNotNull && col("n_inliers") === 0)
+      .select(col("key"), lit("dropped").as("__guard_vt"))
+    val perKey = typesB.join(broadcast(guard), Seq("key"), "left")
+      .withColumn("value_type",
+        coalesce(col("__guard_vt"), col("value_type")))
+      .drop("__guard_vt")
+    val normCols = grouped.filter(numeric)
+      .drop("final_key", "value_type", "n_fk", "n_inliers")
+    val withNorm = (cfg.normalizer match {
+      case Some("std") =>
+        perKey.join(normCols, Seq("key"), "left")
+          .withColumn("quantiles", lit(null).cast("array<double>"))
+      case Some("quantile") =>
+        perKey.join(normCols, Seq("key"), "left")
           .withColumn("norm_mean", lit(null).cast("double"))
           .withColumn("norm_std", lit(null).cast("double"))
       case _ =>
-        withViod.withColumn("norm_mean", lit(null).cast("double"))
+        perKey.withColumn("norm_mean", lit(null).cast("double"))
           .withColumn("norm_std", lit(null).cast("double"))
           .withColumn("quantiles", lit(null).cast("array<double>"))
-    }
+    })
 
-    // 5. vocabulary over the FINAL key space (categorical keys re-encoded
+    // 4. vocabulary over the FINAL key space (categorical keys re-encoded
     //    to "key__EQ_v" — event_stream_dataset.py:288-368 — so the vocab
-    //    indexes exactly what transform emits). value_type='dropped' keys
-    //    are excluded: in the reference they fall below
-    //    min_valid_vocab_element_observations during categorical processing
-    //    and fold into UNK (:1279-1310), so transform must emit key_idx=0
-    //    for them regardless of the fold config.
-    // join against withViod (not types): the all-outliers guard can flip a
-    // key to 'dropped' after inference, and that key must fold too.
-    val finalKeys = obs.join(withViod.select("key", "value_type"), Seq("key"))
+    //    indexes exactly what transform emits), straight from the fused
+    //    pass's counts: no re-scan. value_type='dropped' keys (inference
+    //    OR the all-outliers guard) are excluded: in the reference they
+    //    fall below min_valid_vocab_element_observations during
+    //    categorical processing and fold into UNK (:1279-1310), so
+    //    transform must emit key_idx=0 for them.
+    val fkCounts = grouped
+      .join(broadcast(perKey.filter(col("value_type") === "dropped")
+        .select(col("key"))), Seq("key"), "left_anti")
       .filter(col("value_type") =!= "dropped")
-      .select(NumericKernel.reencodeKey(col("key"), col("v"),
-        col("value_type")).as("final_key"))
-    val rawVocab = Vocabulary.fit(finalKeys, "final_key")
+      .select(col("final_key").as("element"), col("n_fk").as("n"))
+    val rawVocab = Vocabulary.fitFromCounts(fkCounts)
     val vocab = cfg.minValidVocabFold match {
       case Some(m) =>
-        val total = finalKeys.filter(col("final_key").isNotNull).count()
+        val total = fkCounts.agg(coalesce(sum("n"), lit(0L)))
+          .collect().head.getLong(0)
         Vocabulary.filterRare(rawVocab, m, total)
       case None => rawVocab
     }
