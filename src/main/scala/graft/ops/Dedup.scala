@@ -49,31 +49,24 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** Corpus-scale MinHash: explode shingles ONCE, hash each shingle ONCE
-    * (codegen'd xxhash64), then k independent permutations as k `min`
-    * aggregations over xxhash64(const_i, h) — re-hashing a 64-bit value is
-    * cheap and, unlike a multiply-add family, free of ANSI-mode overflow
-    * (Spark 4 throws on wrapping long arithmetic). No interpreted lambdas
-    * in the per-shingle hot loop. One hash-partition shuffle on doc id with
-    * map-side partial mins, so only k longs per doc cross the wire.
+  /** Corpus-scale MinHash: shingle hashes come straight off the byte
+    * stream (CharShingleHashExpr — zero per-shingle string allocation;
+    * xxhash64-of-bytes seed 42 is bit-identical to hashing the shingle
+    * string), and the k-permutation signature is one native expression
+    * (MinHashSigExpr) over that hash array — a fully NARROW plan: no
+    * explode, no k-buffer aggregation, no shuffle at all. The permutation
+    * family is min over xxhash64(const_i, h), identical to the former
+    * explode+aggregate form (and, unlike a multiply-add family, free of
+    * ANSI-mode overflow — Spark 4 throws on wrapping long arithmetic).
     * Returns (id, sig ARRAY<LONG>); docs with an empty shingle set are
     * absent (no candidates by construction). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame = {
-    // shingle hashes come straight off the byte stream (native expression,
-    // zero per-shingle string allocation); xxhash64-of-bytes seed 42 makes
-    // them bit-identical to xxhash64(shingle_string), so signatures are
-    // unchanged vs the string path.
-    val exploded = docs.select(
+      k: Int, shingleN: Int): DataFrame =
+    docs.select(
       col(idCol).as("id"),
-      explode(TextOps.charShingleHashes(col(textCol), shingleN)).as("h"))
-    val aggs = (0 until k).map { i =>
-      min(xxhash64(lit(splitmix64(i.toLong)), col("h"))).as(s"m$i")
-    }
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      graft.expressions.TextExpressions.minhashSig(
+        TextOps.charShingleHashes(col(textCol), shingleN), k).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash-LSH near-duplicate candidate pairs: band the signature
     * (bands × rowsPerBand = k), hash each band, group by (band, bandHash).
@@ -261,29 +254,23 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Corpus-scale SimHash: explode tokens once, hash once, then 64
-    * majority-vote bits as 64 codegen'd conditional-sum aggregations
-    * (sum over tokens of ±1 per bit; bit set iff the sum is positive —
-    * identical semantics to `simhash`'s cnt*2 > n). Same shuffle shape as
-    * `minhashSignatures`: 64 longs per doc with map-side partial sums. */
+  /** Corpus-scale SimHash: token hashes straight off the byte stream
+    * (WsTokenHashExpr — no per-token string allocation; empty tokens from
+    * leading separators are skipped), then the 64 majority-vote bits in
+    * one native expression (SimHashSigExpr; bit set iff the ±1 sum over
+    * token occurrences is positive — identical semantics to `simhash`'s
+    * cnt*2 > n). Fully narrow: no explode, no 64-buffer aggregation, no
+    * shuffle. Docs with zero tokens are excluded (the former explode path
+    * never produced a row for them). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // token hashes straight off the byte stream (native expression — no
-    // per-token string allocation); empty tokens from leading separators
-    // are skipped rather than hashed.
-    val exploded = docs.select(
-      col(idCol).as("id"),
-      explode(graft.expressions.TextExpressions.wsTokenHashes(
-        lower(col(textCol)))).as("h"))
-    val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
-    }
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+    val th = graft.expressions.TextExpressions.wsTokenHashes(
+      lower(col(textCol)))
+    docs.select(col(idCol).as("id"), th.as("__th"))
+      .filter(size(col("__th")) > 0)
+      .select(col("id"),
+        graft.expressions.TextExpressions.simhashSig(col("__th"))
+          .as("sig"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks

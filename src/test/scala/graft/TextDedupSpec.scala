@@ -40,6 +40,39 @@ class TextDedupSpec extends SparkSpec {
     tok.foreach { case (_, h, ref) => assert(h == ref) }
   }
 
+  test("native MinHash/SimHash signatures ≡ explode+aggregate forms") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "")).toDF("doc_id", "text")
+    val k = 8
+    // reference: the former explode + k-min-aggregation plan
+    val exploded = docs.select(col("doc_id").as("id"),
+      explode(TextOps.charShingleHashes(col("text"), 5)).as("h"))
+    def splitmix64(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(splitmix64(i.toLong)), col("h"))).as(s"m$i"))
+    val ref = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text", k, 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == ref) // doc 3 absent from both
+    // simhash: native expression vs the HOF bit-majority form
+    val simRef = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("id"),
+        Dedup.simhash(TextOps.tokens(lower(col("text")))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val simNative = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(simNative == simRef)
+  }
+
   test("charShingles normalizes case and whitespace") {
     val df = Seq("A  B\tC").toDF("t")
     val out = df.select(TextOps.charShingles(col("t"), 3).as("sh"))
