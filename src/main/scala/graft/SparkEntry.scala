@@ -531,6 +531,139 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ─────── round-2 coverage: orchestration, sessions, quantile
+    // transform, blocked n-gram jaccard, temporal encoding, ANN ───────
+    "q44_dataset_preprocess" -> ((s, dir) => {
+      // DatasetPreprocessor end-to-end: all three temporality routings in
+      // one fit/transform (dynamic numeric 'value', static vocab 'grp',
+      // functional-time-dependent 'age') with an SQL-expressible subject
+      // split so the WHOLE orchestration is oracle-checked.
+      import graft.core.{DataModality => DM, DatasetConfig, MeasurementConfig, TemporalityType => TT}
+      val d0 = dsSec(s, dir)
+      val subjects = d0.subjects
+        .withColumn("grp",
+          concat(lit("g"), (col("subject_id") % 3).cast("string")))
+        .withColumn("dob",
+          timestamp_seconds(lit(946684800L) + col("subject_id") * 86400L))
+      val d = d0.copy(subjects = subjects)
+      val splits = subjects.select(col("subject_id"),
+        when(col("subject_id") % 5 < 4, "train").otherwise("held_out")
+          .as("split"))
+      val cfg = DatasetConfig(measurements = Seq(
+        MeasurementConfig("value", TT.Dynamic, DM.MultivariateRegression,
+          valuesColumn = Some("value")),
+        MeasurementConfig("grp", TT.Static, DM.SingleLabelClassification),
+        MeasurementConfig("age", TT.FunctionalTimeDependent,
+          DM.UnivariateRegression, functor = Some("age"))))
+      val functors = Seq(graft.functors.AgeFunctor("dob"))
+      val fit = graft.preprocess.DatasetPreprocessor.fit(d, splits, cfg,
+        functors)
+      val (meas, ev, subj) = graft.preprocess.DatasetPreprocessor
+        .transform(d, fit, functors)
+      meas.select(col("metadata_id"), col("subject_id"), col("final_key"),
+          round(col("value_norm"), 6).as("value_norm"), col("key_idx"))
+        .join(ev.select(col("event_id").as("metadata_id"),
+          round(col("age_norm"), 6).as("age_norm")), Seq("metadata_id"))
+        .join(subj.select(col("subject_id"), col("grp_idx")),
+          Seq("subject_id"))
+        .select("metadata_id", "final_key", "value_norm", "key_idx",
+          "grp_idx", "age_norm")
+        .orderBy("metadata_id")
+    }),
+
+    "q45_sessions_batch" -> ((s, dir) => {
+      // Batch twin of StreamOps.sessionize (same session_window function;
+      // the streaming path adds only the watermark): 30-minute gap
+      // sessions per subject.
+      t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+        .groupBy(session_window(col("ts2"), "30 minutes").as("sess"),
+          col("user_id").as("subject_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("subject_id"),
+          unix_timestamp(col("sess.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("subject_id", "sess_start")
+    }),
+
+    "q46_quantile_transform" -> ((s, dir) => {
+      // Quantile-normalizer TRANSFORM oracle-checked end-to-end (the fit
+      // is q13): interpolated ECDF against train-fit quantiles. Quantile
+      // PARAMETERS round to 9 dp on both sides (q40 trick) so the
+      // interpolation chain is bit-deterministic.
+      val ev = t(s, dir, "events")
+      val train = ev.filter(col("user_id") % 5 < 4)
+      val q = NumericKernel.fitQuantiles(train, "event_type", "value",
+          nQuantiles = 5)
+        .select(col("key"),
+          transform(col("quantiles"), x => round(x, 9)).as("qs"))
+      ev.join(broadcast(q), ev("event_type") === q("key"), "left")
+        .select(col("event_id"),
+          round(NumericKernel.applyQuantileTransform(col("value"),
+            col("qs")), 6).as("v_q"))
+        .orderBy("event_id")
+    }),
+
+    "q47_ngram_jaccard" -> ((s, dir) => {
+      // Blocked word-3-gram Jaccard near-dup pairs. Block = predicted
+      // language × 10-char length bucket: near-dups have near-identical
+      // lengths, so the bucket bounds the quadratic pair space (~100-doc
+      // blocks) where language alone degenerates to one giant block.
+      val docs = t(s, dir, "documents")
+        .withColumn("blk", concat(TextOps.langId(col("text")), lit("_"),
+          floor(length(col("text")) / 10).cast("string")))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk", n = 3,
+          threshold = 0.25)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q48_temporal_encoding" -> ((s, dir) => {
+      // Continuous-time sinusoidal encoding (reference transformer.py:
+      // 362-403) of minutes-from-subject-start, dim=4 → component columns
+      // (scalar outputs; the driver comparator cannot sort array cells).
+      val ev = dsSec(s, dir).events
+      val t0 = ev.groupBy("subject_id")
+        .agg(min(col("timestamp")).as("t0"))
+      val enc = graft.serve.TemporalEncoding.encode(
+        (unix_timestamp(col("timestamp")) - unix_timestamp(col("t0")))
+          .cast("double") / 60.0, dim = 4)
+      ev.join(t0, Seq("subject_id"))
+        .withColumn("enc", enc)
+        .select(col("event_id"),
+          round(element_at(col("enc"), 1), 6).as("enc_sin0"),
+          round(element_at(col("enc"), 2), 6).as("enc_cos0"),
+          round(element_at(col("enc"), 3), 6).as("enc_sin1"),
+          round(element_at(col("enc"), 4), 6).as("enc_cos1"))
+        .orderBy("event_id")
+    }),
+
+    // seeded-bucket / iterative-model ANN → rows-only checks
+    "q49_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", k = 5, nPlanes = 4)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"))
+        .orderBy("q_vec_id", "rank")
+    }),
+
+    "q50_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val cents = Similarity.fitIvfCentroids(emb, "embedding", k = 8,
+        seed = 42)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", cents, k = 5, nProbe = 2)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"))
+        .orderBy("q_vec_id", "rank")
+    }),
+
     "q31_media_frames" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(
         t(s, dir, "documents"), "doc_id", "text")
@@ -1032,6 +1165,173 @@ object SparkEntry {
         |LEFT JOIN v2 ON l_returnflag || '__EQ_' ||
         |  CAST(CAST(round_even(l_quantity, 0) AS BIGINT) AS VARCHAR) = v2.element
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q44_dataset_preprocess" ->
+      """WITH tsub AS (SELECT DISTINCT user_id FROM events
+        |             WHERE user_id % 5 < 4),
+        |grpv AS (
+        |  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, count(*) AS n
+        |  FROM tsub GROUP BY 1),
+        |grpidx AS (
+        |  SELECT grp,
+        |         CAST(row_number() OVER (ORDER BY n DESC, grp) AS INT)
+        |           AS gidx
+        |  FROM grpv),
+        |stats AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+        |  FROM events WHERE user_id % 5 < 4 AND value IS NOT NULL
+        |  GROUP BY 1),
+        |vocab AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC,
+        |                                 event_type) AS INT) AS idx
+        |  FROM events WHERE user_id % 5 < 4 GROUP BY 1),
+        |agest AS (
+        |  SELECT avg((epoch(date_trunc('second', ts)) -
+        |              (946684800 + user_id * 86400)) / 31536000.0) AS m2,
+        |         stddev_samp((epoch(date_trunc('second', ts)) -
+        |              (946684800 + user_id * 86400)) / 31536000.0) AS s2
+        |  FROM events WHERE user_id % 5 < 4)
+        |SELECT e.event_id AS metadata_id, e.event_type AS final_key,
+        |       round((e.value - st.m) / st.s, 6) AS value_norm,
+        |       coalesce(v.idx, 0) AS key_idx,
+        |       coalesce(g.gidx, 0) AS grp_idx,
+        |       round(((epoch(date_trunc('second', e.ts)) -
+        |               (946684800 + e.user_id * 86400)) / 31536000.0
+        |              - a.m2) / a.s2, 6) AS age_norm
+        |FROM events e
+        |LEFT JOIN stats st USING (event_type)
+        |LEFT JOIN vocab v USING (event_type)
+        |LEFT JOIN grpidx g ON g.grp = 'g' || CAST(e.user_id % 3 AS VARCHAR),
+        |agest a
+        |ORDER BY metadata_id""".stripMargin,
+
+    "q45_sessions_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL THEN 1
+        |         WHEN t - lag(t) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT user_id AS subject_id,
+        |       CAST(epoch(min(t)) AS BIGINT) AS sess_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY subject_id, sess_start""".stripMargin,
+
+    "q46_quantile_transform" ->
+      """WITH q AS (
+        |  SELECT event_type AS key,
+        |         list_transform(quantile_cont(value,
+        |           [0.0, 0.25, 0.5, 0.75, 1.0]), x -> round(x, 9)) AS qs
+        |  FROM events WHERE user_id % 5 < 4 AND value IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT e.event_id, e.value, q.qs,
+        |         len(list_filter(q.qs, x -> x <= e.value)) AS cnt
+        |  FROM events e LEFT JOIN q ON e.event_type = q.key),
+        |p AS (
+        |  SELECT event_id, value, qs,
+        |         greatest(least(cnt - 1, 3), 0) AS lo
+        |  FROM j)
+        |SELECT event_id,
+        |  CASE WHEN value IS NULL OR qs IS NULL THEN NULL
+        |       ELSE round(least(greatest(
+        |         (lo + least(greatest(
+        |            CASE WHEN qs[CAST(lo AS INT)+2] = qs[CAST(lo AS INT)+1]
+        |                 THEN 0.0
+        |                 ELSE (value - qs[CAST(lo AS INT)+1]) /
+        |                      (qs[CAST(lo AS INT)+2] -
+        |                       qs[CAST(lo AS INT)+1]) END,
+        |            0.0), 1.0)) / 4.0, 0.0), 1.0), 6)
+        |  END AS v_q
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "q47_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, CAST(len(list_filter(tk,
+        |    x -> list_contains(['der','die','und','das','ist','von','den',
+        |      'mit'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) AS score FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'en', CAST(len(list_filter(tk,
+        |    x -> list_contains(['the','and','of','to','in','is','you',
+        |      'that','it'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'es', CAST(len(list_filter(tk,
+        |    x -> list_contains(['el','la','de','que','y','en','un','los',
+        |      'se'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', CAST(len(list_filter(tk,
+        |    x -> list_contains(['le','la','de','et','les','des','est','un',
+        |      'une'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', CAST(len(list_filter(tk,
+        |    x -> list_contains(['的','了','是','我','不','在','有','他'],
+        |      x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM t),
+        |lang AS (
+        |  SELECT s0.doc_id,
+        |    (CASE WHEN s0.score > 0.0 THEN s0.lang ELSE 'und' END) || '_' ||
+        |      CAST(CAST(floor(length(doc.text) / 10) AS BIGINT) AS VARCHAR)
+        |      AS blk
+        |  FROM (SELECT doc_id, lang, score, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY score DESC, lang DESC)
+        |          AS rk FROM s) s0
+        |  JOIN documents doc USING (doc_id)
+        |  WHERE rk = 1),
+        |sh AS (
+        |  SELECT d.doc_id, lang.blk,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1] ||
+        |           ' ' || tok[CAST(i AS INT)+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS tok
+        |        FROM documents) d
+        |  JOIN lang USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+        |         THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |              CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |                AS DOUBLE) END AS jac
+        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard
+        |FROM pairs WHERE jac >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q48_temporal_encoding" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(date_trunc('second', ts)) AS t0
+        |  FROM events GROUP BY 1),
+        |tm AS (
+        |  SELECT e.event_id,
+        |         (epoch(date_trunc('second', e.ts)) - epoch(t.t0)) / 60.0
+        |           AS tm
+        |  FROM events e JOIN t0 t ON e.user_id = t.user_id)
+        |SELECT event_id,
+        |  round(sin(tm), 6) AS enc_sin0, round(cos(tm), 6) AS enc_cos0,
+        |  round(sin(tm * 0.01), 6) AS enc_sin1,
+        |  round(cos(tm * 0.01), 6) AS enc_cos1
+        |FROM tm ORDER BY event_id""".stripMargin,
 
     "q31_media_frames" ->
       """SELECT doc_id AS media_id,

@@ -302,6 +302,73 @@ case class SimHashSigExpr(child: Expression)
       : SimHashSigExpr = copy(child = newChild)
 }
 
+/** Sorted distinct hashes of word n-gram shingles: tokenize the (already
+  * lowercased/normalized) string on whitespace runs, hash each token's
+  * bytes (xxhash64 seed 42), then chain each n-token window's hashes
+  * (acc = hashLong(tokenHash, acc) from seed 42). Set-equivalent to the
+  * composable `array_distinct(transform(... concat_ws(' ', slice(...))))`
+  * form — token tuples map injectively to chains modulo 64-bit collisions
+  * — so Jaccard over these equals Jaccard over the string shingles, at
+  * zero per-shingle string allocation and no interpreted lambdas.
+  * Fewer than n tokens → empty array. */
+case class WordShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(n >= 1, s"shingle size must be >= 1: $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+      b == '\f' || b == 0x0B
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tok = new ArrayBuffer[Long]()
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start)
+        tok += org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42L)
+    }
+    val m = tok.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var acc = 42L
+      var w = 0
+      while (w < n) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(tok(j + w), acc)
+        w += 1
+      }
+      hs(j) = acc
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+      r += 1
+    }
+    val out = if (w + 1 == m) hs else java.util.Arrays.copyOf(hs, w + 1)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordShingleHashExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
@@ -333,4 +400,9 @@ object TextExpressions {
     * hashes (duplicates weighted). */
   def simhashSig(hashes: Column): Column =
     Bridge.toColumn(SimHashSigExpr(Bridge.toExpression(hashes)))
+
+  /** Sorted distinct hashes of word n-gram shingles of a (pre-lowercased)
+    * string. */
+  def wordShingleHashes(s: Column, n: Int): Column =
+    Bridge.toColumn(WordShingleHashExpr(Bridge.toExpression(s), n))
 }

@@ -150,6 +150,143 @@ case class ArrayLongEqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Interpolated-ECDF transform (sklearn QuantileTransformer forward,
+  * uniform output): map `v` to [0,1] by linear interpolation between the
+  * fitted quantiles. Exact single-loop twin of the composable
+  * `NumericKernel.applyQuantileTransform` formula —
+  *   idx   = |{q : q <= v}| - 1, clamped to [0, n-2]
+  *   pos   = (idx + clamp((v-q_lo)/(q_hi-q_lo), 0, 1)) / (n-1)
+  * — which pays an interpreted lambda per QUANTILE per row in HOF form
+  * (~101 evals/row for the reference's default n_quantiles). Null if
+  * either input is null or the quantile array has < 2 elements. */
+case class InterpolateEcdf(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[Double]
+    val qs = r.asInstanceOf[ArrayData]
+    val n = qs.numElements()
+    if (n < 2) return null
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!qs.isNullAt(i) && qs.getDouble(i) <= v) cnt += 1
+      i += 1
+    }
+    val loIdx = math.max(math.min(cnt - 1, n - 2), 0)
+    val qlo = qs.getDouble(loIdx)
+    val qhi = qs.getDouble(loIdx + 1)
+    val frac = if (qhi == qlo) 0.0 else (v - qlo) / (qhi - qlo)
+    val pos = (loIdx + math.min(math.max(frac, 0.0), 1.0)) / (n - 1)
+    math.min(math.max(pos, 0.0), 1.0)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterpolateEcdf =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard similarity of two SORTED DISTINCT long arrays via a
+  * single merge walk — O(m+n), zero allocation. The composable
+  * `array_intersect`/`array_union` pair builds two hash sets and two
+  * result arrays per row, which dominates the near-dup verify hot loop.
+  * Returns 0.0 when both sides are empty (matching Dedup.jaccard); null
+  * if either side is null. Inputs MUST be sorted distinct (the
+  * *ShingleHashExpr family guarantees it). */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m + n == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < m && j < n) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (m + n - inter)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket: sign bits of `nPlanes` dot products with
+  * ±1-component pseudo-random hyperplanes. BIT-IDENTICAL to the
+  * composable form
+  * `aggregate(sequence(0, nPlanes-1), 0L, (acc,p) => acc*2 + (dot>=0))`
+  * with `h_p[i] = pmod(xxhash64(p, i, seed), 2) == 0 ? 1 : -1` — but the
+  * sign table depends only on (p, i, seed), so it's precomputed once and
+  * each row costs nPlanes×dim multiply-adds instead of nPlanes×dim
+  * interpreted lambda evaluations (~512/row for the 8×64 default). */
+case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int,
+    seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  // xxhash64(p, i, seed) == hashLong(seed, hashInt(i, hashInt(p, 42)))
+  // (XxHash64 chains children left-to-right from seed 42; p and i are
+  // IntegerType in the composable form).
+  @transient private lazy val signs: Array[Double] =
+    Array.tabulate(nPlanes * dim) { pi =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64.{hashInt, hashLong}
+      val p = pi / dim
+      val i = pi % dim
+      val h = hashLong(seed, hashInt(i, hashInt(p, 42L)))
+      // pmod(h, 2) == 0  ⟺  h even
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val f = isFloat
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < n) {
+        val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * signs(base + i)
+        i += 1
+      }
+      bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HyperplaneBucket = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level API: cosine similarity of two vector columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -160,4 +297,21 @@ object VectorFunctions {
   def arrayLongEqCount(a: Column, b: Column): Column =
     Bridge.toColumn(ArrayLongEqCount(
       Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Column-level API: interpolated-ECDF quantile transform. */
+  def interpolateEcdf(v: Column, quantiles: Column): Column =
+    Bridge.toColumn(InterpolateEcdf(
+      Bridge.toExpression(v), Bridge.toExpression(quantiles)))
+
+  /** Column-level API: merge-walk Jaccard of sorted distinct long
+    * arrays. */
+  def sortedLongJaccard(a: Column, b: Column): Column =
+    Bridge.toColumn(SortedLongJaccard(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Column-level API: random-hyperplane LSH bucket. */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int, seed: Long)
+      : Column =
+    Bridge.toColumn(HyperplaneBucket(Bridge.toExpression(v), nPlanes, dim,
+      seed))
 }

@@ -157,7 +157,9 @@ object Dedup {
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     withEst.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // merge-walk Jaccard: the shingle-hash arrays are sorted distinct
+      .withColumn("jaccard", VectorFunctions.sortedLongJaccard(
+        col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -308,14 +310,19 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // word-shingle HASHES (native expression): Jaccard over the hash sets
+    // equals Jaccard over the string shingles (64-bit collisions are
+    // negligible) at zero per-shingle allocation
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      TextOps.wordShingles(col(textCol), n).as("sh"))
+      graft.expressions.TextExpressions.wordShingleHashes(
+        lower(col(textCol)), n).as("sh"))
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        VectorFunctions.sortedLongJaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

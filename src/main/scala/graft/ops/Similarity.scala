@@ -40,23 +40,13 @@ object Similarity {
 
   /** Sign-bucket of `nPlanes` pseudo-random hyperplane dot products.
     * Hyperplane components are seeded xxhash64 draws mapped to ±1 — fully
-    * deterministic, no stored model, identical on every executor. */
+    * deterministic, no stored model, identical on every executor. Native
+    * expression with the sign table precomputed (bit-identical to the
+    * composable aggregate-over-sequence form, which paid nPlanes×dim
+    * interpreted lambda evaluations per row). */
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int, seed: Long)
       : Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        // dot(v, h_p) where h_p[i] = ±1 from hash(p, i, seed)
-        val dot = aggregate(
-          sequence(lit(0), lit(dim - 1)),
-          lit(0.0d),
-          (s, i) => s +
-            element_at(v, i + 1).cast("double") *
-              when(pmod(xxhash64(p, i, lit(seed)), lit(2)) === 0, 1.0)
-                .otherwise(-1.0))
-        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
-      })
+    VectorFunctions.hyperplaneBucket(v, nPlanes, dim, seed)
 
   /** LSH-bucketed ANN: corpus and queries bucketed by hyperplane signs; each
     * query joins only its bucket (equi-join, hash-partitioned — the 100 TB

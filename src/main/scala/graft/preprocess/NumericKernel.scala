@@ -176,22 +176,12 @@ object NumericKernel {
 
   /** Interpolated ECDF transform: v → rank in [0,1] by linear interpolation
     * between the fitted quantiles (sklearn QuantileTransformer forward
-    * transform semantics, uniform output). Pure array expressions — stays in
-    * codegen; no UDF. */
-  def applyQuantileTransform(v: Column, quantiles: Column): Column = {
-    val n = size(quantiles)
-    // index of last quantile <= v  (aggregate over the small quantile array)
-    val idx = aggregate(quantiles, lit(0),
-      (acc, q) => when(q <= v, acc + 1).otherwise(acc)) - 1
-    val loIdx = greatest(least(idx, n - lit(2)), lit(0))
-    val qlo = element_at(quantiles, loIdx + 1)
-    val qhi = element_at(quantiles, loIdx + 2)
-    val frac = when(qhi === qlo, lit(0.0)).otherwise((v - qlo) / (qhi - qlo))
-    val pos = (loIdx.cast("double") + least(greatest(frac, lit(0.0)),
-      lit(1.0))) / (n - 1).cast("double")
-    when(v.isNull, lit(null).cast("double"))
-      .otherwise(least(greatest(pos, lit(0.0)), lit(1.0)))
-  }
+    * transform semantics, uniform output). Native expression
+    * (InterpolateEcdf) — the composable HOF form pays an interpreted
+    * lambda per quantile per row (~101 for the reference's default),
+    * which is the transform hot loop at corpus scale. */
+  def applyQuantileTransform(v: Column, quantiles: Column): Column =
+    graft.expressions.VectorFunctions.interpolateEcdf(v, quantiles)
 
   /** ±inf → null normalization (event_stream_pytorch_dataset.py:370-376). */
   def nanInfToNull(v: Column): Column =
