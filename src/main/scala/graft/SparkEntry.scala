@@ -641,6 +641,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q51_vocab_fold" -> ((s, dir) => {
+      // Categorical.fitVocab end-to-end: null filtering, rare-element
+      // folding into UNK (proportion threshold), dense re-rank, and the
+      // observation_frequency stamp (reference
+      // event_stream_dataset.py:1341-1364 + vocabulary.py:84-112).
+      // Nulls synthesized on doc_id % 10 == 0 so observed < totalPossible.
+      val docs = t(s, dir, "documents")
+        .withColumn("lang2",
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+      val total = docs.count()
+      val fit = graft.preprocess.Categorical.fitVocab(docs, "lang2", total,
+        minValidVocabElementObservations =
+          Some(graft.core.CountOrProportion.proportion(0.15)))
+      fit.vocab.select(col("element"), col("n"), col("idx"),
+          round(col("freq"), 9).as("freq"))
+        .withColumn("obs_frequency",
+          round(lit(fit.observationFrequency), 9))
+        .orderBy("idx")
+    }),
+
     // seeded-bucket / iterative-model ANN → rows-only checks
     "q49_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1317,6 +1338,35 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard
         |FROM pairs WHERE jac >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q51_vocab_fold" ->
+      """WITH c AS (
+        |  SELECT lang AS element, count(*) AS n FROM documents
+        |  WHERE doc_id % 10 <> 0 AND lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+        |               CAST(sum(n) AS BIGINT) AS obs FROM c),
+        |th AS (SELECT CAST(ceil(0.15 * obs) AS BIGINT) AS minN FROM tot),
+        |surv AS (
+        |  SELECT element, n, n / (SELECT t FROM tot) AS freq FROM c
+        |  WHERE n >= (SELECT minN FROM th)),
+        |ranked AS (
+        |  SELECT element, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, element) AS INT)
+        |           AS idx,
+        |         freq
+        |  FROM surv),
+        |unk AS (
+        |  SELECT 'UNK' AS element,
+        |         CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        |         CAST(0 AS INT) AS idx,
+        |         coalesce(sum(n / (SELECT t FROM tot)), 0.0) AS freq
+        |  FROM c WHERE n < (SELECT minN FROM th))
+        |SELECT element, n, idx, round(freq, 9) AS freq,
+        |       round((SELECT obs FROM tot) /
+        |             (SELECT CAST(count(*) AS DOUBLE) FROM documents), 9)
+        |         AS obs_frequency
+        |FROM (SELECT * FROM unk UNION ALL SELECT * FROM ranked)
+        |ORDER BY idx""".stripMargin,
 
     "q48_temporal_encoding" ->
       """WITH t0 AS (

@@ -72,11 +72,15 @@ final case class EventDataset(
     // (Ids.denseIds) — a global row_number window would funnel every merged
     // event through ONE partition; this shape keeps the ordering global
     // (range partitioner orders partitions) with no single-partition stage.
+    // localCheckpoint: three consumers follow (zipWithIndex's offsets job,
+    // the FK mapping explode, and the new events projection) — without it
+    // each replays the merge aggregation.
     val merged = Ids.denseIds(
       events
         .groupBy(keyCols.map(col): _*)
         .agg(collect_set("event_id").as("old_event_ids")),
       "event_id", keyCols)
+      .localCheckpoint(true)
     val mapping = merged
       .select(col("event_id").as("new_event_id"),
         explode(col("old_event_ids")).as("event_id"))
