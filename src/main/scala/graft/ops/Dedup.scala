@@ -313,9 +313,13 @@ object Dedup {
     // word-shingle HASHES (native expression): Jaccard over the hash sets
     // equals Jaccard over the string shingles (64-bit collisions are
     // negligible) at zero per-shingle allocation
+    // localCheckpoint: both self-join sides consume this frame — without
+    // materialization the (possibly expensive) block key and shingling
+    // compute twice. (id, blk, hashes) is a fraction of the corpus width.
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       graft.expressions.TextExpressions.wordShingleHashes(
         lower(col(textCol)), n).as("sh"))
+      .localCheckpoint(true)
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

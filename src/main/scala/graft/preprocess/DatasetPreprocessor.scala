@@ -62,36 +62,49 @@ object DatasetPreprocessor {
     val keptMeasurements = cfg.measurements
       .filterNot(m => dropped.contains(m.name))
 
-    val dynamic = keptMeasurements.collect {
+    // Per-measurement fits are independent — run them CONCURRENTLY.
+    // Each fit is a short chain of eager jobs (checkpointed aggregates);
+    // serial execution leaves the cluster idle between a measurement's
+    // jobs. Spark job submission is thread-safe; a dataset with dozens of
+    // measurements fits in the wall-clock of its widest one.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val dynamicF = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Dynamic &&
           m.modality == DataModality.MultivariateRegression =>
         val obs = trainMeasAll.filter(col("measurement") === m.name)
-        m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
-    }.toMap
+        m.name -> Future(Preprocessor.fit(obs, "key", "value", pcfg))
+    }
 
-    val dynamicCategorical = keptMeasurements.collect {
+    val dynamicCategoricalF = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Dynamic &&
           (m.modality == DataModality.SingleLabelClassification ||
             m.modality == DataModality.MultiLabelClassification) =>
         val obs = trainMeasAll.filter(col("measurement") === m.name)
-        m.name -> Vocabulary.fit(obs, "key").localCheckpoint(true)
-    }.toMap
+        m.name -> Future(Vocabulary.fit(obs, "key").localCheckpoint(true))
+    }
 
-    val static = keptMeasurements.collect {
+    val staticF = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Static =>
-        m.name -> Vocabulary.fit(trainSubj, m.name).localCheckpoint(true)
-    }.toMap
+        m.name ->
+          Future(Vocabulary.fit(trainSubj, m.name).localCheckpoint(true))
+    }
 
-    val timeDependent = keptMeasurements.collect {
+    val timeDependentF = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.FunctionalTimeDependent =>
         // univariate: the functor column under a constant key
         val obs = trainEvents.select(lit(m.name).as("key"),
           col(m.name).cast("double").as("value"))
-        m.name -> Preprocessor.fit(obs, "key", "value", pcfg)
-    }.toMap
+        m.name -> Future(Preprocessor.fit(obs, "key", "value", pcfg))
+    }
 
-    FittedDataset(dynamic, dynamicCategorical, static, timeDependent,
-      dropped)
+    def await[A](fs: Seq[(String, Future[A])]): Map[String, A] =
+      fs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+
+    FittedDataset(await(dynamicF), await(dynamicCategoricalF),
+      await(staticF), await(timeDependentF), dropped)
   }
 
   /** Transform every split with train-fit params.
