@@ -40,16 +40,22 @@ object Vocabulary {
   /** Build a vocabulary from PRE-AGGREGATED (element, n) counts — for
     * callers that already hold the counts from a fused aggregation pass
     * (e.g. Preprocessor.fit) and must not re-scan the observations.
-    * Checkpoints the counts, then ranks WITHOUT a single-partition window:
-    * range partition on the rank key + zipWithIndex (graft.ingest.Ids
-    * pattern) — scales to arbitrary vocab cardinality (re-encoded
-    * key__EQ_v spaces can reach tens of millions of elements). */
+    * Counts are re-aggregated by element first: callers may group by a
+    * wider key (Preprocessor groups by (key, final_key)), and two raw
+    * keys can legitimately collide on one final element (a literal key
+    * named "m__EQ_7" vs key "m" re-encoded with value 7) — without the
+    * merge such an element would get two conflicting idx values and
+    * lookup's broadcast join would fan out. Checkpoints the merged
+    * counts, then ranks WITHOUT a single-partition window: range
+    * partition on the rank key + zipWithIndex (graft.ingest.Ids pattern)
+    * — scales to arbitrary vocab cardinality (re-encoded key__EQ_v
+    * spaces can reach tens of millions of elements). */
   def fitFromCounts(countsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val counts = countsDf
       .filter(c("element").isNotNull)
-      .select(c("element").cast("string").as("element"),
-        c("n").cast("long").as("n"))
+      .groupBy(c("element").cast("string").as("element"))
+      .agg(sum(c("n").cast("long")).as("n"))
       .localCheckpoint(true)
     val ranked = graft.ingest.Ids
       .denseIdsBy(counts, "idx0", Seq(c("n").desc, c("element")))

@@ -7,7 +7,57 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import scala.collection.mutable.ArrayBuffer
+
+/** Shared byte-stream helpers for the hashing expressions below — one
+  * tokenizer and one sort/dedup epilogue so the copies can't drift. All
+  * allocation-free per element (primitive long arrays, grown
+  * geometrically). */
+private[expressions] object ByteTextUtil {
+
+  /** Java-regex-\s whitespace set (the `split(text, "\\s+")` twin). */
+  def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+      b == '\f' || b == 0x0B
+
+  /** xxhash64 (seed 42 — bit-identical to `xxhash64(token_string)`) of
+    * each whitespace-separated token's bytes; empty tokens cannot occur
+    * (separator runs are skipped). Returns a packed primitive array. */
+  def tokenHashes(bytes: Array[Byte]): Array[Long] = {
+    var buf = new Array[Long](16)
+    var cnt = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        if (cnt == buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(cnt) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42L)
+        cnt += 1
+      }
+    }
+    if (cnt == buf.length) buf else java.util.Arrays.copyOf(buf, cnt)
+  }
+
+  /** Sort the first `m` entries ascending and dedup in place; returns the
+    * distinct prefix (the input array when nothing was dropped). */
+  def sortedDistinct(hs: Array[Long], m: Int): Array[Long] = {
+    if (m == 0) return Array.empty[Long]
+    java.util.Arrays.sort(hs, 0, m)
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+      r += 1
+    }
+    if (w + 1 == hs.length) hs else java.util.Arrays.copyOf(hs, w + 1)
+  }
+}
 
 /** Native character-n-gram shingle expression.
   *
@@ -150,16 +200,7 @@ case class CharShingleHashExpr(child: Expression, n: Int)
           offsets(c + n) - from, 42L)
       c += 1
     }
-    java.util.Arrays.sort(hs)
-    // in-place dedup of the sorted run
-    var w = 0
-    var r = 1
-    while (r < m) {
-      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
-      r += 1
-    }
-    val out = if (w + 1 == m) hs else java.util.Arrays.copyOf(hs, w + 1)
-    new GenericArrayData(out)
+    new GenericArrayData(ByteTextUtil.sortedDistinct(hs, m))
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -168,8 +209,11 @@ case class CharShingleHashExpr(child: Expression, n: Int)
 
 /** Hashes of whitespace-separated tokens (xxhash64 of each token's UTF-8
   * bytes, seed 42 — bit-identical to exploding `split(text, '\\s+')` and
-  * hashing each token), duplicates KEPT (SimHash weights by occurrence).
-  * One byte-stream walk, zero per-token allocation. */
+  * hashing each NON-EMPTY token), duplicates KEPT (SimHash weights by
+  * occurrence). One byte-stream walk, zero per-token allocation. NOTE:
+  * unlike split(), separator-only or empty input yields an EMPTY array
+  * (split returns a single "" token there) — callers treat zero-token
+  * docs as having no signature. */
 case class WsTokenHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback with Serializable {
 
@@ -177,27 +221,9 @@ case class WsTokenHashExpr(child: Expression)
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
-      b == '\f' || b == 0x0B
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val buf = new ArrayBuffer[Long]()
-    var i = 0
-    val len = bytes.length
-    while (i < len) {
-      while (i < len && isWs(bytes(i))) i += 1
-      val start = i
-      while (i < len && !isWs(bytes(i))) i += 1
-      if (i > start)
-        buf += org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
-            i - start, 42L)
-    }
-    new GenericArrayData(buf.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ByteTextUtil.tokenHashes(input.asInstanceOf[UTF8String].getBytes))
 
   override protected def withNewChildInternal(newChild: Expression)
       : WsTokenHashExpr = copy(child = newChild)
@@ -223,18 +249,13 @@ case class MinHashSigExpr(child: Expression, k: Int)
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  private def splitmix64(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   // xxhash64(lit(c), h) == hashLong(h, hashLong(c, 42)); the inner term
-  // depends only on the permutation index — precompute it.
+  // depends only on the permutation index — precompute it. splitmix64 is
+  // the shared graft.core.Hashing definition (bit-compat with Dedup's
+  // explode-path constants is load-bearing).
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashLong(splitmix64(i.toLong), 42L))
+      .hashLong(graft.core.Hashing.splitmix64(i.toLong), 42L))
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[
@@ -320,25 +341,9 @@ case class WordShingleHashExpr(child: Expression, n: Int)
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
-      b == '\f' || b == 0x0B
-
   override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val tok = new ArrayBuffer[Long]()
-    var i = 0
-    val len = bytes.length
-    while (i < len) {
-      while (i < len && isWs(bytes(i))) i += 1
-      val start = i
-      while (i < len && !isWs(bytes(i))) i += 1
-      if (i > start)
-        tok += org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
-            i - start, 42L)
-    }
+    val tok = ByteTextUtil.tokenHashes(
+      input.asInstanceOf[UTF8String].getBytes)
     val m = tok.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Long])
     val hs = new Array[Long](m)
@@ -354,15 +359,7 @@ case class WordShingleHashExpr(child: Expression, n: Int)
       hs(j) = acc
       j += 1
     }
-    java.util.Arrays.sort(hs)
-    var w = 0
-    var r = 1
-    while (r < m) {
-      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
-      r += 1
-    }
-    val out = if (w + 1 == m) hs else java.util.Arrays.copyOf(hs, w + 1)
-    new GenericArrayData(out)
+    new GenericArrayData(ByteTextUtil.sortedDistinct(hs, m))
   }
 
   override protected def withNewChildInternal(newChild: Expression)

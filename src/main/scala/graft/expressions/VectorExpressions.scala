@@ -264,7 +264,14 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int,
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    // fail LOUD on a dim mismatch: the composable element_at form errored
+    // under ANSI; silently bucketing a truncated dot product would send
+    // vectors to recall-degraded buckets with no signal.
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_bucket: vector has ${v.numElements()} components, " +
+          s"expected >= $dim")
+    val n = dim
     val f = isFloat
     var bucket = 0L
     var p = 0

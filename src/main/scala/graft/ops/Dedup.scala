@@ -39,15 +39,11 @@ object Dedup {
         .otherwise(array_min(transform(shingles,
           s => xxhash64(s, seed)))))
 
-  /** splitmix64 — deterministic plan-time constants for the derived hash
-    * family h_i = a_i*h + b_i (2-universal-style; Long overflow wraps,
-    * which is exactly the mod-2^64 arithmetic we want). */
-  private def splitmix64(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** Deterministic plan-time permutation-seed constants — shared
+    * definition (graft.core.Hashing) with MinHashSigExpr, which must stay
+    * bit-compatible. */
+  private def splitmix64(x0: Long): Long =
+    graft.core.Hashing.splitmix64(x0)
 
   /** Corpus-scale MinHash: shingle hashes come straight off the byte
     * stream (CharShingleHashExpr — zero per-shingle string allocation;
@@ -262,8 +258,12 @@ object Dedup {
     * one native expression (SimHashSigExpr; bit set iff the ±1 sum over
     * token occurrences is positive — identical semantics to `simhash`'s
     * cnt*2 > n). Fully narrow: no explode, no 64-buffer aggregation, no
-    * shuffle. Docs with zero tokens are excluded (the former explode path
-    * never produced a row for them). */
+    * shuffle. Docs with ZERO tokens (empty/whitespace-only) are excluded:
+    * a majority vote over no tokens is meaningless, and such docs are
+    * byte-identical duplicates of each other — exact dedup's job, not
+    * SimHash's. (Deliberate change from the earlier explode form, where
+    * split()'s [""] artifact gave every empty doc the same signature and
+    * simhashPairs reported all-pairs among them.) */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val th = graft.expressions.TextExpressions.wsTokenHashes(

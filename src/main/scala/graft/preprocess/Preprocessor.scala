@@ -152,10 +152,12 @@ object Preprocessor {
     //    fall below min_valid_vocab_element_observations during
     //    categorical processing and fold into UNK (:1279-1310), so
     //    transform must emit key_idx=0 for them.
+    // the anti-join against perKey's dropped keys covers BOTH inference-
+    // dropped and guard-dropped keys (perKey's value_type is the coalesced
+    // verdict) — no additional row-level filter needed
     val fkCounts = grouped
       .join(broadcast(perKey.filter(col("value_type") === "dropped")
         .select(col("key"))), Seq("key"), "left_anti")
-      .filter(col("value_type") =!= "dropped")
       .select(col("final_key").as("element"), col("n_fk").as("n"))
     val rawVocab = Vocabulary.fitFromCounts(fkCounts)
     val vocab = cfg.minValidVocabFold match {

@@ -116,13 +116,9 @@ object Viod {
   }
 
   /** splitmix64 finalizer over the value's raw bits — a deterministic,
-    * order-free rank for the sampling cap. */
-  private def hashRank(v: Double): Long = {
-    var z = java.lang.Double.doubleToLongBits(v) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+    * order-free rank for the sampling cap (shared graft.core.Hashing). */
+  private def hashRank(v: Double): Long =
+    graft.core.Hashing.doubleRank(v)
 
   /** Typed Aggregator: per-key VIOD fit in one groupBy pass. Buffer holds the
     * key's values; with a cap, the kept subset is the `maxValuesPerKey`

@@ -89,4 +89,15 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "rank").as[(Long, Int)].collect()
     assert(top.find(_._2 == 1).map(_._1).contains(0L)) // self in bucket
   }
+
+  test("hyperplaneBucket fails loud on vectors shorter than dim") {
+    val short = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      short.select(Similarity.hyperplaneBucket(col("embedding"),
+        nPlanes = 4, dim = 16, seed = 7)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("expected >= 16")))
+  }
 }

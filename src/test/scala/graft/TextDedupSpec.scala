@@ -73,6 +73,14 @@ class TextDedupSpec extends SparkSpec {
     assert(simNative == simRef)
   }
 
+  test("simhashSignatures excludes zero-token docs (exact dedup's job)") {
+    val docs = Seq((1L, "real content here"), (2L, ""), (3L, "   \t "))
+      .toDF("doc_id", "text")
+    val ids = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
   test("charShingles normalizes case and whitespace") {
     val df = Seq("A  B\tC").toDF("t")
     val out = df.select(TextOps.charShingles(col("t"), 3).as("sh"))

@@ -22,6 +22,17 @@ class VocabularySpec extends SparkSpec {
     assert(freqs(1) == 3.0 / 6)
   }
 
+  test("fitFromCounts merges duplicate elements before ranking") {
+    // callers may group counts by a wider key (Preprocessor groups by
+    // (key, final_key)) — colliding elements must merge to ONE entry
+    val counts = Seq(("x", 3L), ("x", 2L), ("y", 4L)).toDF("element", "n")
+    val v = Vocabulary.fitFromCounts(counts)
+    assertSameRows(v.select("element", "n", "idx"), Seq(
+      Seq("UNK", 0L, 0),
+      Seq("x", 5L, 1),
+      Seq("y", 4L, 2)))
+  }
+
   test("filterRare folds tail mass into UNK and re-indexes densely") {
     // vocabulary.py:84-112: elements below threshold fold into UNK
     val v = Vocabulary.fit(obs, "el")
