@@ -523,7 +523,7 @@ object SparkEntry {
       // branch: keys re-encode to "flag__EQ_qty", values null, vocab over
       // the re-encoded key space.
       val fit = Preprocessor.fit(train, "l_returnflag", "l_quantity",
-        Preprocessor.Config(minUniqueNumericalObservations = 60,
+        Preprocessor.Config.counts(minUniqueNumericalObservations = 60,
           normalizer = None))
       Preprocessor.transform(li, "l_returnflag", "l_quantity", fit)
         .select(col("l_orderkey"), col("l_linenumber"), col("final_key"),
@@ -1345,7 +1345,7 @@ object SparkEntry {
         |  WHERE doc_id % 10 <> 0 AND lang IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
         |               CAST(sum(n) AS BIGINT) AS obs FROM c),
-        |th AS (SELECT CAST(ceil(0.15 * obs) AS BIGINT) AS minN FROM tot),
+        |th AS (SELECT CAST(trunc(0.15 * obs) AS BIGINT) AS minN FROM tot),
         |surv AS (
         |  SELECT element, n, n / (SELECT t FROM tot) AS freq FROM c
         |  WHERE n >= (SELECT minN FROM th)),

@@ -63,13 +63,15 @@ object NumericValueType {
 }
 
 /** A threshold expressed either as an absolute count (Left) or a proportion of
-  * a total (Right) — reference `count_or_proportion` utils.py:11-26. */
+  * a total (Right) — reference `count_or_proportion` utils.py:11-26, which
+  * resolves a proportion as `int(p * N)`: TRUNCATION toward zero, not
+  * rounding or ceiling. */
 final case class CountOrProportion(value: Either[Long, Double]) {
   def resolve(total: Long): Long = value match {
     case Left(n)  => n
     case Right(p) =>
       require(p > 0 && p < 1, s"proportion must be in (0,1): $p")
-      math.ceil(p * total).toLong
+      (p * total).toLong
   }
 }
 object CountOrProportion {

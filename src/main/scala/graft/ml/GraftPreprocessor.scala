@@ -36,7 +36,7 @@ private[ml] trait GraftPreprocessorParams extends Params {
     minUniqueNumericalObservations -> 20L,
     maxNumericalValueFrequency -> 0.5)
 
-  protected def graftConfig: Preprocessor.Config = Preprocessor.Config(
+  protected def graftConfig: Preprocessor.Config = Preprocessor.Config.counts(
     minValidVocabElementObservations =
       $(minValidVocabElementObservations),
     minUniqueNumericalObservations = $(minUniqueNumericalObservations),

@@ -33,7 +33,20 @@ object DatasetPreprocessor {
 
   def fit(ds: EventDataset, splits: DataFrame, cfg: DatasetConfig,
       functors: Seq[TimeDependentFunctor] = Nil,
-      pcfg: Preprocessor.Config = Preprocessor.Config()): FittedDataset = {
+      basePcfg: Preprocessor.Config = Preprocessor.Config()): FittedDataset = {
+    // Dataset-level thresholds (reference config.py:285-402) override the
+    // per-measurement defaults when declared; each keeps the reference's
+    // None-disables / count-or-proportion semantics via Preprocessor's
+    // faithful Config types.
+    val pcfg = basePcfg.copy(
+      minValidVocabElementObservations = cfg.minValidVocabElementObservations
+        .map(Some(_)).getOrElse(basePcfg.minValidVocabElementObservations),
+      minTrueFloatFrequency = cfg.minTrueFloatFrequency
+        .map(Some(_)).getOrElse(basePcfg.minTrueFloatFrequency),
+      minUniqueNumericalObservations = cfg.minUniqueNumericalObservations
+        .map(Some(_)).getOrElse(basePcfg.minUniqueNumericalObservations),
+      maxNumericalValueFrequency = cfg.maxNumericalValueFrequency
+        .map(Some(_)).getOrElse(basePcfg.maxNumericalValueFrequency))
     val trainMeasAll = Splits.forSplit(ds.measurements, splits, "train")
     val trainSubj = Splits.forSplit(ds.subjects, splits, "train")
     val trainEvents = Splits.forSplit(

@@ -75,7 +75,30 @@ object NumericKernel {
       minValidVocabElementObservations: Long,
       minTrueFloatFrequency: Double,
       minUniqueNumericalObservations: Long,
-      maxNumericalValueFrequency: Double): DataFrame = {
+      maxNumericalValueFrequency: Double): DataFrame =
+    inferValueTypesCfg(kv, keyCol, valCol,
+      Some(graft.core.CountOrProportion.count(
+        minValidVocabElementObservations)),
+      Some(minTrueFloatFrequency),
+      Some(graft.core.CountOrProportion.count(
+        minUniqueNumericalObservations)),
+      Some(maxNumericalValueFrequency))
+
+  /** Reference-faithful variant: every rule can be DISABLED (`None`, the
+    * reference's `if self.config.X is not None` guards / `lt_count_or_
+    * proportion(None) == False`) and count thresholds can be PROPORTIONS
+    * (`int(p * N)`, truncating):
+    *  - min-valid-vocab proportion resolves against the COLUMN's total
+    *    observation count (`total_col_obs`, :1229-1235) — computed
+    *    in-plan as the sum of per-key counts, no extra action;
+    *  - min-unique proportion resolves against the KEY's non-null value
+    *    count (`len(vals)`, :1259-1262) — per key, in-expression. */
+  def inferValueTypesCfg(
+      kv: DataFrame, keyCol: String, valCol: String,
+      minValidVocabElementObservations: Option[graft.core.CountOrProportion],
+      minTrueFloatFrequency: Option[Double],
+      minUniqueNumericalObservations: Option[graft.core.CountOrProportion],
+      maxNumericalValueFrequency: Option[Double]): DataFrame = {
     val perValue = kv
       .groupBy(col(keyCol).as("key"), col(valCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
@@ -100,18 +123,46 @@ object NumericKernel {
         sum(when(nonNull, col("cnt_r")))).as("mode_frequency_raw"),
       (max(when(nonNull, col("cnt_r"))) /
         sum(when(nonNull, col("cnt_r")))).as("mode_frequency_rounded"))
-    val isIntish = col("int_fraction") > lit(1.0 - minTrueFloatFrequency)
+    val isIntish = minTrueFloatFrequency match {
+      case Some(f) => col("int_fraction") > lit(1.0 - f)
+      case None    => lit(false)
+    }
     val nUnique = when(isIntish, col("n_unique_rounded"))
       .otherwise(col("n_unique_raw"))
     val modeFreq = when(isIntish, col("mode_frequency_rounded"))
       .otherwise(col("mode_frequency_raw"))
-    val isCat = nUnique < lit(minUniqueNumericalObservations) ||
-      modeFreq > lit(maxNumericalValueFrequency)
-    stats
+    val tooFewUnique = minUniqueNumericalObservations match {
+      case Some(graft.core.CountOrProportion(Left(n)))  => nUnique < lit(n)
+      case Some(graft.core.CountOrProportion(Right(p))) =>
+        // int(p * len(vals)): truncating cast, per key
+        nUnique < (lit(p) * col("n")).cast("long")
+      case None => lit(false)
+    }
+    val tooFrequentMode = maxNumericalValueFrequency match {
+      case Some(f) => modeFreq > lit(f)
+      case None    => lit(false)
+    }
+    val isCat = tooFewUnique || tooFrequentMode
+    val tooFewObs = minValidVocabElementObservations match {
+      case Some(graft.core.CountOrProportion(Left(n))) =>
+        col("n_obs") < lit(n)
+      case Some(graft.core.CountOrProportion(Right(p))) =>
+        col("n_obs") < (lit(p) * col("__total_col_obs")).cast("long")
+      case None => lit(false)
+    }
+    // total_col_obs joined in-plan only when a proportion needs it
+    val needsTotal = minValidVocabElementObservations
+      .exists(_.value.isRight)
+    val statsT =
+      if (needsTotal)
+        stats.crossJoin(broadcast(
+          stats.agg(sum("n_obs").as("__total_col_obs"))))
+      else stats
+    statsT
       .withColumn("n_unique", nUnique)
       .withColumn("mode_frequency", modeFreq)
       .withColumn("value_type",
-        when(col("n_obs") < lit(minValidVocabElementObservations), "dropped")
+        when(tooFewObs, "dropped")
           .when(isCat && nUnique === 1, "dropped")
           .when(isCat && isIntish, "categorical_integer")
           .when(isCat, "categorical_float")

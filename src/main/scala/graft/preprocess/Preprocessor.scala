@@ -25,11 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Preprocessor {
 
+  /** Thresholds use the reference's shapes (config.py:285-402): each rule
+    * is DISABLED when `None`, and count thresholds may be proportions
+    * (`CountOrProportion.proportion`), resolved as the reference does —
+    * min-valid-vocab against the column's total observations,
+    * min-unique against each key's value count. */
   final case class Config(
-      minValidVocabElementObservations: Long = 10,
-      minTrueFloatFrequency: Double = 0.25,
-      minUniqueNumericalObservations: Long = 20,
-      maxNumericalValueFrequency: Double = 0.5,
+      minValidVocabElementObservations: Option[CountOrProportion] =
+        Some(CountOrProportion.count(10)),
+      minTrueFloatFrequency: Option[Double] = Some(0.25),
+      minUniqueNumericalObservations: Option[CountOrProportion] =
+        Some(CountOrProportion.count(20)),
+      maxNumericalValueFrequency: Option[Double] = Some(0.5),
       /** None | Some("viod") */
       outlierDetector: Option[String] = None,
       /** None | Some("std") | Some("quantile") */
@@ -37,6 +44,24 @@ object Preprocessor {
       nQuantiles: Int = 101,
       /** Fold vocab elements rarer than this into UNK. */
       minValidVocabFold: Option[CountOrProportion] = None)
+
+  object Config {
+    /** Convenience: plain-count thresholds. */
+    def counts(minValidVocabElementObservations: Long = 10,
+        minTrueFloatFrequency: Double = 0.25,
+        minUniqueNumericalObservations: Long = 20,
+        maxNumericalValueFrequency: Double = 0.5,
+        outlierDetector: Option[String] = None,
+        normalizer: Option[String] = Some("std"),
+        nQuantiles: Int = 101,
+        minValidVocabFold: Option[CountOrProportion] = None): Config =
+      Config(
+        Some(CountOrProportion.count(minValidVocabElementObservations)),
+        Some(minTrueFloatFrequency),
+        Some(CountOrProportion.count(minUniqueNumericalObservations)),
+        Some(maxNumericalValueFrequency),
+        outlierDetector, normalizer, nQuantiles, minValidVocabFold)
+  }
 
   /** Fit result: per-key numeric metadata + final-key vocabulary, both
     * plain DataFrames (persistable as parquet — no pickles). */
@@ -60,7 +85,7 @@ object Preprocessor {
 
     // 1. per-key value-type inference (one wide pass; tiny result).
     //    Checkpointed: three consumers below broadcast it.
-    val types = NumericKernel.inferValueTypes(obs, "key", "v",
+    val types = NumericKernel.inferValueTypesCfg(obs, "key", "v",
       cfg.minValidVocabElementObservations,
       cfg.minTrueFloatFrequency,
       cfg.minUniqueNumericalObservations,

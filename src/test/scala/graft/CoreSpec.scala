@@ -8,10 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class CoreSpec extends AnyFunSuite {
 
   test("countOrProportion resolves counts and proportions") {
-    // reference utils.py:11-26: int passes through; float p → ceil(p*total)
+    // reference utils.py:11-26: int passes through; float p →
+    // int(p*total) — TRUNCATION toward zero, not ceil/round
     assert(CountOrProportion.count(5).resolve(1000) == 5)
     assert(CountOrProportion.proportion(0.1).resolve(1000) == 100)
-    assert(CountOrProportion.proportion(0.001).resolve(1500) == 2) // ceil
+    assert(CountOrProportion.proportion(0.001).resolve(1500) == 1) // trunc
     intercept[IllegalArgumentException](
       CountOrProportion.proportion(1.5).resolve(10))
   }

@@ -39,7 +39,7 @@ class DatasetPreprocessorSpec extends SparkSpec {
         DataModality.MultiLabelClassification),
       MeasurementConfig("sex", TemporalityType.Static,
         DataModality.SingleLabelClassification)))
-    val pcfg = Preprocessor.Config(
+    val pcfg = Preprocessor.Config.counts(
       minValidVocabElementObservations = 1,
       minUniqueNumericalObservations = 2,
       maxNumericalValueFrequency = 0.9)
@@ -96,7 +96,7 @@ class DatasetPreprocessorSpec extends SparkSpec {
       // 0.5 of 10 train events = 5 observations required
       minValidColumnObservations =
         Some(CountOrProportion.proportion(0.5)))
-    val pcfg = Preprocessor.Config(minValidVocabElementObservations = 1,
+    val pcfg = Preprocessor.Config.counts(minValidVocabElementObservations = 1,
       minUniqueNumericalObservations = 2,
       maxNumericalValueFrequency = 0.9)
     val fit = DatasetPreprocessor.fit(ds, splits, cfg, Nil, pcfg)
@@ -155,7 +155,7 @@ class DatasetPreprocessorSpec extends SparkSpec {
         TemporalityType.FunctionalTimeDependent,
         DataModality.UnivariateRegression,
         functor = Some("evt_hour"))))
-    val pcfg = Preprocessor.Config(
+    val pcfg = Preprocessor.Config.counts(
       minValidVocabElementObservations = 1,
       minUniqueNumericalObservations = 2,
       maxNumericalValueFrequency = 0.9)

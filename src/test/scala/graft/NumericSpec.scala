@@ -96,6 +96,38 @@ class NumericSpec extends SparkSpec {
     assert(out3._2 == "float" && out3._3 == 6L)
   }
 
+  test("inferValueTypesCfg: None disables rules; proportions resolve by " +
+    "truncation against the reference denominators") {
+    import graft.core.CountOrProportion
+    // CountOrProportion resolves proportions as int(p*N) — truncation
+    // (reference utils.py count_or_proportion), NOT ceil
+    assert(CountOrProportion.proportion(0.15).resolve(450) == 67L)
+    // all rules disabled → everything is 'float'
+    val df = (Seq.fill(20)(("c", 7.0)) ++ Seq(("c", 8.0))).toDF("k", "v")
+    val allOff = NumericKernel.inferValueTypesCfg(df, "k", "v",
+      None, None, None, None)
+      .select("value_type").as[String].collect().head
+    assert(allOff == "float")
+    // min-unique PROPORTION resolves per key against len(vals):
+    // 30 values, 10 unique ints; p=0.4 → int(0.4*30)=12 > 10 → categorical
+    val u = (1 to 30).map(i => ("u", (i % 10).toDouble)).toDF("k", "v")
+    def infer(p: Double) = NumericKernel.inferValueTypesCfg(u, "k", "v",
+      None, Some(0.25), Some(CountOrProportion.proportion(p)), None)
+      .select("value_type").as[String].collect().head
+    assert(infer(0.4) == "categorical_integer")
+    // p=0.3 → int(0.3*30)=9 ≤ 10 → not categorical → integer
+    assert(infer(0.3) == "integer")
+    // min-valid-vocab PROPORTION resolves against total column obs:
+    // A has 90 rows, B 10; p=0.15 → int(0.15*100)=15 → B dropped
+    val ab = ((1 to 90).map(i => ("A", i.toDouble + 0.5)) ++
+      (1 to 10).map(i => ("B", i.toDouble + 0.5))).toDF("k", "v")
+    val types = NumericKernel.inferValueTypesCfg(ab, "k", "v",
+      Some(CountOrProportion.proportion(0.15)), Some(0.25),
+      None, None)
+      .select("key", "value_type").as[(String, String)].collect().toMap
+    assert(types("B") == "dropped" && types("A") == "float")
+  }
+
   test("categorical re-encode key__EQ_val (reference :288-368)") {
     val df = Seq(("hr", 72.4, "categorical_integer"),
       ("hr", 72.5, "categorical_integer"),

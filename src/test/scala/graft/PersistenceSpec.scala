@@ -38,7 +38,7 @@ class PersistenceSpec extends SparkSpec {
     val train = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0),
       ("b", 7.0)).toDF("k", "v")
     val fit = Preprocessor.fit(train, "k", "v",
-      Preprocessor.Config(minValidVocabElementObservations = 1,
+      Preprocessor.Config.counts(minValidVocabElementObservations = 1,
         minUniqueNumericalObservations = 2,
         maxNumericalValueFrequency = 0.9))
     fit.perKey.write.parquet(s"$dir/perKey")

@@ -15,7 +15,7 @@ class PreprocessorSpec extends SparkSpec {
     val train = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("k", "v")
     val all = train.union(Seq(("a", 10.0)).toDF("k", "v"))
     val fit = Preprocessor.fit(train, "k", "v",
-      Preprocessor.Config(
+      Preprocessor.Config.counts(
         minValidVocabElementObservations = 1,
         minUniqueNumericalObservations = 2,
         maxNumericalValueFrequency = 0.9,
@@ -31,7 +31,7 @@ class PreprocessorSpec extends SparkSpec {
     val clean = Seq.fill(500)(("a", r.nextGaussian()))
     val train = (clean :+ (("a", 1000.0))).toDF("k", "v")
     val fit = Preprocessor.fit(train, "k", "v",
-      Preprocessor.Config(
+      Preprocessor.Config.counts(
         minValidVocabElementObservations = 1,
         outlierDetector = Some("viod"),
         normalizer = Some("std")))
@@ -50,7 +50,7 @@ class PreprocessorSpec extends SparkSpec {
     val train = (1 to 30).map(i => ("qty", (i % 3 + 1).toDouble))
       .toDF("k", "v")
     val fit = Preprocessor.fit(train, "k", "v",
-      Preprocessor.Config(
+      Preprocessor.Config.counts(
         minValidVocabElementObservations = 1,
         minUniqueNumericalObservations = 10, // 3 distinct < 10 → categorical
         normalizer = None))
@@ -70,7 +70,7 @@ class PreprocessorSpec extends SparkSpec {
   test("quantile pipeline: normalized output spans [0,1]") {
     val train = (1 to 101).map(i => ("a", i.toDouble)).toDF("k", "v")
     val fit = Preprocessor.fit(train, "k", "v",
-      Preprocessor.Config(
+      Preprocessor.Config.counts(
         minValidVocabElementObservations = 1,
         normalizer = Some("quantile"), nQuantiles = 11))
     val out = Preprocessor.transform(train, "k", "v", fit)
