@@ -65,6 +65,50 @@ object StreamOps {
   final case class SubjectUpdate(subject_id: Long, n_events: Long,
       last_ts: Long, mean_value: Double)
 
+  /** Closed-session emission via flatMapGroupsWithState — the custom-state
+    * twin of `sessionize` for sinks that want ONLY finalized sessions: the
+    * open session per subject is buffered in state and a session row is
+    * emitted the moment a later event's gap exceeds `gapMs` (same
+    * new-session-iff-delta≥gap semantics as session_window / the q45 batch
+    * twin). State: one SessionState per live subject. Production bounds
+    * state with an event-time timeout; NoTimeout here for deterministic
+    * tests (processing-time timeouts re-trigger empty batches). */
+  final case class SessionState(start: Long, last: Long, n: Long,
+      sum: Double)
+  final case class ClosedSession(subject_id: Long, sess_start: Long,
+      sess_end: Long, n_events: Long, sum_value: Double)
+
+  def closedSessions(events: Dataset[SubjectEvent], gapMs: Long)
+      : Dataset[ClosedSession] = {
+    implicit val se = Encoders.product[SessionState]
+    implicit val ce = Encoders.product[ClosedSession]
+    implicit val le = Encoders.scalaLong
+    events.groupByKey(_.subject_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (sid, rows, state: GroupState[SessionState]) =>
+          // rows within a micro-batch are unordered — impose event time
+          val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+          var cur = if (state.exists) Option(state.get) else None
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = e.timestamp.getTime
+            cur match {
+              case Some(s) if t - s.last >= gapMs =>
+                closed += ClosedSession(sid, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1L, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.last, t),
+                  s.n + 1, s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   def runningSubjectStats(events: Dataset[SubjectEvent])
       : Dataset[SubjectUpdate] = {
     implicit val se = Encoders.product[SubjectState]

@@ -81,4 +81,33 @@ class StreamingSpec extends SparkSpec {
       assert(last == ((2L, 15.0)))
     } finally q.stop()
   }
+
+  test("closedSessions: flatMapGroupsWithState emits finalized sessions " +
+    "only, holds the open one across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SubjectEvent]
+    val out = StreamOps.closedSessions(input.toDS(),
+      gapMs = 5 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("closed_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamOps.SubjectEvent(1L, ts("2024-01-01 00:00:00"), "A", 1.0),
+        StreamOps.SubjectEvent(1L, ts("2024-01-01 00:02:00"), "A", 2.0))
+      q.processAllAvailable()
+      // session still open — nothing emitted
+      assert(spark.table("closed_sess").count() == 0)
+      // next batch: event 2h later closes the first session
+      input.addData(
+        StreamOps.SubjectEvent(1L, ts("2024-01-01 02:00:00"), "A", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("closed_sess")
+        .select("subject_id", "sess_start", "sess_end", "n_events",
+          "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(rows == Seq((1L, ts("2024-01-01 00:00:00").getTime,
+        ts("2024-01-01 00:02:00").getTime, 2L, 3.0)))
+      // the 02:00 event is the new open session — not emitted yet
+    } finally q.stop()
+  }
 }
