@@ -46,4 +46,66 @@ object EmbeddingGather {
         sort_array(collect_list(struct(col("__pos"), col("__s")))),
         e => e("__s")).as("emb"))
   }
+
+  /** Measurement-index normalization
+    * (data_embedding_layer.py:200-230, `do_normalize_by_measurement_index`):
+    * each observation's weight is scaled by
+    * `(1 / count of its measurement within the bag) / Σ_j (1/count_j)`;
+    * since each distinct measurement's positions sum to exactly 1, the
+    * denominator is simply the bag's distinct-measurement count — every
+    * measurement contributes equal total mass regardless of how many
+    * observations it has. Returns `items` + a `__meas_norm` column
+    * (0 for padding measurement_idx 0) for composition with `gather`. */
+  def withMeasurementNormalization(items: DataFrame, idCol: String,
+      measIdxCol: String): DataFrame = {
+    val cnts = items.filter(col(measIdxCol) =!= 0)
+      .groupBy(col(idCol), col(measIdxCol))
+      .agg(count(lit(1)).as("__meas_cnt"))
+    val distincts = cnts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_meas"))
+    items
+      .join(cnts, Seq(idCol, measIdxCol), "left")
+      .join(distincts, Seq(idCol), "left")
+      .withColumn("__meas_norm",
+        when(col(measIdxCol) === 0 || col("__meas_cnt").isNull, lit(0.0))
+          .otherwise(lit(1.0) /
+            (col("__meas_cnt") * col("__n_meas"))))
+      .drop("__meas_cnt", "__n_meas")
+  }
+
+  /** Split categorical/numerical gather
+    * (data_embedding_layer.py:249-273, SPLIT_CATEGORICAL_NUMERICAL):
+    * every observation contributes weight 1 to a CATEGORICAL embedding
+    * table, valued observations additionally contribute weight `value` to
+    * a NUMERICAL embedding table (unvalued → 0, the reference's
+    * values_mask), and the result is the convex combination
+    * `cw·cat + nw·num` with the weights normalized to sum 1 (:171-172).
+    * The two tables stand in for the reference's per-mode
+    * EmbeddingBag+Linear stacks (projections are learned model state —
+    * callers supply pre-projected tables). Bags with no valued
+    * observations get `cw·cat` (their numerical sum is the zero vector).
+    */
+  def splitGather(items: DataFrame, idCol: String, idxCol: String,
+      valueCol: String,
+      catEmb: DataFrame, catIdCol: String, catVecCol: String,
+      numEmb: DataFrame, numIdCol: String, numVecCol: String,
+      categoricalWeight: Double = 0.5, numericalWeight: Double = 0.5)
+      : DataFrame = {
+    val cw = categoricalWeight / (categoricalWeight + numericalWeight)
+    val nw = numericalWeight / (categoricalWeight + numericalWeight)
+    val cat = gather(
+      items.withColumn("__one", lit(1.0)),
+      idCol, idxCol, "__one", catEmb, catIdCol, catVecCol)
+      .withColumnRenamed("emb", "__cat")
+    val num = gather(
+      items.withColumn("__numw", coalesce(col(valueCol), lit(0.0))),
+      idCol, idxCol, "__numw", numEmb, numIdCol, numVecCol)
+      .withColumnRenamed("emb", "__num")
+    cat.join(num, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__num").isNull,
+          transform(col("__cat"), x => lit(cw) * x))
+          .otherwise(zip_with(col("__cat"), col("__num"),
+            (x, y) => lit(cw) * x + lit(nw) * y)).as("emb"))
+  }
 }

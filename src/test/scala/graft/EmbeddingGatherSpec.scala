@@ -1,0 +1,66 @@
+package graft
+
+import graft.serve.EmbeddingGather
+import org.apache.spark.sql.functions._
+
+/** DataEmbeddingLayer relational semantics
+  * (reference data_embedding_layer.py:45-397). */
+class EmbeddingGatherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embTable(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("eid", "vec")
+
+  test("joint gather: weighted sum, null weight → 1, padding idx 0 " +
+    "skipped") {
+    val items = Seq(
+      (1L, 1L, Some(2.0)), // weight 2 on e1
+      (1L, 2L, None), // categorical → weight 1 on e2
+      (1L, 0L, Some(9.0))) // padding — contributes nothing
+      .toDF("bag", "idx", "w")
+    val emb = embTable(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val out = EmbeddingGather.gather(items, "bag", "idx", "w",
+      emb, "eid", "vec").as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(2.0, 1.0))
+  }
+
+  test("splitGather: cw·cat + nw·num with values_mask semantics " +
+    "(:249-273)") {
+    val items = Seq(
+      (1L, 1L, Some(3.0)), // valued → cat weight 1 AND num weight 3
+      (1L, 2L, None), // unvalued → cat only (num weight 0)
+      (2L, 1L, None)) // bag with no valued obs → cw·cat
+      .toDF("bag", "idx", "v")
+    val catEmb = embTable(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 2.0))
+    val numEmb = embTable(1L -> Seq(10.0, 0.0), 2L -> Seq(0.0, 10.0))
+    val out = EmbeddingGather.splitGather(items, "bag", "idx", "v",
+      catEmb, "eid", "vec", numEmb, "eid", "vec",
+      categoricalWeight = 0.5, numericalWeight = 0.5)
+      .as[(Long, Seq[Double])].collect().toMap
+    // bag 1: 0.5*[1,2] + 0.5*(3*[10,0] + 0*[0,10]) = [15.5, 1.0]
+    assert(out(1L) == Seq(15.5, 1.0))
+    // bag 2: num sum is the zero vector → 0.5*[1,0]
+    assert(out(2L) == Seq(0.5, 0.0))
+  }
+
+  test("measurement-index normalization: equal mass per distinct " +
+    "measurement (:200-230)") {
+    val items = Seq(
+      (1L, 1L, 10L), // meas 10 ×2
+      (1L, 2L, 10L),
+      (1L, 3L, 20L), // meas 20 ×1
+      (1L, 0L, 0L)) // padding
+      .toDF("bag", "idx", "meas")
+    val out = EmbeddingGather
+      .withMeasurementNormalization(items, "bag", "meas")
+      .select("idx", "__meas_norm").as[(Long, Double)].collect().toMap
+    // reference: 1/cnt per position → [.5,.5,1,0], row-sum 2 →
+    // [.25,.25,.5,0]
+    assert(out(1L) == 0.25 && out(2L) == 0.25)
+    assert(out(3L) == 0.5)
+    assert(out(0L) == 0.0)
+    // total mass 1
+    assert(math.abs(
+      out.values.sum - 1.0) < 1e-12)
+  }
+}
