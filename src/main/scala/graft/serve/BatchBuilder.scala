@@ -147,4 +147,29 @@ object BatchBuilder {
     val pad = array_repeat(lit(null), lit(len) - size(arr))
     if (leftPad) concat(pad, arr) else concat(arr, pad)
   }
+
+  /** Attach `static_indices` / `static_measurement_indices` to per-subject
+    * sequence rows (event_stream_pytorch_dataset.py:411-442): for each
+    * declared static measurement, the subject's value is looked up in that
+    * measurement's vocabulary (unknown/null → UNK 0) and shifted by its
+    * unified-vocab offset; the companion array carries the measurement
+    * index. Broadcast lookups + one broadcast join — the subjects table is
+    * small by definition. */
+  def withStaticIndices(seqs: DataFrame, subjects: DataFrame,
+      statics: Seq[(String, DataFrame, MeasurementOffset)]): DataFrame = {
+    val indexed = statics.foldLeft(subjects) { case (s, (c, vocab, _)) =>
+      graft.core.Vocabulary.lookup(s, c, vocab, s"__sidx_$c")
+    }
+    val staticArr = array(statics.map { case (c, _, off) =>
+      col(s"__sidx_$c").cast("long") + off.offset
+    }: _*)
+    val measArr = array(statics.map { case (_, _, off) =>
+      lit(off.measurementIdx.toLong)
+    }: _*)
+    seqs.join(
+      broadcast(indexed.select(col("subject_id"),
+        staticArr.as("static_indices"),
+        measArr.as("static_measurement_indices"))),
+      Seq("subject_id"), "left")
+  }
 }

@@ -120,4 +120,34 @@ class BatchBuilderSpec extends SparkSpec {
     assert(frames(1L) == math.ceil(35 / 16.0).toLong)
     assert(frames(2L) == 1L)
   }
+
+  test("withStaticIndices: unified-offset static vocab lookup per subject " +
+    "(reference :411-442)") {
+    import graft.core.Vocabulary
+    val subjects = Seq((1L, "F", "US"), (2L, "M", null), (3L, "X", "DE"))
+      .toDF("subject_id", "sex", "country")
+    val sexVocab = Vocabulary.fit(
+      Seq("F", "F", "M").toDF("sex"), "sex") // F→1, M→2
+    val countryVocab = Vocabulary.fit(
+      Seq("US", "US", "DE").toDF("country"), "country") // US→1, DE→2
+    val offsets = BatchBuilder.buildOffsets(Seq(
+      ("event_type", 3L), ("sex", 3L), ("country", 3L)))
+    val bySex = offsets.find(_.measurement == "sex").get
+    val byCountry = offsets.find(_.measurement == "country").get
+    val seqs = Seq((1L, 5), (2L, 7), (3L, 2)).toDF("subject_id", "seq_len")
+    val out = BatchBuilder.withStaticIndices(seqs, subjects,
+      Seq(("sex", sexVocab, bySex), ("country", countryVocab, byCountry)))
+      .select("subject_id", "static_indices",
+        "static_measurement_indices")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // offsets: event_type pinned 1..3; remaining measurements in name
+    // order → country offset 4, sex offset 7
+    assert(byCountry.offset == 4L && bySex.offset == 7L)
+    assert(out(1L) == ((Seq(7L + 1L, 4L + 1L),
+      Seq(bySex.measurementIdx.toLong, byCountry.measurementIdx.toLong))))
+    // null / unknown values fold to UNK(0) + offset, reference .get(val, 0)
+    assert(out(2L)._1 == Seq(7L + 2L, 4L + 0L))
+    assert(out(3L)._1 == Seq(7L + 0L, 4L + 2L))
+  }
 }
