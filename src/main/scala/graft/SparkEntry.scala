@@ -1345,10 +1345,9 @@ object SparkEntry {
         |  WHERE doc_id % 10 <> 0 AND lang IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
         |               CAST(sum(n) AS BIGINT) AS obs FROM c),
-        |th AS (SELECT CAST(trunc(0.15 * obs) AS BIGINT) AS minN FROM tot),
         |surv AS (
         |  SELECT element, n, n / (SELECT t FROM tot) AS freq FROM c
-        |  WHERE n >= (SELECT minN FROM th)),
+        |  WHERE CAST(n AS DOUBLE) / (SELECT t FROM tot) >= 0.15),
         |ranked AS (
         |  SELECT element, n,
         |         CAST(row_number() OVER (ORDER BY n DESC, element) AS INT)
@@ -1360,7 +1359,7 @@ object SparkEntry {
         |         CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
         |         CAST(0 AS INT) AS idx,
         |         coalesce(sum(n / (SELECT t FROM tot)), 0.0) AS freq
-        |  FROM c WHERE n < (SELECT minN FROM th))
+        |  FROM c WHERE CAST(n AS DOUBLE) / (SELECT t FROM tot) < 0.15)
         |SELECT element, n, idx, round(freq, 9) AS freq,
         |       round((SELECT obs FROM tot) /
         |             (SELECT CAST(count(*) AS DOUBLE) FROM documents), 9)

@@ -78,21 +78,33 @@ object Vocabulary {
     fit(obs.select(explode_outer(
       org.apache.spark.sql.functions.col(arrayCol)).as("__el")), "__el")
 
-  /** Fold elements observed fewer than `minN` times (or with frequency below
-    * a proportion) into UNK; UNK absorbs the dropped tail's count/frequency
-    * and survivors are re-indexed densely (vocabulary.py:84-112). */
+  /** Fold rare elements into UNK; UNK absorbs the dropped tail's
+    * count/frequency and survivors are re-indexed densely
+    * (vocabulary.py:84-112). The reference filter works in FREQUENCY
+    * space: a count threshold m is first divided by the total
+    * (`min_valid_element_freq /= total_observations`) and elements are
+    * kept iff `obs_frequency >= threshold` — so a proportion p keeps
+    * n/total >= p (effectively a CEILING count bound, unlike the
+    * truncating `count_or_proportion` used by the drop rules), and the
+    * comparison happens on the same double-division values the reference
+    * compares. */
   def filterRare(vocab: DataFrame, minValid: CountOrProportion,
       totalObservations: Long): DataFrame = {
-    val minN = minValid.resolve(totalObservations)
+    val minFreq = minValid.value match {
+      case Left(m)  => m.toDouble / totalObservations
+      case Right(p) => p
+    }
+    val keep = col("n").cast("double") /
+      lit(totalObservations.toDouble) >= lit(minFreq)
     val base = vocab.localCheckpoint(true)
     val dropped = base
-      .filter(col("element") =!= UNK && col("n") < minN)
+      .filter(col("element") =!= UNK && !keep)
       .agg(coalesce(sum("n"), lit(0L)).as("dn"),
         coalesce(sum("freq"), lit(0.0)).as("df"))
     // survivors re-rank densely from 1 (same range-partitioned rank pattern
     // as fit — no single-partition window stage)
     val survivors = graft.ingest.Ids.denseIdsBy(
-        base.filter(col("element") =!= UNK && col("n") >= minN),
+        base.filter(col("element") =!= UNK && keep),
         "idx0", Seq(col("n").desc, col("element")))
       .select(col("element"), col("n"), col("freq"),
         (col("idx0") + 1L).cast("int").as("idx"))

@@ -34,19 +34,16 @@ object DatasetPreprocessor {
   def fit(ds: EventDataset, splits: DataFrame, cfg: DatasetConfig,
       functors: Seq[TimeDependentFunctor] = Nil,
       basePcfg: Preprocessor.Config = Preprocessor.Config()): FittedDataset = {
-    // Dataset-level thresholds (reference config.py:285-402) override the
-    // per-measurement defaults when declared; each keeps the reference's
-    // None-disables / count-or-proportion semantics via Preprocessor's
-    // faithful Config types.
+    // The DatasetConfig is AUTHORITATIVE for the four inference thresholds,
+    // exactly as in the reference (config.py:347-351, every default None =
+    // rule disabled): None here means the rule is OFF, not "inherit".
+    // basePcfg contributes only the engine-side knobs (normalizer family,
+    // outlier detector, quantile count, vocab fold).
     val pcfg = basePcfg.copy(
-      minValidVocabElementObservations = cfg.minValidVocabElementObservations
-        .map(Some(_)).getOrElse(basePcfg.minValidVocabElementObservations),
-      minTrueFloatFrequency = cfg.minTrueFloatFrequency
-        .map(Some(_)).getOrElse(basePcfg.minTrueFloatFrequency),
-      minUniqueNumericalObservations = cfg.minUniqueNumericalObservations
-        .map(Some(_)).getOrElse(basePcfg.minUniqueNumericalObservations),
-      maxNumericalValueFrequency = cfg.maxNumericalValueFrequency
-        .map(Some(_)).getOrElse(basePcfg.maxNumericalValueFrequency))
+      minValidVocabElementObservations = cfg.minValidVocabElementObservations,
+      minTrueFloatFrequency = cfg.minTrueFloatFrequency,
+      minUniqueNumericalObservations = cfg.minUniqueNumericalObservations,
+      maxNumericalValueFrequency = cfg.maxNumericalValueFrequency)
     val trainMeasAll = Splits.forSplit(ds.measurements, splits, "train")
     val trainSubj = Splits.forSplit(ds.subjects, splits, "train")
     val trainEvents = Splits.forSplit(

@@ -99,7 +99,11 @@ object NumericKernel {
       minTrueFloatFrequency: Option[Double],
       minUniqueNumericalObservations: Option[graft.core.CountOrProportion],
       maxNumericalValueFrequency: Option[Double]): DataFrame = {
+    // null KEYS are outside the measurement space entirely (the reference
+    // iterates the column's non-null keys, and its total_col_obs
+    // denominator excludes them) — null VALUES stay (they feed n_obs).
     val perValue = kv
+      .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key"), col(valCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
     // collapse to the banker's-rounded value space while carrying raw-space
@@ -150,14 +154,17 @@ object NumericKernel {
         col("n_obs") < (lit(p) * col("__total_col_obs")).cast("long")
       case None => lit(false)
     }
-    // total_col_obs joined in-plan only when a proportion needs it
+    // total_col_obs joined in-plan only when a proportion needs it; the
+    // stats frame is checkpointed first so the total is a re-read of tiny
+    // per-key partitions, not a second scan of the observations
     val needsTotal = minValidVocabElementObservations
       .exists(_.value.isRight)
     val statsT =
-      if (needsTotal)
-        stats.crossJoin(broadcast(
-          stats.agg(sum("n_obs").as("__total_col_obs"))))
-      else stats
+      if (needsTotal) {
+        val statsC = stats.localCheckpoint(true)
+        statsC.crossJoin(broadcast(
+          statsC.agg(sum("n_obs").as("__total_col_obs"))))
+      } else stats
     statsT
       .withColumn("n_unique", nUnique)
       .withColumn("mode_frequency", modeFreq)

@@ -101,10 +101,22 @@ object EmbeddingGather {
       items.withColumn("__numw", coalesce(col(valueCol), lit(0.0))),
       idCol, idxCol, "__numw", numEmb, numIdCol, numVecCol)
       .withColumnRenamed("emb", "__num")
-    cat.join(num, Seq(idCol), "left")
+    // anchor on the DISTINCT bag ids: a bag whose items are all padding
+    // never reaches either gather (idx 0 is filtered), but the reference
+    // still emits a zero-vector row for it — batch-row alignment must
+    // survive. The output dimension comes from the (broadcast) embedding
+    // table itself.
+    val bags = items.select(col(idCol)).distinct()
+    val dim = broadcast(
+      catEmb.select(size(col(catVecCol)).as("__dim")).limit(1))
+    bags.crossJoin(dim)
+      .join(cat, Seq(idCol), "left")
+      .join(num, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("__num").isNull,
-          transform(col("__cat"), x => lit(cw) * x))
+        when(col("__cat").isNull,
+          array_repeat(lit(0.0), col("__dim")))
+          .when(col("__num").isNull,
+            transform(col("__cat"), x => lit(cw) * x))
           .otherwise(zip_with(col("__cat"), col("__num"),
             (x, y) => lit(cw) * x + lit(nw) * y)).as("emb"))
   }

@@ -97,9 +97,19 @@ object StreamOps {
               case Some(s) if t - s.last >= gapMs =>
                 closed += ClosedSession(sid, s.start, s.last, s.n, s.sum)
                 cur = Some(SessionState(t, t, 1L, e.value))
+              case Some(s) if s.start - t >= gapMs =>
+                // cross-batch LATE event older than the open session by
+                // more than the gap: it belongs to an earlier, already-
+                // gone session — emit it as its own closed session
+                // immediately (documented late-data policy; production
+                // bounds this with a watermark) rather than corrupting
+                // the open session's start/count.
+                closed += ClosedSession(sid, t, t, 1L, e.value)
               case Some(s) =>
-                cur = Some(SessionState(s.start, math.max(s.last, t),
-                  s.n + 1, s.sum + e.value))
+                // in-gap event (possibly earlier than start): extends the
+                // open session on either side
+                cur = Some(SessionState(math.min(s.start, t),
+                  math.max(s.last, t), s.n + 1, s.sum + e.value))
               case None =>
                 cur = Some(SessionState(t, t, 1L, e.value))
             }

@@ -39,10 +39,9 @@ class DatasetPreprocessorSpec extends SparkSpec {
         DataModality.MultiLabelClassification),
       MeasurementConfig("sex", TemporalityType.Static,
         DataModality.SingleLabelClassification)))
-    val pcfg = Preprocessor.Config.counts(
-      minValidVocabElementObservations = 1,
-      minUniqueNumericalObservations = 2,
-      maxNumericalValueFrequency = 0.9)
+    // thresholds live on the DatasetConfig now (None = rule disabled,
+    // reference semantics); pcfg carries only engine-side knobs
+    val pcfg = Preprocessor.Config()
     val fit = DatasetPreprocessor.fit(ds, splits, cfg, Nil, pcfg)
 
     // numeric fit saw ONLY subject 1 (train): mean of (60, 80) = 70
@@ -96,9 +95,7 @@ class DatasetPreprocessorSpec extends SparkSpec {
       // 0.5 of 10 train events = 5 observations required
       minValidColumnObservations =
         Some(CountOrProportion.proportion(0.5)))
-    val pcfg = Preprocessor.Config.counts(minValidVocabElementObservations = 1,
-      minUniqueNumericalObservations = 2,
-      maxNumericalValueFrequency = 0.9)
+    val pcfg = Preprocessor.Config()
     val fit = DatasetPreprocessor.fit(ds, splits, cfg, Nil, pcfg)
     assert(fit.dropped == Set("rare"))
     assert(fit.dynamic.keySet == Set("common"))
@@ -155,10 +152,9 @@ class DatasetPreprocessorSpec extends SparkSpec {
         TemporalityType.FunctionalTimeDependent,
         DataModality.UnivariateRegression,
         functor = Some("evt_hour"))))
-    val pcfg = Preprocessor.Config.counts(
-      minValidVocabElementObservations = 1,
-      minUniqueNumericalObservations = 2,
-      maxNumericalValueFrequency = 0.9)
+    // thresholds live on the DatasetConfig now (None = rule disabled,
+    // reference semantics); pcfg carries only engine-side knobs
+    val pcfg = Preprocessor.Config()
     val fit = DatasetPreprocessor.fit(ds, splits, cfg, Seq(hourFunctor),
       pcfg)
     val (_, tev, _) = DatasetPreprocessor.transform(ds, fit,

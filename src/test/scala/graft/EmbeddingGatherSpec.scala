@@ -29,7 +29,8 @@ class EmbeddingGatherSpec extends SparkSpec {
     val items = Seq(
       (1L, 1L, Some(3.0)), // valued → cat weight 1 AND num weight 3
       (1L, 2L, None), // unvalued → cat only (num weight 0)
-      (2L, 1L, None)) // bag with no valued obs → cw·cat
+      (2L, 1L, None), // bag with no valued obs → cw·cat
+      (3L, 0L, None)) // all-padding bag → zero vector, row kept
       .toDF("bag", "idx", "v")
     val catEmb = embTable(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 2.0))
     val numEmb = embTable(1L -> Seq(10.0, 0.0), 2L -> Seq(0.0, 10.0))
@@ -41,6 +42,9 @@ class EmbeddingGatherSpec extends SparkSpec {
     assert(out(1L) == Seq(15.5, 1.0))
     // bag 2: num sum is the zero vector → 0.5*[1,0]
     assert(out(2L) == Seq(0.5, 0.0))
+    // bag 3: all items are padding — reference emits a zero embedding
+    // row, not a missing one (batch alignment)
+    assert(out(3L) == Seq(0.0, 0.0))
   }
 
   test("measurement-index normalization: equal mass per distinct " +

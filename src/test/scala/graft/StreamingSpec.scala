@@ -107,7 +107,17 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Double)].collect().toSeq
       assert(rows == Seq((1L, ts("2024-01-01 00:00:00").getTime,
         ts("2024-01-01 00:02:00").getTime, 2L, 3.0)))
-      // the 02:00 event is the new open session — not emitted yet
+      // the 02:00 event is the new open session — not emitted yet.
+      // A cross-batch LATE event far older than the open session must
+      // NOT be absorbed into it: it's emitted as its own closed session.
+      input.addData(
+        StreamOps.SubjectEvent(1L, ts("2024-01-01 01:00:00"), "A", 0.5))
+      q.processAllAvailable()
+      val late = spark.table("closed_sess")
+        .filter(col("sess_start") === ts("2024-01-01 01:00:00").getTime)
+        .select("n_events", "sum_value").as[(Long, Double)]
+        .collect().toSeq
+      assert(late == Seq((1L, 0.5)))
     } finally q.stop()
   }
 }
