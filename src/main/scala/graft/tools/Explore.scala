@@ -46,40 +46,46 @@ object Explore {
       spark.stop()
       return
     }
+    // Default mode: LSH stage breakdown using the PRODUCTION operators
+    // (hash shingles + native signatures — the string-shingle/window-cap
+    // variants this used to time are gone from the engine).
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[explore] docs: ${docs.count()}")
 
     val k = 64; val bands = 16; val rows = k / bands; val n = 5
     val withSh = docs.select(col("doc_id").as("id"),
-      TextOps.charShingles(col("text"), n).as("sh"))
-    time("shingles size sum")(
+      TextOps.charShingleHashes(col("text"), n).as("sh"))
+    time("shingle hashing (size sum)")(
       withSh.agg(sum(size(col("sh")))).show())
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k, n)
-    time("signatures")(println(sigs.count()))
+      .localCheckpoint(true)
+    time("signatures (native, narrow)")(println(sigs.count()))
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
         .as(Seq("band", "bucket")))
-    val w = Window.partitionBy("band", "bucket").orderBy("id")
-    val capped = banded.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 1000).select("band", "bucket", "id")
+      .localCheckpoint(true)
     time("bucket stats")(
-      capped.groupBy("band", "bucket").count()
+      banded.groupBy("band", "bucket").count()
         .agg(count(lit(1)).as("n_buckets"), max("count"), avg("count"))
         .show())
-    val pairs = capped
-      .join(capped.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
+    val pairs = banded
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     time("candidate pairs")(println(pairs.count()))
-    time("exact jaccard verify")(println(
+    time("merge-walk jaccard verify (no est filter)")(println(
       pairs.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
           Seq("id_a"))
         .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
           Seq("id_b"))
-        .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .withColumn("j", graft.expressions.VectorFunctions
+          .sortedLongJaccard(col("sh_a"), col("sh_b")))
         .filter(col("j") >= 0.5).count()))
+    time("full production minhashLsh (est-filtered)")(println(
+      Dedup.minhashLsh(docs, "doc_id", "text", k = k, bands = bands,
+        shingleN = n, jaccardThreshold = 0.5).count()))
     spark.stop()
   }
 }
