@@ -662,6 +662,29 @@ object SparkEntry {
         .orderBy("idx")
     }),
 
+    "q52_task_labels_norm" -> ((s, dir) => {
+      // Task-label normalization (reference :61-81): string labels →
+      // lexicographic multi-class codes, bool → binary double, int/float
+      // pass through, each typed by dtype.
+      val ev = dsRaw(s, dir).events
+      val w = Window.partitionBy("subject_id")
+        .orderBy("timestamp", "event_id")
+      val firstType = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("subject_id"), col("event_type").as("outcome"))
+      val aggs = ev.groupBy("subject_id").agg(count(lit(1)).as("n"))
+      val tasks = firstType.join(aggs, Seq("subject_id"))
+        .select(col("subject_id"), col("outcome"),
+          (col("n") % 4).as("severity"),
+          (col("n") % 2 === 0).as("flag"),
+          (col("n") / lit(100.0)).as("risk"))
+      val norm = graft.serve.TaskLabels.normalize(tasks,
+        ignore = Seq("subject_id"))
+      norm.df.select(col("subject_id"), col("outcome"), col("severity"),
+          col("flag"), col("risk"))
+        .orderBy("subject_id")
+    }),
+
     // seeded-bucket / iterative-model ANN → rows-only checks
     "q49_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1338,6 +1361,27 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard
         |FROM pairs WHERE jac >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q52_task_labels_norm" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1),
+        |a AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT f.user_id, f.event_type AS outcome,
+        |         a.n % 4 AS severity, (a.n % 2 = 0) AS flag,
+        |         a.n / 100.0 AS risk
+        |  FROM f JOIN a USING (user_id))
+        |SELECT user_id AS subject_id,
+        |  CAST(dense_rank() OVER (ORDER BY outcome) - 1 AS BIGINT)
+        |    AS outcome,
+        |  CAST(severity AS BIGINT) AS severity,
+        |  CAST(flag AS DOUBLE) AS flag,
+        |  risk
+        |FROM t ORDER BY subject_id""".stripMargin,
 
     "q51_vocab_fold" ->
       """WITH c AS (

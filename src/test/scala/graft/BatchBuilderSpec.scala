@@ -121,6 +121,34 @@ class BatchBuilderSpec extends SparkSpec {
     assert(frames(2L) == 1L)
   }
 
+  test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
+    "string codes (reference :61-81)") {
+    import graft.serve.TaskLabels
+    val tasks = Seq(
+      (1L, "readmit", 3L, true, 0.7),
+      (2L, "discharge", 1L, false, 0.1),
+      (3L, "admit", 3L, true, 0.5))
+      .toDF("subject_id", "outcome", "severity", "flag", "risk")
+    val norm = TaskLabels.normalize(tasks)
+    assert(norm.taskTypes == Map(
+      "outcome" -> "multi_class_classification",
+      "severity" -> "multi_class_classification",
+      "flag" -> "binary_classification",
+      "risk" -> "regression"))
+    val rows = norm.df
+      .select("subject_id", "outcome", "severity", "flag", "risk")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // lexicographic codes: admit→0, discharge→1, readmit→2
+    assert(rows(1L) == ((1L, 2L, 3L, 1.0, 0.7)))
+    assert(rows(2L) == ((2L, 1L, 1L, 0.0, 0.1)))
+    assert(rows(3L) == ((3L, 0L, 3L, 1.0, 0.5)))
+    val vocab = norm.vocabs("outcome").select("label", "code")
+      .as[(String, Long)].collect().toMap
+    assert(vocab == Map("admit" -> 0L, "discharge" -> 1L,
+      "readmit" -> 2L))
+  }
+
   test("withStaticIndices: unified-offset static vocab lookup per subject " +
     "(reference :411-442)") {
     import graft.core.Vocabulary
