@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *    are rounded to 6 dp on both sides.
   *  - Every aggregate/computed column is aliased to the SAME name in the
   *    Spark query and the SQL (driver compares by sorted column name).
+  *  - Outputs are ROW SETS: the driver's comparator sorts rows itself, so
+  *    queries do not end with cosmetic global sorts — a terminal orderBy
+  *    adds a range-sampling pass plus a full sort to every plan (the
+  *    exact anti-pattern this engine avoids at scale). Ordering appears
+  *    only where it is semantic (top-k limits, window specs).
   */
 object SparkEntry {
 
@@ -64,20 +69,18 @@ object SparkEntry {
       dsRaw(s, dir).events
         .select(col("event_id"), col("subject_id"),
           unix_timestamp(col("timestamp")).as("ts_sec"), col("event_type"))
-        .orderBy("event_id")
     }),
 
     "q02_sort_events" -> ((s, dir) => {
       dsRaw(s, dir).eventsOrdered
         .select(col("event_id"), col("subject_id"), col("event_type"),
           col("event_idx"))
-        .orderBy("subject_id", "event_idx")
     }),
 
     "q03_event_types" -> ((s, dir) => dsRaw(s, dir).eventTypes),
 
     "q04_events_per_subject" -> ((s, dir) =>
-      dsRaw(s, dir).eventsPerSubject.orderBy("subject_id")),
+      dsRaw(s, dir).eventsPerSubject),
 
     "q05_agg_by_time_type" -> ((s, dir) => {
       val agg = dsRaw(s, dir).aggByTimeType
@@ -87,13 +90,11 @@ object SparkEntry {
         .select(col("event_id"), col("subject_id"),
           unix_timestamp(col("timestamp")).as("ts_sec"), col("event_type"),
           col("n_meas"))
-        .orderBy("event_id")
     }),
 
     "q06_inter_event_min" -> ((s, dir) => {
       dsSec(s, dir).interEventMinutes
         .select(col("event_id"), col("subject_id"), col("delta_min"))
-        .orderBy("event_id")
     }),
 
     "q07_tte_stats" -> ((s, dir) => {
@@ -108,14 +109,12 @@ object SparkEntry {
       dsRaw(s, dir).events
         .withColumn("time_of_day", TimeOfDayFunctor().expr)
         .groupBy("time_of_day").agg(count(lit(1)).as("n"))
-        .orderBy("time_of_day")
     }),
 
     "q09_vocab_event_type" -> ((s, dir) => {
       Vocabulary.fit(dsRaw(s, dir).events, "event_type")
         .select(col("element"), col("n"), col("idx"),
           round(col("freq"), 9).as("freq"))
-        .orderBy("idx")
     }),
 
     "q10_value_types" -> ((s, dir) => {
@@ -129,7 +128,6 @@ object SparkEntry {
           round(col("int_fraction"), 9).as("int_fraction"),
           round(col("mode_frequency"), 9).as("mode_frequency"),
           col("value_type"))
-        .orderBy("key")
     }),
 
     "q11_drop_censor" -> ((s, dir) => {
@@ -140,7 +138,6 @@ object SparkEntry {
         NumericKernel.dropOrCensor(v,
           lit(0.05), lit(true), lit(300.0), lit(true),
           lit(1.0), lit(200.0)).as("value_clean"))
-        .orderBy("event_id")
     }),
 
     "q12_std_scaler" -> ((s, dir) => {
@@ -148,7 +145,6 @@ object SparkEntry {
           "value")
         .select(col("key"), round(col("norm_mean"), 6).as("norm_mean"),
           round(col("norm_std"), 6).as("norm_std"))
-        .orderBy("key")
     }),
 
     "q13_quantiles" -> ((s, dir) => {
@@ -159,7 +155,6 @@ object SparkEntry {
         .select(col("key"), posexplode(col("quantiles")))
         .select(col("key"), col("pos").cast("int").as("q_idx"),
           round(col("col"), 6).as("q"))
-        .orderBy("key", "q_idx")
     }),
 
     "q14_reencode" -> ((s, dir) => {
@@ -169,7 +164,6 @@ object SparkEntry {
           lit("categorical_integer")).as("key2"),
         NumericKernel.reencodeValue(col("l_quantity"),
           lit("categorical_integer")).as("v2"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // xxhash64-seeded → not DuckDB-expressible → rows-only checks.
@@ -177,12 +171,10 @@ object SparkEntry {
       Splits.subjectSplits(
         dsRaw(s, dir).subjects, Seq(0.8), Seq("train", "held_out"),
         seed = 42)
-        .orderBy("subject_id")
     }),
 
     "q16_viod" -> ((s, dir) => {
       Viod.fitPerKey(t(s, dir, "events"), "event_type", "value")
-        .orderBy("key")
     }),
 
     "q17_task_windows" -> ((s, dir) => {
@@ -194,7 +186,6 @@ object SparkEntry {
       BatchBuilder.taskWindows(ev, tasks)
         .groupBy(col("task_subject_id").as("subject_id"))
         .agg(count(lit(1)).as("n_in_window"))
-        .orderBy("subject_id")
     }),
 
     "q18_subject_seqs" -> ((s, dir) => {
@@ -210,7 +201,6 @@ object SparkEntry {
           element_at(col("time"), -1).as("last_min"),
           aggregate(flatten(col("dynamic_indices")), lit(0L),
             (acc, x) => acc + x).as("sum_uidx"))
-        .orderBy("subject_id")
     }),
 
     // ───────────── TPC-H-ish relational/bench queries ─────────────
@@ -225,7 +215,6 @@ object SparkEntry {
             .cast("decimal(20,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
     }),
 
     "q20_revenue_priority" -> ((s, dir) => {
@@ -237,7 +226,6 @@ object SparkEntry {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(20,4)")).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
-        .orderBy("o_orderpriority")
     }),
 
     "q21_region_stats" -> ((s, dir) => {
@@ -250,7 +238,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
             .as("sum_acctbal"))
-        .orderBy("r_name")
     }),
 
     "q22_topk_customers" -> ((s, dir) => {
@@ -265,13 +252,12 @@ object SparkEntry {
           Seq(col("c_acctbal").desc, col("c_custkey")))
         .select((col("rank0") + 1L).cast("int").as("rank"),
           col("c_custkey"), col("c_name"), col("c_acctbal"))
-        .orderBy("rank")
     }),
 
     // ───────────── north-star: dedup / text / similarity ─────────────
     "q23_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id")
     }),
 
     "q24_token_count" -> ((s, dir) => {
@@ -280,7 +266,6 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeishTokenCount(col("text")).cast("long")
           .as("n_bpeish"))
-        .orderBy("doc_id")
     }),
 
     "q25_quality" -> ((s, dir) => {
@@ -290,13 +275,11 @@ object SparkEntry {
         .select(col("doc_id"), f("n_tokens").cast("long").as("n_tokens"),
           round(f("stopword_ratio"), 6).as("stopword_ratio"),
           round(f("mean_word_len"), 6).as("mean_word_len"))
-        .orderBy("doc_id")
     }),
 
     "q26_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
     }),
 
     "q27_minhash_lsh" -> ((s, dir) => {
@@ -307,13 +290,11 @@ object SparkEntry {
         k = 64, bands = 16, shingleN = 5, jaccardThreshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)
           .as("jaccard"))
-        .orderBy("id_a", "id_b")
     }),
 
     "q28_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
-        .orderBy("id_a", "id_b")
     }),
 
     "q43_tumbling_daily" -> ((s, dir) => {
@@ -331,7 +312,6 @@ object SparkEntry {
             unix_timestamp(col("win.start"))), 6).as("avg_offset_sec"))
         .select(unix_timestamp(col("win.start")).as("win_start"),
           col("event_type"), col("n"), col("avg_offset_sec"))
-        .orderBy("win_start", "event_type")
     }),
 
     "q42_corpus_pipeline" -> ((s, dir) => {
@@ -344,7 +324,6 @@ object SparkEntry {
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("qs")), 6).as("avg_quality"))
-        .orderBy("lang_pred")
     }),
 
     // Full near-dup dedup chain: LSH pairs → connected components →
@@ -354,7 +333,7 @@ object SparkEntry {
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         k = 64, bands = 16, shingleN = 5, jaccardThreshold = 0.5)
       Dedup.dedupByPairs(docs, "doc_id", pairs)
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id")
     }),
 
     "q29_ann_brute" -> ((s, dir) => {
@@ -364,7 +343,6 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries,
         "vec_id", "embedding", "q_vec_id", "q_vec", k = 10)
         .select(col("q_vec_id"), col("vec_id"), col("rank"))
-        .orderBy("q_vec_id", "rank")
     }),
 
     "q30_embed_neardup" -> ((s, dir) => {
@@ -374,7 +352,6 @@ object SparkEntry {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.3, nPlanes = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b")
     }),
 
     "q39_age_functor" -> ((s, dir) => {
@@ -386,7 +363,6 @@ object SparkEntry {
       graft.functors.TimeDependentFunctor.addColumns(
         d.events, subjects, Seq(graft.functors.AgeFunctor("dob")))
         .select(col("event_id"), round(col("age"), 9).as("age"))
-        .orderBy("event_id")
     }),
 
     "q40_log_tte_time" -> ((s, dir) => {
@@ -399,7 +375,6 @@ object SparkEntry {
       BatchBuilder.logTteNormalizedTime(
           d.events.crossJoin(broadcast(stats)), col("m"), col("sd"))
         .select(col("event_id"), round(col("t_norm"), 6).as("t_norm"))
-        .orderBy("event_id")
     }),
 
     "q37_to_events_nested" -> ((s, dir) => {
@@ -417,7 +392,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_meta"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
-        .orderBy("subject_id")
     }),
 
     "q38_restricted_scan" -> ((s, dir) => {
@@ -432,7 +406,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
-        .orderBy("event_type")
     }),
 
     "q34_embedding_gather" -> ((s, dir) => {
@@ -452,7 +425,6 @@ object SparkEntry {
         .select(col("subject_id"), posexplode(col("emb")))
         .select(col("subject_id"), (col("pos") + 1).as("pos"),
           round(col("col"), 6).as("emb_val"))
-        .orderBy("subject_id", "pos")
     }),
 
     "q35_task_labels" -> ((s, dir) => {
@@ -476,7 +448,6 @@ object SparkEntry {
       BatchBuilder.taskWindows(ev, tasks)
         .groupBy(col("task_subject_id").as("subject_id"), col("label"))
         .agg(count(lit(1)).as("n_events"))
-        .orderBy("subject_id", "label")
     }),
 
     "q36_unit_bounds" -> ((s, dir) => {
@@ -498,7 +469,6 @@ object SparkEntry {
           col("unit_hi"), col("unit_hi_incl"),
           lit(null).cast("double"), lit(null).cast("double"))
           .as("value_bounded"))
-        .orderBy("event_id")
     }),
 
     // ─────── end-to-end preprocess lifecycle (fit on train → transform
@@ -513,7 +483,6 @@ object SparkEntry {
       Preprocessor.transform(ev, "event_type", "value", fit)
         .select(col("event_id"), col("final_key"),
           round(col("value_norm"), 6).as("value_norm"), col("key_idx"))
-        .orderBy("event_id")
     }),
 
     "q33_preprocess_reencode" -> ((s, dir) => {
@@ -528,7 +497,6 @@ object SparkEntry {
       Preprocessor.transform(li, "l_returnflag", "l_quantity", fit)
         .select(col("l_orderkey"), col("l_linenumber"), col("final_key"),
           col("value_clean"), col("key_idx"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // ─────── round-2 coverage: orchestration, sessions, quantile
@@ -568,7 +536,6 @@ object SparkEntry {
           Seq("subject_id"))
         .select("metadata_id", "final_key", "value_norm", "key_idx",
           "grp_idx", "age_norm")
-        .orderBy("metadata_id")
     }),
 
     "q45_sessions_batch" -> ((s, dir) => {
@@ -585,7 +552,6 @@ object SparkEntry {
         .select(col("subject_id"),
           unix_timestamp(col("sess.start")).as("sess_start"),
           col("n_events"), col("sum_value"))
-        .orderBy("subject_id", "sess_start")
     }),
 
     "q46_quantile_transform" -> ((s, dir) => {
@@ -603,7 +569,6 @@ object SparkEntry {
         .select(col("event_id"),
           round(NumericKernel.applyQuantileTransform(col("value"),
             col("qs")), 6).as("v_q"))
-        .orderBy("event_id")
     }),
 
     "q47_ngram_jaccard" -> ((s, dir) => {
@@ -618,7 +583,6 @@ object SparkEntry {
           threshold = 0.25)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
     }),
 
     "q48_temporal_encoding" -> ((s, dir) => {
@@ -638,7 +602,6 @@ object SparkEntry {
           round(element_at(col("enc"), 2), 6).as("enc_cos0"),
           round(element_at(col("enc"), 3), 6).as("enc_sin1"),
           round(element_at(col("enc"), 4), 6).as("enc_cos1"))
-        .orderBy("event_id")
     }),
 
     "q51_vocab_fold" -> ((s, dir) => {
@@ -659,7 +622,6 @@ object SparkEntry {
           round(col("freq"), 9).as("freq"))
         .withColumn("obs_frequency",
           round(lit(fit.observationFrequency), 9))
-        .orderBy("idx")
     }),
 
     "q52_task_labels_norm" -> ((s, dir) => {
@@ -682,7 +644,6 @@ object SparkEntry {
         ignore = Seq("subject_id"))
       norm.df.select(col("subject_id"), col("outcome"), col("severity"),
           col("flag"), col("risk"))
-        .orderBy("subject_id")
     }),
 
     // seeded-bucket / iterative-model ANN → rows-only checks
@@ -693,7 +654,6 @@ object SparkEntry {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding",
           "q_vec_id", "q_vec", k = 5, nPlanes = 4)
         .select(col("q_vec_id"), col("vec_id"), col("rank"))
-        .orderBy("q_vec_id", "rank")
     }),
 
     "q50_ivf_ann" -> ((s, dir) => {
@@ -705,7 +665,6 @@ object SparkEntry {
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
           "q_vec_id", "q_vec", cents, k = 5, nProbe = 2)
         .select(col("q_vec_id"), col("vec_id"), col("rank"))
-        .orderBy("q_vec_id", "rank")
     }),
 
     "q31_media_frames" -> ((s, dir) => {
@@ -716,7 +675,6 @@ object SparkEntry {
       media.select(col("media_id"),
           length(col("payload")).cast("long").as("n_bytes"))
         .join(frames, Seq("media_id"))
-        .orderBy("media_id")
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
