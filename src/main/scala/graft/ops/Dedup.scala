@@ -180,6 +180,14 @@ object Dedup {
       .union(p.select(col(idB).as("src"), col(idA).as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels over a fixed id set, so the (exact, decimal) label
+    // sum is strictly monotone until fixpoint — one aggregation per round
+    // replaces a join + filter + count against the previous labels.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -189,11 +197,10 @@ object Dedup {
       // exponential replay) without CacheManager registration
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
-      val changed = next.join(
-          labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") =!= col("__old")).limit(1).count() > 0
+      val newSum = labelSum(next)
       labels = next
-      converged = !changed
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     if (!converged)
