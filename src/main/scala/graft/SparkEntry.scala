@@ -541,7 +541,10 @@ object SparkEntry {
     "q45_sessions_batch" -> ((s, dir) => {
       // Batch twin of StreamOps.sessionize (same session_window function;
       // the streaming path adds only the watermark): 30-minute gap
-      // sessions per subject.
+      // sessions per subject. Gap boundary is INCLUSIVE — an event at
+      // exactly last+gap still merges (session_window merges touching
+      // windows); a new session needs delta STRICTLY > gap. Caught at
+      // sf0.1 where an exact-1800s delta exists.
       t(s, dir, "events")
         .withColumn("ts2", date_trunc("second", col("ts")))
         .groupBy(session_window(col("ts2"), "30 minutes").as("sess"),
@@ -1215,7 +1218,7 @@ object SparkEntry {
         |d AS (
         |  SELECT user_id, t, value,
         |    CASE WHEN lag(t) OVER w IS NULL THEN 1
-        |         WHEN t - lag(t) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |         WHEN t - lag(t) OVER w > INTERVAL 30 MINUTE THEN 1
         |         ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |s AS (

@@ -69,10 +69,12 @@ object StreamOps {
     * twin of `sessionize` for sinks that want ONLY finalized sessions: the
     * open session per subject is buffered in state and a session row is
     * emitted the moment a later event's gap exceeds `gapMs` (same
-    * new-session-iff-delta≥gap semantics as session_window / the q45 batch
-    * twin). State: one SessionState per live subject. Production bounds
-    * state with an event-time timeout; NoTimeout here for deterministic
-    * tests (processing-time timeouts re-trigger empty batches). */
+    * new-session-iff-delta-STRICTLY->-gap semantics as session_window —
+    * touching windows merge — verified against the q45 batch twin at
+    * sf0.1 where an exact-gap delta exists). State: one SessionState per
+    * live subject. Production bounds state with an event-time timeout;
+    * NoTimeout here for deterministic tests (processing-time timeouts
+    * re-trigger empty batches). */
   final case class SessionState(start: Long, last: Long, n: Long,
       sum: Double)
   final case class ClosedSession(subject_id: Long, sess_start: Long,
@@ -94,10 +96,10 @@ object StreamOps {
           sorted.foreach { e =>
             val t = e.timestamp.getTime
             cur match {
-              case Some(s) if t - s.last >= gapMs =>
+              case Some(s) if t - s.last > gapMs =>
                 closed += ClosedSession(sid, s.start, s.last, s.n, s.sum)
                 cur = Some(SessionState(t, t, 1L, e.value))
-              case Some(s) if s.start - t >= gapMs =>
+              case Some(s) if s.start - t > gapMs =>
                 // cross-batch LATE event older than the open session by
                 // more than the gap: it belongs to an earlier, already-
                 // gone session — emit it as its own closed session

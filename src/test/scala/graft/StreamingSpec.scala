@@ -118,6 +118,19 @@ class StreamingSpec extends SparkSpec {
         .select("n_events", "sum_value").as[(Long, Double)]
         .collect().toSeq
       assert(late == Seq((1L, 0.5)))
+      // an event at EXACTLY last+gap merges (session_window merges
+      // touching windows; a new session needs delta strictly > gap)
+      input.addData(
+        StreamOps.SubjectEvent(1L, ts("2024-01-01 02:05:00"), "A", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_sess").count() == 2) // nothing new closed
+      input.addData(
+        StreamOps.SubjectEvent(1L, ts("2024-01-01 03:00:00"), "A", 1.0))
+      q.processAllAvailable()
+      val merged = spark.table("closed_sess")
+        .filter(col("sess_start") === ts("2024-01-01 02:00:00").getTime)
+        .select("n_events").as[Long].collect().toSeq
+      assert(merged == Seq(2L))
     } finally q.stop()
   }
 }
