@@ -146,6 +146,24 @@ final case class EventDataset(
 
 object EventDataset {
 
+  /** Persist the three tables as parquet under `dir` — the engine's
+    * save surface (the reference dill-pickles the whole object,
+    * event_stream_dataset.py:42-44; here everything is plain columnar
+    * data, splittable and schema-evolvable). */
+  def save(ds: EventDataset, dir: String,
+      mode: String = "overwrite"): Unit = {
+    ds.events.write.mode(mode).parquet(s"$dir/events")
+    ds.measurements.write.mode(mode).parquet(s"$dir/measurements")
+    ds.subjects.write.mode(mode).parquet(s"$dir/subjects")
+  }
+
+  /** Re-open a dataset persisted by `save`. */
+  def load(spark: SparkSession, dir: String): EventDataset =
+    EventDataset(
+      spark.read.parquet(s"$dir/events"),
+      spark.read.parquet(s"$dir/measurements"),
+      spark.read.parquet(s"$dir/subjects"))
+
   /** Normalize an arbitrary per-event-type frame into events schema — the
     * reference's `to_events` (event_stream_dataset.py:370-413) as a single
     * narrow projection. */

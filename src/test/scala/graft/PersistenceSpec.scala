@@ -18,13 +18,8 @@ class PersistenceSpec extends SparkSpec {
       (1L, Timestamp.valueOf("2024-01-02 10:00:00"), 2L, "B", 2.5, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val ds = EventDataset.fromRawEvents(raw)
-    ds.events.write.parquet(s"$dir/events")
-    ds.measurements.write.parquet(s"$dir/measurements")
-    ds.subjects.write.parquet(s"$dir/subjects")
-    val back = EventDataset(
-      spark.read.parquet(s"$dir/events"),
-      spark.read.parquet(s"$dir/measurements"),
-      spark.read.parquet(s"$dir/subjects"))
+    EventDataset.save(ds, dir)
+    val back = EventDataset.load(spark, dir)
     assert(back.events.collect().toSet == ds.events.collect().toSet)
     assert(back.measurements.collect().toSet ==
       ds.measurements.collect().toSet)
