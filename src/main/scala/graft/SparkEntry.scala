@@ -627,6 +627,16 @@ object SparkEntry {
           round(lit(fit.observationFrequency), 9))
     }),
 
+    "q53_props_ingest" -> ((s, dir) => {
+      // JSON-properties ingestion: events.props ('{"k": N}') parsed to
+      // long-layout measurement rows, rolled up per (event_type, key).
+      EventDataset.propsToMeasurements(t(s, dir, "events"))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "q52_task_labels_norm" -> ((s, dir) => {
       // Task-label normalization (reference :61-81): string labels →
       // lexicographic multi-class codes, bool → binary double, int/float
@@ -1322,6 +1332,13 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard
         |FROM pairs WHERE jac >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q53_props_ingest" ->
+      """SELECT event_type, 'k' AS key, count(*) AS n,
+        |CAST(sum(CAST(CAST(json_extract(props, '$.k') AS VARCHAR)
+        |  AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q52_task_labels_norm" ->
       """WITH f AS (

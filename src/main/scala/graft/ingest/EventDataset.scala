@@ -204,6 +204,24 @@ object EventDataset {
     EventDataset(events, measurements, subjects)
   }
 
+  /** Parse a JSON-properties column into long-layout measurement rows:
+    * `from_json` to map<string,double> + explode — the ingest path for
+    * event logs that carry per-event metadata as a JSON blob (the
+    * driver's `events.props`). Narrow (codegen JSON parse, no shuffle);
+    * malformed/empty JSON yields no rows for that event. */
+  def propsToMeasurements(raw: DataFrame, propsCol: String = "props")
+      : DataFrame =
+    raw.select(
+      col("event_id").cast("long"),
+      col("user_id").cast("long").as("subject_id"),
+      col("event_type"),
+      explode(from_json(col(propsCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.DoubleType)))
+        .as(Seq("key", "value")))
+      .withColumn("measurement", lit("props"))
+
   /** Nested → flat explode (event_stream_dataset.py:570-593): O(n) narrow
     * `explode`, vs the reference's Python iterrows loop. metadata_id is a
     * per-event-local position + event_id pair encoded densely enough for FK

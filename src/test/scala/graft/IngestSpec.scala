@@ -26,6 +26,19 @@ class IngestSpec extends SparkSpec {
     assert(ds.subjects.count() == 2)
   }
 
+  test("propsToMeasurements: JSON map → long-layout rows, malformed " +
+    "yields none") {
+    val raw = Seq(
+      (1L, 10L, "A", """{"hr": 72.5, "bp": 120}"""),
+      (2L, 10L, "B", """{"hr": 80}"""),
+      (3L, 11L, "A", "not json"),
+      (4L, 11L, "A", "")).toDF("event_id", "user_id", "event_type", "props")
+    val m = EventDataset.propsToMeasurements(raw)
+      .select("event_id", "key", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(m == Set((1L, "hr", 72.5), (1L, "bp", 120.0), (2L, "hr", 80.0)))
+  }
+
   test("eventsOrdered ranks within subject by (timestamp, event_id)") {
     val ds = EventDataset.fromRawEvents(rawEvents)
     val idx = ds.eventsOrdered
