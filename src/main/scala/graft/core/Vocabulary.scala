@@ -69,6 +69,95 @@ object Vocabulary {
     unk.unionByName(withFreq.select("element", "n", "idx", "freq"))
   }
 
+  /** Spark's string ordering is UTF-8 BYTE order (UTF8String binary
+    * compare); Java's String.compareTo is UTF-16 code-unit order and
+    * disagrees above the BMP. Driver-side sorts that must reproduce a
+    * Spark `orderBy` tie-break use this. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private val vocabSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("element",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("idx",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("freq",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  /** Driver-side vocabulary assembly from collected (element, n) counts —
+    * identical rows to `fitFromCounts`, materialized as a LocalTableScan.
+    *
+    * The MLlib-model idiom (StringIndexerModel holds its labels on the
+    * driver): fit state destined for broadcast lookup must fit in memory
+    * ANYWAY, and a local relation costs ZERO cluster jobs per consumer —
+    * no checkpoint job, no rank/zipWithIndex jobs, and `broadcast()` of a
+    * LocalTableScan builds its hash relation without touching executors.
+    * Use the distributed `fit`/`fitFromCounts` when the vocabulary itself
+    * may exceed single-node memory (e.g. unbounded re-encoded key spaces
+    * before rare-folding). */
+  def fromCountsLocal(spark: SparkSession, counts: Seq[(String, Long)])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val merged = counts.filter(_._1 != null)
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    val total = merged.map(_._2).sum.toDouble
+    val sorted = merged.sortWith { case ((ea, na), (eb, nb)) =>
+      na > nb || (na == nb && utf8Lt(ea, eb)) }
+    val rows = org.apache.spark.sql.Row(UNK, 0L, 0, 0.0) +:
+      sorted.zipWithIndex.map { case ((e, n), i) =>
+        org.apache.spark.sql.Row(e, n, i + 1, n / total) }
+    spark.createDataFrame(rows.asJava, vocabSchema)
+  }
+
+  /** Driver-side `fit`: one distributed count aggregation, assembly on the
+    * driver (see `fromCountsLocal` for when this is the right shape). */
+  def fitLocal(obs: DataFrame, col: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val counts = obs.filter(c(col).isNotNull)
+      .groupBy(c(col).cast("string").as("element"))
+      .agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+    fromCountsLocal(obs.sparkSession, counts)
+  }
+
+  /** Driver-side `filterRare` over (element, n, idx, freq) tuples — same
+    * frequency-space semantics; returns re-ranked rows with UNK absorbing
+    * the dropped tail. */
+  def filterRareLocal(spark: SparkSession,
+      vocab: Seq[(String, Long, Int, Double)],
+      minValid: CountOrProportion, totalObservations: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val minFreq = minValid.value match {
+      case Left(m)  => m.toDouble / totalObservations
+      case Right(p) => p
+    }
+    def kept(n: Long): Boolean =
+      n.toDouble / totalObservations.toDouble >= minFreq
+    val (unkN, unkF) = vocab.find(_._1 == UNK)
+      .map(u => (u._2, u._4)).getOrElse((0L, 0.0))
+    val dropped = vocab.filter(v => v._1 != UNK && !kept(v._2))
+    val survivors = vocab.filter(v => v._1 != UNK && kept(v._2))
+      .sortWith { case ((ea, na, _, _), (eb, nb, _, _)) =>
+        na > nb || (na == nb && utf8Lt(ea, eb)) }
+    val rows = org.apache.spark.sql.Row(UNK,
+      unkN + dropped.map(_._2).sum, 0, unkF + dropped.map(_._4).sum) +:
+      survivors.zipWithIndex.map { case ((e, n, _, f), i) =>
+        org.apache.spark.sql.Row(e, n, i + 1, f) }
+    spark.createDataFrame(rows.asJava, vocabSchema)
+  }
+
   /** Vocabulary over ARRAY-valued observations (the reference's nested
     * ExpandableDfDict cells, vocabulary.py:114-123: lists inside cells are
     * flattened while counting, NaN/null skipped): explode then count —

@@ -93,13 +93,15 @@ object DatasetPreprocessor {
           (m.modality == DataModality.SingleLabelClassification ||
             m.modality == DataModality.MultiLabelClassification) =>
         val obs = trainMeasAll.filter(col("measurement") === m.name)
-        m.name -> Future(Vocabulary.fit(obs, "key").localCheckpoint(true))
+        // fitLocal: the vocab is broadcast-joined at transform time, so it
+        // must be memory-small anyway — the LocalTableScan form costs zero
+        // cluster jobs per consumer (no checkpoint, no rank jobs)
+        m.name -> Future(Vocabulary.fitLocal(obs, "key"))
     }
 
     val staticF = keptMeasurements.collect {
       case m if m.temporality == TemporalityType.Static =>
-        m.name ->
-          Future(Vocabulary.fit(trainSubj, m.name).localCheckpoint(true))
+        m.name -> Future(Vocabulary.fitLocal(trainSubj, m.name))
     }
 
     val timeDependentF = keptMeasurements.collect {

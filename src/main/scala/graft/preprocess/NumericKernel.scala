@@ -93,19 +93,38 @@ object NumericKernel {
     *    in-plan as the sum of per-key counts, no extra action;
     *  - min-unique proportion resolves against the KEY's non-null value
     *    count (`len(vals)`, :1259-1262) — per key, in-expression. */
+  /** Per-(key, value) observation counts — the shared base aggregation for
+    * type inference AND (checkpointed once by Preprocessor.fit) every
+    * downstream fit statistic. Null KEYS are outside the measurement space
+    * entirely (the reference iterates the column's non-null keys, and its
+    * total_col_obs denominator excludes them) — null VALUES stay (they feed
+    * n_obs). */
+  def perValueCounts(kv: DataFrame, keyCol: String, valCol: String)
+      : DataFrame =
+    kv.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), col(valCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
   def inferValueTypesCfg(
       kv: DataFrame, keyCol: String, valCol: String,
       minValidVocabElementObservations: Option[graft.core.CountOrProportion],
       minTrueFloatFrequency: Option[Double],
       minUniqueNumericalObservations: Option[graft.core.CountOrProportion],
+      maxNumericalValueFrequency: Option[Double]): DataFrame =
+    inferValueTypesFromCounts(perValueCounts(kv, keyCol, valCol),
+      minValidVocabElementObservations, minTrueFloatFrequency,
+      minUniqueNumericalObservations, maxNumericalValueFrequency)
+
+  /** Type inference over a prebuilt `perValueCounts` frame (key, v, cnt).
+    * Splitting here lets Preprocessor.fit run ONE scan of the train
+    * observations and derive every fit statistic from the (far narrower)
+    * counts table. */
+  def inferValueTypesFromCounts(
+      perValue: DataFrame,
+      minValidVocabElementObservations: Option[graft.core.CountOrProportion],
+      minTrueFloatFrequency: Option[Double],
+      minUniqueNumericalObservations: Option[graft.core.CountOrProportion],
       maxNumericalValueFrequency: Option[Double]): DataFrame = {
-    // null KEYS are outside the measurement space entirely (the reference
-    // iterates the column's non-null keys, and its total_col_obs
-    // denominator excludes them) — null VALUES stay (they feed n_obs).
-    val perValue = kv
-      .filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).as("key"), col(valCol).as("v"))
-      .agg(count(lit(1)).as("cnt"))
     // collapse to the banker's-rounded value space while carrying raw-space
     // stats; the null-value group (rv IS NULL ⟺ v IS NULL) only feeds n_obs.
     val perRounded = perValue
@@ -115,7 +134,8 @@ object NumericKernel {
         count(when(col("v").isNotNull, lit(1))).as("n_raw"),
         sum(when(col("v") === floor(col("v")), col("cnt"))
           .otherwise(lit(0L))).as("int_cnt"),
-        max(when(col("v").isNotNull, col("cnt"))).as("max_cnt_raw"))
+        max(when(col("v").isNotNull, col("cnt"))).as("max_cnt_raw"),
+        sum(when(col("v").isNotNull, col("v") * col("cnt"))).as("sv"))
     val nonNull = col("rv").isNotNull
     val stats = perRounded.groupBy("key").agg(
       sum("cnt_r").as("n_obs"),
@@ -126,7 +146,11 @@ object NumericKernel {
       (max(when(nonNull, col("max_cnt_raw"))) /
         sum(when(nonNull, col("cnt_r")))).as("mode_frequency_raw"),
       (max(when(nonNull, col("cnt_r"))) /
-        sum(when(nonNull, col("cnt_r")))).as("mode_frequency_rounded"))
+        sum(when(nonNull, col("cnt_r")))).as("mode_frequency_rounded"),
+      // raw-value weighted mean: the numerically-safe SHIFT for the fused
+      // one-pass variance in Preprocessor.fit (shifting by ≈mean removes
+      // the catastrophic cancellation of the naive sum-of-squares form)
+      (sum("sv") / sum(when(nonNull, col("cnt_r")))).as("k_shift"))
     val isIntish = minTrueFloatFrequency match {
       case Some(f) => col("int_fraction") > lit(1.0 - f)
       case None    => lit(false)
@@ -176,7 +200,7 @@ object NumericKernel {
           .when(isIntish, "integer")
           .otherwise("float"))
       .select("key", "n", "n_unique", "int_fraction", "mode_frequency",
-        "value_type")
+        "value_type", "k_shift")
   }
 
   /** Numeric→categorical re-encode (event_stream_dataset.py:288-368):

@@ -70,134 +70,216 @@ object Preprocessor {
   /** Fit numeric + categorical metadata on TRAIN observations.
     * `obs` must carry (keyCol STRING, valCol DOUBLE).
     *
-    * Scan discipline (the fit statistics are all per-key-small; the train
-    * scans are the cost): pass 1 infers value types (one wide aggregation);
-    * pass 2 (only when VIOD is enabled) fits outlier bounds; pass 3 is ONE
-    * fused groupBy(key, final_key) that simultaneously produces the
-    * normalizer statistics (over VIOD inliers), the all-outliers drop
-    * guard's inlier counts, and the final-key vocabulary counts. Everything
-    * downstream assembles from those tiny aggregates — 2 train scans
-    * without VIOD, 3 with (previously 3-5). */
+    * Scan discipline: the train observations are scanned ONCE, into the
+    * per-(key, value) counts table (`NumericKernel.perValueCounts`) — the
+    * same aggregation type inference needs anyway. That table is
+    * checkpointed and every other fit statistic derives from it:
+    * value-type inference, the fused per-(key, final_key) vocab/normalizer
+    * aggregation (frequency-weighted), VIOD's value multiset (re-expanded
+    * with `array_repeat` — same values, far narrower source), and the
+    * quantile fit (Spark's `percentile` takes a frequency column).
+    * At 100 TB the counts table is at worst input-sized (all-distinct float
+    * keys) but 3 columns wide — every downstream pass reads THAT instead of
+    * re-scanning the full-width input.
+    *
+    * Job discipline (the MLlib-model idiom — StringIndexerModel holds its
+    * labels on the driver): the per-key statistics and the vocabulary are
+    * COLLECTED and assembled driver-side, and the returned Fit frames are
+    * LocalTableScan relations. Fit state destined for broadcast joins must
+    * fit in memory anyway, and local relations cost zero cluster jobs per
+    * consumer — the whole fit is 3 actions (counts checkpoint, type
+    * collect, stats collect; +1 with VIOD) instead of a dozen checkpoint/
+    * broadcast/rank jobs. Driver-side sorts reproduce Spark ordering
+    * exactly (UTF-8 tie-break — Vocabulary.utf8Lt). */
   def fit(trainObs: DataFrame, keyCol: String, valCol: String,
       cfg: Config): Fit = {
+    val spark = trainObs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
     val obs = trainObs.select(col(keyCol).cast("string").as("key"),
       col(valCol).cast("double").as("v"))
 
-    // 1. per-key value-type inference (one wide pass; tiny result).
-    //    Checkpointed: three consumers below broadcast it.
-    val types = NumericKernel.inferValueTypesCfg(obs, "key", "v",
-      cfg.minValidVocabElementObservations,
-      cfg.minTrueFloatFrequency,
-      cfg.minUniqueNumericalObservations,
-      cfg.maxNumericalValueFrequency)
-      .select(col("key"), col("value_type"))
+    // 1. THE scan: per-(key, value) counts, checkpointed for every
+    //    downstream consumer.
+    val perValue = NumericKernel.perValueCounts(obs, "key", "v")
       .localCheckpoint(true)
 
-    // 2. optional VIOD outlier bounds per key (its own pass: the typed
-    //    Aggregator needs the raw values; event_stream_dataset.py:1198).
-    val bounds = cfg.outlierDetector match {
-      case Some("viod") =>
-        val adjusted = obs.join(broadcast(types), Seq("key"))
-          .withColumn("v1", NumericKernel.reencodeValue(col("v"),
-            col("value_type")))
-          .filter(col("value_type").isin("integer", "float") &&
-            col("v1").isNotNull)
-        Viod.fitPerKey(adjusted, "key", "v1")
-      case _ =>
-        types.select(col("key"), lit(null).cast("double").as("viod_lo"),
-          lit(null).cast("double").as("viod_hi")).limit(0)
-    }
-    val typesB = types.join(bounds, Seq("key"), "left")
-      .localCheckpoint(true)
+    // 2. per-key value-type inference — a tiny aggregation over the
+    //    checkpointed counts, collected. k_shift is the per-key raw
+    //    weighted mean, the variance shift below.
+    val typesRows: Array[(String, String, Option[Double])] =
+      NumericKernel.inferValueTypesFromCounts(perValue,
+        cfg.minValidVocabElementObservations,
+        cfg.minTrueFloatFrequency,
+        cfg.minUniqueNumericalObservations,
+        cfg.maxNumericalValueFrequency)
+        .select(col("key"), col("value_type"), col("k_shift"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val typesSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("value_type", StringType),
+      StructField("k_shift", DoubleType)))
+    val typesLocal = spark.createDataFrame(
+      typesRows.toSeq.map { case (k, vt, ks) =>
+        Row(k, vt, ks.map(Double.box).orNull) }.asJava, typesSchema)
 
-    // 3. the fused pass: one scan, one shuffle keyed by (key, final_key).
-    //    Per group: vocab count, inlier count (drop guard), and the
-    //    normalizer moments/quantiles over inlier values. For numeric keys
-    //    final_key == key, so their group row carries the per-key stats.
+    // 3. optional VIOD outlier bounds per key. The aggregator consumes the
+    //    value MULTISET — re-expanded from the counts table (explode of
+    //    array_repeat): identical values, and the source is the narrow
+    //    checkpointed counts rather than a second full scan
+    //    (event_stream_dataset.py:1198).
+    val viodBounds: Map[String, (Double, Double)] =
+      cfg.outlierDetector match {
+        case Some("viod") =>
+          val expanded = perValue.join(broadcast(typesLocal), Seq("key"))
+            .withColumn("v0", NumericKernel.reencodeValue(col("v"),
+              col("value_type")))
+            .filter(col("value_type").isin("integer", "float") &&
+              col("v0").isNotNull)
+            .select(col("key"),
+              explode(expr("array_repeat(v0, CAST(cnt AS INT))")).as("v1"))
+          Viod.fitPerKey(expanded, "key", "v1").collect()
+            .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+            .toMap
+        case _ => Map.empty
+      }
+    val typesBLocal = spark.createDataFrame(
+      typesRows.toSeq.map { case (k, vt, ks) =>
+        val b = viodBounds.get(k)
+        Row(k, vt, ks.map(Double.box).orNull,
+          b.map(x => Double.box(x._1)).orNull,
+          b.map(x => Double.box(x._2)).orNull) }.asJava,
+      typesSchema
+        .add(StructField("viod_lo", DoubleType))
+        .add(StructField("viod_hi", DoubleType)))
+
+    // 4. the fused aggregation over the counts table, keyed by
+    //    (key, final_key), frequency-weighted, collected. For numeric keys
+    //    final_key == key, so their single group row carries the per-key
+    //    normalizer statistics: shifted moments for std (centering on
+    //    k_shift ≈ mean removes the naive sum-of-squares cancellation),
+    //    frequency-weighted exact percentile for quantile.
     val numeric = col("value_type").isin("integer", "float")
     val v1 = when(numeric,
       NumericKernel.reencodeValue(col("v"), col("value_type")))
     val inlier = NumericKernel.isInlier(col("v1"), col("viod_lo"),
       col("viod_hi"))
-    val vIn = when(col("__inlier"), col("v1"))
+    val cnt = col("cnt")
     val normAggs = cfg.normalizer match {
       case Some("std") => Seq(
-        avg(vIn).as("norm_mean"), stddev_samp(vIn).as("norm_std"))
+        sum(when(col("__vin").isNotNull, cnt)).as("__n_in"),
+        sum(when(col("__vin").isNotNull,
+          (col("__vin") - col("k_shift")) * cnt)).as("__s1c"),
+        sum(when(col("__vin").isNotNull,
+          (col("__vin") - col("k_shift")) * (col("__vin") - col("k_shift"))
+            * cnt)).as("__s2c"))
       case Some("quantile") =>
         val ps = array((0 until cfg.nQuantiles)
           .map(i => lit(i.toDouble / (cfg.nQuantiles - 1))): _*)
-        Seq(percentile(vIn, ps).as("quantiles"))
+        Seq(percentile(col("__vin"), ps, cnt).as("quantiles"))
       case _ => Seq.empty
     }
     val statAggs = Seq(
-      count(when(col("final_key").isNotNull, lit(1))).as("n_fk"),
-      count(when(col("__inlier") && col("v1").isNotNull, lit(1)))
-        .as("n_inliers")) ++ normAggs
-    val grouped = obs.join(broadcast(typesB), Seq("key"))
+      sum(when(col("final_key").isNotNull, cnt).otherwise(lit(0L)))
+        .as("n_fk"),
+      sum(when(col("__inlier") && col("v1").isNotNull, cnt)
+        .otherwise(lit(0L))).as("n_inliers")) ++ normAggs
+    val groupedRows = perValue.join(broadcast(typesBLocal), Seq("key"))
       .withColumn("final_key", NumericKernel.reencodeKey(col("key"),
         col("v"), col("value_type")))
       .withColumn("v1", v1)
       .withColumn("__inlier", inlier)
+      .withColumn("__vin", when(col("__inlier"), col("v1")))
       .groupBy(col("key"), col("value_type"), col("final_key"))
       .agg(statAggs.head, statAggs.tail: _*)
-      .localCheckpoint(true)
+      .collect()
+    val gKey = (r: Row) => r.getString(0)
+    val gVt = (r: Row) => r.getString(1)
+    val gFk = (r: Row) => r.getString(2)
+    val gNFk = (r: Row) => r.getLong(3)
+    val gNIn = (r: Row) => r.getLong(4)
+    val isNum = (vt: String) => vt == "integer" || vt == "float"
 
     // all-outliers drop guard (event_stream_dataset.py:1198-1208): a key
-    // whose every value is a VIOD outlier drops entirely. Per-key verdict
-    // from the numeric keys' own group rows (final_key == key).
-    val guard = grouped.filter(numeric)
-      .join(typesB.select("key", "viod_lo"), Seq("key"), "left")
-      .filter(col("viod_lo").isNotNull && col("n_inliers") === 0)
-      .select(col("key"), lit("dropped").as("__guard_vt"))
-    val perKey = typesB.join(broadcast(guard), Seq("key"), "left")
-      .withColumn("value_type",
-        coalesce(col("__guard_vt"), col("value_type")))
-      .drop("__guard_vt")
-    val normCols = grouped.filter(numeric)
-      .drop("final_key", "value_type", "n_fk", "n_inliers")
-    val withNorm = (cfg.normalizer match {
-      case Some("std") =>
-        perKey.join(normCols, Seq("key"), "left")
-          .withColumn("quantiles", lit(null).cast("array<double>"))
-      case Some("quantile") =>
-        perKey.join(normCols, Seq("key"), "left")
-          .withColumn("norm_mean", lit(null).cast("double"))
-          .withColumn("norm_std", lit(null).cast("double"))
-      case _ =>
-        perKey.withColumn("norm_mean", lit(null).cast("double"))
-          .withColumn("norm_std", lit(null).cast("double"))
-          .withColumn("quantiles", lit(null).cast("array<double>"))
-    })
+    // whose every value is a VIOD outlier drops entirely.
+    val guardSet: Set[String] = groupedRows.iterator
+      .filter(r => isNum(gVt(r)) && viodBounds.contains(gKey(r)) &&
+        gNIn(r) == 0L)
+      .map(gKey).toSet
 
-    // 4. vocabulary over the FINAL key space (categorical keys re-encoded
+    // per-key normalizer params from the numeric keys' own group rows.
+    //   mean = k + Σc(v−k)/n        (exact)
+    //   var  = (Σc(v−k)² − (Σc(v−k))²/n) / (n−1)   (shift-centered)
+    // n==1 → NaN (stddev_samp semantics), n==0 → null.
+    val kShift = typesRows.map(t => t._1 -> t._3).toMap
+    val normByKey: Map[String, (Option[Double], Option[Double],
+        Option[Seq[Double]])] =
+      groupedRows.iterator.filter(r => isNum(gVt(r))).map { r =>
+        cfg.normalizer match {
+          case Some("std") =>
+            val nIn = if (r.isNullAt(5)) 0L else r.getLong(5)
+            val s1c = if (r.isNullAt(6)) 0.0 else r.getDouble(6)
+            val s2c = if (r.isNullAt(7)) 0.0 else r.getDouble(7)
+            val k = kShift(gKey(r)).getOrElse(0.0)
+            val mean = if (nIn > 0) Some(k + s1c / nIn) else None
+            val std =
+              if (nIn >= 2)
+                Some(math.sqrt(math.max(
+                  (s2c - s1c * s1c / nIn) / (nIn - 1), 0.0)))
+              else if (nIn == 1) Some(Double.NaN)
+              else None
+            gKey(r) -> ((mean, std, None))
+          case Some("quantile") =>
+            val q = if (r.isNullAt(5)) None else Some(r.getSeq[Double](5))
+            gKey(r) -> ((None, None, q))
+          case _ => gKey(r) -> ((None, None, None))
+        }
+      }.toMap
+
+    val perKeySchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("value_type", StringType),
+      StructField("viod_lo", DoubleType),
+      StructField("viod_hi", DoubleType),
+      StructField("norm_mean", DoubleType),
+      StructField("norm_std", DoubleType),
+      StructField("quantiles", ArrayType(DoubleType))))
+    val finalVt: Map[String, String] = typesRows.iterator.map {
+      case (k, vt, _) => k -> (if (guardSet(k)) "dropped" else vt) }.toMap
+    val perKeyDf = spark.createDataFrame(
+      typesRows.toSeq.map { case (k, _, _) =>
+        val b = viodBounds.get(k)
+        val nrm = normByKey.getOrElse(k, (None, None, None))
+        Row(k, finalVt(k),
+          b.map(x => Double.box(x._1)).orNull,
+          b.map(x => Double.box(x._2)).orNull,
+          nrm._1.map(Double.box).orNull,
+          nrm._2.map(Double.box).orNull,
+          nrm._3.orNull) }.asJava, perKeySchema)
+
+    // 5. vocabulary over the FINAL key space (categorical keys re-encoded
     //    to "key__EQ_v" — event_stream_dataset.py:288-368 — so the vocab
     //    indexes exactly what transform emits), straight from the fused
-    //    pass's counts: no re-scan. value_type='dropped' keys (inference
-    //    OR the all-outliers guard) are excluded: in the reference they
-    //    fall below min_valid_vocab_element_observations during
-    //    categorical processing and fold into UNK (:1279-1310), so
-    //    transform must emit key_idx=0 for them.
-    // the anti-join against perKey's dropped keys covers BOTH inference-
-    // dropped and guard-dropped keys (perKey's value_type is the coalesced
-    // verdict) — no additional row-level filter needed
-    val fkCounts = grouped
-      .join(broadcast(perKey.filter(col("value_type") === "dropped")
-        .select(col("key"))), Seq("key"), "left_anti")
-      .select(col("final_key").as("element"), col("n_fk").as("n"))
-    val rawVocab = Vocabulary.fitFromCounts(fkCounts)
+    //    rows. value_type='dropped' keys (inference OR the guard) are
+    //    excluded: in the reference they fall below
+    //    min_valid_vocab_element_observations during categorical processing
+    //    and fold into UNK (:1279-1310), so transform emits key_idx=0.
+    val fkCounts: Seq[(String, Long)] = groupedRows.iterator
+      .filter(r => finalVt(gKey(r)) != "dropped" && gFk(r) != null)
+      .map(r => gFk(r) -> gNFk(r)).toSeq
+    val rawVocab = Vocabulary.fromCountsLocal(spark, fkCounts)
     val vocab = cfg.minValidVocabFold match {
       case Some(m) =>
-        val total = fkCounts.agg(coalesce(sum("n"), lit(0L)))
-          .collect().head.getLong(0)
-        Vocabulary.filterRare(rawVocab, m, total)
+        val total = fkCounts.map(_._2).sum
+        val tuples = rawVocab.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        Vocabulary.filterRareLocal(spark, tuples, m, total)
       case None => rawVocab
     }
-    // Fit state is per-key-cardinality small but its LINEAGE scans the full
-    // train set — materialize via localCheckpoint so repeated transforms
-    // (or multi-split application) don't re-run the fit aggregations per
-    // use. localCheckpoint rather than cache(): CacheManager entries tax
-    // plan lookup for every later query in long sessions.
-    Fit(withNorm.localCheckpoint(true), vocab.localCheckpoint(true))
+    Fit(perKeyDf, vocab)
   }
 
   /** Apply a fit to any split's observations: broadcast-join the per-key

@@ -39,9 +39,68 @@ object Explore {
       spark.stop()
       return
     }
+    if (args.length > 1 && args(1) == "fitbreakdown") {
+      // stage-level timing of Preprocessor.fit on the q32 workload
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val train = ev.filter(col("user_id") % 5 < 4)
+      // warm codegen/parquet paths
+      ev.agg(count(lit(1))).collect()
+      val obs = train.select(col("event_type").cast("string").as("key"),
+        col("value").cast("double").as("v"))
+      import graft.preprocess.{NumericKernel, Preprocessor}
+      val cfgP = Preprocessor.Config(normalizer = Some("std"))
+      val types = time("1.inferValueTypes+ckpt")(
+        NumericKernel.inferValueTypesCfg(obs, "key", "v",
+          cfgP.minValidVocabElementObservations,
+          cfgP.minTrueFloatFrequency,
+          cfgP.minUniqueNumericalObservations,
+          cfgP.maxNumericalValueFrequency)
+          .select(col("key"), col("value_type")).localCheckpoint(true))
+      val typesB = time("2.typesB ckpt")(
+        types.withColumn("viod_lo", lit(null).cast("double"))
+          .withColumn("viod_hi", lit(null).cast("double"))
+          .localCheckpoint(true))
+      val grouped = time("3.fused groupBy+ckpt")(
+        obs.join(broadcast(typesB), Seq("key"))
+          .withColumn("final_key", NumericKernel.reencodeKey(col("key"),
+            col("v"), col("value_type")))
+          .withColumn("v1", NumericKernel.reencodeValue(col("v"),
+            col("value_type")))
+          .groupBy(col("key"), col("value_type"), col("final_key"))
+          .agg(count(when(col("final_key").isNotNull, lit(1))).as("n_fk"),
+            avg(col("v1")).as("norm_mean"),
+            stddev_samp(col("v1")).as("norm_std"))
+          .localCheckpoint(true))
+      val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobCounter.incrementAndGet()
+        })
+      def jobs(): Int = { Thread.sleep(200); jobCounter.get() }
+      val j0 = jobs()
+      time("4.full fit")(Preprocessor.fit(train, "event_type", "value", cfgP))
+      println(s"[explore] fit jobs: ${jobs() - j0}")
+      val j1 = jobs()
+      time("5.full fit again")(
+        Preprocessor.fit(train, "event_type", "value", cfgP))
+      println(s"[explore] fit jobs again: ${jobs() - j1}")
+      val fit = Preprocessor.fit(train, "event_type", "value", cfgP)
+      time("6.transform+noop")(
+        Preprocessor.transform(ev, "event_type", "value", fit)
+          .write.mode("overwrite").format("noop").save())
+      println(s"[explore] grouped rows: ${grouped.count()} typesB: ${typesB.count()}")
+      spark.stop()
+      return
+    }
     if (args.length > 1) {
+      // warm the session so the first query isn't charged JVM startup
+      spark.range(1000).selectExpr("sum(id)").collect()
       args.drop(1).foreach { q =>
-        time(q)(println(graft.SparkEntry.queries(q)(spark, sfDir).count()))
+        time(q)(graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
       }
       spark.stop()
       return
