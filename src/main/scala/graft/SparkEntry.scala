@@ -192,7 +192,9 @@ object SparkEntry {
       val d = dsSec(s, dir)
       // event_type vocab at unified offset 1 (event_type pinned measurement,
       // SURVEY §2.9) — the flagship collect_list pipeline.
-      val vocab = Vocabulary.fit(d.events, "event_type")
+      // fitLocal: the vocab feeds a broadcast lookup — the LocalTableScan
+      // form costs zero cluster jobs (identical rows to Vocabulary.fit)
+      val vocab = Vocabulary.fitLocal(d.events, "event_type")
       val indexed = Vocabulary.lookup(d.measurements, "key", vocab, "vidx")
         .select(col("event_id"), (col("vidx") + 1L).as("unified_idx"),
           col("value"), lit(1L).as("measurement_idx"))
@@ -412,7 +414,7 @@ object SparkEntry {
       // DataEmbeddingLayer relational form: per subject, weighted sum of
       // the event_type-vocab-indexed embedding vectors (weight = value).
       val ev = dsRaw(s, dir)
-      val vocab = Vocabulary.fit(ev.events, "event_type")
+      val vocab = Vocabulary.fitLocal(ev.events, "event_type")
       val items = Vocabulary.lookup(
         t(s, dir, "events").select(
           col("user_id").as("subject_id"), col("event_type"),

@@ -169,13 +169,61 @@ object Dedup {
     * no driver-side graph. Returns (id, label) for every id that appears
     * in a pair; non-paired docs are implicitly their own cluster. */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 20,
+      maxLocalEdges: Long = 1L << 22): DataFrame = {
     // Materialize the (small) pair list ONCE via localCheckpoint: the
     // union references it twice and the iterative loop would otherwise
     // replay the potentially-expensive upstream plan (e.g. a full LSH)
     // every iteration. localCheckpoint truncates lineage without
     // registering a CacheManager entry that would tax later queries.
     val p = pairs.localCheckpoint(true)
+    // Adaptive execution: the near-dup pair graph is usually ORDERS OF
+    // MAGNITUDE smaller than the corpus (it holds only docs with a
+    // verified near-duplicate). Below the threshold, collect the edges
+    // and run union-find on the driver — one job instead of 2 per
+    // propagation round, and exactly the same (id, min-label) output.
+    // Above it, fall through to the distributed label propagation.
+    val nEdges = p.count()
+    val integralIds = Seq(idA, idB).forall { n =>
+      p.schema(n).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    }
+    if (nEdges <= maxLocalEdges && integralIds) {
+      import scala.jdk.CollectionConverters._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c)
+          parent.put(c, r); c = n }
+        r
+      }
+      p.select(col(idA).cast("long"), col(idB).cast("long")).collect()
+        .foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id so the cluster label is the minimum member —
+          // identical to the min-label propagation fixpoint
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      val rows = parent.keySet().asScala.toSeq.sorted
+        .map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return pairs.sparkSession.createDataFrame(rows.asJava, schema)
+    }
     val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
       .union(p.select(col(idB).as("src"), col(idA).as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()

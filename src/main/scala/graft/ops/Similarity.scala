@@ -70,24 +70,77 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Fit IVF centroids with MLlib KMeans over (a sample of) the corpus —
-    * the standard coarse quantizer. Returns a small driver-built table
-    * (centroid_id LONG, c_vec ARRAY<DOUBLE>) ready to broadcast into
-    * `ivfAssign`. At 100 TB fit on `vecs.sample(...)`; KMeans cost is
-    * O(sample × k × iters) and the model is k×dim doubles. */
+  /** Fit IVF centroids — the coarse quantizer. The FAISS training idiom:
+    * ONE distributed job draws a deterministic sample (xxhash64-ranked
+    * TakeOrdered — no RNG, stable across runs/partitionings), then
+    * Lloyd's iterations run on the DRIVER over that sample. Cluster-side
+    * k-means (MLlib) costs 1-2 jobs PER ITERATION; at any corpus size the
+    * quantizer only ever needs a bounded sample (centroid quality is a
+    * property of the distribution, not the corpus cardinality), so the
+    * scan is the only distributed work. Returns a small local table
+    * (centroid_id LONG, c_vec ARRAY<DOUBLE>) that broadcasts into
+    * `ivfAssign` with zero extra jobs. */
   def fitIvfCentroids(vecs: DataFrame, vecCol: String, k: Int,
-      seed: Long = 42, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = vecs.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .fit(feats)
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
-      .toDF("centroid_id", "c_vec")
+      seed: Long = 42, maxIter: Int = 20, maxSample: Int = 1 << 16)
+      : DataFrame = {
+    val sample: Array[Array[Double]] = vecs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(xxhash64(lit(seed), col("v")))
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitIvfCentroids: no non-null vectors")
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    // splitmix-seeded distinct initial centers (plan-free determinism)
+    val init = Array.tabulate(kk)(i =>
+      sample(((graft.core.Hashing.splitmix64(seed + i) % sample.length
+        + sample.length) % sample.length).toInt))
+    val centers = init.map(_.clone)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      moved = false
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) {
+            val m = sums(c)(j) / counts(c)
+            if (m != centers(c)(j)) { centers(c)(j) = m; moved = true }
+            j += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    import scala.jdk.CollectionConverters._
+    vecs.sparkSession.createDataFrame(
+      centers.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.toIndexedSeq) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** IVF (inverted-file) index: assign every corpus vector to its nearest
