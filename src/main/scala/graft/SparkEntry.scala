@@ -690,6 +690,84 @@ object SparkEntry {
       media.select(col("media_id"),
           length(col("payload")).cast("long").as("n_bytes"))
         .join(frames, Seq("media_id"))
+    }),
+
+    "q54_collate_pad" -> ((s, dir) => {
+      // Collate/pad (event_stream_pytorch_dataset.py:444-567): ragged
+      // per-subject minutes-from-start sequences padded rectangular to the
+      // batch max length, RIGHT padding side (nulls appended — the
+      // reference's pad-then-mask shape, kept as null rather than NaN→0 so
+      // the mask is recoverable). Scalar (subject, pos, t_min) rows: array
+      // cells are contract-hostile.
+      val ev = dsSec(s, dir).events
+      val maxLen = ev.groupBy("subject_id").count()
+        .agg(max("count")).collect()(0).getLong(0).toInt
+      val seqs = ev.groupBy("subject_id")
+        .agg(sort_array(collect_list(struct(
+          col("timestamp").cast("double").as("ts"), col("event_id"))))
+          .as("evs"))
+        .select(col("subject_id"), transform(col("evs"),
+          e => (e("ts") - element_at(col("evs"), 1)("ts")) / 60.0)
+          .as("tmins"))
+      seqs.select(col("subject_id"),
+          posexplode(BatchBuilder.padTo(col("tmins"), maxLen)))
+        .select(col("subject_id"), (col("pos") + 1).cast("int").as("pos"),
+          round(col("col"), 6).as("t_min"))
+    }),
+
+    "q56_static_gather" -> ((s, dir) => {
+      // DataEmbeddingLayer static mode SUM (data_embedding_layer.py:
+      // 245-397): the subject's static-measurement embedding is SUMMED into
+      // the bag — relationally, static items (weight 1.0) simply UNION into
+      // the gather input. Static vocab block occupies ids 10..12 here.
+      val ev = dsRaw(s, dir)
+      val vocab = Vocabulary.fitLocal(ev.events, "event_type")
+      val items = Vocabulary.lookup(
+        t(s, dir, "events").select(
+          col("user_id").as("subject_id"), col("event_type"),
+          col("value")),
+        "event_type", vocab, "vidx")
+        .select(col("subject_id"), col("vidx"), col("value"))
+      val staticItems = ev.subjects.select(col("subject_id"),
+        (pmod(col("subject_id"), lit(3)) + 10).as("vidx"),
+        lit(1.0).as("value"))
+      EmbeddingGather.gather(items.unionByName(staticItems),
+        "subject_id", "vidx", "value",
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("subject_id"), posexplode(col("emb")))
+        .select(col("subject_id"), (col("pos") + 1).as("pos"),
+          round(col("col"), 6).as("emb_val"))
+    }),
+
+    "q55_winnow_fp" -> ((s, dir) => {
+      // Winnowing fingerprints (SIGMOD'03 min-sampling): one narrow native
+      // expression per doc, exploded to scalar (doc_id, fp) rows. The
+      // rolling hash is base-257 mod 1e9+7 over codepoints — deliberately
+      // SQL-replayable, so THIS hash-based op gets a full DuckDB oracle
+      // (the xxhash64 family ops are rows-only-checkable).
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 16))
+          .as("fp"))
+    }),
+
+    "q57_nested_view" -> ((s, dir) => {
+      // Flat→nested metadata view (event_stream_dataset.py:599-631): base
+      // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
+      // Aggregates use native array ops on extracted field arrays
+      // (metadata.key is a codegen GetArrayStructFields, no HOF lambdas).
+      val raw = t(s, dir, "events")
+      val d0 = dsRaw(s, dir)
+      val cols = Seq("event_id", "event_type", "subject_id", "measurement",
+        "key", "value")
+      val meas = d0.measurements.select(cols.map(col): _*)
+        .unionByName(EventDataset.propsToMeasurements(raw)
+          .select(cols.map(col): _*))
+        .withColumn("metadata_id", col("event_id"))
+      d0.copy(measurements = meas).eventsWithMetadata
+        .select(col("event_id"),
+          size(col("metadata")).as("n_meta"),
+          array_min(col("metadata.key")).as("min_key"),
+          array_max(col("metadata.key")).as("max_key"))
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
@@ -1411,5 +1489,81 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT),
         |  1) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q54_collate_pad" ->
+      """WITH n AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts), event_id) AS INT) AS pos,
+        |    (epoch(date_trunc('second', ts)) -
+        |     min(epoch(date_trunc('second', ts)))
+        |       OVER (PARTITION BY user_id)) / 60.0 AS t_min
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |         CAST(unnest(range(1,
+        |           (SELECT CAST(max(c) AS BIGINT) + 1 FROM n))) AS INT)
+        |           AS pos
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT p.user_id AS subject_id, p.pos AS pos,
+        |       round(r.t_min, 6) AS t_min
+        |FROM p LEFT JOIN r ON r.user_id = p.user_id AND r.pos = p.pos
+        |ORDER BY subject_id, p.pos""".stripMargin,
+
+    "q56_static_gather" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.user_id, e.value, em.embedding
+        |  FROM events e
+        |  JOIN v USING (event_type)
+        |  JOIN embeddings em ON em.vec_id = v.idx
+        |  UNION ALL
+        |  SELECT s.user_id, 1.0 AS value, em.embedding
+        |  FROM (SELECT DISTINCT user_id FROM events) s
+        |  JOIN embeddings em ON em.vec_id = 10 + s.user_id % 3),
+        |d AS (
+        |  SELECT user_id, i.g AS pos,
+        |         sum(value * embedding[CAST(i.g AS INT)]) AS s
+        |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
+        |  GROUP BY 1, 2)
+        |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
+        |       round(s, 6) AS emb_val
+        |FROM d ORDER BY subject_id, pos""".stripMargin,
+
+    "q55_winnow_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+        |      i -> list_sum(list_transform(range(0, 8), j ->
+        |        CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) *
+        |        [13163680, 805498697, 154885210, 362470373, 16974593,
+        |         66049, 257, 1][CAST(j + 1 AS INT)])) % 1000000007)
+        |      AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 16 + 2),
+        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))
+        |    END AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
+        |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q57_nested_view" ->
+      """WITH m AS (
+        |  SELECT event_id, event_type AS key FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'k' AS key FROM events
+        |  WHERE json_extract(props, '$.k') IS NOT NULL)
+        |SELECT event_id, CAST(count(*) AS INT) AS n_meta,
+        |       min(key) AS min_key, max(key) AS max_key
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
 }

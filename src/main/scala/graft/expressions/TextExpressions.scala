@@ -366,6 +366,76 @@ case class WordShingleHashExpr(child: Expression, n: Int)
       : WordShingleHashExpr = copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): polynomial rolling hash over every k-codepoint
+  * gram (base 257 mod 1e9+7, exact in int64 — DELIBERATELY SQL-portable so
+  * the DuckDB oracle can replay it, unlike xxhash64), then the minimum of
+  * each w-hash sliding window is selected; returns the SORTED DISTINCT
+  * selected fingerprints. Two docs sharing any sufficiently-long substring
+  * share fingerprints regardless of alignment — the guarantee windowed
+  * min-sampling adds over plain k-gram sampling.
+  *
+  * O(len) per doc: the gram hash rolls (h←(h−cp_out·B^{k−1})·B+cp_in mod M)
+  * and the window min uses a monotone deque. Fewer grams than w → one
+  * window over all grams; fewer than k codepoints → empty. */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+
+  private val M = 1000000007L
+  private val B = 257L
+  // B^(k-1) mod M — the out-rolling coefficient
+  private val pTop: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p = p * B % M; i += 1 }
+    p
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val nH = cps.length - k + 1
+    if (nH <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](nH)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    hs(0) = h
+    while (i < cps.length) {
+      h = ((h - cps(i - k) * pTop % M + M) * B + cps(i)) % M
+      hs(i - k + 1) = h
+      i += 1
+    }
+    if (nH <= w) {
+      var m = hs(0); var j = 1
+      while (j < nH) { if (hs(j) < m) m = hs(j); j += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    // monotone deque sliding-window min (indices, increasing values)
+    val nW = nH - w + 1
+    val sel = new Array[Long](nW)
+    val dq = new Array[Int](nH)
+    var head = 0; var tail = 0 // [head, tail)
+    var j = 0
+    while (j < nH) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      if (dq(head) <= j - w) head += 1
+      if (j >= w - 1) sel(j - w + 1) = hs(dq(head))
+      j += 1
+    }
+    new GenericArrayData(ByteTextUtil.sortedDistinct(sel, nW))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowFingerprintExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
@@ -402,4 +472,9 @@ object TextExpressions {
     * string. */
   def wordShingleHashes(s: Column, n: Int): Column =
     Bridge.toColumn(WordShingleHashExpr(Bridge.toExpression(s), n))
+
+  /** Sorted distinct winnowing fingerprints (k-gram rolling hash, window
+    * w min-sampling). */
+  def winnowFingerprints(s: Column, k: Int, w: Int): Column =
+    Bridge.toColumn(WinnowFingerprintExpr(Bridge.toExpression(s), k, w))
 }

@@ -99,6 +99,17 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * min-sampling scheme): sorted distinct window-minima of a k-codepoint
+    * polynomial rolling hash (base 257 mod 1e9+7 — SQL-replayable, unlike
+    * xxhash64). Docs sharing a substring of ≥ k+w−1 codepoints share at
+    * least one fingerprint; an inverted (fp → doc) index over these is the
+    * standard partial-overlap/plagiarism detector. No normalization is
+    * applied — callers choose (winnowing is usually run on raw or
+    * lightly-normalized text so positions stay meaningful). */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
+    graft.expressions.TextExpressions.winnowFingerprints(text, k, w)
+
   /** Character n-gram shingles (default 3) for Jaccard/MinHash pipelines.
     * Normalization stays in codegen'd Column land; the sliding window is a
     * native expression (see CharShingleExpr — the composable

@@ -39,6 +39,23 @@ object StreamOps {
         col("avg_value"))
   }
 
+  /** Streaming exact dedup on a normalized-content fingerprint: first
+    * arrival of each fingerprint passes, later duplicates drop. The
+    * streaming twin of Dedup.exact (same TextOps.fingerprint key — a
+    * batch-deduped corpus and a stream-deduped one agree up to which
+    * duplicate survives: batch keeps min-id, streaming keeps
+    * first-arrival). State: one row per distinct fingerprint INSIDE the
+    * watermark horizon (dropDuplicatesWithinWatermark) — bounded, the only
+    * sound option for an unbounded stream; duplicates farther apart than
+    * the delay need the batch operator. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.ops.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-subject session windows: events closer than `gap` merge into one
     * session (native session_window — state per open session, evicted at
     * watermark + gap). */

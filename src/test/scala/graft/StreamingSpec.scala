@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: first arrival of a fingerprint passes, later " +
+    "duplicates drop (whitespace/case-jittered)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamOps.dedupStream(df, "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "Hello  World"),
+        (2L, ts("2024-01-01 00:01:00"), "hello world"),
+        (3L, ts("2024-01-01 00:02:00"), "something else"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, ts("2024-01-01 00:03:00"), "  HELLO\tWORLD "),
+        (5L, ts("2024-01-01 00:04:00"), "fresh content"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 5L)) // 2 and 4 are dups of 1
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based session windows per subject") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]

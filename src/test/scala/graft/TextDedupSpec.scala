@@ -174,6 +174,40 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowFingerprints: shared-substring guarantee, edge cases, " +
+    "rolling hash matches direct polynomial evaluation") {
+    val k = 8; val w = 4
+    def fps(texts: String*): Map[String, Seq[Long]] =
+      texts.toDF("t").select(col("t"),
+        TextOps.winnowFingerprints(col("t"), k, w).as("f"))
+        .as[(String, Seq[Long])].collect().toMap
+    val common = "zqxjkvbw_shared_core_substring"
+    val a = s"prefix one $common suffix alpha"
+    val b = s"totally different lead-in $common and tail"
+    val out = fps(a, b, "short", "", "a" * 12)
+    // winnowing guarantee: any shared substring of >= k+w-1 codepoints
+    // yields at least one shared fingerprint, regardless of alignment
+    assert(out(a).toSet.intersect(out(b).toSet).nonEmpty)
+    assert(out("short") == Seq()) // < k codepoints
+    assert(out("") == Seq())
+    // 12 codepoints -> 5 grams of one repeated char -> all hashes equal
+    assert(out("a" * 12).length == 1)
+    // sorted distinct
+    assert(out(a) == out(a).sorted.distinct)
+    // rolling hash == direct polynomial evaluation mod 1e9+7
+    val text = "abcdefghij"
+    val cps = text.codePoints().toArray
+    val M = 1000000007L
+    val direct = (0 to cps.length - k).map { i =>
+      (0 until k).foldLeft(0L)((h, j) => (h * 257L + cps(i + j)) % M)
+    }
+    // w=1 → every gram hash selected
+    val all = Seq(text).toDF("t")
+      .select(TextOps.winnowFingerprints(col("t"), k, 1).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(all.toSet == direct.toSet)
+  }
+
   test("clusterPairs: transitive closure with min-id labels") {
     // chain 1-2-3 plus pair 5-6; 4 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
