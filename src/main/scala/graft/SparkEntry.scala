@@ -750,6 +750,16 @@ object SparkEntry {
           .as("fp"))
     }),
 
+    "q58_winnow_overlap" -> ((s, dir) => {
+      // MOSS-style partial-overlap pairs over the q55 fingerprints —
+      // oracle-checkable because the rolling hash is SQL-replayable.
+      // maxPostingSize 5: the synthetic corpus is same-vocabulary word
+      // soup, so common 8-grams appear corpus-wide — a tight boilerplate
+      // cap keeps only genuinely rare shared passages
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 16, minShared = 5, maxPostingSize = 5)
+    }),
+
     "q57_nested_view" -> ((s, dir) => {
       // Flat→nested metadata view (event_stream_dataset.py:599-631): base
       // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
@@ -1556,6 +1566,35 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q58_winnow_overlap" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+        |      i -> list_sum(list_transform(range(0, 8), j ->
+        |        CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) *
+        |        [13163680, 805498697, 154885210, 362470373, 16974593,
+        |         66049, 257, 1][CAST(j + 1 AS INT)])) % 1000000007)
+        |      AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 16 + 2),
+        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))
+        |    END AS fps
+        |  FROM h),
+        |fd AS (
+        |  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel),
+        |ok AS (SELECT fp FROM fd GROUP BY fp HAVING count(*) <= 5),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fd a JOIN fd b USING (fp) JOIN ok USING (fp)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, count(*) AS n_shared
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q57_nested_view" ->
       """WITH m AS (

@@ -385,6 +385,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Partial-overlap document pairs via a winnowing-fingerprint inverted
+    * index (the MOSS pipeline, Schleimer et al. SIGMOD'03): docs sharing
+    * ≥ `minShared` selected fingerprints — catches COPIED PASSAGES between
+    * otherwise-different docs, which whole-document MinHash/SimHash miss.
+    *
+    * Shuffle profile: explode fingerprints (narrow) → one shuffle building
+    * the (fp → docs) posting lists → pairs within each posting → one
+    * count aggregation on (id_a, id_b). Fingerprints appearing in more
+    * than `maxPostingSize` docs are boilerplate (standard winnowing
+    * practice drops them) — the cap also bounds the per-posting quadratic
+    * pair blowup, exactly like minhashLsh's oversized-bucket drop. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minShared: Long = 5,
+      maxPostingSize: Int = 50): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.expressions.TextExpressions.winnowFingerprints(
+        col(textCol), k, w)).as("fp"))
+      .localCheckpoint(true) // feeds the posting-size scan AND both join sides
+    val oversized = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__pn"))
+      .filter(col("__pn") > maxPostingSize)
+      .select("fp")
+    val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
+    val a = capped.select(col("fp"), col("id").as("id_a"))
+    val b = capped.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed by random
     * hyperplane signs (sign bits of dot products with `nPlanes` seeded
     * pseudo-random hyperplanes → one bucket key; near-identical vectors

@@ -31,19 +31,34 @@ object Categorical {
       minValidColumnObservations: Option[CountOrProportion] = None,
       minValidVocabElementObservations: Option[CountOrProportion] = None)
       : VocabFit = {
-    val observed = trainObs.filter(col(obsCol).isNotNull).count()
+    // ONE distributed aggregation: per-element counts. The observed count
+    // is their sum, the vocabulary is assembled driver-side
+    // (Vocabulary.fromCountsLocal — broadcast-destined fit state), and the
+    // rare-fold + degeneracy checks run on the collected tuples: one
+    // cluster action for the whole fit instead of count + fit + fold +
+    // degeneracy jobs.
+    val spark = trainObs.sparkSession
+    val counts = trainObs.filter(col(obsCol).isNotNull)
+      .groupBy(col(obsCol).cast("string").as("element"))
+      .agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+    val observed = counts.map(_._2).sum
     val colDrop = minValidColumnObservations.exists(m =>
       observed < m.resolve(totalPossible))
     if (colDrop)
-      return VocabFit(
-        trainObs.sparkSession.emptyDataFrame, 0.0, dropped = true)
-    val base = Vocabulary.fit(trainObs, obsCol)
+      return VocabFit(spark.emptyDataFrame, 0.0, dropped = true)
+    val base = Vocabulary.fromCountsLocal(spark, counts)
     val vocab = minValidVocabElementObservations match {
-      case Some(m) => Vocabulary.filterRare(base, m, observed)
-      case None    => base
+      case Some(m) =>
+        val tuples = base.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        Vocabulary.filterRareLocal(spark, tuples, m, observed)
+      case None => base
     }
     val obsFreq =
       if (totalPossible == 0) 0.0 else observed.toDouble / totalPossible
-    VocabFit(vocab, obsFreq, dropped = Vocabulary.isDegenerate(vocab))
+    val degenerate = vocab.collect()
+      .count(_.getString(0) != Vocabulary.UNK) == 0
+    VocabFit(vocab, obsFreq, dropped = degenerate)
   }
 }

@@ -208,6 +208,26 @@ class TextDedupSpec extends SparkSpec {
     assert(all.toSet == direct.toSet)
   }
 
+  test("winnowOverlapPairs: copied passage detected, corpus-wide " +
+    "boilerplate capped out") {
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    val boiler = "standard header text present in every single document"
+    val docs = Seq(
+      (1L, s"$boiler unique alpha content one two three $passage"),
+      (2L, s"$boiler $passage completely different trailing words here"),
+      (3L, s"$boiler unrelated gamma delta epsilon zeta eta theta"),
+      (4L, s"$boiler another separate document with its own words"),
+      (5L, s"$boiler fifth doc shares only the boilerplate header"),
+      (6L, s"$boiler sixth doc also boilerplate only nothing else"))
+      .toDF("doc_id", "text")
+    // cap 4 < 6 docs: boilerplate fingerprints (in all 6) are dropped,
+    // passage fingerprints (in 2) survive
+    val pairs = graft.ops.Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 3, maxPostingSize = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
   test("clusterPairs: transitive closure with min-id labels") {
     // chain 1-2-3 plus pair 5-6; 4 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
