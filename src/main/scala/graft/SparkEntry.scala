@@ -220,14 +220,20 @@ object SparkEntry {
     }),
 
     "q20_revenue_priority" -> ((s, dir) => {
+      // Partial aggregation PUSHED BELOW the join: lineitem pre-aggregates
+      // revenue per order key (map-side combine on the same shuffle the
+      // join needs anyway), so the join carries one row per order instead
+      // of ~4 line items and the expensive countDistinct degenerates to a
+      // plain count. Decimal sums are associative — regrouping is exact.
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).as("o_rev"))
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(20,4)")).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(sum(col("o_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     }),
 
     "q21_region_stats" -> ((s, dir) => {
@@ -758,6 +764,30 @@ object SparkEntry {
       // cap keeps only genuinely rare shared passages
       Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 16, minShared = 5, maxPostingSize = 5)
+    }),
+
+    "q59_split_gather" -> ((s, dir) => {
+      // DataEmbeddingLayer SPLIT_CATEGORICAL_NUMERICAL
+      // (data_embedding_layer.py:150-172): categorical bag (weight 1) and
+      // numerical bag (weight = value, unvalued → 0) gathered against two
+      // embedding tables, combined cw·cat + nw·num. The numerical table is
+      // the reversed embedding — a deterministic stand-in for a second
+      // projection.
+      val ev = dsRaw(s, dir)
+      val vocab = Vocabulary.fitLocal(ev.events, "event_type")
+      val items = Vocabulary.lookup(
+        t(s, dir, "events").select(col("user_id").as("subject_id"),
+          col("event_type"), col("value")),
+        "event_type", vocab, "vidx")
+        .select(col("subject_id"), col("vidx"), col("value"))
+      val emb = t(s, dir, "embeddings")
+      val numEmb = emb.select(col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      EmbeddingGather.splitGather(items, "subject_id", "vidx", "value",
+        emb, "vec_id", "embedding", numEmb, "vec_id", "embedding")
+        .select(col("subject_id"), posexplode(col("emb")))
+        .select(col("subject_id"), (col("pos") + 1).as("pos"),
+          round(col("col"), 6).as("emb_val"))
     }),
 
     "q57_nested_view" -> ((s, dir) => {
@@ -1566,6 +1596,28 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q59_split_gather" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.user_id, e.value, em.embedding
+        |  FROM events e
+        |  JOIN v USING (event_type)
+        |  JOIN embeddings em ON em.vec_id = v.idx),
+        |d AS (
+        |  SELECT user_id, i.g AS pos,
+        |         sum(embedding[CAST(i.g AS INT)]) AS cs,
+        |         sum(coalesce(value, 0) *
+        |             embedding[CAST(65 - i.g AS INT)]) AS ns
+        |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
+        |  GROUP BY 1, 2)
+        |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
+        |       round(0.5 * cs + 0.5 * ns, 6) AS emb_val
+        |FROM d ORDER BY subject_id, pos""".stripMargin,
 
     "q58_winnow_overlap" ->
       """WITH h AS (

@@ -101,18 +101,16 @@ object Dedup {
     // Bands carry ONLY (id, band, bucket): the shingle arrays — by far the
     // widest payload — never ride through the band explode or the bucket
     // shuffle; they are joined back for the (deduped) candidate pairs only.
-    // localCheckpoint: the band list feeds the oversized-bucket scan AND
-    // the anti-join left side AND the pair self-join — without
-    // materialization each consumer would replay the signature pipeline
-    // (no shared exchange to reuse). (id,band,bucket) triples are k/rows
-    // rows per doc of 3 longs — small at any corpus size.
+    // No checkpoint: the three consumers (oversized-bucket scan, anti-join
+    // left side, pair self-join) replay only this narrow explode over the
+    // CHECKPOINTED sigs — a per-doc posexplode is cheaper than a
+    // materialization job.
     val banded = sigs
       .select(col("id"),
         // xxhash64 hashes the band's signature slice (array) + band id.
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "bucket")))
-      .localCheckpoint(true)
     // Degenerate buckets (boilerplate/empty content hashing together) are
     // DROPPED whole: keeping even a capped prefix of a 100k-doc bucket
     // still yields a quadratic pair blowup, and a broadcast anti-join on
