@@ -107,19 +107,31 @@ object Vocabulary {
     * Use the distributed `fit`/`fitFromCounts` when the vocabulary itself
     * may exceed single-node memory (e.g. unbounded re-encoded key spaces
     * before rare-folding). */
-  def fromCountsLocal(spark: SparkSession, counts: Seq[(String, Long)])
-      : DataFrame = {
-    import scala.jdk.CollectionConverters._
+  /** Driver-side vocabulary ASSEMBLY as plain tuples (element, n, idx,
+    * freq) — for callers that keep working on the collected form (fold,
+    * degeneracy checks) before materializing one DataFrame at the end. */
+  def vocabTuplesFromCounts(counts: Seq[(String, Long)])
+      : Seq[(String, Long, Int, Double)] = {
     val merged = counts.filter(_._1 != null)
       .groupMapReduce(_._1)(_._2)(_ + _).toSeq
     val total = merged.map(_._2).sum.toDouble
     val sorted = merged.sortWith { case ((ea, na), (eb, nb)) =>
       na > nb || (na == nb && utf8Lt(ea, eb)) }
-    val rows = org.apache.spark.sql.Row(UNK, 0L, 0, 0.0) +:
-      sorted.zipWithIndex.map { case ((e, n), i) =>
-        org.apache.spark.sql.Row(e, n, i + 1, n / total) }
-    spark.createDataFrame(rows.asJava, vocabSchema)
+    (UNK, 0L, 0, 0.0) +: sorted.zipWithIndex.map { case ((e, n), i) =>
+      (e, n, i + 1, n / total) }
   }
+
+  /** Materialize driver-held vocab tuples as a LocalTableScan DataFrame. */
+  def vocabDfFromTuples(spark: SparkSession,
+      tuples: Seq[(String, Long, Int, Double)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(tuples.map { case (e, n, i, f) =>
+      org.apache.spark.sql.Row(e, n, i, f) }.asJava, vocabSchema)
+  }
+
+  def fromCountsLocal(spark: SparkSession, counts: Seq[(String, Long)])
+      : DataFrame =
+    vocabDfFromTuples(spark, vocabTuplesFromCounts(counts))
 
   /** Driver-side `fit`: one distributed count aggregation, assembly on the
     * driver (see `fromCountsLocal` for when this is the right shape). */
@@ -133,12 +145,11 @@ object Vocabulary {
   }
 
   /** Driver-side `filterRare` over (element, n, idx, freq) tuples — same
-    * frequency-space semantics; returns re-ranked rows with UNK absorbing
-    * the dropped tail. */
-  def filterRareLocal(spark: SparkSession,
-      vocab: Seq[(String, Long, Int, Double)],
-      minValid: CountOrProportion, totalObservations: Long): DataFrame = {
-    import scala.jdk.CollectionConverters._
+    * frequency-space semantics; returns re-ranked tuples with UNK
+    * absorbing the dropped tail. */
+  def foldRareTuples(vocab: Seq[(String, Long, Int, Double)],
+      minValid: CountOrProportion, totalObservations: Long)
+      : Seq[(String, Long, Int, Double)] = {
     val minFreq = minValid.value match {
       case Left(m)  => m.toDouble / totalObservations
       case Right(p) => p
@@ -151,12 +162,17 @@ object Vocabulary {
     val survivors = vocab.filter(v => v._1 != UNK && kept(v._2))
       .sortWith { case ((ea, na, _, _), (eb, nb, _, _)) =>
         na > nb || (na == nb && utf8Lt(ea, eb)) }
-    val rows = org.apache.spark.sql.Row(UNK,
-      unkN + dropped.map(_._2).sum, 0, unkF + dropped.map(_._4).sum) +:
+    (UNK, unkN + dropped.map(_._2).sum, 0,
+      unkF + dropped.map(_._4).sum) +:
       survivors.zipWithIndex.map { case ((e, n, _, f), i) =>
-        org.apache.spark.sql.Row(e, n, i + 1, f) }
-    spark.createDataFrame(rows.asJava, vocabSchema)
+        (e, n, i + 1, f) }
   }
+
+  def filterRareLocal(spark: SparkSession,
+      vocab: Seq[(String, Long, Int, Double)],
+      minValid: CountOrProportion, totalObservations: Long): DataFrame =
+    vocabDfFromTuples(spark,
+      foldRareTuples(vocab, minValid, totalObservations))
 
   /** Vocabulary over ARRAY-valued observations (the reference's nested
     * ExpandableDfDict cells, vocabulary.py:114-123: lists inside cells are

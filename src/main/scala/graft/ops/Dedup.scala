@@ -168,7 +168,7 @@ object Dedup {
     * in a pair; non-paired docs are implicitly their own cluster. */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20,
-      maxLocalEdges: Long = 1L << 22): DataFrame = {
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     // Materialize the (small) pair list ONCE via localCheckpoint: the
     // union references it twice and the iterative loop would otherwise
     // replay the potentially-expensive upstream plan (e.g. a full LSH)
@@ -191,14 +191,20 @@ object Dedup {
         case _ => false
       }
     }
+    // the union coerces both id columns to their common type — BOTH
+    // execution paths emit exactly this type, so the output schema does
+    // not flip with data volume
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
     if (nEdges <= maxLocalEdges && integralIds) {
       import scala.jdk.CollectionConverters._
-      val parent = new java.util.HashMap[Long, Long]()
+      import org.apache.spark.sql.types._
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
       def find(x: Long): Long = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
         var c = x
-        while (parent.get(c) != r) { val n = parent.get(c)
+        while (parent.get(c) != r) { val n: Long = parent.get(c)
           parent.put(c, r); c = n }
         r
       }
@@ -213,17 +219,21 @@ object Dedup {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-      val rows = parent.keySet().asScala.toSeq.sorted
-        .map(id => org.apache.spark.sql.Row(id, find(id)))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("label",
-          org.apache.spark.sql.types.LongType, nullable = false)))
+      val idType = edges.schema("src").dataType
+      val narrow: Long => Any = idType match {
+        case LongType    => (x: Long) => x
+        case IntegerType => (x: Long) => x.toInt
+        case ShortType   => (x: Long) => x.toShort
+        case ByteType    => (x: Long) => x.toByte
+        case t => throw new IllegalStateException(s"unexpected id type $t")
+      }
+      val rows = parent.keySet().asScala.toSeq.map(Long.unbox).sorted
+        .map(id => org.apache.spark.sql.Row(narrow(id), narrow(find(id))))
+      val schema = StructType(Seq(
+        StructField("id", idType, nullable = false),
+        StructField("label", idType, nullable = false)))
       return pairs.sparkSession.createDataFrame(rows.asJava, schema)
     }
-    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     // Convergence via the label-sum invariant: min-propagation only ever

@@ -93,11 +93,20 @@ object Similarity {
     require(sample.nonEmpty, "fitIvfCentroids: no non-null vectors")
     val dim = sample.head.length
     val kk = math.min(k, sample.length)
-    // splitmix-seeded distinct initial centers (plan-free determinism)
-    val init = Array.tabulate(kk)(i =>
-      sample(((graft.core.Hashing.splitmix64(seed + i) % sample.length
-        + sample.length) % sample.length).toInt))
-    val centers = init.map(_.clone)
+    // splitmix-seeded DISTINCT initial sample indices (plan-free
+    // determinism): walk the stream skipping repeats — raw modulo draws
+    // collide, which would leave permanently-duplicated centroids (a
+    // duplicate center attracts no points under strict '<' and never
+    // moves).
+    val usedIdx = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var draw = 0L
+    while (usedIdx.size < kk) {
+      val h = graft.core.Hashing.splitmix64(seed + draw)
+      usedIdx += (((h % sample.length) + sample.length) % sample.length)
+        .toInt
+      draw += 1
+    }
+    val centers = usedIdx.toArray.map(i => sample(i).clone)
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {

@@ -47,18 +47,15 @@ object Categorical {
       observed < m.resolve(totalPossible))
     if (colDrop)
       return VocabFit(spark.emptyDataFrame, 0.0, dropped = true)
-    val base = Vocabulary.fromCountsLocal(spark, counts)
-    val vocab = minValidVocabElementObservations match {
-      case Some(m) =>
-        val tuples = base.collect().toSeq.map(r =>
-          (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-        Vocabulary.filterRareLocal(spark, tuples, m, observed)
-      case None => base
+    val base = Vocabulary.vocabTuplesFromCounts(counts)
+    val tuples = minValidVocabElementObservations match {
+      case Some(m) => Vocabulary.foldRareTuples(base, m, observed)
+      case None    => base
     }
     val obsFreq =
       if (totalPossible == 0) 0.0 else observed.toDouble / totalPossible
-    val degenerate = vocab.collect()
-      .count(_.getString(0) != Vocabulary.UNK) == 0
-    VocabFit(vocab, obsFreq, dropped = degenerate)
+    val degenerate = !tuples.exists(_._1 != Vocabulary.UNK)
+    VocabFit(Vocabulary.vocabDfFromTuples(spark, tuples), obsFreq,
+      dropped = degenerate)
   }
 }

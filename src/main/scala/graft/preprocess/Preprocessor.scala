@@ -75,9 +75,10 @@ object Preprocessor {
     * same aggregation type inference needs anyway. That table is
     * checkpointed and every other fit statistic derives from it:
     * value-type inference, the fused per-(key, final_key) vocab/normalizer
-    * aggregation (frequency-weighted), VIOD's value multiset (re-expanded
-    * with `array_repeat` — same values, far narrower source), and the
-    * quantile fit (Spark's `percentile` takes a frequency column).
+    * aggregation (frequency-weighted), and the quantile fit (Spark's
+    * `percentile` takes a frequency column). VIOD alone re-scans the
+    * observations (it consumes the raw value multiset; expanding the
+    * counts back out would blow up on high-multiplicity values).
     * At 100 TB the counts table is at worst input-sized (all-distinct float
     * keys) but 3 columns wide — every downstream pass reads THAT instead of
     * re-scanning the full-width input.
@@ -126,22 +127,22 @@ object Preprocessor {
       typesRows.toSeq.map { case (k, vt, ks) =>
         Row(k, vt, ks.map(Double.box).orNull) }.asJava, typesSchema)
 
-    // 3. optional VIOD outlier bounds per key. The aggregator consumes the
-    //    value MULTISET — re-expanded from the counts table (explode of
-    //    array_repeat): identical values, and the source is the narrow
-    //    checkpointed counts rather than a second full scan
+    // 3. optional VIOD outlier bounds per key — the one statistic that
+    //    needs the raw value MULTISET, so it re-scans the observations
+    //    (broadcast-joined to the local types table) rather than
+    //    re-expanding the counts: an array_repeat expansion would
+    //    materialize cnt-sized arrays (ANSI overflow past 2^31, executor
+    //    OOM long before) on high-multiplicity values
     //    (event_stream_dataset.py:1198).
     val viodBounds: Map[String, (Double, Double)] =
       cfg.outlierDetector match {
         case Some("viod") =>
-          val expanded = perValue.join(broadcast(typesLocal), Seq("key"))
-            .withColumn("v0", NumericKernel.reencodeValue(col("v"),
+          val adjusted = obs.join(broadcast(typesLocal), Seq("key"))
+            .withColumn("v1", NumericKernel.reencodeValue(col("v"),
               col("value_type")))
             .filter(col("value_type").isin("integer", "float") &&
-              col("v0").isNotNull)
-            .select(col("key"),
-              explode(expr("array_repeat(v0, CAST(cnt AS INT))")).as("v1"))
-          Viod.fitPerKey(expanded, "key", "v1").collect()
+              col("v1").isNotNull)
+          Viod.fitPerKey(adjusted, "key", "v1").collect()
             .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
             .toMap
         case _ => Map.empty
@@ -270,16 +271,13 @@ object Preprocessor {
     val fkCounts: Seq[(String, Long)] = groupedRows.iterator
       .filter(r => finalVt(gKey(r)) != "dropped" && gFk(r) != null)
       .map(r => gFk(r) -> gNFk(r)).toSeq
-    val rawVocab = Vocabulary.fromCountsLocal(spark, fkCounts)
-    val vocab = cfg.minValidVocabFold match {
+    val rawTuples = Vocabulary.vocabTuplesFromCounts(fkCounts)
+    val vocabTuples = cfg.minValidVocabFold match {
       case Some(m) =>
-        val total = fkCounts.map(_._2).sum
-        val tuples = rawVocab.collect().toSeq.map(r =>
-          (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-        Vocabulary.filterRareLocal(spark, tuples, m, total)
-      case None => rawVocab
+        Vocabulary.foldRareTuples(rawTuples, m, fkCounts.map(_._2).sum)
+      case None => rawTuples
     }
-    Fit(perKeyDf, vocab)
+    Fit(perKeyDf, Vocabulary.vocabDfFromTuples(spark, vocabTuples))
   }
 
   /** Apply a fit to any split's observations: broadcast-join the per-key

@@ -95,6 +95,44 @@ object Explore {
       spark.stop()
       return
     }
+    if (args.length > 1 && args(1) == "q44breakdown") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.range(1000).selectExpr("sum(id)").collect()
+      import graft.core.{DataModality => DM, DatasetConfig, MeasurementConfig, TemporalityType => TT}
+      val d0 = graft.ingest.EventDataset.fromRawEvents(
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ts", date_trunc("second", col("ts"))))
+      val subjects = d0.subjects
+        .withColumn("grp",
+          concat(lit("g"), (col("subject_id") % 3).cast("string")))
+        .withColumn("dob",
+          timestamp_seconds(lit(946684800L) + col("subject_id") * 86400L))
+      val d = d0.copy(subjects = subjects)
+      val splits = subjects.select(col("subject_id"),
+        when(col("subject_id") % 5 < 4, "train").otherwise("held_out")
+          .as("split"))
+      val cfg = DatasetConfig(measurements = Seq(
+        MeasurementConfig("value", TT.Dynamic, DM.MultivariateRegression,
+          valuesColumn = Some("value")),
+        MeasurementConfig("grp", TT.Static, DM.SingleLabelClassification),
+        MeasurementConfig("age", TT.FunctionalTimeDependent,
+          DM.UnivariateRegression, functor = Some("age"))))
+      val functors = Seq(graft.functors.AgeFunctor("dob"))
+      val fit = time("fit (cold)")(
+        graft.preprocess.DatasetPreprocessor.fit(d, splits, cfg, functors))
+      time("fit (warm)")(
+        graft.preprocess.DatasetPreprocessor.fit(d, splits, cfg, functors))
+      val (meas, ev2, subj2) = graft.preprocess.DatasetPreprocessor
+        .transform(d, fit, functors)
+      time("transform meas only → noop")(
+        meas.write.mode("overwrite").format("noop").save())
+      time("full q44 output → noop")(
+        graft.SparkEntry.queries("q44_dataset_preprocess")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+      spark.stop()
+      return
+    }
     if (args.length > 1) {
       // warm the session so the first query isn't charged JVM startup
       spark.range(1000).selectExpr("sum(id)").collect()
