@@ -75,11 +75,20 @@ final case class EventDataset(
     // localCheckpoint: three consumers follow (zipWithIndex's offsets job,
     // the FK mapping explode, and the new events projection) — without it
     // each replays the merge aggregation.
-    val merged = Ids.denseIds(
+    // ONE exchange, not two: range-partition the events on the merge keys
+    // FIRST — RangePartitioning satisfies the aggregation's clustered-
+    // distribution requirement, so the groupBy adds no hash exchange, and
+    // denseIds can trust the (range-disjoint) partitioning and skip its
+    // own shuffle. Trade-off vs hash-first: raw rows cross the range
+    // exchange without map-side combine — right for this operator, where
+    // co-timestamped duplicates are rare by construction; a
+    // high-duplication dedup would prefer the hash-first shape.
+    val merged = Ids.denseIdsBy(
       events
+        .repartitionByRange(keyCols.map(col): _*)
         .groupBy(keyCols.map(col): _*)
         .agg(collect_set("event_id").as("old_event_ids")),
-      "event_id", keyCols)
+      "event_id", keyCols.map(col), prePartitioned = true)
       .localCheckpoint(true)
     val mapping = merged
       .select(col("event_id").as("new_event_id"),

@@ -26,12 +26,20 @@ object Ids {
   /** Column-expression variant: `orderExprs` may carry sort direction
     * (e.g. `col("n").desc`). `repartitionByRange` + `sortWithinPartitions`
     * both honor the direction, so descending global ranks need no negation
-    * tricks. */
+    * tricks.
+    *
+    * `prePartitioned = true` skips the range exchange: for callers whose
+    * upstream is ALREADY range-partitioned on `orderExprs` (e.g. an
+    * aggregation run directly on a repartitionByRange — range partitioning
+    * satisfies the agg's clustered-distribution requirement, so Spark
+    * inserts no further exchange and partitions stay range-disjoint).
+    * Intra-partition order is re-established here either way. */
   def denseIdsBy(df: DataFrame, idCol: String,
-      orderExprs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      orderExprs: Seq[org.apache.spark.sql.Column],
+      prePartitioned: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ordered = df
-      .repartitionByRange(orderExprs: _*)
+    val ordered = (if (prePartitioned) df
+      else df.repartitionByRange(orderExprs: _*))
       .sortWithinPartitions(orderExprs: _*)
     val withId = ordered.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
