@@ -790,6 +790,29 @@ object SparkEntry {
           round(col("col"), 6).as("emb_val"))
     }),
 
+    "q60_normalized_gather" -> ((s, dir) => {
+      // Measurement-index normalization (data_embedding_layer.py:200-230):
+      // each observation's weight is 1/(count of its measurement in the
+      // bag × distinct-measurement count) — every measurement contributes
+      // equal total mass. Two synthetic measurement groups from the vocab
+      // index parity.
+      val ev = dsRaw(s, dir)
+      val vocab = Vocabulary.fitLocal(ev.events, "event_type")
+      val items = Vocabulary.lookup(
+        t(s, dir, "events").select(col("user_id").as("subject_id"),
+          col("event_type")),
+        "event_type", vocab, "vidx")
+        .select(col("subject_id"), col("vidx"),
+          (pmod(col("vidx"), lit(2)) + 1).as("midx"))
+      val normed = EmbeddingGather.withMeasurementNormalization(
+        items, "subject_id", "midx")
+      EmbeddingGather.gather(normed, "subject_id", "vidx", "__meas_norm",
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("subject_id"), posexplode(col("emb")))
+        .select(col("subject_id"), (col("pos") + 1).as("pos"),
+          round(col("col"), 6).as("emb_val"))
+    }),
+
     "q57_nested_view" -> ((s, dir) => {
       // Flat→nested metadata view (event_stream_dataset.py:599-631): base
       // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
@@ -1596,6 +1619,33 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q60_normalized_gather" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |it AS (
+        |  SELECT e.user_id, v.idx AS vidx, v.idx % 2 + 1 AS midx
+        |  FROM events e JOIN v USING (event_type)),
+        |cnts AS (
+        |  SELECT user_id, midx, count(*) AS mc FROM it GROUP BY 1, 2),
+        |nm AS (SELECT user_id, count(*) AS nmeas FROM cnts GROUP BY 1),
+        |j AS (
+        |  SELECT it.user_id, 1.0 / (c.mc * n.nmeas) AS w, em.embedding
+        |  FROM it
+        |  JOIN cnts c USING (user_id, midx)
+        |  JOIN nm n USING (user_id)
+        |  JOIN embeddings em ON em.vec_id = it.vidx),
+        |d AS (
+        |  SELECT user_id, i.g AS pos,
+        |         sum(w * embedding[CAST(i.g AS INT)]) AS s
+        |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
+        |  GROUP BY 1, 2)
+        |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
+        |       round(s, 6) AS emb_val
+        |FROM d ORDER BY subject_id, pos""".stripMargin,
 
     "q59_split_gather" ->
       """WITH v AS (
