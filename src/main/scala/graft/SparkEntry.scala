@@ -802,6 +802,10 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id").as("subject_id"),
           col("event_type")),
         "event_type", vocab, "vidx")
+        // UNK rows (vidx 0) never reach the bag (gather drops padding) —
+        // exclude them BEFORE normalization so they don't inflate the
+        // per-measurement counts (and to match the oracle's inner join)
+        .filter(col("vidx") =!= 0)
         .select(col("subject_id"), col("vidx"),
           (pmod(col("vidx"), lit(2)) + 1).as("midx"))
       val normed = EmbeddingGather.withMeasurementNormalization(
