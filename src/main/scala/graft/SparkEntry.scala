@@ -817,6 +817,23 @@ object SparkEntry {
           round(col("col"), 6).as("emb_val"))
     }),
 
+    "q61_asof_join" -> ((s, dir) => {
+      // As-of join: every event sees the latest prior-or-equal purchase
+      // value of its subject (LOCF). Right side pre-aggregated unique per
+      // (subject, ts). One shuffle (union + ordered carry-forward) — see
+      // AsofJoin scaladoc. Values pass through untouched → exact compare.
+      val raw = t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+      val left = raw.select(col("event_id"),
+        col("user_id").as("subject_id"), col("ts2"))
+      val right = raw.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("subject_id"), col("ts2"))
+        .agg(max(col("value")).as("p_val"))
+      graft.ops.AsofJoin.asofJoin(left, right, "subject_id", "ts2",
+          Seq("p_val"))
+        .select(col("event_id"), col("p_val"))
+    }),
+
     "q57_nested_view" -> ((s, dir) => {
       // Flat→nested metadata view (event_stream_dataset.py:599-631): base
       // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
@@ -1623,6 +1640,17 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q61_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts2,
+        |         max(value) AS p_val
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, r.p_val
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2
+        |      FROM events) e
+        |ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts2 >= r.ts2
+        |ORDER BY event_id""".stripMargin,
 
     "q60_normalized_gather" ->
       """WITH v AS (

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.AsofJoin
+import java.sql.Timestamp
+
+/** As-of join semantics: inclusive ties, carry-forward, per-key
+  * isolation, null before the first right row. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row with ts <= left ts, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before any right → null
+      (2L, 10L, ts("2024-01-01 00:05:00")), // exactly at right ts → inclusive
+      (3L, 10L, ts("2024-01-01 00:07:00")), // between rights → carry 1.0
+      (4L, 10L, ts("2024-01-01 00:20:00")), // after second right → 2.0
+      (5L, 99L, ts("2024-01-01 00:30:00"))  // other key, no rights → null
+    ).toDF("event_id", "subject_id", "ts2")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:05:00"), 1.0),
+      (10L, ts("2024-01-01 00:10:00"), 2.0)
+    ).toDF("subject_id", "ts2", "p_val")
+    val out = AsofJoin.asofJoin(left, right, "subject_id", "ts2",
+        Seq("p_val"))
+      .select("event_id", "p_val")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      1L -> None, 2L -> Some(1.0), 3L -> Some(1.0), 4L -> Some(2.0),
+      5L -> None))
+  }
+
+  test("asofJoin keeps every left row and all left columns") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "extra"))
+      .toDF("event_id", "subject_id", "ts2", "note")
+    val right = Seq((5L, ts("2023-12-31 00:00:00"), 7.0))
+      .toDF("subject_id", "ts2", "p_val")
+    val out = AsofJoin.asofJoin(left, right, "subject_id", "ts2",
+      Seq("p_val"))
+    assert(out.columns.toSeq ==
+      Seq("event_id", "subject_id", "ts2", "note", "p_val"))
+    assert(out.count() == 1)
+    assert(out.select("note").as[String].head() == "extra")
+  }
+}
