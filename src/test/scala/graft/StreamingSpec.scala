@@ -39,6 +39,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-fit Preprocessor params transform a STREAM: the fit state " +
+    "is broadcast-joinable local relations, so transform is stateless " +
+    "and binds to readStream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.preprocess.Preprocessor
+    // fit on a static train frame (mean 2.0, std 1.0 for key 'hr')
+    val train = Seq(("hr", 1.0), ("hr", 2.0), ("hr", 3.0))
+      .toDF("key", "value")
+    val fit = Preprocessor.fit(train, "key", "value",
+      Preprocessor.Config(
+        minValidVocabElementObservations = None,
+        minTrueFloatFrequency = None,
+        minUniqueNumericalObservations = None,
+        maxNumericalValueFrequency = None,
+        normalizer = Some("std")))
+    val input = MemoryStream[(String, Double)]
+    val stream = input.toDF().toDF("key", "value")
+    val out = Preprocessor.transform(stream, "key", "value", fit)
+      .select(col("key"), col("value"), col("value_norm"), col("key_idx"))
+    val q = out.writeStream.format("memory").queryName("stream_norm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("hr", 4.0), ("hr", 2.0), ("unknown", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_norm")
+        .as[(String, Double, Option[Double], Int)].collect().toSet
+      assert(rows.contains(("hr", 4.0, Some(2.0), 1)))  // (4-2)/1
+      assert(rows.contains(("hr", 2.0, Some(0.0), 1)))
+      // unseen key: value nulled (reference :1408), UNK index
+      assert(rows.contains(("unknown", 9.0, None, 0)))
+    } finally q.stop()
+  }
+
   test("dedupStream: first arrival of a fingerprint passes, later " +
     "duplicates drop (whitespace/case-jittered)") {
     implicit val sqlCtx = spark.sqlContext
