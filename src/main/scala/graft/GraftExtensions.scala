@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so `spark.sql` users (and BI
+  * tools speaking SQL to a Thrift/Connect endpoint) reach the same
+  * codegen-friendly kernels as the Scala API — no UDF registration, no
+  * interpreted fallback.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `withExtensions(new GraftExtensions)`; idempotent per session.
+  *
+  * Registered functions:
+  *   graft_cosine(a, b)             cosine similarity (doGenCode)
+  *   graft_jaccard_sorted(a, b)     merge-walk Jaccard of sorted long arrays
+  *   graft_char_shingle_hashes(s,n) sorted distinct n-gram hashes
+  *   graft_minhash_sig(hashes, k)   k-permutation MinHash signature
+  *   graft_simhash(s)               64-bit SimHash of whitespace tokens
+  *   graft_winnow_fp(s, k, w)       winnowing fingerprints (rolling hash)
+  *   graft_interp_ecdf(v, qs)       interpolated ECDF (quantile transform)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage,
+      "", "", "", "", "", "", "", "built-in")
+
+  private def fns: Seq[(String, String, FunctionBuilder)] = Seq(
+    ("graft_cosine", "cosine similarity of two numeric arrays",
+      (args: Seq[Expression]) =>
+        expressions.CosineSimilarity(args(0), args(1))),
+    ("graft_jaccard_sorted",
+      "Jaccard similarity of two SORTED DISTINCT array<long>",
+      (args: Seq[Expression]) =>
+        expressions.SortedLongJaccard(args(0), args(1))),
+    ("graft_char_shingle_hashes",
+      "sorted distinct xxhash64 char n-gram shingle hashes",
+      (args: Seq[Expression]) => expressions.CharShingleHashExpr(args(0),
+        litInt(args(1), "graft_char_shingle_hashes", "n"))),
+    ("graft_minhash_sig", "k-permutation MinHash signature of array<long>",
+      (args: Seq[Expression]) => expressions.MinHashSigExpr(args(0),
+        litInt(args(1), "graft_minhash_sig", "k"))),
+    ("graft_simhash", "64-bit SimHash of whitespace tokens",
+      (args: Seq[Expression]) =>
+        expressions.SimHashSigExpr(expressions.WsTokenHashExpr(args(0)))),
+    ("graft_winnow_fp",
+      "winnowing fingerprints: k-gram rolling hash, window-w minima",
+      (args: Seq[Expression]) => expressions.WinnowFingerprintExpr(args(0),
+        litInt(args(1), "graft_winnow_fp", "k"),
+        litInt(args(2), "graft_winnow_fp", "w"))),
+    ("graft_interp_ecdf",
+      "interpolated ECDF of v against sorted quantiles array",
+      (args: Seq[Expression]) =>
+        expressions.InterpolateEcdf(args(0), args(1))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

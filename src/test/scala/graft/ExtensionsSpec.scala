@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SparkSessionExtensions function registration: the native expressions
+  * are reachable from plain SQL and agree with the Scala API. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* SQL functions resolve and match the Scala API") {
+    Seq(("the quick brown fox jumps over the lazy dog", 1L))
+      .toDF("t", "id").createOrReplaceTempView("ext_docs")
+
+    val sql = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L))
+        |         AS j,
+        |       size(graft_char_shingle_hashes(t, 5)) AS nsh,
+        |       size(graft_minhash_sig(
+        |         graft_char_shingle_hashes(t, 5), 16)) AS nsig,
+        |       graft_simhash(t) AS sh,
+        |       size(graft_winnow_fp(t, 8, 4)) AS nfp,
+        |       graft_interp_ecdf(2.0D, array(1.0D, 2.0D, 3.0D)) AS e
+        |FROM ext_docs""".stripMargin).collect().head
+    assert(sql.getDouble(0) == 1.0)
+    assert(math.abs(sql.getDouble(1) - 0.5) < 1e-12)
+    assert(sql.getInt(2) > 0)
+    assert(sql.getInt(3) == 16)
+    assert(sql.getInt(5) > 0)
+    assert(sql.getDouble(6) == 0.5)
+
+    // SQL form ≡ Scala API form (same expression class underneath)
+    val t = "the quick brown fox jumps over the lazy dog"
+    val viaScala = Seq(t).toDF("t").select(
+      graft.expressions.TextExpressions.winnowFingerprints(col("t"), 8, 4)
+        .as("f")).as[Seq[Long]].head()
+    val viaSql = spark.sql(
+      s"SELECT graft_winnow_fp('$t', 8, 4) AS f").as[Seq[Long]].head()
+    assert(viaScala == viaSql)
+    assert(sql.getLong(4) == Seq(t).toDF("t")
+      .select(graft.expressions.TextExpressions.simhashSig(
+        graft.expressions.TextExpressions.wsTokenHashes(col("t"))))
+      .as[Long].head())
+  }
+
+  test("graft_winnow_fp rejects non-literal size arguments") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow_fp('abc', 1 + 2, 4)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("graft_winnow_fp"))
+  }
+}
