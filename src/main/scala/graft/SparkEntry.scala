@@ -834,6 +834,29 @@ object SparkEntry {
         .select(col("event_id"), col("p_val"))
     }),
 
+    "q62_sliding_daily" -> ((s, dir) => {
+      // Sliding (hopping) windows: 2-day window, 1-day slide — each event
+      // lands in exactly two windows. Batch twin of
+      // StreamOps.windowedTypeStats(slideDur) (identical semantics; the
+      // streaming path adds only the watermark).
+      dsSec(s, dir).events
+        .withColumn("win", window(col("timestamp"), "2 days", "1 day"))
+        .groupBy(col("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("win.start")).as("win_start"),
+          col("event_type"), col("n"))
+    }),
+
+    "q63_rollup_pricing" -> ((s, dir) => {
+      // Grouping sets via the built-in rollup (SURVEY §2.11: the reference
+      // has none; Spark covers it): per-(flag, status) + per-flag +
+      // grand-total sums in one pass.
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     "q57_nested_view" -> ((s, dir) => {
       // Flat→nested metadata view (event_stream_dataset.py:599-631): base
       // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
@@ -1640,6 +1663,23 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q62_sliding_daily" ->
+      """WITH w AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+        |           - 86400 * (1 - g.i) AS win_start,
+        |         event_type
+        |  FROM events
+        |  CROSS JOIN generate_series(0, 1) AS g(i))
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q63_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q61_asof_join" ->
       """WITH r AS (
