@@ -38,27 +38,38 @@ object AsofJoin {
       "valueCols must not include the key/ts columns")
     require(leftCols.intersect(valueCols).isEmpty,
       s"left already has columns ${leftCols.intersect(valueCols)}")
-    // left rows carry null value slots; right rows carry null left slots
+    // The right row travels as ONE nullable struct (__rv): the carried
+    // last(__rv, ignoreNulls) then yields the values of the single
+    // MATCHED right row — including that row's own null values. Carrying
+    // each value column independently would skip legitimate nulls and
+    // blend columns from different right rows. Right rows with a null
+    // timestamp are dropped first: `left.ts >= null` is never true
+    // (DuckDB/kdb ASOF semantics).
     val lTagged = left
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        valueCols.map(c => lit(null).cast(
-          right.schema(c).dataType).as(c)): _*)
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(valueCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            right.schema(c).dataType)))))
+      .select(leftCols.map(col) :+ col("__side") :+ col("__rv"): _*)
     val rTagged = right
+      .filter(col(tsCol).isNotNull)
       .withColumn("__side", lit(0))
+      .withColumn("__rv", struct(valueCols.map(col): _*))
       .select(leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (col("__side") +: valueCols.map(col)): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__side") :+ col("__rv"): _*)
     val u = lTagged.unionByName(rTagged)
     // (ts, side) ordering makes equal-ts right rows visible to left rows;
     // the running last() is the carry-forward
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(u) { case (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = u.withColumn("__rv",
+      last(col("__rv"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried.filter(col("__side") === 1)) {
+      case (df, c) => df.withColumn(c, col("__rv").getField(c))
+    }.drop("__side", "__rv")
   }
 }

@@ -31,6 +31,38 @@ class AsofJoinSpec extends SparkSpec {
       5L -> None))
   }
 
+  test("asofJoin: matched right row's NULL value is returned (not an " +
+    "older non-null), and null-ts right rows match nothing") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:15:00")), // latest right has NULL value
+      (2L, 20L, ts("2024-01-01 00:15:00"))  // only right has null ts
+    ).toDF("event_id", "subject_id", "ts2")
+    val right = Seq(
+      (10L, Some(ts("2024-01-01 00:05:00")), Some(1.0)),
+      (10L, Some(ts("2024-01-01 00:10:00")), None), // matched, value NULL
+      (20L, None, Some(5.0)) // ts NULL: never visible
+    ).toDF("subject_id", "ts2", "p_val")
+    val out = AsofJoin.asofJoin(left, right, "subject_id", "ts2",
+        Seq("p_val"))
+      .select("event_id", "p_val")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> None))
+  }
+
+  test("asofJoin: multiple value columns come from the SAME matched row") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:15:00")))
+      .toDF("event_id", "subject_id", "ts2")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:05:00"), Some(1.0), Some("a")),
+      (10L, ts("2024-01-01 00:10:00"), None, Some("b"))
+    ).toDF("subject_id", "ts2", "v1", "v2")
+    val out = AsofJoin.asofJoin(left, right, "subject_id", "ts2",
+        Seq("v1", "v2"))
+      .select("v1", "v2").as[(Option[Double], Option[String])].head()
+    // NOT the blended (1.0, "b") the per-column carry would produce
+    assert(out == (None, Some("b")))
+  }
+
   test("asofJoin keeps every left row and all left columns") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "extra"))
       .toDF("event_id", "subject_id", "ts2", "note")
