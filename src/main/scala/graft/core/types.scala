@@ -118,6 +118,25 @@ final case class MeasurementConfig(
     "functor" -> functor.map(JsonUtil.str).getOrElse("null"))
 }
 
+object MeasurementConfig {
+  def fromJson(json: String): MeasurementConfig =
+    fromFields(JsonUtil.parse(json).asInstanceOf[Map[String, Any]])
+
+  private[core] def fromFields(m: Map[String, Any]): MeasurementConfig =
+    MeasurementConfig(
+      name = m("name").asInstanceOf[String],
+      temporality =
+        TemporalityType.fromString(m("temporality").asInstanceOf[String]),
+      modality =
+        DataModality.fromString(m("modality").asInstanceOf[String]),
+      valuesColumn =
+        Option(m.getOrElse("values_column", null))
+          .map(_.asInstanceOf[String]),
+      functor =
+        Option(m.getOrElse("functor", null)).map(_.asInstanceOf[String]))
+      .validated
+}
+
 /** Dataset-level preprocessing thresholds (reference config.py:285-402). */
 final case class DatasetConfig(
     measurements: Seq[MeasurementConfig] = Nil,
@@ -154,8 +173,163 @@ final case class DatasetConfig(
   }
 }
 
-/** Minimal hand-rolled JSON emit (no deps allowed beyond Spark). */
+object DatasetConfig {
+  /** JSON round-trip (the reference persists configs as JSON,
+    * config.py:250-283 / utils.py:95-116). Threshold numbers follow the
+    * reference's count-or-proportion convention: an INTEGRAL literal is a
+    * count, a fractional one a proportion (utils.py:11-26). */
+  def fromJson(json: String): DatasetConfig = {
+    val m = JsonUtil.parse(json).asInstanceOf[Map[String, Any]]
+    def cop(key: String): Option[CountOrProportion] =
+      Option(m.getOrElse(key, null)).map {
+        case n: Long   => CountOrProportion.count(n)
+        case d: Double => CountOrProportion.proportion(d)
+        case other => throw new IllegalArgumentException(
+          s"$key: expected number, got $other")
+      }
+    def dbl(key: String): Option[Double] =
+      Option(m.getOrElse(key, null)).map {
+        case d: Double => d
+        case n: Long   => n.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$key: expected number, got $other")
+      }
+    def str(key: String): Option[String] =
+      Option(m.getOrElse(key, null)).map(_.asInstanceOf[String])
+    DatasetConfig(
+      measurements = m.getOrElse("measurements", List.empty)
+        .asInstanceOf[List[Any]]
+        .map(f => MeasurementConfig.fromFields(
+          f.asInstanceOf[Map[String, Any]])),
+      minValidColumnObservations = cop("min_valid_column_observations"),
+      minValidVocabElementObservations =
+        cop("min_valid_vocab_element_observations"),
+      minTrueFloatFrequency = dbl("min_true_float_frequency"),
+      minUniqueNumericalObservations =
+        cop("min_unique_numerical_observations"),
+      maxNumericalValueFrequency = dbl("max_numerical_value_frequency"),
+      normalizer = str("normalizer"),
+      outlierDetector = str("outlier_detector"))
+  }
+}
+
+/** Minimal hand-rolled JSON emit + strict recursive-descent parse (no
+  * deps allowed beyond Spark). Parse maps: object → Map[String, Any],
+  * array → List[Any], string → String, integral number → Long,
+  * fractional → Double, true/false → Boolean, null → null. The
+  * Long/Double split is SEMANTIC here — it distinguishes
+  * count-vs-proportion thresholds exactly as the reference's
+  * count_or_proportion does. */
 object JsonUtil {
+
+  def parse(s: String): Any = {
+    val p = new Parser(s)
+    val v = p.value()
+    p.skipWs()
+    require(p.eof, s"trailing content at offset ${p.pos}")
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit =
+      while (!eof && Character.isWhitespace(s.charAt(pos))) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(pos) == c,
+        s"expected '$c' at offset $pos in: ${s.take(80)}")
+      pos += 1
+    }
+    def value(): Any = {
+      skipWs()
+      require(!eof, "unexpected end of input")
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => string()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _   => number()
+      }
+    }
+    private def lit(word: String, v: Any): Any = {
+      require(s.regionMatches(pos, word, 0, word.length),
+        s"bad literal at offset $pos")
+      pos += word.length
+      v
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); skipWs()
+      val b = Map.newBuilder[String, Any]
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = string()
+        skipWs(); expect(':')
+        b += k -> value()
+        skipWs()
+        if (!eof && s.charAt(pos) == ',') pos += 1
+        else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def arr(): List[Any] = {
+      expect('['); skipWs()
+      val b = List.newBuilder[Any]
+      if (!eof && s.charAt(pos) == ']') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += value()
+        skipWs()
+        if (!eof && s.charAt(pos) == ',') pos += 1
+        else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (!eof && s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          require(!eof, "unterminated escape")
+          s.charAt(pos) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case '/'  => sb += '/'
+            case 'n'  => sb += '\n'
+            case 'r'  => sb += '\r'
+            case 't'  => sb += '\t'
+            case 'b'  => sb += '\b'
+            case 'f'  => sb += '\f'
+            case 'u' =>
+              require(pos + 4 < s.length, "truncated \\u escape")
+              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16)
+                .toChar
+              pos += 4
+            case e => throw new IllegalArgumentException(s"bad escape \\$e")
+          }
+        } else sb += c
+        pos += 1
+      }
+      expect('"')
+      sb.result()
+    }
+    private def number(): Any = {
+      val start = pos
+      if (!eof && s.charAt(pos) == '-') pos += 1
+      while (!eof && (Character.isDigit(s.charAt(pos)) ||
+        "+-.eE".indexOf(s.charAt(pos)) >= 0)) pos += 1
+      val tok = s.substring(start, pos)
+      require(tok.nonEmpty && tok != "-", s"bad number at offset $start")
+      if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+      else tok.toLong
+    }
+  }
+
   def str(s: String): String = "\"" + s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"

@@ -64,4 +64,36 @@ class CoreSpec extends AnyFunSuite {
     // escaping
     assert(JsonUtil.str("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
   }
+
+  test("config JSON ROUND-TRIP: counts stay counts, proportions stay " +
+    "proportions, options survive (config.py:250-283 parity)") {
+    val cfg = DatasetConfig(
+      measurements = Seq(
+        MeasurementConfig("vals", TemporalityType.Dynamic,
+          DataModality.MultivariateRegression, valuesColumn = Some("v")),
+        MeasurementConfig("grp", TemporalityType.Static,
+          DataModality.SingleLabelClassification),
+        MeasurementConfig("age", TemporalityType.FunctionalTimeDependent,
+          DataModality.UnivariateRegression, functor = Some("age"))),
+      minValidColumnObservations = Some(CountOrProportion.count(10)),
+      minValidVocabElementObservations =
+        Some(CountOrProportion.proportion(0.25)),
+      minTrueFloatFrequency = Some(0.1),
+      minUniqueNumericalObservations = None,
+      maxNumericalValueFrequency = Some(0.5),
+      normalizer = Some("quantile"),
+      outlierDetector = Some("viod"))
+    assert(DatasetConfig.fromJson(cfg.toJson) == cfg)
+    val empty = DatasetConfig(normalizer = None)
+    assert(DatasetConfig.fromJson(empty.toJson) == empty)
+    // escaped strings survive the round-trip
+    val weird = MeasurementConfig("a\"b\\c\nd", TemporalityType.Dynamic,
+      DataModality.SingleLabelClassification)
+    assert(MeasurementConfig.fromJson(weird.toJson) == weird)
+    // parser distinguishes integral vs fractional literals
+    assert(JsonUtil.parse("10") == 10L)
+    assert(JsonUtil.parse("0.25") == 0.25)
+    assert(JsonUtil.parse("""{"a": [1, 2.5, "x", null, true]}""") ==
+      Map("a" -> List(1L, 2.5, "x", null, true)))
+  }
 }
