@@ -857,6 +857,23 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "q64_media_features" -> ((s, dir) => {
+      // The mapPartitions decode path (Multimodal.extractFeatures): per-
+      // partition stub codec → (n_bytes, mean_byte, 8-dim folded feature).
+      // Payloads are ASCII-projected so the oracle can replay the byte
+      // math with character codes (UTF-8 byte == codepoint only in ASCII).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("text"))
+      val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          posexplode(col("feature")))
+        .select(col("media_id"), col("n_bytes"), col("mean_byte"),
+          (col("pos") + 1).as("pos"), col("col").as("feat"))
+    }),
+
     "q57_nested_view" -> ((s, dir) => {
       // Flat→nested metadata view (event_stream_dataset.py:599-631): base
       // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
@@ -1663,6 +1680,28 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q64_media_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, t, length(t) AS n,
+        |         CASE WHEN length(t) = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(range(1,
+        |                length(t) + 1), i -> unicode(substr(t,
+        |                CAST(i AS INT), 1)))) AS DOUBLE) / length(t)
+        |         END AS mean_byte
+        |  FROM c)
+        |SELECT doc_id AS media_id, CAST(n AS INT) AS n_bytes,
+        |       round(mean_byte, 6) AS mean_byte,
+        |       CAST(g.j + 1 AS INT) AS pos,
+        |       CAST(coalesce(list_sum(list_transform(
+        |         list_filter(range(0, n), i -> i % 8 = g.j),
+        |         i -> unicode(substr(t, CAST(i + 1 AS INT), 1)) / 255.0)),
+        |         0.0) AS REAL) AS feat
+        |FROM d CROSS JOIN generate_series(0, 7) AS g(j)
+        |ORDER BY media_id, pos""".stripMargin,
 
     "q62_sliding_daily" ->
       """WITH w AS (

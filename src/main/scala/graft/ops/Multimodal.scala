@@ -47,20 +47,25 @@ object Multimodal {
   /** STUB decode kernel: a real build replaces this body with an actual
     * codec (e.g. JPEG decode + CNN features). Deterministic fake: byte
     * histogram moments + an 8-dim folded-byte feature so downstream
-    * operators (ANN over features, dedup) are exercised end to end. */
+    * operators (ANN over features, dedup) are exercised end to end.
+    * Per-slot accumulation runs in DOUBLE with one float32 cast at the
+    * end: the value is then bit-replayable by any engine summing
+    * b/255.0 in payload order (the q64 oracle does exactly that) —
+    * float32 accumulation would make the result order-entangled at the
+    * 1e-7 level. */
   def decodeStub(payload: Array[Byte]): (Int, Double, Array[Float]) = {
     if (payload == null) return (0, 0.0, Array.fill(8)(0f))
     var sum = 0L
-    val feat = new Array[Float](8)
+    val acc = new Array[Double](8)
     var i = 0
     while (i < payload.length) {
       val b = payload(i) & 0xff
       sum += b
-      feat(i % 8) += b / 255.0f
+      acc(i % 8) += b / 255.0
       i += 1
     }
     val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    (payload.length, mean, feat)
+    (payload.length, mean, acc.map(_.toFloat))
   }
 
   /** Per-partition decode / feature-extraction: the distributed shape a real
