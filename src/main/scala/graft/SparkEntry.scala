@@ -874,6 +874,38 @@ object SparkEntry {
           (col("pos") + 1).as("pos"), col("col").as("feat"))
     }),
 
+    "q65_topk_per_group" -> ((s, dir) => {
+      // Per-group top-k: rank PARTITIONED by the group (scales — no
+      // global-window funnel; contrast q22's global TakeOrdered form).
+      val byOrder = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).as("rev"))
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("rev"), asc("o_orderkey"))
+      o.join(byOrder, o("o_orderkey") === byOrder("l_orderkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk").cast("int").as("rk"),
+          col("o_orderkey"), col("rev").cast("double").as("rev"))
+    }),
+
+    "q66_anti_join" -> ((s, dir) => {
+      // Left-anti join (set difference): customers with no URGENT order
+      // (the unrestricted version is empty on this dense testdata). The
+      // filter pushes to the orders scan; AQE broadcasts the shrunken
+      // anti side.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+    }),
+
     "q57_nested_view" -> ((s, dir) => {
       // Flat→nested metadata view (event_stream_dataset.py:599-631): base
       // EAV rows ∪ JSON-props rows grouped into per-event metadata arrays.
@@ -1680,6 +1712,29 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(unnest(list_distinct(fps)) AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q65_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |             AS DECIMAL(20,4))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT o_orderpriority,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY rev DESC, o_orderkey) AS INT) AS rk,
+        |         o_orderkey, CAST(rev AS DOUBLE) AS rev
+        |  FROM orders JOIN r ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, rk, o_orderkey, rev
+        |FROM ranked WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q66_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q64_media_features" ->
       """WITH c AS (
