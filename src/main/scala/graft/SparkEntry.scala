@@ -1732,8 +1732,9 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_custs,
         |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-        |                        WHERE o_orderpriority = '1-URGENT')
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q64_media_features" ->

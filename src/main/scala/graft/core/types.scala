@@ -196,11 +196,17 @@ object DatasetConfig {
       }
     def str(key: String): Option[String] =
       Option(m.getOrElse(key, null)).map(_.asInstanceOf[String])
+    // ABSENT key ≠ explicit null: an externally-authored JSON that omits
+    // a field gets the case-class DEFAULT (toJson always emits every key,
+    // so round-trips are unaffected); an explicit null means None.
+    def strOrDefault(key: String, default: Option[String]): Option[String] =
+      if (m.contains(key)) str(key) else default
     DatasetConfig(
-      measurements = m.getOrElse("measurements", List.empty)
-        .asInstanceOf[List[Any]]
-        .map(f => MeasurementConfig.fromFields(
-          f.asInstanceOf[Map[String, Any]])),
+      measurements = Option(m.getOrElse("measurements", null))
+        .map(_.asInstanceOf[List[Any]]
+          .map(f => MeasurementConfig.fromFields(
+            f.asInstanceOf[Map[String, Any]])))
+        .getOrElse(Nil),
       minValidColumnObservations = cop("min_valid_column_observations"),
       minValidVocabElementObservations =
         cop("min_valid_vocab_element_observations"),
@@ -208,8 +214,8 @@ object DatasetConfig {
       minUniqueNumericalObservations =
         cop("min_unique_numerical_observations"),
       maxNumericalValueFrequency = dbl("max_numerical_value_frequency"),
-      normalizer = str("normalizer"),
-      outlierDetector = str("outlier_detector"))
+      normalizer = strOrDefault("normalizer", Some("std")),
+      outlierDetector = strOrDefault("outlier_detector", None))
   }
 }
 

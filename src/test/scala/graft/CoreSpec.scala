@@ -95,5 +95,14 @@ class CoreSpec extends AnyFunSuite {
     assert(JsonUtil.parse("0.25") == 0.25)
     assert(JsonUtil.parse("""{"a": [1, 2.5, "x", null, true]}""") ==
       Map("a" -> List(1L, 2.5, "x", null, true)))
+    // ABSENT key → case-class default; explicit null → None
+    val omitted = DatasetConfig.fromJson("""{"measurements": []}""")
+    assert(omitted.normalizer == Some("std"))
+    assert(omitted.outlierDetector == None)
+    val explicit =
+      DatasetConfig.fromJson("""{"normalizer": null}""")
+    assert(explicit.normalizer == None)
+    assert(DatasetConfig.fromJson("""{"measurements": null}""")
+      .measurements == Nil)
   }
 }
