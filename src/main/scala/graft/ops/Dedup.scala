@@ -81,19 +81,19 @@ object Dedup {
       : DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    // Both frames feed two downstream branches (banding + est join; shA +
-    // shB). No explicit cache: the branches share their shuffle subplans,
-    // which AQE's exchange reuse dedupes within the query — and explicit
-    // .cache() inside operators accumulates CacheManager entries that tax
-    // every later query's plan lookup in long sessions (measured: the
-    // bench total WORSENED with operator-internal caching).
     // shingle sets as sorted hash arrays: exact Jaccard over 64-bit longs
     // is both cheaper to compare and ~5-10× narrower to join than the
     // string shingle arrays (hash collisions at 64 bits are negligible at
-    // any corpus size).
+    // any corpus size). localCheckpoint: the two verify-join sides (sh_a,
+    // sh_b) partition on DIFFERENT keys, so AQE exchange reuse cannot
+    // dedupe them — without materialization the byte-stream shingle
+    // hashing of the whole corpus runs twice. (localCheckpoint, not
+    // .cache(): CacheManager entries tax every later query's plan lookup
+    // in long sessions — measured.)
     val withSh = docs.select(
       col(idCol).as("id"),
       TextOps.charShingleHashes(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true)
     // k longs per doc; consumed by banding AND the est joins — materialize
     // once (localCheckpoint, not cache: see SCALE.md hot-loop discipline)
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
