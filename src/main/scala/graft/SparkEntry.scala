@@ -167,10 +167,13 @@ object SparkEntry {
     }),
 
     // xxhash64-seeded → not DuckDB-expressible → rows-only checks.
+    // Same rank-and-cut operator as the production xxhash64 split, driven
+    // by the SQL-replayable md5 key so DuckDB can replay the assignment
+    // bit-for-bit (md5 hex ordering is engine-independent).
     "q15_splits" -> ((s, dir) => {
-      Splits.subjectSplits(
+      Splits.subjectSplitsByKey(
         dsRaw(s, dir).subjects, Seq(0.8), Seq("train", "held_out"),
-        seed = 42)
+        Splits.md5SplitKey(42))
     }),
 
     "q16_viod" -> ((s, dir) => {
@@ -928,8 +931,22 @@ object SparkEntry {
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
     * the driver's weaker rows-only check (seeded-hash ops:
-    * q15/q16/q27/q28/q30/q41). */
+    * q16/q27/q28/q30/q41). */
   def oracleSql: Map[String, String] = Map(
+    "q15_splits" ->
+      """WITH keyed AS (
+        |  SELECT DISTINCT user_id AS subject_id,
+        |         md5(CAST(user_id AS VARCHAR) || ':42') AS rk
+        |  FROM events),
+        |ranked AS (
+        |  SELECT subject_id,
+        |         row_number() OVER (ORDER BY rk, subject_id) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM keyed)
+        |SELECT subject_id,
+        |  CASE WHEN rn <= round(0.8 * total) THEN 'train'
+        |       ELSE 'held_out' END AS split
+        |FROM ranked""".stripMargin,
     "q01_ingest_events" ->
       """SELECT event_id, user_id AS subject_id,
         |CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_type

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Subject-level train/tune/held-out splits.
@@ -23,7 +23,22 @@ object Splits {
     * < 1; a final remainder split gets the last name (reference behavior:
     * fracs=[0.8] + names=['train','held_out'] → 80/20). */
   def subjectSplits(subjects: DataFrame, fracs: Seq[Double],
-      splitNames: Seq[String], seed: Long): DataFrame = {
+      splitNames: Seq[String], seed: Long): DataFrame =
+    subjectSplitsByKey(subjects, fracs, splitNames,
+      xxhash64(col("subject_id"), lit(seed)))
+
+  /** SQL-replayable split key: md5 hex of "subject_id:seed". Slower than
+    * xxhash64 but reproducible in any engine with md5 (the DuckDB oracle
+    * replays it verbatim) — use when split assignments must be audited
+    * outside Spark. Same rank-and-cut operator either way. */
+  def md5SplitKey(seed: Long): Column =
+    md5(concat(col("subject_id").cast("string"), lit(":" + seed))
+      .cast("binary"))
+
+  /** Key-parameterized core: rank subjects by (key, subject_id) and cut at
+    * the cumulative-fraction boundaries. */
+  def subjectSplitsByKey(subjects: DataFrame, fracs: Seq[Double],
+      splitNames: Seq[String], key: Column): DataFrame = {
     require(splitNames.length == fracs.length ||
       splitNames.length == fracs.length + 1,
       "need one split name per fraction (+1 for the remainder)")
@@ -32,16 +47,15 @@ object Splits {
     require(math.abs(f.sum - 1.0) < 1e-9, s"fractions must sum to 1: $f")
     val cum = f.scanLeft(0.0)(_ + _).tail
 
-    // Seeded pseudo-random but reproducible key per subject: xxhash64 of
-    // (subject_id, seed) — stable across runs and partitionings, unlike
-    // rand(seed) which depends on partition layout.
-    // Materialize the keyed subject table once (it is ≪ events but can
-    // still be hundreds of millions of rows at 100 TB), then rank it with
-    // range-partition + zipWithIndex — a global row_number() window would
-    // funnel every subject through one partition.
+    // Seeded pseudo-random but reproducible key per subject — stable across
+    // runs and partitionings, unlike rand(seed) which depends on partition
+    // layout. Materialize the keyed subject table once (it is ≪ events but
+    // can still be hundreds of millions of rows at 100 TB), then rank it
+    // with range-partition + zipWithIndex — a global row_number() window
+    // would funnel every subject through one partition.
     val keyed = subjects.select(col("subject_id"))
       .distinct()
-      .withColumn("rk", xxhash64(col("subject_id"), lit(seed)))
+      .withColumn("rk", key)
       .localCheckpoint(true)
     val total = keyed.count()
     val ranked = Ids
