@@ -927,6 +927,90 @@ object SparkEntry {
           size(col("metadata")).as("n_meta"),
           array_min(col("metadata.key")).as("min_key"),
           array_max(col("metadata.key")).as("max_key"))
+    }),
+
+    "q67_concat_gather" -> ((s, dir) => {
+      // DataEmbeddingLayer static mode CONCAT: dynamic bag (q34's gather)
+      // and the subject's static bag embedded independently, vectors
+      // concatenated → 128 dims. Static vocab ids 10..12 as in q56.
+      val ev = dsRaw(s, dir)
+      val vocab = Vocabulary.fitLocal(ev.events, "event_type")
+      val items = Vocabulary.lookup(
+        t(s, dir, "events").select(
+          col("user_id").as("subject_id"), col("event_type"),
+          col("value")),
+        "event_type", vocab, "vidx")
+      val emb = t(s, dir, "embeddings")
+      val dyn = EmbeddingGather.gather(items, "subject_id", "vidx",
+        "value", emb, "vec_id", "embedding")
+      val statics = ev.subjects.select(col("subject_id"),
+        (pmod(col("subject_id"), lit(3)) + 10).as("vidx"),
+        lit(1.0).as("value"))
+      val stat = EmbeddingGather.gather(statics, "subject_id", "vidx",
+        "value", emb, "vec_id", "embedding")
+      EmbeddingGather.concatStatic(dyn, stat, "subject_id", staticDim = 64)
+        .select(col("subject_id"), posexplode(col("emb")))
+        .select(col("subject_id"), (col("pos") + 1).as("pos"),
+          round(col("col"), 6).as("emb_val"))
+    }),
+
+    "q68_obs_frequency" -> ((s, dir) => {
+      // Observation-frequency stamp (event_stream_dataset.py:1341-1343):
+      // observed/total per measurement, plus the fitted vocab size.
+      // Driver-side fit state → LocalTableScan (StringIndexerModel idiom).
+      val ev = t(s, dir, "events")
+      val total = ev.count()
+      val etFit = graft.preprocess.Categorical.fitVocab(
+        ev.select(col("event_type")), "event_type", total)
+      val kFit = graft.preprocess.Categorical.fitVocab(
+        EventDataset.propsToMeasurements(ev).select(col("key")), "key",
+        total)
+      import s.implicits._
+      Seq(
+        ("event_type", etFit.observationFrequency, etFit.vocab.count(),
+          etFit.dropped),
+        ("props.k", kFit.observationFrequency, kFit.vocab.count(),
+          kFit.dropped))
+        .toDF("measurement", "obs_freq", "n_vocab", "dropped")
+    }),
+
+    "q69_repetition" -> ((s, dir) => {
+      // Gopher repetition signals (top-bigram / duplicate-trigram
+      // occurrence fractions) — one narrow native pass per doc.
+      val r = TextOps.repetitionSignals(col("text"))
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          r("top_bigram_frac").as("top_bigram_frac"),
+          r("dup_trigram_frac").as("dup_trigram_frac"))
+    }),
+
+    "q70_stratified_sample" -> ((s, dir) => {
+      // Deterministic 20-per-segment sample, md5-ranked (SQL-replayable;
+      // production default is the xxhash64 rank — same operator).
+      graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "customer"), "c_mktsegment", "c_custkey", 20,
+        graft.ops.Sampling.md5Rank(col("c_custkey"), 7))
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    "q71_tfidf" -> ((s, dir) => {
+      TextOps.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+    }),
+
+    "q72_ann_recall" -> ((s, dir) => {
+      // Recall@10 of the LSH index against brute-force ground truth — the
+      // ANN tuning metric. Hash-bucketed → rows-only check.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = 10)
+      val approx = Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = 10)
+      Similarity.recallAtK(approx, exact, "q_vec_id", "vec_id", k = 10)
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
@@ -1890,5 +1974,99 @@ object SparkEntry {
         |  WHERE json_extract(props, '$.k') IS NOT NULL)
         |SELECT event_id, CAST(count(*) AS INT) AS n_meta,
         |       min(key) AS min_key, max(key) AS max_key
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q67_concat_gather" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.user_id, e.value, em.embedding
+        |  FROM events e
+        |  JOIN v USING (event_type)
+        |  JOIN embeddings em ON em.vec_id = v.idx),
+        |d AS (
+        |  SELECT user_id, i.g AS pos,
+        |         sum(value * embedding[CAST(i.g AS INT)]) AS s
+        |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT u.user_id, 64 + i.g AS pos,
+        |         em.embedding[CAST(i.g AS INT)] AS s
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  JOIN embeddings em ON em.vec_id = u.user_id % 3 + 10
+        |  CROSS JOIN generate_series(1, 64) AS i(g))
+        |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
+        |       round(s, 6) AS emb_val
+        |FROM (SELECT * FROM d UNION ALL SELECT * FROM st)
+        |ORDER BY subject_id, pos""".stripMargin,
+
+    "q68_obs_frequency" ->
+      """SELECT 'event_type' AS measurement,
+        |  CAST(count(event_type) AS DOUBLE) / count(*) AS obs_freq,
+        |  (SELECT CAST(count(DISTINCT event_type) + 1 AS BIGINT)
+        |   FROM events) AS n_vocab,
+        |  false AS dropped
+        |FROM events
+        |UNION ALL
+        |SELECT 'props.k',
+        |  CAST(count(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+        |        THEN 1 END) AS DOUBLE) / count(*),
+        |  CAST(2 AS BIGINT), false
+        |FROM events""".stripMargin,
+
+    "q69_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE trim(text) <> ''),
+        |b AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' ||
+        |         ws[CAST(i + 1 AS INT)] AS g
+        |  FROM d, unnest(range(1, len(ws))) AS t(i)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c)
+        |           AS top_bigram_frac
+        |  FROM bc GROUP BY 1),
+        |tr AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' ||
+        |         ws[CAST(i + 1 AS INT)] || ' ' ||
+        |         ws[CAST(i + 2 AS INT)] AS g
+        |  FROM d, unnest(range(1, len(ws) - 1)) AS t(i)),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+        |ts AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |           / sum(c) AS dup_trigram_frac
+        |  FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |       coalesce(ts.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        |FROM d LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q70_stratified_sample" ->
+      """SELECT c_custkey, c_mktsegment FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY md5(CAST(c_custkey AS VARCHAR) || ':7'),
+        |                    c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 20""".stripMargin,
+
+    "q71_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |           AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM t)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |       round(tf.tf * ln(nd / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin)
 }

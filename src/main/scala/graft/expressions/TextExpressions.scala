@@ -436,6 +436,94 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
       : WinnowFingerprintExpr = copy(child = newChild)
 }
 
+/** Word n-gram repetition statistics in one narrow pass: total n-gram
+  * occurrences, the modal n-gram's count, and the occurrence mass of
+  * n-grams appearing more than once — the inputs to the Gopher-style
+  * repetition quality signals (top-n-gram fraction, duplicate-n-gram
+  * fraction; Rae et al. 2021 §A1.1). Tokens are whitespace runs (the
+  * `split(trim(s), "\\s+")` twin); each n-gram is counted by the xxhash64
+  * of its single-space-joined byte form — counts are exact modulo 64-bit
+  * hash collisions, which are negligible at per-document cardinalities.
+  * Per-row work in one JVM call (CodegenFallback), no shuffle: at corpus
+  * scale the alternative (explode tokens + lead window + two groupBys)
+  * shuffles every token twice.
+  */
+case class WordNgramStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(n >= 1, s"n-gram size must be >= 1: $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("total",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("max_cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // token byte ranges
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && ByteTextUtil.isWs(bytes(i))) i += 1
+      val s0 = i
+      while (i < len && !ByteTextUtil.isWs(bytes(i))) i += 1
+      if (i > s0) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+          ends = java.util.Arrays.copyOf(ends, ends.length * 2)
+        }
+        starts(nTok) = s0; ends(nTok) = i; nTok += 1
+      }
+    }
+    val zero = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](0L, 0L, 0L))
+    if (nTok < n) return zero
+    // hash each n-gram's single-space-joined bytes via a scratch buffer
+    val scratch = new Array[Byte](len)
+    val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var g = 0
+    while (g + n <= nTok) {
+      var p = 0
+      var j = g
+      while (j < g + n) {
+        if (j > g) { scratch(p) = ' '; p += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), scratch, p, tl)
+        p += tl
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(scratch,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      val slot = counts.get(h)
+      if (slot == null) counts.put(h, Array(1L)) else slot(0) += 1L
+      g += 1
+    }
+    val total = (nTok - n + 1).toLong
+    var maxCnt = 0L
+    var dupCnt = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxCnt) maxCnt = c
+      if (c > 1) dupCnt += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, maxCnt, dupCnt))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordNgramStatsExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
@@ -477,4 +565,8 @@ object TextExpressions {
     * w min-sampling). */
   def winnowFingerprints(s: Column, k: Int, w: Int): Column =
     Bridge.toColumn(WinnowFingerprintExpr(Bridge.toExpression(s), k, w))
+
+  /** struct(total, max_cnt, dup_cnt) of word n-gram occurrences. */
+  def wordNgramStats(s: Column, n: Int): Column =
+    Bridge.toColumn(WordNgramStatsExpr(Bridge.toExpression(s), n))
 }

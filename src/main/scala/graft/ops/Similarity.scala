@@ -38,6 +38,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k of an approximate ANN result against exact ground truth —
+    * the standard index-quality metric (what an IVF/LSH tuning loop
+    * optimizes). Both inputs follow the topK contract (qIdCol, idCol,
+    * rank); queries are few by construction, so the join is
+    * broadcast-sized. Ground-truth queries missing entirely from `approx`
+    * (empty probe bucket) still report recall 0 via the left join. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qIdCol: String,
+      idCol: String, k: Int): DataFrame =
+    exact.filter(col("rank") <= k).select(col(qIdCol), col(idCol))
+      .join(approx.filter(col("rank") <= k)
+          .select(col(qIdCol), col(idCol), lit(1L).as("__hit")),
+        Seq(qIdCol, idCol), "left")
+      .groupBy(qIdCol)
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / k)
+        .as("recall"))
+
   /** Sign-bucket of `nPlanes` pseudo-random hyperplane dot products.
     * Hyperplane components are seeded xxhash64 draws mapped to ±1 — fully
     * deterministic, no stored model, identical on every executor. Native

@@ -127,6 +127,45 @@ object TextOps {
     graft.expressions.TextExpressions.charShingleHashes(
       regexp_replace(lower(trim(text)), "\\s+", " "), n)
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    * top-bigram fraction (occurrence share of the most frequent word
+    * bigram) and duplicate-trigram fraction (occurrence mass of trigrams
+    * seen more than once). High values flag boilerplate/spam documents in
+    * pre-training corpora. One narrow native pass per n (no token
+    * shuffle); case-folded tokens. Returns a struct column. */
+  def repetitionSignals(text: Column): Column = {
+    val bi = graft.expressions.TextExpressions.wordNgramStats(lower(text), 2)
+    val tri = graft.expressions.TextExpressions.wordNgramStats(lower(text), 3)
+    struct(
+      when(bi("total") > 0,
+        bi("max_cnt").cast("double") / bi("total"))
+        .otherwise(0.0).as("top_bigram_frac"),
+      when(tri("total") > 0,
+        tri("dup_cnt").cast("double") / tri("total"))
+        .otherwise(0.0).as("dup_trigram_frac"))
+  }
+
+  /** tf–idf term weighting over a corpus: per-(doc, term) term frequency,
+    * document frequency, and tf·ln(N/df). Term = case-folded whitespace
+    * token. The document count is folded in as a broadcast scalar
+    * (`countDistinct` aggregate — no driver action), df via one shuffle
+    * on term; both aggregations carry map-side partial combines, so the
+    * wire traffic is per-(doc,term)/per-term counts, not tokens. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = terms.agg(
+      countDistinct(col(idCol)).cast("double").as("__n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("__n_docs") / col("df"))).as("tfidf"))
+  }
+
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))

@@ -47,6 +47,25 @@ object EmbeddingGather {
         e => e("__s")).as("emb"))
   }
 
+  /** DataEmbeddingLayer static mode CONCAT (data_embedding_layer.py:
+    * 245-397, `StaticEmbeddingMode`): the static measurements are embedded
+    * as their own bag and the result is CONCATENATED onto the dynamic
+    * embedding (output dim = dynamic dim + static dim), vs mode SUM where
+    * static items union into one bag. Relationally: two independent
+    * gathers joined on the bag id. Subjects with no static observations
+    * get a zero block of `staticDim` (EmbeddingBag of an empty bag).
+    * Broadcast-sized right side per bag id → left join, narrow after the
+    * gathers' own shuffles. */
+  def concatStatic(dyn: DataFrame, staticBags: DataFrame, idCol: String,
+      staticDim: Int, embCol: String = "emb"): DataFrame = {
+    val zeros = array_repeat(lit(0.0), staticDim)
+    dyn.join(
+        staticBags.select(col(idCol), col(embCol).as("__s_emb")),
+        Seq(idCol), "left")
+      .withColumn(embCol, concat(col(embCol), coalesce(col("__s_emb"), zeros)))
+      .drop("__s_emb")
+  }
+
   /** Measurement-index normalization
     * (data_embedding_layer.py:200-230, `do_normalize_by_measurement_index`):
     * each observation's weight is scaled by

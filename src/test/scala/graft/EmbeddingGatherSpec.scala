@@ -67,4 +67,14 @@ class EmbeddingGatherSpec extends SparkSpec {
     assert(math.abs(
       out.values.sum - 1.0) < 1e-12)
   }
+
+  test("concatStatic: dims concatenate, missing static zero-fills") {
+    val dyn = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("bag", "emb")
+    val stat = Seq((1L, Seq(9.0, 8.0, 7.0))).toDF("bag", "emb")
+    val out = EmbeddingGather.concatStatic(dyn, stat, "bag", staticDim = 3)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(1.0, 2.0, 9.0, 8.0, 7.0))
+    assert(out(2L) == Seq(3.0, 4.0, 0.0, 0.0, 0.0))
+  }
 }

@@ -100,4 +100,18 @@ class SimilaritySpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     assert(msgs(ex).exists(m => m != null && m.contains("expected >= 16")))
   }
+
+  test("recallAtK: perfect, partial, and empty-approx recall") {
+    def topk(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("q", "id", "rank")
+    val exact = topk((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+    val perfect = Similarity.recallAtK(exact, exact, "q", "id", k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(perfect == Map(1L -> 1.0, 2L -> 1.0))
+    // query 1 found one of two; query 2 absent from approx entirely
+    val approx = topk((1L, 10L, 1), (1L, 99L, 2))
+    val partial = Similarity.recallAtK(approx, exact, "q", "id", k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(partial == Map(1L -> 0.5, 2L -> 0.0))
+  }
 }

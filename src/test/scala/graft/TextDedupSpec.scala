@@ -249,4 +249,48 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sigs(1L) == sigs(2L))
   }
+
+  test("repetitionSignals: known-answer fractions and edge cases") {
+    val r = TextOps.repetitionSignals(col("text"))
+    val out = Seq(
+      // bigrams: "a b","b a","a b","b c" → top "a b"=2/4; trigrams:
+      // "a b a","b a b","a b c" all distinct → dup 0
+      (1L, "a b a b c"),
+      // all-same word: bigrams "x x"×4 → top 1.0; trigrams "x x x"×3 dup 1
+      (2L, "x x x x x"),
+      (3L, "one two"), // 1 bigram → top 1.0; no trigram → 0.0
+      (4L, "single"), // no bigrams at all → both 0
+      (5L, "  A  b   a B c ") // case-fold + whitespace runs ≡ doc 1
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), r("top_bigram_frac"), r("dup_trigram_frac"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (k, b, t) => k -> ((b, t)) }.toMap
+    assert(out(1L) == ((0.5, 0.0)))
+    assert(out(2L) == ((1.0, 1.0)))
+    assert(out(3L) == ((1.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0)))
+    assert(out(5L) == out(1L))
+  }
+
+  test("tfIdf: counts and weights on a tiny corpus") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "CAT"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.tfIdf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map { case (id, term, tf, df, w) => (id, term) -> (tf, df, w) }
+      .toMap
+    assert(rows((1L, "cat"))._1 == 2L && rows((1L, "cat"))._2 == 2L)
+    // Spark's log is StrictMath-based — ulp-level tolerance
+    assert(math.abs(rows((1L, "cat"))._3 - 2.0 * math.log(3.0 / 2)) < 1e-12)
+    assert(rows((2L, "fish"))._2 == 1L)
+    assert(math.abs(rows((2L, "fish"))._3 - math.log(3.0)) < 1e-12)
+    assert(rows((3L, "cat"))._1 == 1L) // case-folded into the cat df
+    // ubiquitous term → idf 0
+    val all = Seq((1L, "the a"), (2L, "the b"), (3L, "the c"))
+      .toDF("doc_id", "text")
+    val thew = TextOps.tfIdf(all, "doc_id", "text")
+      .filter(col("term") === "the").select("tfidf")
+      .as[Double].collect()
+    assert(thew.length == 3 && thew.forall(_ == 0.0))
+  }
 }
