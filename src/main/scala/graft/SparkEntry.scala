@@ -1011,6 +1011,64 @@ object SparkEntry {
       val approx = Similarity.lshTopK(emb, queries,
         "vec_id", "embedding", "q_vec_id", "q_vec", k = 10)
       Similarity.recallAtK(approx, exact, "q_vec_id", "vec_id", k = 10)
+    }),
+
+    "q73_prepend_gather" -> ((s, dir) => {
+      // DataEmbeddingLayer static mode PREPEND (data_embedding_layer.py:
+      // 395-396): per-EVENT dynamic embeddings as sequence positions 1..L,
+      // the subject's static embedding prepended at position 0. Subjects
+      // restricted to user_id < 10 to keep the contract output compact.
+      val evds = dsRaw(s, dir)
+      val vocab = Vocabulary.fitLocal(evds.events, "event_type")
+      val raw = t(s, dir, "events").filter(col("user_id") < 10)
+      val items = Vocabulary.lookup(
+        raw.select(col("event_id"), col("user_id").as("subject_id"),
+          col("event_type"), col("value")),
+        "event_type", vocab, "vidx")
+      val emb = t(s, dir, "embeddings")
+      val dynBags = EmbeddingGather.gather(items, "event_id", "vidx",
+        "value", emb, "vec_id", "embedding")
+      val w = Window.partitionBy("subject_id").orderBy("event_id")
+      val pos = raw.select(col("event_id"),
+          col("user_id").as("subject_id"))
+        .withColumn("seq_pos", row_number().over(w).cast("int"))
+      val dynSeq = dynBags.join(pos, Seq("event_id"))
+        .select(col("subject_id"), col("seq_pos"), col("emb"))
+      val statics = raw.select(col("user_id").as("subject_id")).distinct()
+        .select(col("subject_id"),
+          (pmod(col("subject_id"), lit(3)) + 10).as("vidx"),
+          lit(1.0).as("value"))
+      val statBags = EmbeddingGather.gather(statics, "subject_id", "vidx",
+        "value", emb, "vec_id", "embedding")
+      EmbeddingGather.prependStatic(dynSeq, statBags, "subject_id",
+          "seq_pos")
+        .select(col("subject_id"), col("seq_pos"),
+          posexplode(col("emb")))
+        .select(col("subject_id"), col("seq_pos"),
+          (col("pos") + 1).cast("int").as("pos"),
+          round(col("col"), 6).as("emb_val"))
+    }),
+
+    "q74_seq_window" -> ((s, dir) => {
+      // Random contiguous window truncation (event_stream_pytorch_dataset
+      // .py:299-304) oracle-checked end-to-end: same operator as the
+      // production xxhash64-seeded slice, driven by an SQL-replayable
+      // uniform key (the md5SplitKey pattern; 1000003 is prime, so
+      // u·(n−L+1) never lands on an integer boundary and floor() is
+      // FP-safe to replay).
+      val d = dsSec(s, dir)
+      val vocab = Vocabulary.fitLocal(d.events, "event_type")
+      val indexed = Vocabulary.lookup(d.measurements, "key", vocab, "vidx")
+        .select(col("event_id"), (col("vidx") + 1L).as("unified_idx"),
+          col("value"), lit(1L).as("measurement_idx"))
+      val u = pmod(col("subject_id") * lit(2654435761L), lit(1000003L))
+        .cast("double") / 1000003.0
+      BatchBuilder.subjectSequences(d.events, indexed, maxSeqLen = 50,
+          windowU = Some(u))
+        .select(col("subject_id"), size(col("time")).as("seq_len"),
+          element_at(col("time"), -1).as("last_min"),
+          aggregate(flatten(col("dynamic_indices")), lit(0L),
+            (acc, x) => acc + x).as("sum_uidx"))
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
@@ -2068,5 +2126,64 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.term, tf.tf, df.df,
         |       round(tf.tf * ln(nd / df.df), 6) AS tfidf
         |FROM tf JOIN df USING (term) CROSS JOIN n
-        |ORDER BY doc_id, term""".stripMargin)
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q73_prepend_gather" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY event_id) AS INT)
+        |           AS seq_pos
+        |  FROM events WHERE user_id < 10),
+        |dyn AS (
+        |  SELECT e.user_id, e.seq_pos, e.value, em.embedding
+        |  FROM e JOIN v USING (event_type)
+        |  JOIN embeddings em ON em.vec_id = v.idx),
+        |allrows AS (
+        |  SELECT user_id, seq_pos, i.g AS pos,
+        |         value * embedding[CAST(i.g AS INT)] AS sv
+        |  FROM dyn CROSS JOIN generate_series(1, 64) AS i(g)
+        |  UNION ALL
+        |  SELECT s.user_id, 0 AS seq_pos, i.g,
+        |         em.embedding[CAST(i.g AS INT)]
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) s
+        |  JOIN embeddings em ON em.vec_id = 10 + s.user_id % 3
+        |  CROSS JOIN generate_series(1, 64) AS i(g))
+        |SELECT user_id AS subject_id, CAST(seq_pos AS INT) AS seq_pos,
+        |       CAST(pos AS INT) AS pos, round(sv, 6) AS emb_val
+        |FROM allrows ORDER BY subject_id, seq_pos, pos""".stripMargin,
+
+    "q74_seq_window" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY event_type),
+        |e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2,
+        |         event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY date_trunc('second', ts), event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |st AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN n <= 50 THEN 1
+        |         ELSE CAST(floor(((user_id * 2654435761) % 1000003)
+        |                / 1000003.0 * (n - 49)) AS BIGINT) + 1
+        |    END AS start
+        |  FROM e),
+        |w AS (
+        |  SELECT e.* FROM e JOIN st USING (user_id)
+        |  WHERE rn >= start AND rn < start + 50)
+        |SELECT user_id AS subject_id, CAST(count(*) AS INT) AS seq_len,
+        |       (epoch(max(ts2)) - epoch(min(ts2))) / 60 AS last_min,
+        |       CAST(sum(idx + 1) AS BIGINT) AS sum_uidx
+        |FROM w JOIN v USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -56,11 +56,17 @@ object BatchBuilder {
     *                      event_stream_pytorch_dataset.py:299-304)
     * @param minSeqLen     subject admission threshold (:119-122)
     * @param seed          window-sampling seed
+    * @param windowU       optional per-subject uniform-[0,1) expression
+    *                      driving the window start (replaces the default
+    *                      xxhash64(subject_id, seed) draw) — the
+    *                      md5SplitKey pattern: supply an SQL-replayable
+    *                      key so an external oracle can replay the slice
+    *                      bit-for-bit
     */
   def subjectSequences(
       events: DataFrame, measIndexed: DataFrame,
       maxSeqLen: Int = Int.MaxValue, minSeqLen: Int = 1,
-      seed: Long = 1): DataFrame = {
+      seed: Long = 1, windowU: Option[Column] = None): DataFrame = {
 
     // Per-event ragged triples: one shuffle on event_id.
     val perEvent = measIndexed
@@ -87,8 +93,9 @@ object BatchBuilder {
       if (maxSeqLen == Int.MaxValue) perSubject
       else {
         val n = size(col("evs"))
-        val u = (pmod(xxhash64(col("subject_id"), lit(seed)), lit(1000000L))
-          .cast("double") / 1000000.0)
+        val u = windowU.getOrElse(
+          pmod(xxhash64(col("subject_id"), lit(seed)), lit(1000000L))
+            .cast("double") / 1000000.0)
         val start = when(n <= maxSeqLen, lit(1)).otherwise(
           (floor(u * (n - lit(maxSeqLen) + 1)) + 1).cast("int"))
         perSubject.withColumn("evs",

@@ -95,6 +95,22 @@ object EmbeddingGather {
       .drop("__s_emb")
   }
 
+  /** DataEmbeddingLayer static mode PREPEND (data_embedding_layer.py:
+    * 395-396): `torch.cat([static_embedded, embedded], dim=1)` — the
+    * static embedding becomes an extra SEQUENCE position 0 ahead of the
+    * per-event dynamic embeddings (output length L+1), vs CONCAT which
+    * widens the feature dim. Relationally: the static bag rows union in
+    * with position 0. `dynSeq` must carry 1-based positions (its
+    * position 1 is the reference's post-prepend index 1). Narrow — a
+    * union, no shuffle. */
+  def prependStatic(dynSeq: DataFrame, staticBags: DataFrame,
+      idCol: String, posCol: String, embCol: String = "emb"): DataFrame =
+    staticBags
+      .select(col(idCol), lit(0).cast("int").as(posCol), col(embCol))
+      .unionByName(
+        dynSeq.select(col(idCol), col(posCol).cast("int").as(posCol),
+          col(embCol)))
+
   /** Measurement-index normalization
     * (data_embedding_layer.py:200-230, `do_normalize_by_measurement_index`):
     * each observation's weight is scaled by

@@ -64,6 +64,21 @@ class BatchBuilderSpec extends SparkSpec {
     assert(again(1L) == rows(1L))
   }
 
+  test("subjectSequences: windowU overrides the slice start exactly") {
+    // 8 events at minute i², window 4: u = 0.5 → start =
+    // floor(0.5 · (8−4+1)) + 1 = 3, so the slice is events 3..6
+    // (minutes 4, 9, 16, 25) and time re-zeroes on minute 4.
+    val events = (0 until 8).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:${i * i}%02d:00"), "A"))
+    val ev = events.toDF("event_id", "subject_id", "timestamp", "event_type")
+    val meas = Seq.empty[(Long, Long, Option[Double], Long)]
+      .toDF("event_id", "unified_idx", "value", "measurement_idx")
+    val rows = BatchBuilder.subjectSequences(ev, meas, maxSeqLen = 4,
+        windowU = Some(lit(0.5)))
+      .select("subject_id", "time").as[(Long, Seq[Double])].collect().toMap
+    assert(rows(1L) == Seq(0.0, 5.0, 12.0, 21.0))
+  }
+
   test("taskWindows: interval join restricts to [start, end]") {
     val events = Seq(
       (0L, 1L, ts("2024-01-01 00:00:00"), "A"),

@@ -24,6 +24,28 @@ class EmbeddingGatherSpec extends SparkSpec {
     assert(out(1L) == Seq(2.0, 1.0))
   }
 
+  test("prependStatic: static embedding becomes sequence position 0 " +
+    "(:395-396)") {
+    val dynSeq = Seq(
+      (1L, 1, Seq(1.0, 2.0)),
+      (1L, 2, Seq(3.0, 4.0)),
+      (2L, 1, Seq(5.0, 6.0)))
+      .toDF("subject", "seq_pos", "emb")
+    val statics = Seq(
+      (1L, Seq(9.0, 9.0)),
+      (2L, Seq(8.0, 8.0)))
+      .toDF("subject", "emb")
+    val out = EmbeddingGather.prependStatic(dynSeq, statics, "subject",
+        "seq_pos")
+      .as[(Long, Int, Seq[Double])].collect()
+      .map { case (s, p, e) => (s, p) -> e }.toMap
+    assert(out((1L, 0)) == Seq(9.0, 9.0)) // static prepended
+    assert(out((1L, 1)) == Seq(1.0, 2.0)) // dynamic untouched
+    assert(out((1L, 2)) == Seq(3.0, 4.0))
+    assert(out((2L, 0)) == Seq(8.0, 8.0))
+    assert(out.size == 5) // L+1 positions per subject
+  }
+
   test("splitGather: cw·cat + nw·num with values_mask semantics " +
     "(:249-273)") {
     val items = Seq(
