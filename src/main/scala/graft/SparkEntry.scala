@@ -1069,6 +1069,26 @@ object SparkEntry {
           element_at(col("time"), -1).as("last_min"),
           aggregate(flatten(col("dynamic_indices")), lit(0L),
             (acc, x) => acc + x).as("sum_uidx"))
+    }),
+
+    "q75_viod_oracle" -> ((s, dir) => {
+      // VIOD fit, DuckDB-hash-checked: the prefix-stats twin of the
+      // verbatim port (same trim loop; window moments from prefix-sum
+      // differences, the arithmetic order a SQL cumulative window
+      // aggregate pins down — Viod.fitArrayPrefix scaladoc). Outliers are
+      // planted deterministically (event_id % 997 → ×50, % 1009=1 → ×−50)
+      // so the trim loop actually runs — on the clean synthetic values it
+      // never trims and only the closed-form initial bounds are tested.
+      // Trimmed bounds are exact data values; untrimmed ones carry a
+      // pow() ulp → round-6 both sides.
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          when(col("event_id") % 997 === 0, col("value") * 50.0)
+            .when(col("event_id") % 1009 === 1, col("value") * -50.0)
+            .otherwise(col("value")).as("v"))
+      Viod.fitPerKey(ev, "event_type", "v", prefixStats = true)
+        .select(col("key"), round(col("viod_lo"), 6).as("viod_lo"),
+          round(col("viod_hi"), 6).as("viod_hi"))
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
@@ -2185,5 +2205,137 @@ object SparkEntry {
         |       (epoch(max(ts2)) - epoch(min(ts2))) / 60 AS last_min,
         |       CAST(sum(idx + 1) AS BIGINT) AS sum_uidx
         |FROM w JOIN v USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The VIOD trim loop replayed as a DuckDB recursive CTE: state =
+    // (key, live window [a,b] 1-based, bounds); per-key prefix sums s/q
+    // pin the same arithmetic order as Viod.fitArrayPrefix, so every
+    // stdDelta-vs-threshold comparison replays bit-for-bit.
+    "q75_viod_oracle" ->
+      """WITH RECURSIVE
+        |r0 AS (
+        |  SELECT event_type AS key, v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY v)
+        |           AS rn
+        |  FROM (SELECT event_type,
+        |          CASE WHEN event_id % 997 = 0
+        |                 THEN CAST(value AS DOUBLE) * 50.0
+        |               WHEN event_id % 1009 = 1
+        |                 THEN CAST(value AS DOUBLE) * -50.0
+        |               ELSE CAST(value AS DOUBLE) END AS v
+        |        FROM events WHERE value IS NOT NULL)),
+        |r AS (
+        |  SELECT key, v, rn,
+        |         sum(v) OVER (PARTITION BY key ORDER BY rn
+        |                      ROWS UNBOUNDED PRECEDING) AS s,
+        |         sum(v*v) OVER (PARTITION BY key ORDER BY rn
+        |                        ROWS UNBOUNDED PRECEDING) AS q,
+        |         CASE WHEN rn = 1 THEN FALSE
+        |              ELSE v <> lag(v) OVER (PARTITION BY key ORDER BY rn)
+        |         END AS chg
+        |  FROM r0),
+        |init AS (
+        |  SELECT key, count(*) AS n0, max(s) AS s0, max(q) AS q0
+        |  FROM r GROUP BY key),
+        |base AS (
+        |  SELECT key, CAST(1 AS BIGINT) AS a, n0 AS b, 0 AS iter,
+        |    (n0 <= 1) AS done,
+        |    CASE WHEN abs(10.0*pow(n0+1,-0.6) - 1) >= sqrt((n0+1.0)/n0)
+        |         THEN s0/n0 - CAST('infinity' AS DOUBLE)
+        |         ELSE s0/n0 - sqrt(q0/n0 - (s0/n0)*(s0/n0)) * (n0+1) *
+        |              sqrt(1.0/(n0 * (1 - 10.0*pow(n0+1,-0.6))
+        |                           * (1 - 10.0*pow(n0+1,-0.6)))
+        |                   - 1.0/(n0+1))
+        |    END AS t_small,
+        |    CASE WHEN abs(10.0*pow(n0+1,-0.6) - 1) >= sqrt((n0+1.0)/n0)
+        |         THEN s0/n0 + CAST('infinity' AS DOUBLE)
+        |         ELSE s0/n0 + sqrt(q0/n0 - (s0/n0)*(s0/n0)) * (n0+1) *
+        |              sqrt(1.0/(n0 * (1 - 10.0*pow(n0+1,-0.6))
+        |                           * (1 - 10.0*pow(n0+1,-0.6)))
+        |                   - 1.0/(n0+1))
+        |    END AS t_large
+        |  FROM init),
+        |it AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT key,
+        |    CASE WHEN trim AND min_more THEN a + lmin ELSE a END AS a,
+        |    CASE WHEN trim AND NOT min_more THEN b - lmax ELSE b END AS b,
+        |    iter + 1 AS iter,
+        |    NOT trim AS done,
+        |    CASE WHEN trim AND min_more THEN ext_min ELSE t_small END
+        |      AS t_small,
+        |    CASE WHEN trim AND NOT min_more THEN ext_max ELSE t_large END
+        |      AS t_large
+        |  FROM (
+        |    SELECT *, d_min > d_max AS min_more,
+        |      (CASE WHEN d_min > d_max THEN d_min ELSE d_max END)
+        |        > 10.0 * pow(n, -0.6) AS trim
+        |    FROM (
+        |      SELECT *,
+        |        CASE WHEN lmin IS NULL THEN 0.0
+        |             ELSE abs(std - sqrt((qb - qmin2) / (n - lmin)
+        |                - ((sb - smin2)/(n - lmin))
+        |                  * ((sb - smin2)/(n - lmin)))) / std END AS d_min,
+        |        CASE WHEN lmax IS NULL THEN 0.0
+        |             ELSE abs(std - sqrt((qmax2 - qa) / (n - lmax)
+        |                - ((smax2 - sa)/(n - lmax))
+        |                  * ((smax2 - sa)/(n - lmax)))) / std END AS d_max
+        |      FROM (
+        |        SELECT l2.*,
+        |          emn.v AS ext_min, emn.s AS smin2, emn.q AS qmin2,
+        |          emx2.v AS ext_max, emx.s AS smax2, emx.q AS qmax2
+        |        FROM (
+        |          SELECT l1.*, lm.lmin, lx.lmax
+        |          FROM (
+        |            SELECT it.key, it.a, it.b, it.iter, it.t_small,
+        |              it.t_large, it.b - it.a + 1 AS n,
+        |              coalesce(ra.s, 0) AS sa, coalesce(ra.q, 0) AS qa,
+        |              rb.s AS sb, rb.q AS qb,
+        |              sqrt((rb.q - coalesce(ra.q, 0)) / (it.b - it.a + 1)
+        |                - ((rb.s - coalesce(ra.s, 0)) / (it.b - it.a + 1))
+        |                  * ((rb.s - coalesce(ra.s, 0)) / (it.b - it.a + 1)))
+        |                AS std,
+        |              least(it.b - it.a,
+        |                CAST(floor((it.b - it.a + 1) * (1 - pow(0.05,
+        |                  1.0 / (0.1 * (it.b - it.a + 1))))) AS BIGINT))
+        |                AS maxl
+        |            FROM it
+        |            LEFT JOIN r ra ON ra.key = it.key AND ra.rn = it.a - 1
+        |            JOIN r rb ON rb.key = it.key AND rb.rn = it.b
+        |            WHERE NOT it.done AND it.b > it.a
+        |          ) l1
+        |          LEFT JOIN LATERAL (
+        |            SELECT min(least(
+        |                CASE WHEN c.rn - l1.a BETWEEN 1 AND l1.maxl - 1
+        |                     THEN c.rn - l1.a END,
+        |                CASE WHEN l1.b - c.rn + 1 BETWEEN 1 AND l1.maxl - 1
+        |                     THEN l1.b - c.rn + 1 END)) AS lmin
+        |            FROM r c
+        |            WHERE c.key = l1.key AND c.chg
+        |              AND ((c.rn - l1.a BETWEEN 1 AND l1.maxl - 1)
+        |                OR (l1.b - c.rn + 1 BETWEEN 1 AND l1.maxl - 1))
+        |          ) lm ON TRUE
+        |          LEFT JOIN LATERAL (
+        |            SELECT min(l1.b - c.rn + 1) AS lmax
+        |            FROM r c
+        |            WHERE c.key = l1.key AND c.chg
+        |              AND l1.b - c.rn + 1 BETWEEN 1 AND l1.maxl - 1
+        |          ) lx ON TRUE
+        |        ) l2
+        |        LEFT JOIN r emn
+        |          ON emn.key = l2.key AND emn.rn = l2.a + l2.lmin - 1
+        |        LEFT JOIN r emx
+        |          ON emx.key = l2.key AND emx.rn = l2.b - l2.lmax
+        |        LEFT JOIN r emx2
+        |          ON emx2.key = l2.key AND emx2.rn = l2.b - l2.lmax + 1
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT key, round(t_small, 6) AS viod_lo,
+        |       round(t_large, 6) AS viod_hi
+        |FROM (SELECT *, row_number() OVER (PARTITION BY key
+        |                                   ORDER BY iter DESC) AS rk
+        |      FROM it) WHERE rk = 1 ORDER BY key""".stripMargin)
 }

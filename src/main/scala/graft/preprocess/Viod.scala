@@ -115,6 +115,79 @@ object Viod {
     Thresholds(threshSmall, threshLarge)
   }
 
+  /** SQL-replayable twin of [[fitArray]]: identical trim loop, but the
+    * window statistics come from PREFIX-SUM DIFFERENCES over the sorted
+    * array (S(b)−S(a−1), Q(b)−Q(a−1)) instead of the reference's
+    * incremental running-moment removal. Left-to-right prefix sums are
+    * exactly what a SQL engine's cumulative window aggregate computes, so
+    * an external oracle (DuckDB recursive CTE) replays every comparison
+    * bit-for-bit — the arithmetic ORDER is pinned, not just the math.
+    * Results differ from fitArray only by FP round-off in the moments
+    * (same trim decisions on any non-adversarial data). */
+  def fitArrayPrefix(
+      values: Array[Double],
+      subsampleFrac: Double = DefaultSubsampleFrac,
+      maxProbOfExclusion: Double = DefaultMaxProbOfExclusion,
+      thresh: Long => Double = defaultStdDeltaThresh): Thresholds = {
+    val x = values.clone().sorted
+    val n0 = x.length
+    if (n0 == 0)
+      return Thresholds(Double.NegativeInfinity, Double.PositiveInfinity)
+    val s = new Array[Double](n0 + 1)
+    val q = new Array[Double](n0 + 1)
+    var i = 0
+    while (i < n0) {
+      s(i + 1) = s(i) + x(i)
+      q(i + 1) = q(i) + x(i) * x(i)
+      i += 1
+    }
+    // 1-based inclusive window [a, b]
+    def std(a: Int, b: Int): Double = {
+      val n = b - a + 1
+      val sw = s(b) - s(a - 1)
+      val qw = q(b) - q(a - 1)
+      val mean = sw / n
+      math.sqrt(qw / n - mean * mean)
+    }
+    val maxDev = maxDeviationFactor(n0.toLong, thresh)
+    var tSmall = s(n0) / n0 - std(1, n0) * maxDev
+    var tLarge = s(n0) / n0 + std(1, n0) * maxDev
+    var a = 1
+    var b = n0
+    var done = false
+    while (b - a + 1 > 1 && !done) {
+      val n = b - a + 1
+      val maxLv = maxL(n.toLong, subsampleFrac, maxProbOfExclusion)
+      // joint scan (verbatim quirk: min side also stops at the max-side
+      // run boundary); v[i] 1-based = x(i-1) 0-based
+      var lMin = 0
+      var l = 1
+      while (lMin == 0 && l < maxLv) {
+        if (x(a + l - 1) != x(a + l - 2) || x(b - l) != x(b - l - 1)) lMin = l
+        else l += 1
+      }
+      var lMax = 0
+      l = 1
+      while (lMax == 0 && l < maxLv) {
+        if (x(b - l) != x(b - l - 1)) lMax = l
+        else l += 1
+      }
+      val curStd = std(a, b)
+      val dMin =
+        if (lMin == 0) 0.0
+        else math.abs(curStd - std(a + lMin, b)) / curStd
+      val dMax =
+        if (lMax == 0) 0.0
+        else math.abs(curStd - std(a, b - lMax)) / curStd
+      val minMore = dMin > dMax
+      if ((if (minMore) dMin else dMax) > thresh(n.toLong)) {
+        if (minMore) { tSmall = x(a + lMin - 2); a += lMin }
+        else { tLarge = x(b - lMax); b -= lMax }
+      } else done = true
+    }
+    Thresholds(tSmall, tLarge)
+  }
+
   /** splitmix64 finalizer over the value's raw bits — a deterministic,
     * order-free rank for the sampling cap (shared graft.core.Hashing). */
   private def hashRank(v: Double): Long =
@@ -127,7 +200,8 @@ object Viod {
     * values are interchangeable, so multiset truncation at ties is stable).
     * Buffers are allowed to grow to 2× the cap between prunings so the
     * amortized cost stays O(1) per value. */
-  class ViodAggregator(maxValuesPerKey: Int = Int.MaxValue)
+  class ViodAggregator(maxValuesPerKey: Int = Int.MaxValue,
+      prefixStats: Boolean = false)
       extends Aggregator[Double, ArrayBuffer[Double], Thresholds] {
     private def prune(b: ArrayBuffer[Double]): ArrayBuffer[Double] =
       if (b.length <= maxValuesPerKey) b
@@ -149,6 +223,7 @@ object Viod {
     def finish(b: ArrayBuffer[Double]): Thresholds =
       if (b.isEmpty) Thresholds(Double.NegativeInfinity,
         Double.PositiveInfinity)
+      else if (prefixStats) fitArrayPrefix(prune(b).toArray)
       else fitArray(prune(b).toArray)
     def bufferEncoder: Encoder[ArrayBuffer[Double]] =
       Encoders.kryo[ArrayBuffer[Double]]
@@ -157,8 +232,9 @@ object Viod {
 
   /** DataFrame-level per-key fit: (key, viod_lo, viod_hi). */
   def fitPerKey(kv: DataFrame, keyCol: String, valCol: String,
-      maxValuesPerKey: Int = Int.MaxValue): DataFrame = {
-    val agg = udaf(new ViodAggregator(maxValuesPerKey))
+      maxValuesPerKey: Int = Int.MaxValue,
+      prefixStats: Boolean = false): DataFrame = {
+    val agg = udaf(new ViodAggregator(maxValuesPerKey, prefixStats))
     kv.filter(col(valCol).isNotNull)
       .groupBy(col(keyCol).as("key"))
       .agg(agg(col(valCol).cast("double")).as("viod"))

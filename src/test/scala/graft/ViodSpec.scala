@@ -62,6 +62,27 @@ class ViodSpec extends SparkSpec {
     assert(fit.count() == 1) // null-only key has no rows after filter
   }
 
+  test("fitArrayPrefix: same trim decisions as the verbatim port") {
+    val r = new Random(47)
+    val clean = Array.fill(800)(r.nextGaussian())
+    val planted = clean ++ Array(55.0, -60.0, 62.0)
+    for (xs <- Seq(clean, planted)) {
+      val verbatim = Viod.fitArray(xs)
+      val prefix = Viod.fitArrayPrefix(xs)
+      // identical paths → identical bounds up to moment round-off; on a
+      // trimmed side the bound is an exact data value, so exact equality
+      assert(math.abs(verbatim.lo - prefix.lo) <
+        1e-9 * math.max(1.0, math.abs(verbatim.lo)))
+      assert(math.abs(verbatim.hi - prefix.hi) <
+        1e-9 * math.max(1.0, math.abs(verbatim.hi)))
+    }
+    val t = Viod.fitArrayPrefix(planted)
+    assert(!t.isInlier(55.0) && !t.isInlier(-60.0) && !t.isInlier(62.0))
+    // empty input → unbounded
+    val e = Viod.fitArrayPrefix(Array.empty[Double])
+    assert(e.lo.isNegInfinity && e.hi.isPosInfinity)
+  }
+
   test("fitPerKey flags planted outlier per key independently") {
     val r = new Random(46)
     val rows =
