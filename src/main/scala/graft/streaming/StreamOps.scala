@@ -69,6 +69,31 @@ object StreamOps {
       .select(col("subject_id"), col("sess.start").as("sess_start"),
         col("sess.end").as("sess_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * `BatchBuilder.taskWindows`: a stream of task rows
+    * `(task_subject_id, start_time, end_time, ...)` selects each
+    * subject's events inside `[start_time, end_time]` as they arrive on
+    * the event stream. Both sides carry watermarks, and the join
+    * condition bounds the two event-time columns against each other
+    * (`timestamp ∈ [start_time, start_time + maxTaskWindow]`), which is
+    * what lets Spark EVICT buffered rows: without the explicit
+    * `maxTaskWindow` bound the `end_time` predicate alone is opaque to
+    * the state manager and both sides buffer forever. State: events and
+    * tasks within watermark + maxTaskWindow of the stream head. */
+  def taskWindowsStream(events: DataFrame, tasks: DataFrame,
+      maxTaskWindow: String = "30 days",
+      eventWatermarkDelay: String = "10 minutes",
+      taskWatermarkDelay: String = "10 minutes"): DataFrame = {
+    val ev = events.withWatermark("timestamp", eventWatermarkDelay)
+    val tk = tasks.withWatermark("start_time", taskWatermarkDelay)
+    ev.join(tk,
+      ev("subject_id") === tk("task_subject_id") &&
+        col("timestamp") >= col("start_time") &&
+        col("timestamp") <=
+          col("start_time") + expr(s"INTERVAL $maxTaskWindow") &&
+        col("timestamp") <= col("end_time"))
+  }
+
   /** Running per-subject state via mapGroupsWithState: event count,
     * last-seen timestamp, and an online (Welford) mean of `value` — the
     * custom-state path for semantics session_window can't express.

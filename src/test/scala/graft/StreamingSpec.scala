@@ -39,6 +39,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("taskWindowsStream: stream-stream interval join selects in-window " +
+    "events per task row") {
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, Timestamp, String, Double)]
+    val tkIn = MemoryStream[(Long, Timestamp, Timestamp, String)]
+    val events = evIn.toDF()
+      .toDF("subject_id", "timestamp", "event_type", "value")
+    val tasks = tkIn.toDF()
+      .toDF("task_subject_id", "start_time", "end_time", "label")
+    val out = StreamOps.taskWindowsStream(events, tasks,
+      maxTaskWindow = "1 hour")
+      .select(col("task_subject_id"), col("label"), col("event_type"))
+    val q = out.writeStream.format("memory").queryName("task_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      tkIn.addData(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), "w1"),
+        (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "w2"))
+      evIn.addData(
+        event("2024-01-01 00:10:00", 1, "A", 1.0), // in w1
+        event("2024-01-01 00:40:00", 1, "B", 1.0), // after w1 end → out
+        event("2024-01-01 00:40:00", 2, "C", 1.0), // in w2
+        event("2024-01-01 00:10:00", 3, "D", 1.0)) // no task → out
+      q.processAllAvailable()
+      val rows = spark.table("task_join")
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set((1L, "w1", "A"), (2L, "w2", "C")))
+    } finally q.stop()
+  }
+
   test("batch-fit Preprocessor params transform a STREAM: the fit state " +
     "is broadcast-joinable local relations, so transform is stateless " +
     "and binds to readStream unchanged") {
