@@ -1089,6 +1089,23 @@ object SparkEntry {
       Viod.fitPerKey(ev, "event_type", "v", prefixStats = true)
         .select(col("key"), round(col("viod_lo"), 6).as("viod_lo"),
           round(col("viod_hi"), 6).as("viod_hi"))
+    }),
+
+    "q76_media_resize" -> ((s, dir) => {
+      // The resize stub in the media pipeline: ASCII-projected payloads
+      // (byte == codepoint, q64 discipline) → every-k-th-byte decimation
+      // to ≤64 bytes → the same decode path. Decimation and byte moments
+      // are SQL-replayable.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("text"))
+      val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+      val resized = Multimodal.resize(media, targetBytes = 64)
+      Multimodal.extractFeatures(resized)
+        .join(resized.select(col("media_id"), col("scale_den")),
+          Seq("media_id"))
+        .select(col("media_id"), col("n_bytes"), col("scale_den"),
+          round(col("mean_byte"), 6).as("mean_byte"))
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
@@ -2337,5 +2354,31 @@ object SparkEntry {
         |       round(t_large, 6) AS viod_hi
         |FROM (SELECT *, row_number() OVER (PARTITION BY key
         |                                   ORDER BY iter DESC) AS rk
-        |      FROM it) WHERE rk = 1 ORDER BY key""".stripMargin)
+        |      FROM it) WHERE rk = 1 ORDER BY key""".stripMargin,
+
+    "q76_media_resize" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+        |  FROM documents),
+        |k AS (
+        |  SELECT media_id, t, length(t) AS n,
+        |         CASE WHEN length(t) = 0 THEN 1
+        |              ELSE greatest(1, (length(t) + 63) // 64) END AS kd
+        |  FROM a),
+        |b AS (
+        |  SELECT media_id, kd,
+        |         CASE WHEN n = 0 THEN 0 ELSE (n + kd - 1) // kd END
+        |           AS n_out,
+        |         CASE WHEN n = 0 THEN [] ELSE
+        |           list_transform(range(0, (n + kd - 1) // kd), i ->
+        |             unicode(substr(t, CAST(i * kd + 1 AS INT), 1)))
+        |         END AS bytes
+        |  FROM k)
+        |SELECT media_id, CAST(n_out AS INT) AS n_bytes,
+        |       CAST(kd AS INT) AS scale_den,
+        |       round(CASE WHEN n_out = 0 THEN 0.0
+        |             ELSE CAST(list_sum(bytes) AS DOUBLE) / n_out END, 6)
+        |         AS mean_byte
+        |FROM b ORDER BY media_id""".stripMargin)
 }

@@ -88,6 +88,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: decimate the payload to ~`targetBytes` by keeping every
+    * k-th byte (k = ceil(n / target)) and stamp the metadata with the new
+    * nominal dimensions. A real build replaces the kernel with an actual
+    * image resample (and width/height math); the Spark shape — a narrow
+    * binary→binary projection whose output feeds the same decode /
+    * frame-sample operators — is what matters and is tested. Pure
+    * expressions (substr-free positional filter via transform+filter on
+    * byte indices would be interpreted per byte — the kernel runs in a
+    * mapPartitions like decode, amortizing real-resampler init). */
+  final case class ResizedMedia(media_id: Long, payload: Array[Byte],
+      scale_den: Int)
+
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        // [init real resampler here, once per partition]
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (p == null || p.length == 0) ResizedMedia(id, p, 1)
+          else {
+            val k = math.max(1, (p.length + targetBytes - 1) / targetBytes)
+            val out = new Array[Byte]((p.length + k - 1) / k)
+            var i = 0
+            while (i < out.length) { out(i) = p(i * k); i += 1 }
+            ResizedMedia(id, out, k)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Frame-sampling shape for video-like payloads: deterministic byte-range
     * "frames" every `frameBytes` bytes — the plumbing (explode to frames,
     * per-frame features, frame index) is what a real video pipeline needs.

@@ -136,6 +136,25 @@ class BatchBuilderSpec extends SparkSpec {
     assert(frames(2L) == 1L)
   }
 
+  test("multimodal resize: every-k-th-byte decimation to the target size") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val out = Multimodal.resize(media, targetBytes = 4)
+      .as[Multimodal.ResizedMedia].collect()
+      .map(r => r.media_id -> r).toMap
+    assert(new String(out(1L).payload) == "aceg") // k = 2
+    assert(out(1L).scale_den == 2)
+    assert(new String(out(2L).payload) == "xy") // already under target
+    assert(out(2L).scale_den == 1)
+    assert(out(3L).payload.isEmpty && out(3L).scale_den == 1)
+    // resized payloads feed the same decode path
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resize(media, 4).withColumnRenamed("payload", "payload"))
+      .as[Multimodal.MediaFeatures].collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 4)
+  }
+
   test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
     "string codes (reference :61-81)") {
     import graft.serve.TaskLabels
