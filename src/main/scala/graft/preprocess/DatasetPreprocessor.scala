@@ -69,8 +69,21 @@ object DatasetPreprocessor {
         }.toSet
       case None => Set.empty
     }
+    // Missing-column drop (event_stream_dataset.py:1310-1312): a STATIC
+    // measurement whose column is absent from subjects, or an FTD
+    // measurement whose functor column is absent from the events frame,
+    // is dropped rather than failing analysis. (Dynamic measurements
+    // live in the long layout, where "column absent" is just zero rows —
+    // the observation-count rule above covers them.)
+    val schemaDropped: Set[String] = cfg.measurements.collect {
+      case m if m.temporality == TemporalityType.Static &&
+        !ds.subjects.columns.contains(m.name) => m.name
+      case m if m.temporality == TemporalityType.FunctionalTimeDependent &&
+        !trainEvents.columns.contains(m.name) => m.name
+    }.toSet
     val keptMeasurements = cfg.measurements
-      .filterNot(m => dropped.contains(m.name))
+      .filterNot(m => dropped.contains(m.name) ||
+        schemaDropped.contains(m.name))
 
     // Per-measurement fits are independent — run them CONCURRENTLY.
     // Each fit is a short chain of eager jobs (checkpointed aggregates);
@@ -116,7 +129,7 @@ object DatasetPreprocessor {
       fs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
 
     FittedDataset(await(dynamicF), await(dynamicCategoricalF),
-      await(staticF), await(timeDependentF), dropped)
+      await(staticF), await(timeDependentF), dropped ++ schemaDropped)
   }
 
   /** Transform every split with train-fit params.

@@ -73,6 +73,31 @@ class DatasetPreprocessorSpec extends SparkSpec {
     assert(sexIdx(1L) > 0 && sexIdx(2L) == 0)
   }
 
+  test("missing-column measurements drop instead of failing analysis " +
+    "(reference :1310-1312)") {
+    val events = Seq((0L, 1L, ts("2024-01-01 05:00:00"), "A"))
+      .toDF("event_id", "subject_id", "timestamp", "event_type")
+    val meas = Seq((0L, 0L, "A", 1L, "lab", "hr", Some(60.0)))
+      .toDF("metadata_id", "event_id", "event_type", "subject_id",
+        "measurement", "key", "value")
+    val subjects = Seq((1L, "F")).toDF("subject_id", "sex")
+    val ds = EventDataset(events, meas, subjects)
+    val splits = Seq((1L, "train")).toDF("subject_id", "split")
+    val cfg = DatasetConfig(measurements = Seq(
+      MeasurementConfig("sex", TemporalityType.Static,
+        DataModality.SingleLabelClassification),
+      MeasurementConfig("blood_type", TemporalityType.Static,
+        DataModality.SingleLabelClassification), // absent from subjects
+      MeasurementConfig("age", TemporalityType.FunctionalTimeDependent,
+        DataModality.UnivariateRegression))) // no functor supplied
+    val fit = DatasetPreprocessor.fit(ds, splits, cfg, Nil)
+    assert(fit.dropped == Set("blood_type", "age"))
+    assert(fit.static.keySet == Set("sex"))
+    // transform still runs on the surviving config
+    val (_, _, subj) = DatasetPreprocessor.transform(ds, fit, Nil)
+    assert(subj.columns.contains("sex_idx"))
+  }
+
   test("observation-count drop rule removes under-observed measurements") {
     val events = (0L until 10L).map(i =>
       (i, 1L, ts(f"2024-01-01 0$i:00:00"), "A"))
