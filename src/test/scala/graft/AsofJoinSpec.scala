@@ -63,6 +63,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == (None, Some("b")))
   }
 
+  test("asofJoin: randomized equivalence with the brute-force reference") {
+    val r = new scala.util.Random(48)
+    // duplicate left timestamps, ties with right timestamps, sparse keys
+    val left = (0 until 400).map { i =>
+      (i.toLong, r.nextInt(8).toLong,
+        new Timestamp(1700000000000L + r.nextInt(500) * 1000L))
+    }
+    val right = scala.util.Random.shuffle(
+      (0 until 200).map { _ =>
+        (r.nextInt(10).toLong,
+          new Timestamp(1700000000000L + r.nextInt(500) * 1000L))
+      }.distinct).map { case (k, t) => (k, t, r.nextDouble()) }
+    val expected: Map[Long, Option[Double]] = left.map { case (id, k, t) =>
+      val m = right.filter(x => x._1 == k && !x._2.after(t))
+      id -> (if (m.isEmpty) None
+             else Some(m.maxBy(_._2.getTime)._3))
+    }.toMap
+    val out = AsofJoin.asofJoin(
+      left.toDF("event_id", "subject_id", "ts2"),
+      right.toDF("subject_id", "ts2", "p_val"),
+      "subject_id", "ts2", Seq("p_val"))
+      .select("event_id", "p_val")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out.size == 400)
+    assert(out == expected)
+  }
+
   test("asofJoin keeps every left row and all left columns") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "extra"))
       .toDF("event_id", "subject_id", "ts2", "note")
