@@ -1106,6 +1106,18 @@ object SparkEntry {
           Seq("media_id"))
         .select(col("media_id"), col("n_bytes"), col("scale_den"),
           round(col("mean_byte"), 6).as("mean_byte"))
+    }),
+
+    "q77_cluster_dedup" -> ((s, dir) => {
+      // Connected components + canonical dedup, ORACLE-CHECKED: the same
+      // clusterPairs/dedupByPairs operators as q41, but driven by the
+      // SQL-replayable q58 winnow-overlap pairs, so DuckDB replays the
+      // clustering as a recursive min-label closure (q41 stays the
+      // xxhash64-LSH production path, rows-only).
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 8, w = 16, minShared = 5, maxPostingSize = 5)
+      Dedup.dedupByPairs(docs, "doc_id", pairs).select("doc_id")
     }))
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
@@ -2380,5 +2392,46 @@ object SparkEntry {
         |       round(CASE WHEN n_out = 0 THEN 0.0
         |             ELSE CAST(list_sum(bytes) AS DOUBLE) / n_out END, 6)
         |         AS mean_byte
-        |FROM b ORDER BY media_id""".stripMargin)
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    // q58's pair derivation + a recursive min-label closure for the
+    // connected components, then keep unpaired docs and each cluster's
+    // min-id survivor (Dedup.dedupByPairs semantics).
+    "q77_cluster_dedup" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+        |      i -> list_sum(list_transform(range(0, 8), j ->
+        |        CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) *
+        |        [13163680, 805498697, 154885210, 362470373, 16974593,
+        |         66049, 257, 1][CAST(j + 1 AS INT)])) % 1000000007)
+        |      AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 16 + 2),
+        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))
+        |    END AS fps
+        |  FROM h),
+        |fd AS (
+        |  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel),
+        |ok AS (SELECT fp FROM fd GROUP BY fp HAVING count(*) <= 5),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fd a JOIN fd b USING (fp) JOIN ok USING (fp)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pr
+        |      UNION SELECT id_b, id_a FROM pr),
+        |cc AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM e
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON e.a = cc.node),
+        |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN lab ON lab.node = d.doc_id
+        |WHERE lab.node IS NULL OR lab.label = d.doc_id
+        |ORDER BY doc_id""".stripMargin)
 }
