@@ -1118,7 +1118,103 @@ object SparkEntry {
       val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
         k = 8, w = 16, minShared = 5, maxPostingSize = 5)
       Dedup.dedupByPairs(docs, "doc_id", pairs).select("doc_id")
+    }),
+
+    "q78_minhash_replay" -> ((s, dir) => {
+      // The full MinHash+LSH pipeline shape with an SQL-replayable hash
+      // family: base-257 rolling 5-gram shingle hashes mod 1e9+7 (the q55
+      // discipline; ASCII-projected + lowercased so byte == codepoint and
+      // case-folding is engine-identical), 16 affine permutations over
+      // Z_p, 4 bands × 4 rows, band-bucket candidates, exact hash-set
+      // Jaccard verify ≥ 0.5. q27 stays the production xxhash64 path
+      // (rows-only); THIS query hash-checks the signature math, banding
+      // semantics, and verify threshold against DuckDB.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      // w=1 winnowing selects every rolling hash → the sorted-distinct
+      // 5-gram hash SET, shared by the signature and the verify join
+      val sets = docs.select(col("doc_id"),
+        TextOps.winnowFingerprints(col("text"), k = 5, w = 1).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .localCheckpoint(true)
+      val aggs = (0 until MinhashReplay.nPerm).map { j =>
+        min((col("h") * MinhashReplay.aj(j) + MinhashReplay.bj(j))
+          % MinhashReplay.P).as(s"m$j")
+      }
+      val sig = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+      val cand = (0 until MinhashReplay.bands).map { bnd =>
+        val cs = (bnd * MinhashReplay.rows until
+          (bnd + 1) * MinhashReplay.rows).map(j => s"m$j")
+        sig.select(col("doc_id").as("id_a"),
+            struct(cs.map(col): _*).as("__bk"))
+          .join(sig.select(col("doc_id").as("id_b"),
+            struct(cs.map(col): _*).as("__bk")), Seq("__bk"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+          Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+          Seq("id_b"))
+        .withColumn("jaccard",
+          graft.expressions.VectorFunctions.sortedLongJaccard(
+            col("hs_a"), col("hs_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
     }))
+
+  /** q78's replayable permutation family — one definition drives both the
+    * Spark query and the generated DuckDB oracle. */
+  private object MinhashReplay {
+    val P = 1000000007L
+    val nPerm = 16
+    val bands = 4
+    val rows = 4
+    def aj(j: Int): Long = (j * 2654435761L + 1L) % P
+    def bj(j: Int): Long = (j * 40503L + 7L) % P
+    def oracle: String = {
+      val sigCols = (0 until nPerm).map(j =>
+        s"min((hv * ${aj(j)} + ${bj(j)}) % $P) AS m$j").mkString(", ")
+      val bandConds = (0 until bands).map { bnd =>
+        (bnd * rows until (bnd + 1) * rows)
+          .map(j => s"a.m$j = b.m$j").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(length(t) - 5 + 2, 1)),
+         |      i -> list_sum(list_transform(range(0, 5), j ->
+         |        CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT) *
+         |        [362470373, 16974593, 66049, 257, 1][CAST(j + 1 AS INT)]))
+         |        % $P) AS hs
+         |  FROM (SELECT doc_id,
+         |          lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'))
+         |            AS t
+         |        FROM documents)),
+         |sets AS (
+         |  SELECT doc_id, list_sort(list_distinct(hs)) AS hs
+         |  FROM h WHERE len(hs) > 0),
+         |e AS (SELECT doc_id, unnest(hs) AS hv FROM sets),
+         |sig AS (SELECT doc_id, $sigCols FROM e GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |   AND ($bandConds)),
+         |jac AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |    CAST(len(sa.hs) + len(sb.hs)
+         |         - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS j
+         |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+         |            JOIN sets sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard
+         |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    }
+  }
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
     * the driver's weaker rows-only check (seeded-hash ops:
@@ -2433,5 +2529,7 @@ object SparkEntry {
         |SELECT d.doc_id FROM documents d
         |LEFT JOIN lab ON lab.node = d.doc_id
         |WHERE lab.node IS NULL OR lab.label = d.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q78_minhash_replay" -> MinhashReplay.oracle)
 }
