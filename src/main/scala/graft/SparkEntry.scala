@@ -1166,6 +1166,47 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q79_simhash_replay" -> ((s, dir) => {
+      // SimHash with an SQL-replayable token-hash family: two base-b poly
+      // hashes mod 1e9+7 (b = 257, 263; first 8 bytes per whitespace
+      // token) each feed the SAME SimHashSigExpr majority rule as the
+      // production path, packed into a 60-bit signature (30 bits per
+      // family — one family saturates at corpus scale: 112k pairs at
+      // sf0.1 vs ~300 with 60 bits). 3×20-bit pigeonhole bands guarantee
+      // recall for hamming ≤ 2; bit_count verifies on both engines. q28
+      // stays the production xxhash64 64-bit path.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      val thA = graft.expressions.TextExpressions.wsTokenPolyHashes(
+        col("text"), 257L)
+      val thB = graft.expressions.TextExpressions.wsTokenPolyHashes(
+        col("text"), 263L)
+      val sigs = docs
+        .select(col("doc_id"), thA.as("__ta"), thB.as("__tb"))
+        .filter(size(col("__ta")) > 0)
+        .select(col("doc_id"),
+          (graft.expressions.TextExpressions.simhashSig(col("__ta")) +
+            graft.expressions.TextExpressions.simhashSig(col("__tb")) *
+              lit(1L << 30)).as("sig"))
+      val chunked = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(2)), i =>
+          call_function("shiftright", col("sig"),
+            (i * 20).cast("int")).bitwiseAND(lit(0xFFFFFL))))
+          .as(Seq("cpos", "chunk")))
+      val a = chunked.select(col("cpos"), col("chunk"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = chunked.select(col("cpos"), col("chunk"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("cpos", "chunk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+            .as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .filter(col("hamming") <= 2)
     }))
 
   /** q78's replayable permutation family — one definition drives both the
@@ -2531,5 +2572,69 @@ object SparkEntry {
         |WHERE lab.node IS NULL OR lab.label = d.doc_id
         |ORDER BY doc_id""".stripMargin,
 
-    "q78_minhash_replay" -> MinhashReplay.oracle)
+    "q78_minhash_replay" -> MinhashReplay.oracle,
+
+    "q79_simhash_replay" -> SimhashReplay.oracle)
+
+  /** q79's replayable two-family token-hash SimHash — coefficient vectors
+    * generated from the same bases that drive the Spark expressions. */
+  private object SimhashReplay {
+    private val M = 1000000007L
+    private def coeffs(base: Long): String =
+      (0 until 8).map { i =>
+        var p = 1L
+        (0 until (7 - i)).foreach(_ => p = p * base % M)
+        p
+      }.mkString("[", ", ", "]")
+    def oracle: String = {
+      def thCte(name: String, base: Long) =
+        s"""$name AS (
+           |  SELECT doc_id,
+           |    list_sum(list_transform(range(0, least(length(w), 8)), i ->
+           |      CAST(unicode(substr(w, CAST(i + 1 AS INT), 1)) AS BIGINT) *
+           |      ${coeffs(base)}
+           |        [CAST(8 - least(length(w), 8) + i + 1 AS INT)]))
+           |      % $M AS h
+           |  FROM tok)"""
+      def sigCte(name: String, th: String) =
+        s"""${name}_bits AS (
+           |  SELECT doc_id, r.b AS bit,
+           |         CASE WHEN sum(CASE WHEN (h >> CAST(r.b AS INT)) & 1 = 1
+           |                            THEN 1 ELSE -1 END) > 0
+           |              THEN (CAST(1 AS BIGINT) << CAST(r.b AS INT))
+           |              ELSE 0 END AS bv
+           |  FROM $th CROSS JOIN range(0, 30) AS r(b)
+           |  GROUP BY doc_id, r.b),
+           |$name AS (SELECT doc_id, sum(bv) AS s FROM ${name}_bits
+           |          GROUP BY doc_id)"""
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(t, '\\s+'),
+         |                                    x -> x <> '')) AS w
+         |  FROM d),
+         |${thCte("tha", 257L)},
+         |${thCte("thb", 263L)},
+         |${sigCte("siga", "tha")},
+         |${sigCte("sigb", "thb")},
+         |sig AS (
+         |  SELECT siga.doc_id, siga.s + sigb.s * ${1L << 30} AS sig
+         |  FROM siga JOIN sigb USING (doc_id)),
+         |ch AS (
+         |  SELECT doc_id, sig, r.c AS cpos,
+         |         (sig >> CAST(r.c * 20 AS INT)) & ${0xFFFFFL} AS chunk
+         |  FROM sig CROSS JOIN range(0, 3) AS r(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sig AS sa, b.sig AS sb
+         |  FROM ch a JOIN ch b ON a.cpos = b.cpos AND a.chunk = b.chunk
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT)
+         |  AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  }
 }

@@ -44,6 +44,36 @@ private[expressions] object ByteTextUtil {
     if (cnt == buf.length) buf else java.util.Arrays.copyOf(buf, cnt)
   }
 
+  /** SQL-replayable token hash: base-257 polynomial mod 1e9+7 over the
+    * FIRST 8 bytes of each whitespace token (duplicates kept). The 8-byte
+    * cap keeps an external engine's replay to a fixed coefficient vector
+    * (powers of 257 mod M) instead of per-step modular reduction; callers
+    * feed ASCII-projected text so byte == codepoint. */
+  def tokenPolyHashes(bytes: Array[Byte], base: Long = 257L)
+      : Array[Long] = {
+    val M = 1000000007L
+    var buf = new Array[Long](16)
+    var cnt = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        if (cnt == buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        var h = 0L
+        var j = start
+        val end = math.min(i, start + 8)
+        while (j < end) { h = (h * base + (bytes(j) & 0xffL)) % M; j += 1 }
+        buf(cnt) = h
+        cnt += 1
+      }
+    }
+    if (cnt == buf.length) buf else java.util.Arrays.copyOf(buf, cnt)
+  }
+
   /** Sort the first `m` entries ascending and dedup in place; returns the
     * distinct prefix (the input array when nothing was dropped). */
   def sortedDistinct(hs: Array[Long], m: Int): Array[Long] = {
@@ -227,6 +257,24 @@ case class WsTokenHashExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression)
       : WsTokenHashExpr = copy(child = newChild)
+}
+
+/** SQL-replayable whitespace-token hashes (ByteTextUtil.tokenPolyHashes):
+  * base-257 polynomial mod 1e9+7 over each token's first 8 bytes. The
+  * replayable twin of WsTokenHashExpr for oracle-checked pipelines. */
+case class WsTokenPolyHashExpr(child: Expression, base: Long = 257L)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ByteTextUtil.tokenPolyHashes(
+      input.asInstanceOf[UTF8String].getBytes, base))
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WsTokenPolyHashExpr = copy(child = newChild)
 }
 
 /** MinHash signature of an array<long> of element hashes: for each of k
@@ -545,6 +593,11 @@ object TextExpressions {
   /** xxhash64 hashes of whitespace tokens (duplicates kept). */
   def wsTokenHashes(s: Column): Column =
     Bridge.toColumn(WsTokenHashExpr(Bridge.toExpression(s)))
+
+  /** SQL-replayable token hashes (base-`base` poly mod 1e9+7, first 8
+    * bytes per whitespace token, duplicates kept). */
+  def wsTokenPolyHashes(s: Column, base: Long = 257L): Column =
+    Bridge.toColumn(WsTokenPolyHashExpr(Bridge.toExpression(s), base))
 
   /** k-permutation MinHash signature of an array<long> of element
     * hashes; null for empty input. */

@@ -241,6 +241,24 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // canonical per cluster + lone 4
   }
 
+  test("wsTokenPolyHashes: known answers, 8-byte cap, base parameter") {
+    import graft.expressions.TextExpressions
+    val df = Seq("ab cd", "abcdefghiXYZ abcdefgh", "", "  ")
+      .toDF("t")
+      .select(TextExpressions.wsTokenPolyHashes(col("t")).as("h"))
+      .as[Seq[Long]].collect()
+    // "ab" → 97·257 + 98 ; "cd" → 99·257 + 100
+    assert(df(0) == Seq(97L * 257 + 98, 99L * 257 + 100))
+    // first-8-bytes cap: "abcdefghiXYZ" hashes like "abcdefgh"
+    assert(df(1)(0) == df(1)(1))
+    assert(df(2).isEmpty && df(3).isEmpty)
+    // a different base produces a different family
+    val alt = Seq("ab").toDF("t")
+      .select(TextExpressions.wsTokenPolyHashes(col("t"), 263L).as("h"))
+      .as[Seq[Long]].collect()
+    assert(alt(0) == Seq(97L * 263 + 98))
+  }
+
   test("minhash signature estimate correlates with true jaccard") {
     // identical docs → identical signatures
     val docs = Seq((1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"))
