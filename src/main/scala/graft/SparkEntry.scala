@@ -1207,6 +1207,17 @@ object SparkEntry {
             .as("hamming"))
         .dropDuplicates("id_a", "id_b")
         .filter(col("hamming") <= 2)
+    }),
+
+    "q80_cosine_pairs" -> ((s, dir) => {
+      // Brute-force embedding near-dup pairs, oracle-checked: the exact
+      // verify math of q30 without the (seeded, un-replayable) hyperplane
+      // candidate filter. vec_id < 200 bounds the quadratic pair space;
+      // 0.3 matches q30 (driver vectors are near-orthogonal).
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.ops.Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding",
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     }))
 
   /** q78's replayable permutation family — one definition drives both the
@@ -2574,7 +2585,18 @@ object SparkEntry {
 
     "q78_minhash_replay" -> MinhashReplay.oracle,
 
-    "q79_simhash_replay" -> SimhashReplay.oracle)
+    "q79_simhash_replay" -> SimhashReplay.oracle,
+
+    "q80_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6)
+        |    AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** q79's replayable two-family token-hash SimHash — coefficient vectors
     * generated from the same bases that drive the Spark expressions. */

@@ -430,6 +430,21 @@ object Dedup {
     * pseudo-random hyperplanes → one bucket key; near-identical vectors
     * collide with high probability). Verify with the native cosine
     * expression. */
+  /** Brute-force embedding near-dup pairs: exact all-pairs cosine — the
+    * verification path of [[embeddingNearDups]] without the hyperplane
+    * candidate filter. Quadratic: for small N, re-ranking a candidate
+    * set, or oracle verification; production discovery uses the bucketed
+    * form. */
+  def embeddingNearDupsExact(vecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 7,
       dim: Int = 64): DataFrame = {
