@@ -1218,6 +1218,41 @@ object SparkEntry {
       graft.ops.Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding",
           threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    "q81_unified_offsets" -> ((s, dir) => {
+      // Unified vocab offsets with TWO dynamic measurements (reference
+      // event_stream_pytorch_dataset.py:124-153): event_type pinned at
+      // measurement idx 1 / offset 1, the props-key vocabulary as the
+      // next contiguous block (block sizes include the per-vocab UNK
+      // slot). q18 exercises only the pinned offset-1 block; this
+      // hash-checks the offset table itself through the sequence builder.
+      val d = dsRaw(s, dir)
+      val raw = t(s, dir, "events")
+      val props = EventDataset.propsToMeasurements(raw)
+      val vET = Vocabulary.fitLocal(d.events, "event_type")
+      val vPK = Vocabulary.fitLocal(props, "key")
+      val offs = BatchBuilder.buildOffsets(Seq(
+        ("event_type", vET.count()), ("props", vPK.count())))
+        .map(o => o.measurement -> o).toMap
+      val oET = offs("event_type")
+      val oPK = offs("props")
+      val itemsET = Vocabulary.lookup(d.measurements, "key", vET, "vidx")
+        .select(col("event_id"),
+          (col("vidx") + oET.offset).as("unified_idx"), col("value"),
+          lit(oET.measurementIdx.toLong).as("measurement_idx"))
+      val itemsPK = Vocabulary.lookup(props, "key", vPK, "vidx")
+        .select(col("event_id"),
+          (col("vidx") + oPK.offset).as("unified_idx"), col("value"),
+          lit(oPK.measurementIdx.toLong).as("measurement_idx"))
+      BatchBuilder.subjectSequences(d.events,
+          itemsET.unionByName(itemsPK))
+        .select(col("subject_id"),
+          size(flatten(col("dynamic_indices"))).as("n_items"),
+          aggregate(flatten(col("dynamic_indices")), lit(0L),
+            (a, x) => a + x).as("sum_uidx"),
+          aggregate(flatten(col("dynamic_measurement_indices")), lit(0L),
+            (a, x) => a + x).as("sum_midx"))
     }))
 
   /** q78's replayable permutation family — one definition drives both the
@@ -2596,7 +2631,28 @@ object SparkEntry {
         |WHERE a.vec_id < 200 AND b.vec_id < 200
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // offset(event_type) = 1 (pinned); offset(props) = 1 + |vET| where the
+    // block size includes the UNK slot (count distinct + 1); props idx('k')
+    // = 1 (sole element).
+    "q81_unified_offsets" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS idx
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) + 1 AS sz FROM v),
+        |items AS (
+        |  SELECT e.user_id, 1 + v.idx AS u, 1 AS m
+        |  FROM events e JOIN v USING (event_type)
+        |  UNION ALL
+        |  SELECT user_id, (1 + (SELECT sz FROM n)) + 1 AS u, 2 AS m
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL)
+        |SELECT user_id AS subject_id, CAST(count(*) AS INT) AS n_items,
+        |       CAST(sum(u) AS BIGINT) AS sum_uidx,
+        |       CAST(sum(m) AS BIGINT) AS sum_midx
+        |FROM items GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** q79's replayable two-family token-hash SimHash — coefficient vectors
     * generated from the same bases that drive the Spark expressions. */
