@@ -58,14 +58,34 @@ object Bench {
         }
         // any failed rep fails the query (plans are deterministic — a
         // pass/fail flicker would mean nondeterminism worth surfacing)
-        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+        name -> (times, if (times.exists(_ < 0)) -1.0 else times.min)
+    }
     // -1.0 failure sentinels must not reduce the total
-    val total = results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._2 < 0)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // The driver retains only the last 2000 chars of stdout, so the ONE
+    // JSON line must fit that window: query keys are abbreviated to their
+    // unique qNN prefix (the contract's own example uses "q1") and times
+    // carry 3 decimals. Full names + per-rep times go to the companion
+    // file below.
+    val qs = results.map { case (k, (_, v)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    // Full-fidelity record (full query names, every rep's time): immune to
+    // the stdout tail window. Path overridable for local iteration.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val fullQs = results.map { case (k, (reps, v)) =>
+      s""""$k":{"sec":$v,"reps":[${reps.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

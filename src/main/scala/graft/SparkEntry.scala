@@ -709,8 +709,10 @@ object SparkEntry {
       // the mask is recoverable). Scalar (subject, pos, t_min) rows: array
       // cells are contract-hostile.
       val ev = dsSec(s, dir).events
+      // batch max length as a broadcast 1-row aggregate crossJoined into
+      // the plan — no driver-side collect, one composed job
       val maxLen = ev.groupBy("subject_id").count()
-        .agg(max("count")).collect()(0).getLong(0).toInt
+        .agg(max("count").cast("int").as("__max_len"))
       val seqs = ev.groupBy("subject_id")
         .agg(sort_array(collect_list(struct(
           col("timestamp").cast("double").as("ts"), col("event_id"))))
@@ -718,8 +720,9 @@ object SparkEntry {
         .select(col("subject_id"), transform(col("evs"),
           e => (e("ts") - element_at(col("evs"), 1)("ts")) / 60.0)
           .as("tmins"))
-      seqs.select(col("subject_id"),
-          posexplode(BatchBuilder.padTo(col("tmins"), maxLen)))
+      seqs.crossJoin(broadcast(maxLen))
+        .select(col("subject_id"),
+          posexplode(BatchBuilder.padToCol(col("tmins"), col("__max_len"))))
         .select(col("subject_id"), (col("pos") + 1).cast("int").as("pos"),
           round(col("col"), 6).as("t_min"))
     }),

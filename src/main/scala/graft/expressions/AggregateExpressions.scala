@@ -1,0 +1,137 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Per-bag weighted vector sum, `Σ w·vec` element-wise — the aggregate half
+  * of the reference's `EmbeddingBag(mode='sum')` gather
+  * (/root/reference/EventStream/EventStreamData/data_embedding_layer.py:174-244).
+  *
+  * Native `TypedImperativeAggregate` replacing the earlier typed
+  * `Aggregator`/`udaf` form: that path deserialized every input row's vector
+  * through an ExpressionEncoder into `Seq[Double]` (boxing each component)
+  * and re-encoded the `Array[Double]` buffer per partial-aggregation row.
+  * Here update() reads the incoming `ArrayData` buffer directly — zero
+  * boxing, one primitive fused loop — and the buffer ser/de between
+  * partial and final aggregation is a flat little-endian byte copy.
+  *
+  * Semantics (unchanged from the udaf, plus loud length validation):
+  *   - null vectors and null weights contribute nothing;
+  *   - a group whose inputs were ALL null/absent evaluates to null;
+  *   - a vector whose length differs from the established buffer length
+  *     throws (mixed-dimension embedding tables are a data bug — silently
+  *     truncating or padding would corrupt the gather without signal).
+  */
+case class WeightedVecSumAgg(
+    weight: Expression,
+    vec: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] with Serializable {
+
+  override def children: Seq[Expression] = Seq(weight, vec)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
+    }
+    if (weight.dataType == DoubleType && vecOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"weighted_vec_sum needs (double, array<float|double>), got " +
+          s"${weight.dataType.sql}, ${vec.dataType.sql}")
+  }
+
+  @transient private lazy val vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow)
+      : Array[Double] = {
+    val w = weight.eval(input)
+    val v = vec.eval(input)
+    if (w == null || v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf =
+      if (buffer.length == 0) new Array[Double](n)
+      else if (buffer.length != n)
+        throw new IllegalArgumentException(
+          s"weighted_vec_sum: vector of length $n in a group whose " +
+            s"previous vectors had length ${buffer.length}")
+      else buffer
+    val wd = w.asInstanceOf[Double]
+    val f = vecIsFloat
+    var i = 0
+    while (i < n) {
+      buf(i) += wd * (if (f) arr.getFloat(i).toDouble else arr.getDouble(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.length == 0) b
+    else if (b.length == 0) a
+    else if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"weighted_vec_sum: merging buffers of lengths " +
+          s"${a.length} and ${b.length}")
+    else {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putDouble(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : WeightedVecSumAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : WeightedVecSumAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightedVecSumAgg =
+    copy(weight = newChildren(0), vec = newChildren(1))
+
+  override def prettyName: String = "weighted_vec_sum"
+}
+
+object AggregateFunctions {
+  /** Column-level API: per-group weighted vector sum `Σ w·vec`. */
+  def weightedVecSum(w: Column, v: Column): Column =
+    Bridge.toColumn(
+      WeightedVecSumAgg(Bridge.toExpression(w), Bridge.toExpression(v))
+        .toAggregateExpression())
+}

@@ -150,8 +150,15 @@ object BatchBuilder {
   /** Optional rectangularization for consumers that want dense [L] arrays:
     * right-pad `arr` with nulls to `len` (reference collate,
     * event_stream_pytorch_dataset.py:444-567; padding side configurable). */
-  def padTo(arr: Column, len: Int, leftPad: Boolean = false): Column = {
-    val pad = array_repeat(lit(null), lit(len) - size(arr))
+  def padTo(arr: Column, len: Int, leftPad: Boolean = false): Column =
+    padToCol(arr, lit(len), leftPad)
+
+  /** Column-length overload: pad to a length computed inside the plan
+    * (e.g. a broadcast 1-row `max(count)` aggregate) so batch padding
+    * needs no driver-side collect. */
+  def padToCol(arr: Column, len: Column, leftPad: Boolean = false)
+      : Column = {
+    val pad = array_repeat(lit(null), len.cast("int") - size(arr))
     if (leftPad) concat(pad, arr) else concat(arr, pad)
   }
 

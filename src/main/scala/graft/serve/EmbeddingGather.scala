@@ -1,9 +1,10 @@
 package graft.serve
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.expressions.AggregateFunctions.weightedVecSum
 
 /** Relational form of the reference's DataEmbeddingLayer
   * (/root/reference/EventStream/EventStreamData/data_embedding_layer.py:
@@ -14,46 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * expressed as ONE shuffle: a broadcast hash join observations →
   * embedding rows, then a per-bag weighted vector-sum aggregate
-  * (`WeightedVecSum`, a typed Aggregator with an Array[Double] buffer).
-  * Partial aggregation makes the wire traffic |bags| × dim doubles per
-  * map task — the same as the old by-dimension form, but without
-  * materializing |items| × dim exploded rows through a first exchange and
-  * a second regrouping exchange.
+  * (`WeightedVecSumAgg`, a native TypedImperativeAggregate over ArrayData —
+  * see expressions/AggregateExpressions.scala for why not an
+  * Aggregator/udaf). Partial aggregation makes the wire traffic
+  * |bags| × dim doubles per map task — the same as the old by-dimension
+  * form, but without materializing |items| × dim exploded rows through a
+  * first exchange and a second regrouping exchange.
   */
 object EmbeddingGather {
-
-  /** Per-bag weighted vector sum: buf += w · vec, element-wise. The buffer
-    * allocates lazily on first input so one instance serves any dimension;
-    * map-side partial aggregation reduces each task to |bags| buffers. */
-  class WeightedVecSum
-      extends Aggregator[(Double, Seq[Double]), Array[Double], Seq[Double]] {
-    def zero: Array[Double] = Array.emptyDoubleArray
-    def reduce(b: Array[Double], in: (Double, Seq[Double]))
-        : Array[Double] = {
-      val (w, v) = in
-      if (v == null) b
-      else {
-        val buf = if (b.length == 0) new Array[Double](v.length) else b
-        var i = 0
-        while (i < buf.length) { buf(i) += w * v(i); i += 1 }
-        buf
-      }
-    }
-    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
-      if (a.length == 0) b
-      else if (b.length == 0) a
-      else {
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
-        a
-      }
-    def finish(b: Array[Double]): Seq[Double] =
-      if (b.length == 0) null else b.toSeq
-    def bufferEncoder: Encoder[Array[Double]] =
-      ExpressionEncoder[Array[Double]]()
-    def outputEncoder: Encoder[Seq[Double]] =
-      ExpressionEncoder[Seq[Double]]()
-  }
 
   /** Weighted-sum gather.
     * @param items  observation rows: one per bag element
@@ -63,7 +32,6 @@ object EmbeddingGather {
   def gather(items: DataFrame, idCol: String, idxCol: String,
       weightCol: String, emb: DataFrame, embIdCol: String,
       vecCol: String): DataFrame = {
-    val vecSum = udaf(new WeightedVecSum)
     items
       // padding_idx=0 contributes nothing (reference bag layers :174-198)
       .filter(col(idxCol) =!= 0)
@@ -73,7 +41,7 @@ object EmbeddingGather {
         col(vecCol).cast("array<double>").as("__vec"))),
         col(idxCol) === col("__eid"))
       .groupBy(col(idCol))
-      .agg(vecSum(col("__w"), col("__vec")).as("emb"))
+      .agg(weightedVecSum(col("__w"), col("__vec")).as("emb"))
   }
 
   /** DataEmbeddingLayer static mode CONCAT (data_embedding_layer.py:
@@ -122,16 +90,20 @@ object EmbeddingGather {
     * (0 for padding measurement_idx 0) for composition with `gather`. */
   def withMeasurementNormalization(items: DataFrame, idCol: String,
       measIdxCol: String): DataFrame = {
-    val cnts = items.filter(col(measIdxCol) =!= 0)
-      .groupBy(col(idCol), col(measIdxCol))
-      .agg(count(lit(1)).as("__meas_cnt"))
-    val distincts = cnts.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_meas"))
+    // Single-exchange form (was: two groupBy aggs + two joins — four
+    // shuffles of the items table). The bag-level window exchanges on
+    // idCol; the (bag, measurement) window's ClusteredDistribution is
+    // already satisfied by hashpartitioning(idCol), so Spark inserts only
+    // a local sort for it — one shuffle total, no joins.
+    val byBag = Window.partitionBy(col(idCol))
+    val byBagMeas = Window.partitionBy(col(idCol), col(measIdxCol))
     items
-      .join(cnts, Seq(idCol, measIdxCol), "left")
-      .join(distincts, Seq(idCol), "left")
+      .withColumn("__n_meas",
+        size(collect_set(when(col(measIdxCol) =!= 0, col(measIdxCol)))
+          .over(byBag)))
+      .withColumn("__meas_cnt", count(lit(1)).over(byBagMeas))
       .withColumn("__meas_norm",
-        when(col(measIdxCol) === 0 || col("__meas_cnt").isNull, lit(0.0))
+        when(col(measIdxCol) === 0, lit(0.0))
           .otherwise(lit(1.0) /
             (col("__meas_cnt") * col("__n_meas"))))
       .drop("__meas_cnt", "__n_meas")
