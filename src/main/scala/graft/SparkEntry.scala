@@ -1741,7 +1741,7 @@ object SparkEntry {
         |  JOIN embeddings em ON em.vec_id = v.idx),
         |d AS (
         |  SELECT user_id, i.g AS pos,
-        |         sum(value * embedding[CAST(i.g AS INT)]) AS s
+        |         sum(coalesce(value, 1.0) * embedding[CAST(i.g AS INT)]) AS s
         |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
         |  GROUP BY 1, 2)
         |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
@@ -2079,7 +2079,7 @@ object SparkEntry {
         |  JOIN embeddings em ON em.vec_id = 10 + s.user_id % 3),
         |d AS (
         |  SELECT user_id, i.g AS pos,
-        |         sum(value * embedding[CAST(i.g AS INT)]) AS s
+        |         sum(coalesce(value, 1.0) * embedding[CAST(i.g AS INT)]) AS s
         |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
         |  GROUP BY 1, 2)
         |SELECT user_id AS subject_id, CAST(pos AS INT) AS pos,
@@ -2282,7 +2282,7 @@ object SparkEntry {
         |  JOIN embeddings em ON em.vec_id = v.idx),
         |d AS (
         |  SELECT user_id, i.g AS pos,
-        |         sum(value * embedding[CAST(i.g AS INT)]) AS s
+        |         sum(coalesce(value, 1.0) * embedding[CAST(i.g AS INT)]) AS s
         |  FROM j CROSS JOIN generate_series(1, 64) AS i(g)
         |  GROUP BY 1, 2),
         |st AS (
@@ -2381,7 +2381,7 @@ object SparkEntry {
         |  JOIN embeddings em ON em.vec_id = v.idx),
         |allrows AS (
         |  SELECT user_id, seq_pos, i.g AS pos,
-        |         value * embedding[CAST(i.g AS INT)] AS sv
+        |         coalesce(value, 1.0) * embedding[CAST(i.g AS INT)] AS sv
         |  FROM dyn CROSS JOIN generate_series(1, 64) AS i(g)
         |  UNION ALL
         |  SELECT s.user_id, 0 AS seq_pos, i.g,

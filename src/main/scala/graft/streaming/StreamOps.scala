@@ -79,7 +79,14 @@ object StreamOps {
     * what lets Spark EVICT buffered rows: without the explicit
     * `maxTaskWindow` bound the `end_time` predicate alone is opaque to
     * the state manager and both sides buffer forever. State: events and
-    * tasks within watermark + maxTaskWindow of the stream head. */
+    * tasks within watermark + maxTaskWindow of the stream head.
+    *
+    * DIVERGENCE from the batch twin, by construction: the eviction bound
+    * doubles as a hard truncation — a task whose `end_time` exceeds
+    * `start_time + maxTaskWindow` silently loses its in-window events past
+    * the bound, where batch `taskWindows` returns the full `[start, end]`
+    * range. Size `maxTaskWindow` to the longest task span you expect; the
+    * bound exists because unbounded task spans mean unbounded join state. */
   def taskWindowsStream(events: DataFrame, tasks: DataFrame,
       maxTaskWindow: String = "30 days",
       eventWatermarkDelay: String = "10 minutes",
