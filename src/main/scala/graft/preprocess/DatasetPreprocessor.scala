@@ -34,16 +34,20 @@ object DatasetPreprocessor {
   def fit(ds: EventDataset, splits: DataFrame, cfg: DatasetConfig,
       functors: Seq[TimeDependentFunctor] = Nil,
       basePcfg: Preprocessor.Config = Preprocessor.Config()): FittedDataset = {
-    // The DatasetConfig is AUTHORITATIVE for the four inference thresholds,
-    // exactly as in the reference (config.py:347-351, every default None =
-    // rule disabled): None here means the rule is OFF, not "inherit".
-    // basePcfg contributes only the engine-side knobs (normalizer family,
-    // outlier detector, quantile count, vocab fold).
+    // The DatasetConfig is AUTHORITATIVE for the four inference thresholds
+    // (config.py:347-351, every default None = rule disabled: None here
+    // means the rule is OFF, not "inherit") AND for the model names — the
+    // reference's outlier_detector_config/normalizer_config 'cls' keys
+    // (config.py:330-342), resolved through the NumericModels registry.
+    // basePcfg contributes only the remaining engine-side knobs (quantile
+    // count, vocab fold).
     val pcfg = basePcfg.copy(
       minValidVocabElementObservations = cfg.minValidVocabElementObservations,
       minTrueFloatFrequency = cfg.minTrueFloatFrequency,
       minUniqueNumericalObservations = cfg.minUniqueNumericalObservations,
-      maxNumericalValueFrequency = cfg.maxNumericalValueFrequency)
+      maxNumericalValueFrequency = cfg.maxNumericalValueFrequency,
+      normalizer = cfg.normalizer,
+      outlierDetector = cfg.outlierDetector)
     val trainMeasAll = Splits.forSplit(ds.measurements, splits, "train")
     val trainSubj = Splits.forSplit(ds.subjects, splits, "train")
     val trainEvents = Splits.forSplit(

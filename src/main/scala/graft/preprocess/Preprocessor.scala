@@ -37,9 +37,12 @@ object Preprocessor {
       minUniqueNumericalObservations: Option[CountOrProportion] =
         Some(CountOrProportion.count(20)),
       maxNumericalValueFrequency: Option[Double] = Some(0.5),
-      /** None | Some("viod") */
+      /** None | Some(name registered in [[NumericModels]]) — "viod"
+        * built-in. */
       outlierDetector: Option[String] = None,
-      /** None | Some("std") | Some("quantile") */
+      /** None | Some(name registered in [[NumericModels]]) — "std" and
+        * "quantile" built-in (fused single-scan fit); other names fit via
+        * their model's own pass over the inlier train values. */
       normalizer: Option[String] = Some("std"),
       nQuantiles: Int = 101,
       /** Fold vocab elements rarer than this into UNK. */
@@ -136,16 +139,20 @@ object Preprocessor {
     //    (event_stream_dataset.py:1198).
     val viodBounds: Map[String, (Double, Double)] =
       cfg.outlierDetector match {
-        case Some("viod") =>
+        case Some(name) =>
+          // resolved via the METADATA_MODELS-style registry — "viod" maps
+          // to the exact-port Viod.fitPerKey; custom detectors plug in by
+          // name with the same (key, lo, hi) contract
           val adjusted = obs.join(broadcast(typesLocal), Seq("key"))
             .withColumn("v1", NumericKernel.reencodeValue(col("v"),
               col("value_type")))
             .filter(col("value_type").isin("integer", "float") &&
               col("v1").isNotNull)
-          Viod.fitPerKey(adjusted, "key", "v1").collect()
+          NumericModels.outlierDetector(name)
+            .fitBounds(adjusted, "key", "v1").collect()
             .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
             .toMap
-        case _ => Map.empty
+        case None => Map.empty
       }
     val typesBLocal = spark.createDataFrame(
       typesRows.toSeq.map { case (k, vt, ks) =>
@@ -240,6 +247,37 @@ object Preprocessor {
         }
       }.toMap
 
+    val finalVt: Map[String, String] = typesRows.iterator.map {
+      case (k, vt, _) => k -> (if (guardSet(k)) "dropped" else vt) }.toMap
+
+    // 4b. CUSTOM registry normalizer (any name outside the fused
+    //     built-ins): the model fits per-key params with its own pass over
+    //     the INLIER train values — the same frame the fused aggregation
+    //     weights by counts, re-expanded from the raw observations because
+    //     a custom model's statistics need not be frequency-decomposable.
+    //     Params land in a generic MAP<STRING,DOUBLE> column
+    //     (params-as-data; the model name rides along for the transform
+    //     dispatch).
+    val customName: Option[String] =
+      cfg.normalizer.filterNot(NumericModels.builtinNormalizers)
+    val customParams: Map[String, Map[String, Double]] = customName match {
+      case Some(name) =>
+        val model = NumericModels.normalizer(name)
+        val inliers = obs.join(broadcast(typesBLocal), Seq("key"))
+          .withColumn("v1", NumericKernel.reencodeValue(col("v"),
+            col("value_type")))
+          .withColumn("__inl", NumericKernel.isInlier(col("v1"),
+            col("viod_lo"), col("viod_hi")))
+          .filter(col("value_type").isin("integer", "float") &&
+            col("v1").isNotNull && col("__inl") &&
+            (if (guardSet.isEmpty) lit(true)
+             else !col("key").isin(guardSet.toSeq: _*)))
+        model.fitParams(inliers, "key", "v1").collect()
+          .map(r => r.getString(0) ->
+            r.getMap[String, Double](1).toMap).toMap
+      case None => Map.empty
+    }
+
     val perKeySchema = StructType(Seq(
       StructField("key", StringType),
       StructField("value_type", StringType),
@@ -247,19 +285,22 @@ object Preprocessor {
       StructField("viod_hi", DoubleType),
       StructField("norm_mean", DoubleType),
       StructField("norm_std", DoubleType),
-      StructField("quantiles", ArrayType(DoubleType))))
-    val finalVt: Map[String, String] = typesRows.iterator.map {
-      case (k, vt, _) => k -> (if (guardSet(k)) "dropped" else vt) }.toMap
+      StructField("quantiles", ArrayType(DoubleType)),
+      StructField("norm_name", StringType),
+      StructField("norm_params", MapType(StringType, DoubleType))))
     val perKeyDf = spark.createDataFrame(
       typesRows.toSeq.map { case (k, _, _) =>
         val b = viodBounds.get(k)
         val nrm = normByKey.getOrElse(k, (None, None, None))
+        val cp = customParams.get(k)
         Row(k, finalVt(k),
           b.map(x => Double.box(x._1)).orNull,
           b.map(x => Double.box(x._2)).orNull,
           nrm._1.map(Double.box).orNull,
           nrm._2.map(Double.box).orNull,
-          nrm._3.orNull) }.asJava, perKeySchema)
+          nrm._3.orNull,
+          cp.flatMap(_ => customName).orNull,
+          cp.orNull) }.asJava, perKeySchema)
 
     // 5. vocabulary over the FINAL key space (categorical keys re-encoded
     //    to "key__EQ_v" — event_stream_dataset.py:288-368 — so the vocab
@@ -300,12 +341,21 @@ object Preprocessor {
     val isInlier = NumericKernel.isInlier(v1, col("viod_lo"),
       col("viod_hi"))
     val vInlier = when(isInlier, v1)
+    // custom registry normalizers dispatch on the fitted model name — a
+    // when-chain over the registered models (the reference resolves the
+    // pickled model class the same way: by what's importable at load time)
+    val customNorm = NumericModels.customNormalizers.foldLeft(vInlier) {
+      case (acc, (name, m)) =>
+        when(col("norm_name") === name,
+          m.transformExpr(vInlier, col("norm_params"))).otherwise(acc)
+    }
     val vNorm =
       when(col("norm_mean").isNotNull,
         NumericKernel.applyStandardScaler(vInlier, col("norm_mean"),
           col("norm_std")))
         .when(col("quantiles").isNotNull,
           NumericKernel.applyQuantileTransform(vInlier, col("quantiles")))
+        .when(col("norm_params").isNotNull, customNorm)
         .otherwise(vInlier)
     val stage = joined
       .withColumn("final_key", finalKey)
@@ -313,7 +363,7 @@ object Preprocessor {
       .withColumn("is_inlier", seen && v1.isNotNull && isInlier)
       .withColumn("value_norm", vNorm)
       .drop("__k", "value_type", "viod_lo", "viod_hi", "norm_mean",
-        "norm_std", "quantiles")
+        "norm_std", "quantiles", "norm_name", "norm_params")
     Vocabulary.lookup(stage, "final_key", fit.vocab, "key_idx")
   }
 }
