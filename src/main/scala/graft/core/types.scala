@@ -174,6 +174,51 @@ final case class DatasetConfig(
 }
 
 object DatasetConfig {
+  /** The reference's `from_simple_args` convenience builder
+    * (config.py:404-471): expand a compact column spec into full
+    * `MeasurementConfig`s —
+    *
+    *   - a bare dynamic column name      → DYNAMIC multi-label
+    *   - a (name, valuesColumn) pair     → DYNAMIC multivariate regression
+    *   - a static column name            → STATIC single-label
+    *   - a (name, functor) pair          → FUNCTIONAL_TIME_DEPENDENT with
+    *                                       the functor's output modality
+    *                                       (config.py:180)
+    *
+    * `base` carries every other `DatasetConfig` field (the reference's
+    * `**kwargs` passthrough); its `measurements` are replaced.
+    * `import DatasetConfig._` brings the Left/Right conversions in scope
+    * so call sites read like the reference's mixed list. */
+  def fromSimpleArgs(
+      dynamicMeasurementColumns: Seq[Either[String, (String, String)]] = Nil,
+      staticMeasurementColumns: Seq[String] = Nil,
+      timeDependentMeasurementColumns:
+        Seq[(String, graft.functors.TimeDependentFunctor)] = Nil,
+      base: DatasetConfig = DatasetConfig()): DatasetConfig = {
+    val dynamic = dynamicMeasurementColumns.map {
+      case Left(name) => MeasurementConfig(name, TemporalityType.Dynamic,
+        DataModality.MultiLabelClassification).validated
+      case Right((name, valCol)) => MeasurementConfig(name,
+        TemporalityType.Dynamic, DataModality.MultivariateRegression,
+        valuesColumn = Some(valCol)).validated
+    }
+    val static = staticMeasurementColumns.map(n =>
+      MeasurementConfig(n, TemporalityType.Static,
+        DataModality.SingleLabelClassification).validated)
+    val ftd = timeDependentMeasurementColumns.map { case (n, f) =>
+      MeasurementConfig(n, TemporalityType.FunctionalTimeDependent,
+        f.outputModality, functor = Some(f.name)).validated
+    }
+    base.copy(measurements = dynamic ++ static ++ ftd)
+  }
+
+  /** Conversions so `fromSimpleArgs` call sites can mix bare names and
+    * (name, valuesColumn) pairs like the reference's union-typed list. */
+  implicit def simpleDynamicName(s: String)
+      : Either[String, (String, String)] = Left(s)
+  implicit def simpleDynamicPair(p: (String, String))
+      : Either[String, (String, String)] = Right(p)
+
   /** JSON round-trip (the reference persists configs as JSON,
     * config.py:250-283 / utils.py:95-116). Threshold numbers follow the
     * reference's count-or-proportion convention: an INTEGRAL literal is a

@@ -105,4 +105,45 @@ class CoreSpec extends AnyFunSuite {
     assert(DatasetConfig.fromJson("""{"measurements": null}""")
       .measurements == Nil)
   }
+
+  test("fromSimpleArgs expands compact specs (reference test_config.py:445-496)") {
+    import DatasetConfig._
+    import graft.functors.AgeFunctor
+    // the reference's first case: dynamic ['A_key', ('B_key','B_val')],
+    // static ['C'], time-dependent [('D', AgeFunctor('dob'))], one kwarg
+    val got = DatasetConfig.fromSimpleArgs(
+      dynamicMeasurementColumns = Seq("A_key", ("B_key", "B_val")),
+      staticMeasurementColumns = Seq("C"),
+      timeDependentMeasurementColumns = Seq(("D", AgeFunctor("dob"))),
+      base = DatasetConfig(
+        minValidColumnObservations = Some(CountOrProportion.count(10))))
+    val want = DatasetConfig(
+      measurements = Seq(
+        MeasurementConfig("A_key", TemporalityType.Dynamic,
+          DataModality.MultiLabelClassification),
+        MeasurementConfig("B_key", TemporalityType.Dynamic,
+          DataModality.MultivariateRegression, valuesColumn = Some("B_val")),
+        MeasurementConfig("C", TemporalityType.Static,
+          DataModality.SingleLabelClassification),
+        MeasurementConfig("D", TemporalityType.FunctionalTimeDependent,
+          DataModality.UnivariateRegression, functor = Some("age"))),
+      minValidColumnObservations = Some(CountOrProportion.count(10)))
+    assert(got == want)
+    // the reference's second case: dynamic-only
+    val got2 = DatasetConfig.fromSimpleArgs(
+      dynamicMeasurementColumns = Seq("A_key", ("B_key", "B_val")),
+      base = DatasetConfig(
+        minValidColumnObservations = Some(CountOrProportion.count(10))))
+    assert(got2.measurements == want.measurements.take(2))
+    assert(got2.minValidColumnObservations ==
+      Some(CountOrProportion.count(10)))
+    // builder output survives the JSON round-trip
+    assert(DatasetConfig.fromJson(got.toJson) == got)
+    // functor output modality drives the FTD modality (config.py:180)
+    val tod = DatasetConfig.fromSimpleArgs(
+      timeDependentMeasurementColumns =
+        Seq(("tod", graft.functors.TimeOfDayFunctor())))
+    assert(tod.measurements.head.modality ==
+      DataModality.SingleLabelClassification)
+  }
 }
