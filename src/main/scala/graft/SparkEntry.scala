@@ -6,7 +6,7 @@ import graft.ingest.{EventDataset, Splits}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.preprocess.{NumericKernel, Preprocessor, Viod}
 import graft.serve.{BatchBuilder, EmbeddingGather}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1016,6 +1016,35 @@ object SparkEntry {
       Similarity.recallAtK(approx, exact, "q_vec_id", "vec_id", k = 10)
     }),
 
+    "q82_hyperplane_replay" -> ((s, dir) => {
+      // lshTopK with the REPLAYABLE hyperplane family (md5-parity signs,
+      // integer-quantized dot products) — hash-checks the bucket join +
+      // in-bucket cosine top-k that q49 runs with seeded xxhash64 planes.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", k = 5,
+          bucketFn = Some(HyperplaneReplay.bucketCol))
+        .select(col("q_vec_id"), col("vec_id"), col("rank"))
+    }),
+
+    "q83_recall_replay" -> ((s, dir) => {
+      // recallAtK over the replayable-bucket lshTopK vs brute-force ground
+      // truth — the full q72 pipeline (index + exact + recall metric)
+      // under an engine-portable bucket family, end-to-end oracle-checked.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = 10)
+      val approx = Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = 10,
+        bucketFn = Some(HyperplaneReplay.bucketCol))
+      Similarity.recallAtK(approx, exact, "q_vec_id", "vec_id", k = 10)
+        .select(col("q_vec_id"), round(col("recall"), 6).as("recall"))
+    }),
+
     "q73_prepend_gather" -> ((s, dir) => {
       // DataEmbeddingLayer static mode PREPEND (data_embedding_layer.py:
       // 395-396): per-EVENT dynamic embeddings as sequence positions 1..L,
@@ -1257,6 +1286,61 @@ object SparkEntry {
           aggregate(flatten(col("dynamic_measurement_indices")), lit(0L),
             (a, x) => a + x).as("sum_midx"))
     }))
+
+  /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
+    * discipline applied to the ANN bucketing: ±1 plane components come
+    * from md5 hex-char parity over "plane:dim" strings (identical in any
+    * engine with md5), and the dot product runs over integer-quantized
+    * components (round(x·10⁶) as BIGINT — exact integer sums, no
+    * FP-ordering divergence), so the bucket assignment is bit-replayable
+    * in DuckDB. q49/q50/q72 stay the production seeded-xxhash64 paths
+    * (rows-only); these twins hash-check the SAME lshTopK/recallAtK code
+    * with only the bucket family swapped. */
+  private object HyperplaneReplay {
+    val nPlanes = 4
+    val dim = 64
+    /** sign(p,i) = +1 iff ascii of md5("p:i")'s first hex char is even. */
+    lazy val signs: Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nPlanes * dim) { pi =>
+        val p = pi / dim
+        val i = pi % dim
+        val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+        val hex0 = "%02x".format(d(0) & 0xff).charAt(0)
+        if (hex0.toInt % 2 == 0) 1 else -1
+      }
+    }
+    /** Bucket expression over a float-vector column: flat codegen
+      * arithmetic (no HOF lambdas — the per-element interpreted-lambda
+      * cost would dominate; see the verify-skill gotchas). */
+    def bucketCol(v: Column): Column =
+      (0 until nPlanes).map { p =>
+        val dot = (0 until dim).map { i =>
+          round(element_at(v, i + 1).cast("double") * 1e6).cast("long") *
+            lit(signs(p * dim + i).toLong)
+        }.reduce(_ + _)
+        when(dot >= 0, lit(1L << (nPlanes - 1 - p))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    /** DuckDB CTEs reproducing the bucket per vec_id (signs + dots + bk). */
+    def oracleBucketCtes: String =
+      s"""signs AS (
+         |  SELECT p.g AS p, i.g AS i,
+         |         CASE WHEN ascii(substr(md5(p.g || ':' || i.g), 1, 1))
+         |                % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM generate_series(0, ${nPlanes - 1}) p(g),
+         |       generate_series(0, ${dim - 1}) i(g)),
+         |dots AS (
+         |  SELECT e.vec_id, s.p,
+         |         sum(s.s * CAST(round(
+         |           CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+         |           AS BIGINT)) AS dot
+         |  FROM embeddings e, signs s GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN dot >= 0
+         |             THEN 1 << (${nPlanes - 1} - p) ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1)""".stripMargin
+  }
 
   /** q78's replayable permutation family — one definition drives both the
     * Spark query and the generated DuckDB oracle. */
@@ -1689,6 +1773,50 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q82_hyperplane_replay" ->
+      s"""WITH ${HyperplaneReplay.oracleBucketCtes},
+         |q AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id)
+         |      WHERE e.vec_id < 5),
+         |c AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id))
+         |SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
+         |CAST(row_number() OVER (PARTITION BY q.vec_id
+         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |             CAST(c.embedding AS DOUBLE[])) DESC,
+         |           c.vec_id) AS INT) AS rank
+         |FROM q JOIN c ON q.bucket = c.bucket
+         |QUALIFY rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "q83_recall_replay" ->
+      s"""WITH ${HyperplaneReplay.oracleBucketCtes},
+         |q AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id)
+         |      WHERE e.vec_id < 5),
+         |c AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id)),
+         |exact AS (
+         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 5
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |               CAST(c.embedding AS DOUBLE[])) DESC,
+         |             c.vec_id) <= 10),
+         |approx AS (
+         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id
+         |  FROM q JOIN c ON q.bucket = c.bucket
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |               CAST(c.embedding AS DOUBLE[])) DESC,
+         |             c.vec_id) <= 10)
+         |SELECT e.q_vec_id,
+         |       round(sum(CASE WHEN a.vec_id IS NOT NULL
+         |                 THEN 1 ELSE 0 END) / 10.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

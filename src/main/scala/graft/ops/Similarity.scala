@@ -68,15 +68,24 @@ object Similarity {
     * query joins only its bucket (equi-join, hash-partitioned — the 100 TB
     * path when queries are too many to broadcast). Recall is tunable via
     * nPlanes (fewer planes → bigger buckets → higher recall, more compute).
-    * Returns per-query top-k within the probed bucket. */
+    * Returns per-query top-k within the probed bucket.
+    *
+    * `bucketFn` overrides the bucketing family (default: the seeded
+    * xxhash64 hyperplane signs). The override exists for engine-portable
+    * REPLAYABLE families (the q75/q78/q79 twin discipline): a bucket
+    * derived from integer-only replayable hashes lets an external oracle
+    * reproduce the bucketing bit-for-bit, so the whole lshTopK pipeline is
+    * hash-checkable — everything downstream of the bucket column is
+    * identical production code. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int, nPlanes: Int = 8, dim: Int = 64, seed: Long = 7)
+      k: Int, nPlanes: Int = 8, dim: Int = 64, seed: Long = 7,
+      bucketFn: Option[Column => Column] = None)
       : DataFrame = {
-    val c = corpus.withColumn("bucket",
-      hyperplaneBucket(col(vecCol), nPlanes, dim, seed))
-    val q = queries.withColumn("bucket",
-      hyperplaneBucket(col(qVecCol), nPlanes, dim, seed))
+    val bucket: Column => Column =
+      bucketFn.getOrElse(v => hyperplaneBucket(v, nPlanes, dim, seed))
+    val c = corpus.withColumn("bucket", bucket(col(vecCol)))
+    val q = queries.withColumn("bucket", bucket(col(qVecCol)))
     val scored = q.join(c, Seq("bucket"))
       .select(col(qIdCol), col(idCol),
         VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
