@@ -90,6 +90,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.find(_._2 == 1).map(_._1).contains(0L)) // self in bucket
   }
 
+  test("lshTopK bucketFn override swaps the bucket family, keeps the pipeline") {
+    val r = new scala.util.Random(5)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(r.nextFloat())))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = Seq((0L, vecs.head._2), (7L, vecs(7)._2))
+      .toDF("q_id", "q_vec")
+    // a 2-bucket family on the first component's sign-ish split: every
+    // query shares its bucket with ~half the corpus
+    val bucketFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => (element_at(v, 1) >= 0.5f).cast("long")
+    val top = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", k = 3, bucketFn = Some(bucketFn))
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    // self lands rank 1 for both queries (identical vector, same bucket)
+    assert(top.filter(_._3 == 1).map(t => t._1 -> t._2).toMap ==
+      Map(0L -> 0L, 7L -> 7L))
+    // every returned candidate really is in the query's bucket
+    val bucketOf = vecs.map { case (i, v) => i -> (v.head >= 0.5f) }.toMap
+    assert(top.forall { case (q, c, _) => bucketOf(q) == bucketOf(c) })
+  }
+
   test("hyperplaneBucket fails loud on vectors shorter than dim") {
     val short = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
