@@ -1140,6 +1140,34 @@ object SparkEntry {
           round(col("mean_byte"), 6).as("mean_byte"))
     }),
 
+    "q84_image_decode" -> ((s, dir) => {
+      // REAL codec path: deterministic formula rasters → JDK ImageIO PNG
+      // encode → ImageIO decode → per-channel means. The oracle replays
+      // the pixel formulas directly; a codec bug (wrong channel order,
+      // lossy round-trip, dimension swap) breaks the hash.
+      val imgs = Multimodal.synthesizeImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeImageFeatures(imgs)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
+    "q85_image_resize" -> ((s, dir) => {
+      // decode → nearest-neighbor resample (integer index math) →
+      // re-encode → decode again: the codec runs twice and the resample
+      // arithmetic is SQL-replayable (src index = dst·srcDim DIV dstDim).
+      val imgs = Multimodal.synthesizeImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val resized = Multimodal.resizeNearest(imgs, dstW = 8, dstH = 6)
+      Multimodal.decodeImageFeatures(resized)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     "q77_cluster_dedup" -> ((s, dir) => {
       // Connected components + canonical dedup, ORACLE-CHECKED: the same
       // clusterPairs/dedupByPairs operators as q41, but driven by the
@@ -2707,6 +2735,48 @@ object SparkEntry {
         |             ELSE CAST(list_sum(bytes) AS DOUBLE) / n_out END, 6)
         |         AS mean_byte
         |FROM b ORDER BY media_id""".stripMargin,
+
+    // q84/q85: the oracle replays the deterministic pixel FORMULAS; the
+    // Spark side goes through real PNG encode/decode (JDK ImageIO), so a
+    // codec defect (channel order, lossy round-trip, dim swap, resample
+    // index math) breaks the hash.
+    "q84_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, x.g AS x, y.g AS y
+        |  FROM dims d, generate_series(0, 27) x(g),
+        |       generate_series(0, 17) y(g)
+        |  WHERE x.g < d.w AND y.g < d.h)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       round(sum((doc_id*31 + x*7 + y*13) % 256) / (w*h*1.0), 6)
+        |         AS mean_r,
+        |       round(sum((doc_id*17 + x*5 + y*3) % 256) / (w*h*1.0), 6)
+        |         AS mean_g,
+        |       round(sum((doc_id*13 + x*11 + y*19) % 256) / (w*h*1.0), 6)
+        |         AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY 1""".stripMargin,
+
+    "q85_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         (x.g * d.w) // 8 AS sx, (y.g * d.h) // 6 AS sy
+        |  FROM dims d, generate_series(0, 7) x(g),
+        |       generate_series(0, 5) y(g))
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+        |       CAST(6 AS INT) AS height,
+        |       round(sum((doc_id*31 + sx*7 + sy*13) % 256) / 48.0, 6)
+        |         AS mean_r,
+        |       round(sum((doc_id*17 + sx*5 + sy*3) % 256) / 48.0, 6)
+        |         AS mean_g,
+        |       round(sum((doc_id*13 + sx*11 + sy*19) % 256) / 48.0, 6)
+        |         AS mean_b
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q58's pair derivation + a recursive min-label closure for the
     // connected components, then keep unpaired docs and each cluster's

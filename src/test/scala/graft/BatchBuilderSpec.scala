@@ -155,6 +155,37 @@ class BatchBuilderSpec extends SparkSpec {
     assert(feats(1L).n_bytes == 4)
   }
 
+  test("multimodal REAL codec: PNG round-trip recovers the formula raster") {
+    val ids = Seq(Tuple1(3L), Tuple1(40L), Tuple1(123L)).toDF("doc_id")
+    val imgs = Multimodal.synthesizeImages(ids, "doc_id")
+    // payloads are genuine PNGs (magic bytes)
+    val pay = imgs.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(pay.values.forall(p =>
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'))
+    // decode recovers dims and the exact per-channel means of the formula
+    val f = Multimodal.decodeImageFeatures(imgs)
+      .as[Multimodal.ImageFeatures].collect().map(x => x.media_id -> x).toMap
+    for (id <- Seq(3L, 40L, 123L)) {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      assert(f(id).width == w && f(id).height == h)
+      val want = (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.pxR(id, x, y)).sum.toDouble / (w * h)
+      assert(f(id).mean_r == want) // lossless: exact, not approximate
+    }
+    // nearest-neighbor resize: dims change, pixels follow the index math
+    val rs = Multimodal.decodeImageFeatures(
+      Multimodal.resizeNearest(imgs, dstW = 8, dstH = 6))
+      .as[Multimodal.ImageFeatures].collect().map(x => x.media_id -> x).toMap
+    for (id <- Seq(3L, 40L, 123L)) {
+      assert(rs(id).width == 8 && rs(id).height == 6)
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      val want = (for { y <- 0 until 6; x <- 0 until 8 }
+        yield Multimodal.pxG(id, x * w / 8, y * h / 6)).sum / 48.0
+      assert(rs(id).mean_g == want)
+    }
+  }
+
   test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
     "string codes (reference :61-81)") {
     import graft.serve.TaskLabels
