@@ -1168,6 +1168,19 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q86_audio_decode" -> ((s, dir) => {
+      // REAL audio codec path: deterministic 16-bit PCM from the formula
+      // → JDK AudioSystem WAV encode → AudioSystem decode (RIFF header
+      // parse gives rate + frame count) → RMS / zero-crossings /
+      // mean-|amplitude|. Oracle replays the sample formula.
+      val wavs = Multimodal.synthesizeAudio(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeAudioFeatures(wavs)
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          round(col("rms"), 6).as("rms"), col("zero_crossings"),
+          round(col("mean_amp"), 6).as("mean_amp"))
+    }),
+
     "q77_cluster_dedup" -> ((s, dir) => {
       // Connected components + canonical dedup, ORACLE-CHECKED: the same
       // clusterPairs/dedupByPairs operators as q41, but driven by the
@@ -2777,6 +2790,25 @@ object SparkEntry {
         |       round(sum((doc_id*13 + sx*11 + sy*19) % 256) / 48.0, 6)
         |         AS mean_b
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 256 + doc_id % 64 AS n FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, d.n, i.g AS i,
+        |         ((d.doc_id*7 + i.g*11) % 4096) - 2048 AS smp
+        |  FROM d, generate_series(0, 319) i(g) WHERE i.g < d.n),
+        |z AS (
+        |  SELECT doc_id, n, smp,
+        |         lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(n AS INT) AS n_samples,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       round(sqrt(sum(smp*smp) / (n*1.0)), 6) AS rms,
+        |       CAST(sum(CASE WHEN prev*smp < 0 THEN 1 ELSE 0 END) AS INT)
+        |         AS zero_crossings,
+        |       round(sum(abs(smp)) / (n*1.0), 6) AS mean_amp
+        |FROM z GROUP BY doc_id, n ORDER BY 1""".stripMargin,
 
     // q58's pair derivation + a recursive min-label closure for the
     // connected components, then keep unpaired docs and each cluster's

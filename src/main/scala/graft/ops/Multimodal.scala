@@ -180,6 +180,89 @@ object Multimodal {
       }(enc)
   }
 
+  // ── REAL audio kernels (JDK javax.sound.sampled — WAV/PCM) ──────────
+
+  /** Deterministic 16-bit PCM sample formula: pure integer function of
+    * (id, i) in [-2048, 2047], engine-replayable. */
+  @inline def pcmSample(id: Long, i: Int): Int =
+    (((id * 7 + i.toLong * 11) % 4096) - 2048).toInt
+  @inline def pcmN(id: Long): Int = (256 + id % 64).toInt
+  val pcmRate = 8000f
+
+  /** Synthesize a REAL mono 16-bit little-endian WAV per id (JDK
+    * AudioSystem writes the RIFF container). */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(pcmRate, 16, 1,
+          true, false) // signed, little-endian
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = pcmN(id)
+          val raw = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = pcmSample(id, i)
+            raw(2 * i) = (s & 0xff).toByte
+            raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Row(id, baos.toByteArray,
+            Row("audio/wav", null.asInstanceOf[java.lang.Integer],
+              null.asInstanceOf[java.lang.Integer],
+              (n * 1000L) / pcmRate.toLong))
+        }
+      }(enc)
+  }
+
+  final case class AudioFeatures(media_id: Long, n_samples: Int,
+      sample_rate: Int, rms: Double, zero_crossings: Int, mean_amp: Double)
+
+  /** REAL decode: AudioSystem parses the RIFF/WAV container (format,
+    * rate, frame count), then standard audio features over the PCM
+    * stream — integer sums and one sqrt, bit-replayable by any engine
+    * that can enumerate the expected samples. */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) AudioFeatures(id, 0, 0, 0.0, 0, 0.0)
+          else {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            val n = ais.getFrameLength.toInt
+            val raw = ais.readAllBytes()
+            var (sumSq, sumAbs) = (0L, 0L)
+            var zc = 0
+            var prev = 0
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1).toInt
+              val s = (hi << 8) | lo
+              sumSq += s.toLong * s
+              sumAbs += math.abs(s)
+              if (i > 0 && prev.toLong * s < 0) zc += 1
+              prev = s
+              i += 1
+            }
+            AudioFeatures(id, n, fmt.getSampleRate.toInt,
+              math.sqrt(sumSq.toDouble / n), zc, sumAbs.toDouble / n)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   // ── byte-level stub kernels (payloads with no JDK codec) ─────────────
 
   final case class MediaFeatures(

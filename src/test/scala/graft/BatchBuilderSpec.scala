@@ -186,6 +186,28 @@ class BatchBuilderSpec extends SparkSpec {
     }
   }
 
+  test("multimodal REAL audio codec: WAV round-trip recovers the PCM stream") {
+    val ids = Seq(Tuple1(5L), Tuple1(77L)).toDF("doc_id")
+    val wavs = Multimodal.synthesizeAudio(ids, "doc_id")
+    // payloads are genuine RIFF/WAVE containers
+    val pay = wavs.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(pay.values.forall(p => new String(p.take(4)) == "RIFF" &&
+      new String(p.slice(8, 12)) == "WAVE"))
+    val f = Multimodal.decodeAudioFeatures(wavs)
+      .as[Multimodal.AudioFeatures].collect().map(x => x.media_id -> x).toMap
+    for (id <- Seq(5L, 77L)) {
+      val n = Multimodal.pcmN(id)
+      val smp = (0 until n).map(i => Multimodal.pcmSample(id, i))
+      assert(f(id).n_samples == n && f(id).sample_rate == 8000)
+      assert(f(id).rms ==
+        math.sqrt(smp.map(s => s.toLong * s).sum.toDouble / n))
+      assert(f(id).zero_crossings ==
+        smp.sliding(2).count(p => p.head.toLong * p.last < 0))
+      assert(f(id).mean_amp == smp.map(s => math.abs(s).toLong).sum.toDouble / n)
+    }
+  }
+
   test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
     "string codes (reference :61-81)") {
     import graft.serve.TaskLabels
