@@ -1168,6 +1168,23 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q87_pii_redact" -> ((s, dir) => {
+      // PII redaction over documents salted with deterministic PII
+      // (email + IP + phone derived from doc_id — the corpus itself is
+      // PII-free word soup): the full redacted string is hash-checked, so
+      // a pattern or replacement-order defect breaks the oracle.
+      val docs = t(s, dir, "documents")
+      val withPii = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" user"), col("doc_id").cast("string"),
+          lit("@example.com 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 +1 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      withPii.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("redacted"))
+    }),
+
     "q86_audio_decode" -> ((s, dir) => {
       // REAL audio codec path: deterministic 16-bit PCM from the formula
       // → JDK AudioSystem WAV encode → AudioSystem decode (RIFF header
@@ -2809,6 +2826,19 @@ object SparkEntry {
         |         AS zero_crossings,
         |       round(sum(abs(smp)) / (n*1.0), 6) AS mean_amp
         |FROM z GROUP BY doc_id, n ORDER BY 1""".stripMargin,
+
+    "q87_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' user' || doc_id || '@example.com 10.0.' ||
+        |      (doc_id % 256) || '.7 +1 555 ' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g'),
+        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q58's pair derivation + a recursive min-label closure for the
     // connected components, then keep unpaired docs and each cluster's

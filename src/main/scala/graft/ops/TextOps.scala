@@ -92,6 +92,26 @@ object TextOps {
     when(best("score") > 0.0, best("lang")).otherwise("und")
   }
 
+  /** PII redaction (the C4/Dolma corpus-scrub pass): emails, IPv4
+    * addresses and international-format phone numbers are replaced with
+    * typed placeholder tokens. A chain of three `regexp_replace`s — pure
+    * codegen, narrow, streams at scan speed. Patterns avoid
+    * backreferences/lookaround so they run identically under Java regex
+    * and RE2 (engine-portable; the q87 oracle replays them in DuckDB).
+    * Order matters: emails first (they contain dotted digit runs an IP
+    * pattern could clip), then IPs, then phones. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9 -]{6,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Document fingerprint: 64-bit FNV-1a-style rolling hash over the
     * whitespace-normalized, lowercased text — deterministic content id for
     * exact-dup detection that survives whitespace/case jitter. Uses

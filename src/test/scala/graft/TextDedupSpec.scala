@@ -81,6 +81,23 @@ class TextDedupSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("redactPii: emails, IPv4s, phones → typed placeholders") {
+    val df = Seq(
+      "contact jane.doe+x@sub.example.org or bob@a.io now",
+      "server at 192.168.1.254 and 10.0.0.1 up",
+      "call +1 555 0123 or +44 20-7946-0958 today",
+      "clean text with no pii at all",
+      "mixed a@b.co 8.8.8.8 +1 234 5678 end"
+    ).toDF("t")
+    val out = df.select(TextOps.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    assert(out(0) == "contact <EMAIL> or <EMAIL> now")
+    assert(out(1) == "server at <IP> and <IP> up")
+    assert(out(2) == "call <PHONE> or <PHONE> today")
+    assert(out(3) == "clean text with no pii at all")
+    assert(out(4) == "mixed <EMAIL> <IP> <PHONE> end")
+  }
+
   test("charShingles normalizes case and whitespace") {
     val df = Seq("A  B\tC").toDF("t")
     val out = df.select(TextOps.charShingles(col("t"), 3).as("sh"))
