@@ -840,6 +840,22 @@ object SparkEntry {
         .select(col("event_id"), col("p_val"))
     }),
 
+    "q88_asof_tolerance" -> ((s, dir) => {
+      // Bounded-staleness as-of join (merge_asof tolerance semantics):
+      // the q61 join, but purchases older than 2 days don't match — the
+      // left row survives with a null value. Same single-shuffle plan.
+      val raw = t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+      val left = raw.select(col("event_id"),
+        col("user_id").as("subject_id"), col("ts2"))
+      val right = raw.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("subject_id"), col("ts2"))
+        .agg(max(col("value")).as("p_val"))
+      graft.ops.AsofJoin.asofJoin(left, right, "subject_id", "ts2",
+          Seq("p_val"), toleranceSeconds = Some(172800.0))
+        .select(col("event_id"), col("p_val"))
+    }),
+
     "q62_sliding_daily" -> ((s, dir) => {
       // Sliding (hopping) windows: 2-day window, 1-day slide — each event
       // lands in exactly two windows. Batch twin of
@@ -2362,6 +2378,22 @@ object SparkEntry {
         |         max(value) AS p_val
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT e.event_id, r.p_val
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2
+        |      FROM events) e
+        |ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts2 >= r.ts2
+        |ORDER BY event_id""".stripMargin,
+
+    // DuckDB's ASOF has no tolerance clause: take the unbounded ASOF
+    // match, then null it when it is staler than the bound — exactly the
+    // engine's post-filter semantics.
+    "q88_asof_tolerance" ->
+      """WITH r AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts2,
+        |         max(value) AS p_val
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id,
+        |       CASE WHEN date_diff('second', r.ts2, e.ts2) <= 172800
+        |            THEN r.p_val END AS p_val
         |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2
         |      FROM events) e
         |ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts2 >= r.ts2

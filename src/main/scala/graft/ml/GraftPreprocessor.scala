@@ -18,10 +18,10 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, StringT
 private[ml] trait GraftPreprocessorParams extends Params {
   final val keyCol = new Param[String](this, "keyCol", "measurement key column")
   final val valueCol = new Param[String](this, "valueCol", "value column")
-  final val normalizer =
-    new Param[String](this, "normalizer", "std|quantile|none")
-  final val outlierDetector =
-    new Param[String](this, "outlierDetector", "viod|none")
+  final val normalizer = new Param[String](this, "normalizer",
+    "any NumericModels-registered normalizer name (std|quantile built in) or none")
+  final val outlierDetector = new Param[String](this, "outlierDetector",
+    "any NumericModels-registered outlier detector name (viod built in) or none")
   final val minValidVocabElementObservations = new LongParam(this,
     "minValidVocabElementObservations", "per-key min observation count")
   final val minUniqueNumericalObservations = new LongParam(this,

@@ -31,8 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** @param toleranceSeconds bounded staleness: a right row older than
+    *   this (left.ts − right.ts > tolerance) does NOT match and the
+    *   value columns come back null — the kdb `wj`/pandas
+    *   `merge_asof(tolerance=)` semantics. None = unbounded LOCF. The
+    *   plan is unchanged (same single shuffle + running carry); the
+    *   matched right timestamp rides inside the carried struct and one
+    *   narrow post-filter nulls stale matches. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, valueCols: Seq[String]): DataFrame = {
+      tsCol: String, valueCols: Seq[String],
+      toleranceSeconds: Option[Double] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!valueCols.contains(keyCol) && !valueCols.contains(tsCol),
       "valueCols must not include the key/ts columns")
@@ -48,14 +56,18 @@ object AsofJoin {
     val lTagged = left
       .withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(
-        org.apache.spark.sql.types.StructType(valueCols.map(c =>
-          org.apache.spark.sql.types.StructField(c,
-            right.schema(c).dataType)))))
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__rts",
+            right.schema(tsCol).dataType) +:
+          valueCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              right.schema(c).dataType)))))
       .select(leftCols.map(col) :+ col("__side") :+ col("__rv"): _*)
     val rTagged = right
       .filter(col(tsCol).isNotNull)
       .withColumn("__side", lit(0))
-      .withColumn("__rv", struct(valueCols.map(col): _*))
+      .withColumn("__rv",
+        struct(col(tsCol).as("__rts") +: valueCols.map(col): _*))
       .select(leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -68,7 +80,17 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = u.withColumn("__rv",
       last(col("__rv"), ignoreNulls = true).over(w))
-    valueCols.foldLeft(carried.filter(col("__side") === 1)) {
+    val matched = toleranceSeconds match {
+      case Some(tol) =>
+        // stale matches are nulled, not dropped: the left row survives
+        // with null value columns (merge_asof tolerance semantics)
+        carried.withColumn("__rv",
+          when(col(tsCol).cast("double") -
+            col("__rv").getField("__rts").cast("double") <= tol,
+            col("__rv")))
+      case None => carried
+    }
+    valueCols.foldLeft(matched.filter(col("__side") === 1)) {
       case (df, c) => df.withColumn(c, col("__rv").getField(c))
     }.drop("__side", "__rv")
   }

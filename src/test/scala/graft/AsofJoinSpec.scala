@@ -90,6 +90,39 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("asofJoin tolerance: stale matches null out, rows survive " +
+    "(randomized vs brute force)") {
+    val r = new scala.util.Random(77)
+    val left = (0 until 300).map { i =>
+      (i.toLong, r.nextInt(6).toLong,
+        new Timestamp(1700000000000L + r.nextInt(400) * 1000L))
+    }
+    val right = scala.util.Random.shuffle(
+      (0 until 150).map { _ =>
+        (r.nextInt(8).toLong,
+          new Timestamp(1700000000000L + r.nextInt(400) * 1000L))
+      }.distinct).map { case (k, t) => (k, t, r.nextDouble()) }
+    val tol = 60.0 // seconds
+    val expected: Map[Long, Option[Double]] = left.map { case (id, k, t) =>
+      val m = right.filter(x => x._1 == k && !x._2.after(t))
+      id -> (if (m.isEmpty) None
+             else {
+               val best = m.maxBy(_._2.getTime)
+               if ((t.getTime - best._2.getTime) / 1000.0 <= tol)
+                 Some(best._3)
+               else None
+             })
+    }.toMap
+    val out = AsofJoin.asofJoin(
+      left.toDF("event_id", "subject_id", "ts2"),
+      right.toDF("subject_id", "ts2", "p_val"),
+      "subject_id", "ts2", Seq("p_val"), toleranceSeconds = Some(tol))
+      .select("event_id", "p_val")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out.size == 300) // every left row survives
+    assert(out == expected)
+  }
+
   test("asofJoin keeps every left row and all left columns") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "extra"))
       .toDF("event_id", "subject_id", "ts2", "note")
