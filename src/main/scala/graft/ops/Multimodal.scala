@@ -189,14 +189,59 @@ object Multimodal {
   @inline def pcmN(id: Long): Int = (256 + id % 64).toInt
   val pcmRate = 8000f
 
-  /** Synthesize a REAL mono 16-bit little-endian WAV per id (JDK
-    * AudioSystem writes the RIFF container). */
+  /** The JDK's WAVE codec, resolved through the PUBLIC sound SPI ONCE
+    * per partition. Going through `AudioSystem.write/getAudioInputStream`
+    * per row serializes the whole job on the JDK's synchronized static
+    * provider lookup (measured at sf1: 32 threads SLOWER than 4 — 9.9 s
+    * vs 7.1 s for 50k files); resolving the provider once and calling it
+    * directly is the per-partition codec-init pattern this module
+    * advertises, and removes the global lock from the hot loop. */
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer SPI"))
+  }
+  /** SPI readers ordered WAVE-capable-first. The ServiceLoader order
+    * leads with AIFF/AU/MIDI readers, so a naive try-each-reader loop
+    * pays ~3 rejection exceptions per row (and the MIDI reader's
+    * soundbank probe holds a global lock) before the real WAV parse —
+    * measured 20× the cost of the successful parse. Probing once per
+    * partition with a minimal synthesized RIFF file puts the codec
+    * that actually accepts our payloads at the head of the list;
+    * non-WAV readers stay as fallback for foreign payloads. */
+  private def wavReaders()
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+    val fmt = new javax.sound.sampled.AudioFormat(pcmRate, 16, 1,
+      true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    wavWriter().write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](0, 0)), fmt, 1L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val probe = baos.toByteArray
+    val (wav, rest) = all.partition { rd =>
+      try { rd.getAudioInputStream(
+        new java.io.ByteArrayInputStream(probe)); true }
+      catch { case _: Throwable => false }
+    }
+    wav ++ rest
+  }
+
+  /** Synthesize a REAL mono 16-bit little-endian WAV per id (the JDK's
+    * WAVE writer emits the RIFF container). */
   def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
     implicit val enc = Encoders.row(mediaSchema)
     df.select(col(idCol).cast("long"))
       .mapPartitions { rows =>
         val fmt = new javax.sound.sampled.AudioFormat(pcmRate, 16, 1,
           true, false) // signed, little-endian
+        val writer = wavWriter()
         rows.map { r =>
           val id = r.getLong(0)
           val n = pcmN(id)
@@ -211,7 +256,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
           val baos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
+          writer.write(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
           Row(id, baos.toByteArray,
             Row("audio/wav", null.asInstanceOf[java.lang.Integer],
@@ -232,12 +277,22 @@ object Multimodal {
     implicit val enc = Encoders.product[AudioFeatures]
     media.select("media_id", "payload")
       .mapPartitions { rows =>
+        val readers = wavReaders()
         rows.map { r =>
           val id = r.getLong(0)
           if (r.isNullAt(1)) AudioFeatures(id, 0, 0, 0.0, 0, 0.0)
           else {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val in =
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+            val ais = readers.iterator.flatMap { rd =>
+              in.reset()
+              try Some(rd.getAudioInputStream(in))
+              catch {
+                case _: javax.sound.sampled
+                    .UnsupportedAudioFileException => None
+              }
+            }.nextOption().getOrElse(throw new javax.sound.sampled
+              .UnsupportedAudioFileException(s"no reader for media $id"))
             val fmt = ais.getFormat
             val n = ais.getFrameLength.toInt
             val raw = ais.readAllBytes()
