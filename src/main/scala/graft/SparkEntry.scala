@@ -1214,6 +1214,58 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q89_prefix_jaccard" -> ((s, dir) => {
+      // Exact all-pairs Jaccard WITHOUT a blocking key: prefix-filtered
+      // inverted index (AllPairs/PPJoin family) — the scale path q47's
+      // blocked variant upgrades to when no cheap block key exists.
+      // Restricted to even doc_ids so the oracle's brute-force
+      // quadratic replay stays tractable in DuckDB.
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q90_decontaminate" -> ((s, dir) => {
+      // Train-vs-benchmark decontamination: training docs sharing any
+      // word 5-gram with the "benchmark" subset (doc_id % 7 = 0 stands
+      // in for an eval suite). The tiny eval-gram set broadcasts; the
+      // train side streams narrow — no corpus shuffle.
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      TextOps.contaminationMatches(train, evalSet, "doc_id", "text",
+          n = 5)
+        .select(col("id").as("doc_id"), col("n_matched"))
+    }),
+
+    "q91_seq_packing" -> ((s, dir) => {
+      // Concat-and-chunk sequence packing into 512-token windows over 8
+      // hash shards — the op between a curated corpus and fixed-shape
+      // training sequences. Oracle replays the per-shard cumsum windows.
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      graft.serve.Packing.packSequences(docs, "doc_id", "n_tok",
+          ctxLen = 512, shardCol = "shard")
+        .select(col("shard"), col("id").as("doc_id"), col("n_tok"),
+          col("off"), col("first_seq"), col("offset_in_seq"),
+          col("n_seqs"))
+    }),
+
+    "q92_mixture_sample" -> ((s, dir) => {
+      // Temperature-flattened domain mixture (α = 0.5): domains are
+      // 200-char length buckets; expected kept total 200 of 500 docs.
+      // Replayable md5 keep-hash → the oracle replays the exact row set
+      // (production default is the xxhash64 path, same operator).
+      val docs = t(s, dir, "documents")
+        .withColumn("domain", floor(length(col("text")) / 200))
+      graft.ops.Sampling.temperatureSample(docs, "domain", "doc_id",
+          alpha = 0.5, targetRows = 200, seed = 11, replayable = true)
+        .select(col("doc_id"), col("domain"))
+    }),
+
     "q77_cluster_dedup" -> ((s, dir) => {
       // Connected components + canonical dedup, ORACLE-CHECKED: the same
       // clusterPairs/dedupByPairs operators as q41, but driven by the
@@ -2871,6 +2923,102 @@ object SparkEntry {
         |    '<IP>', 'g'),
         |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Brute-force pairwise replay of the prefix-filtered exact Jaccard
+    // join: the prefix filter is result-preserving (pigeonhole), so the
+    // quadratic enumeration over the restricted doc set is the exact
+    // expected output.
+    "q89_prefix_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1] ||
+        |           ' ' || tok[CAST(i AS INT)+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS tok
+        |        FROM documents WHERE doc_id % 2 = 0) t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+        |         THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |              CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |                AS DOUBLE) END AS jac
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard
+        |FROM pairs WHERE jac >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Word-5-gram overlap of each train doc against the distinct gram
+    // set of the benchmark subset (string grams replay the engine's
+    // 64-bit shingle hashes — same fidelity argument as q47/q89).
+    "q90_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 3),
+        |      i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1] ||
+        |           ' ' || tok[CAST(i AS INT)+2] || ' ' ||
+        |           tok[CAST(i AS INT)+3] || ' ' ||
+        |           tok[CAST(i AS INT)+4])) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS tok
+        |        FROM documents) t),
+        |ev AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 7 = 0),
+        |tr AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 7 <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // Per-shard running token offset → window placement (floor of the
+    // double quotient is the engine-portable integer division).
+    "q91_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d WHERE n_tok > 0)
+        |SELECT shard, doc_id, n_tok, off,
+        |  CAST(floor(off / 512) AS BIGINT) AS first_seq,
+        |  off % 512 AS offset_in_seq,
+        |  CAST(floor((off + n_tok - 1) / 512) - floor(off / 512) + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM p ORDER BY shard, doc_id""".stripMargin,
+
+    // Temperature rates (α = 0.5 → sqrt, IEEE-exact in any engine) and
+    // the md5-hex threshold compare replay the exact kept row set.
+    "q92_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(floor(length(text) / 200) AS BIGINT) AS domain
+        |  FROM documents),
+        |c AS (
+        |  SELECT domain, CAST(count(*) AS DOUBLE) AS n_d
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT domain,
+        |    least(1.0, 200.0 * sqrt(n_d) /
+        |      (SELECT sum(sqrt(n_d)) FROM c) / n_d) AS rate
+        |  FROM c)
+        |SELECT d.doc_id, d.domain
+        |FROM d JOIN r USING (domain)
+        |WHERE rate >= 1.0 OR
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) <
+        |  lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+        |    8, '0')
+        |ORDER BY doc_id""".stripMargin,
 
     // q58's pair derivation + a recursive min-label closure for the
     // connected components, then keep unpaired docs and each cluster's

@@ -370,9 +370,19 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs within candidate blocks: docs are blocked
     * on a cheap key (e.g. language) to bound the pair space, then exact
     * word-shingle Jaccard verifies. For unblocked discovery use minhashLsh.
+    *
+    * Scale guards (both result-preserving at sane corpora): blocks larger
+    * than `maxBlockSize` are dropped before the self-join — a degenerate
+    * block (corpus-wide boilerplate collapsing the block key) would pay
+    * quadratic pairs for no signal, same rationale as minhashLsh's
+    * oversized-bucket cap; and pairs whose DISTINCT shingle-set sizes
+    * differ by more than the threshold ratio are pruned with an integer
+    * compare before the merge-walk — exact, since
+    * J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      blockCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxBlockSize: Int = 5000): DataFrame = {
     // word-shingle HASHES (native expression): Jaccard over the hash sets
     // equals Jaccard over the string shingles (64-bit collisions are
     // negligible) at zero per-shingle allocation
@@ -382,11 +392,87 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       graft.expressions.TextExpressions.wordShingleHashes(
         lower(col(textCol)), n).as("sh"))
+      .withColumn("ns", size(col("sh")))
       .localCheckpoint(true)
-    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val oversized = sh.groupBy("blk")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBlockSize)
+      .select("blk")
+    val capped = sh.join(broadcast(oversized), Seq("blk"), "left_anti")
+    val a = capped.select(col("blk"), col("id").as("id_a"),
+      col("sh").as("sh_a"), col("ns").as("ns_a"))
+    val b = capped.select(col("blk"), col("id").as("id_b"),
+      col("sh").as("sh_b"), col("ns").as("ns_b"))
     a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("ns_a"), col("ns_b")).cast("double") >=
+          lit(threshold) * greatest(col("ns_a"), col("ns_b")))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.sortedLongJaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs Jaccard self-join via PREFIX FILTERING (the
+    * AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): under any fixed global element order, a pair with
+    * J(A,B) ≥ t must share at least one element among the smallest
+    * (|X| − ⌈t·|X|⌉ + 1) elements of each side (pigeonhole: fewer
+    * shared prefix elements would leave too few elements to reach t).
+    * Candidates therefore come from an inverted index over PREFIXES
+    * only — no blocking key, and the result is EXACT, unlike the
+    * probabilistic minhashLsh discovery route.
+    *
+    * Element order: ascending shingle hash — wordShingleHashes already
+    * emits it, so the prefix is a zero-copy `slice`. (The literature
+    * orders by ascending document frequency for tighter postings; hash
+    * order is frequency-agnostic but unbiased and saves the global
+    * df pass + per-doc re-sort. `maxPostingSize` bounds the posting
+    * blowup either way: a prefix token shared by more docs than that is
+    * corpus boilerplate — dropping it can only lose pairs whose EVERY
+    * shared prefix element is boilerplate, the same degenerate-key
+    * concession as minhashLsh/winnowOverlapPairs, and no posting comes
+    * near the cap on non-pathological corpora.)
+    *
+    * Shuffle profile: sketch pass (narrow) → explode prefixes → one
+    * shuffle building postings → in-posting pairs → distinct candidate
+    * (id_a,id_b) → two joins back to the sketch frame for the hash
+    * sets → integer size-ratio prune → exact merge-walk verify. Every
+    * stage is bounded: candidates ≤ Σ posting² ≤ postings·cap. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxPostingSize: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1]: $threshold")
+    val sh = docs.select(col(idCol).as("id"),
+      graft.expressions.TextExpressions.wordShingleHashes(
+        lower(col(textCol)), n).as("sh"))
+      .withColumn("ns", size(col("sh")))
+      .filter(col("ns") > 0)
+      .localCheckpoint(true) // feeds prefix explode AND both verify sides
+    // prefix length p = ns - ceil(t*ns) + 1 (≥ 1 for t ≤ 1)
+    val p = (col("ns") -
+      ceil(lit(threshold) * col("ns")).cast("int") + 1)
+    val posts = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), p)).as("tok"))
+    val oversized = posts.groupBy("tok")
+      .agg(count(lit(1)).as("__pn"))
+      .filter(col("__pn") > maxPostingSize)
+      .select("tok")
+    val capped = posts.join(broadcast(oversized), Seq("tok"), "left_anti")
+    val cand = capped.select(col("tok"), col("id").as("id_a"))
+      .join(capped.select(col("tok"), col("id").as("id_b")), Seq("tok"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("ns").as("ns_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("ns").as("ns_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      // exact prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+      .filter(least(col("ns_a"), col("ns_b")).cast("double") >=
+        lit(threshold) * greatest(col("ns_a"), col("ns_b")))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.sortedLongJaccard(col("sh_a"), col("sh_b"))
           .as("jaccard"))

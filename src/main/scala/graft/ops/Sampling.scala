@@ -51,4 +51,59 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       n: Int, seed: Long): DataFrame =
     stratifiedSample(df, stratumCol, idCol, n, hashRank(col(idCol), seed))
+
+  /** Per-domain keep rates for TEMPERATURE-flattened mixture sampling
+    * (the multilingual/multi-domain pretraining recipe: sample domain d
+    * with probability ∝ n_d^α, α<1 up-weighting small domains). For a
+    * target corpus of `targetRows`, the per-domain keep rate is
+    * rate_d = min(1, targetRows · w_d / n_d) with w_d = n_d^α / Σ n_e^α.
+    *
+    * α = 0.5 routes through `sqrt` — IEEE-exact, so the rate is
+    * bit-identical in any engine (the DuckDB oracle replays it);
+    * other α use `pow`, correct to 1 ulp but not engine-pinned.
+    * One aggregation over the corpus; the rate table is
+    * domain-cardinality-sized — broadcast it back. */
+  def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
+      targetRows: Long): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).cast("double").as("n_d"))
+    val weight =
+      if (alpha == 0.5) sqrt(col("n_d")) else pow(col("n_d"), alpha)
+    val weighted = counts.withColumn("w", weight)
+    val z = weighted.agg(sum(col("w")).as("__z"))
+    weighted.crossJoin(broadcast(z))
+      .select(col("domain"),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * col("w") / col("__z") / col("n_d"))
+          .as("rate"))
+  }
+
+  /** Apply [[temperatureRates]]: keep a row iff its deterministic
+    * per-id hash fraction falls under its domain's rate. Production
+    * path: xxhash64 (codegen'd). Replayable path (`replayable = true`):
+    * compare the first 8 md5 hex chars against the rate rendered as an
+    * 8-hex-digit threshold — lowercase-hex string order IS numeric
+    * order, so any engine with md5/hex replays the exact row set
+    * (same discipline as [[md5Rank]] / Splits.md5SplitKey). */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      alpha: Double, targetRows: Long, seed: Long,
+      replayable: Boolean = false): DataFrame = {
+    val rates = temperatureRates(df, domainCol, alpha, targetRows)
+      .withColumnRenamed("domain", "__dom")
+    val joined = df.join(broadcast(rates),
+      col(domainCol) === col("__dom"))
+    val keep =
+      if (replayable) {
+        // floor(rate·2^32) as 8 lowercase hex digits; rate = 1 keeps all
+        val thr = lpad(lower(hex(
+          floor(col("rate") * lit(4294967296.0)).cast("long"))), 8, "0")
+        col("rate") >= 1.0 ||
+          substring(md5Rank(col(idCol), seed), 1, 8) < thr
+      } else {
+        val h = hashRank(col(idCol), seed).bitwiseAND(lit(Long.MaxValue))
+        h.cast("double") < col("rate") * lit(Long.MaxValue.toDouble)
+      }
+    joined.filter(keep).drop("__dom", "rate")
+  }
 }

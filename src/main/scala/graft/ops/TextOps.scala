@@ -194,4 +194,36 @@ object TextOps {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
+
+  /** Train-vs-benchmark decontamination: training docs sharing any
+    * case-folded word n-gram with an evaluation corpus (the n-gram
+    * overlap check every serious pretraining pipeline runs before
+    * training so eval answers don't leak into the train set; published
+    * pipelines use n of 8-13 words — parameterized here).
+    *
+    * Returns (id, n_matched) for CONTAMINATED docs only — n_matched =
+    * distinct eval n-grams seen in the doc. Callers drop them with an
+    * `anti` join (or audit first; the flag table is small).
+    *
+    * Scale shape: benchmarks are MBs while the train corpus is TBs, so
+    * the distinct eval-gram set is collected into a BROADCAST hash
+    * relation and the train side streams through a narrow explode +
+    * broadcast hash join — no shuffle of the corpus, one tiny
+    * final aggregation on the (rare) matching doc ids. N-grams travel
+    * as the same 64-bit shingle hashes the dedup family uses (collision
+    * odds negligible; set semantics per doc via wordShingleHashes'
+    * sorted-distinct output). */
+  def contaminationMatches(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval.select(
+      explode(graft.expressions.TextExpressions.wordShingleHashes(
+        lower(col(textCol)), n)).as("g"))
+      .distinct()
+    train.select(col(idCol).as("id"),
+        explode(graft.expressions.TextExpressions.wordShingleHashes(
+          lower(col(textCol)), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matched")) // grams are distinct per doc
+  }
 }

@@ -1,0 +1,62 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: lay documents end-to-end and
+  * cut the concatenated token stream into fixed-length context windows
+  * ("concat-and-chunk" — the standard way pretraining corpora become
+  * fixed-shape training sequences; see also the batch collation path in
+  * [[BatchBuilder]] for the padded per-subject variant).
+  *
+  * A GLOBAL concatenation order would funnel the whole corpus through
+  * one partition for the running-offset window. Real pipelines pack
+  * WITHIN SHARDS (a hash bucket or file split of documents): each
+  * shard's token stream is independent, so the cumulative sum is a
+  * window over (shard) — one shuffle, parallelism = shard count, and
+  * adding shards is how the op absorbs 100 TB. Determinism: placement
+  * is a pure function of (shard, order-key, token counts) — stable
+  * across runs and partitionings, like everything in [[graft.ops.Sampling]].
+  */
+object Packing {
+
+  /** Per-doc placement in the packed stream: for each document, the
+    * index of the first context window it lands in (`first_seq`,
+    * shard-local), its token offset inside that window
+    * (`offset_in_seq`), and how many windows it spans (`n_seqs` —
+    * long docs straddle window boundaries; real loaders either split
+    * them across sequences, exactly this math, or drop the tail).
+    *
+    * Zero-token documents are excluded (they occupy no window).
+    * Output: (shard, id, n_tok, off, first_seq, offset_in_seq, n_seqs)
+    * with `off` the doc's absolute token offset in its shard's stream.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, shardCol: String): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(shardCol).as("shard"), col(idCol).as("id"),
+        col(tokCol).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // floor(x / c) written explicitly: Column./ is DOUBLE division in
+      // both Spark and DuckDB, so floor() is the engine-portable integer
+      // quotient (exact for offsets < 2^53)
+      .withColumn("first_seq", floor(col("off") / ctxLen))
+      .withColumn("offset_in_seq", col("off") % ctxLen)
+      .withColumn("n_seqs",
+        floor((col("off") + col("n_tok") - 1) / ctxLen) -
+          col("first_seq") + 1L)
+  }
+
+  /** Windows-per-shard summary (the training-step count a scheduler
+    * needs): total tokens and ⌈tokens/ctxLen⌉ full-or-partial windows
+    * per shard. One aggregation over the packing output. */
+  def shardWindows(packed: DataFrame, ctxLen: Int): DataFrame =
+    packed.groupBy("shard")
+      .agg(sum(col("n_tok")).as("total_tokens"))
+      .withColumn("n_windows",
+        floor((col("total_tokens") + ctxLen - 1) / ctxLen))
+}

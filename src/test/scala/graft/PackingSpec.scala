@@ -1,0 +1,53 @@
+package graft
+
+import graft.serve.Packing
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing: placement math and invariants. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: known-answer placement within one shard") {
+    // ctx=10; docs of 4,3,5,10,1 tokens at offsets 0,4,7,12,22
+    val docs = Seq((1L, 4), (2L, 3), (3L, 5), (4L, 10), (5L, 1))
+      .toDF("id", "n_tok").withColumn("shard", lit(0))
+    val out = Packing.packSequences(docs, "id", "n_tok", ctxLen = 10,
+      shardCol = "shard")
+      .select("id", "off", "first_seq", "offset_in_seq", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == (0L, 0L, 0L, 1L))
+    assert(out(2L) == (4L, 0L, 4L, 1L))
+    assert(out(3L) == (7L, 0L, 7L, 2L)) // straddles windows 0 and 1
+    assert(out(4L) == (12L, 1L, 2L, 2L)) // 12..21 spans windows 1,2
+    assert(out(5L) == (22L, 2L, 2L, 1L))
+  }
+
+  test("packSequences: shards pack independently; empty docs excluded") {
+    val docs = Seq((1L, 0, 6), (2L, 0, 6), (3L, 1, 6), (4L, 1, 0))
+      .toDF("id", "shard", "n_tok")
+    val out = Packing.packSequences(docs, "id", "n_tok", ctxLen = 4,
+      shardCol = "shard")
+    assert(out.count() == 3) // zero-token doc 4 occupies no window
+    val byId = out.select("id", "off").as[(Long, Long)].collect().toMap
+    assert(byId(1L) == 0L && byId(2L) == 6L)
+    assert(byId(3L) == 0L) // shard 1 restarts at offset 0
+    // invariant: every doc's offset equals the sum of its predecessors
+    // regardless of input partitioning
+    val shuffled = Packing.packSequences(docs.repartition(7), "id",
+      "n_tok", ctxLen = 4, shardCol = "shard")
+      .select("id", "off").as[(Long, Long)].collect().toMap
+    assert(shuffled == byId)
+  }
+
+  test("shardWindows: ceil(token/ctx) windows per shard") {
+    val docs = Seq((1L, 0, 6), (2L, 0, 6), (3L, 1, 4)).toDF(
+      "id", "shard", "n_tok")
+    val packed = Packing.packSequences(docs, "id", "n_tok", 4, "shard")
+    val w = Packing.shardWindows(packed, 4)
+      .select("shard", "total_tokens", "n_windows")
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(w == Map(0 -> ((12L, 3L)), 1 -> ((4L, 1L))))
+  }
+}

@@ -44,4 +44,46 @@ class SamplingSpec extends SparkSpec {
       10, Sampling.md5Rank(col("id"), 7)).select("id").as[Long].collect()
     assert(m1.toSet == m2.toSet)
   }
+
+  test("temperatureRates: alpha<1 up-weights small domains; rates cap " +
+      "at 1") {
+    val rows = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "dom")
+    val rates = Sampling.temperatureRates(rows, "dom", alpha = 0.5,
+      targetRows = 300)
+      .as[(String, Double)].collect().toMap
+    // w_big = sqrt(900)=30, w_small = 10 -> rates 300*(30/40)/900 = 0.25
+    // vs 300*(10/40)/100 = 0.75 (neither caps)
+    assert(math.abs(rates("big") - 300.0 * 30 / 40 / 900) < 1e-12)
+    assert(math.abs(rates("small") - 300.0 * 10 / 40 / 100) < 1e-12)
+    // small domain kept at a HIGHER rate than its share (flattening)
+    assert(rates("small") > rates("big"))
+    // huge target -> all rates capped at 1
+    val capped = Sampling.temperatureRates(rows, "dom", 0.5, 100000)
+      .as[(String, Double)].collect().toMap
+    assert(capped.values.forall(_ == 1.0))
+  }
+
+  test("temperatureSample: deterministic, layout-independent, " +
+      "xxhash and md5 paths both track their rates") {
+    val rows = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "dom")
+    for (replayable <- Seq(false, true)) {
+      val a = Sampling.temperatureSample(rows, "dom", "id", 0.5, 500,
+        seed = 3, replayable = replayable)
+        .select("id").as[Long].collect().toSet
+      val b = Sampling.temperatureSample(rows.repartition(11), "dom",
+        "id", 0.5, 500, seed = 3, replayable = replayable)
+        .select("id").as[Long].collect().toSet
+      assert(a == b) // pure function of (id, seed, rates)
+      // expected ~417 big + ~125 small kept; loose tolerance
+      val kept = rows.filter(col("id").isin(a.toSeq: _*))
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+      assert(math.abs(kept("big") - 500.0 * 30 / 40) < 60)
+      assert(math.abs(kept("small") - 500.0 * 10 / 40) < 40)
+    }
+    // rate >= 1 keeps everything (replayable branch edge)
+    assert(Sampling.temperatureSample(rows, "dom", "id", 0.5, 100000,
+      seed = 3, replayable = true).count() == 1000)
+  }
 }

@@ -328,4 +328,70 @@ class TextDedupSpec extends SparkSpec {
       .as[Double].collect()
     assert(thew.length == 3 && thew.forall(_ == 0.0))
   }
+
+  test("prefixJaccardPairs == brute-force blocked Jaccard (exact filter)") {
+    // 30 docs: 10 base sentences, each with a near-dup (one word swapped)
+    // and an unrelated doc — the prefix filter must lose NOTHING vs the
+    // all-pairs enumeration at the same threshold.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = (0 until 10).flatMap { i =>
+      val base = (0 until 8).map(j => words((i + j) % 12)).mkString(" ")
+      val near = base.replace(words(i % 12), "swapped")
+      val other = s"totally unrelated content number $i about nothing " +
+        s"shared with base texts $i"
+      Seq((i * 3L, base), (i * 3L + 1, near), (i * 3L + 2, other))
+    }.toDF("doc_id", "text")
+    val viaPrefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: one giant block through the blocked operator
+    val brute = Dedup.ngramJaccardPairs(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", "blk",
+      n = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix == brute && viaPrefix.nonEmpty)
+    // planted near-dup pairs present
+    assert((0 until 10).forall(i =>
+      viaPrefix.exists(p => p._1 == i * 3L && p._2 == i * 3L + 1)))
+  }
+
+  test("prefixJaccardPairs: maxPostingSize drops boilerplate postings") {
+    // every doc shares one boilerplate trigram; cap of 3 kills its
+    // posting, and since unrelated docs share ONLY that trigram, no
+    // candidate survives for them
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"common header line unique$i body$i tail$i words$i")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.05, maxPostingSize = 1000)
+    val capped = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.05, maxPostingSize = 3)
+    assert(uncapped.count() > 0 && capped.count() == 0)
+  }
+
+  test("contaminationMatches: flags exactly the docs sharing an eval " +
+      "n-gram") {
+    val evalSet = Seq((100L,
+      "the secret benchmark answer is forty two exactly")).toDF(
+      "doc_id", "text")
+    val train = Seq(
+      (1L, "some doc quoting the secret benchmark answer is forty two " +
+        "exactly verbatim"),
+      (2L, "clean document with no overlap whatsoever here"),
+      (3L, "partial overlap secret benchmark answer only four words"))
+      .toDF("doc_id", "text")
+    val hits = TextOps.contaminationMatches(train, evalSet, "doc_id",
+      "text", n = 5).as[(Long, Long)].collect().toMap
+    // doc 1 contains the full 8-token eval text -> its 4 5-grams all hit;
+    // doc 3's longest shared run is 4 tokens -> no 5-gram hit
+    assert(hits.keySet == Set(1L))
+    assert(hits(1L) == 4L)
+    // n_gram granularity: at n=3 doc 3's 3-token runs do hit
+    val loose = TextOps.contaminationMatches(train, evalSet, "doc_id",
+      "text", n = 3).as[(Long, Long)].collect().toMap
+    assert(loose.keySet == Set(1L, 3L))
+  }
 }
