@@ -1266,6 +1266,29 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
     }),
 
+    "q93_paragraph_dedup" -> ((s, dir) => {
+      // Paragraph-level exact dedup (RefinedWeb/Dolma curation: repeated
+      // paragraphs keep only their first corpus occurrence, docs
+      // reassembled from survivors, fully-deduped docs vanish). The
+      // corpus is single-line, so deterministic 3-token chunks stand in
+      // for paragraphs; paragraphDedup runs the same dedupUnits +
+      // reassembleUnits pair on blank-line splits.
+      val toks = filter(
+        split(trim(lower(col("text"))), "\\s+"), x => x =!= "")
+      val units = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tok"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0),
+              ceil(size(col("tok")) / lit(3.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("tok"), i * 3 + 1, lit(3)))))
+          .as(Seq("idx", "unit")))
+      Dedup.reassembleUnits(
+        Dedup.dedupUnits(units, "doc_id", "idx", "unit"),
+        "doc_id", "idx", "unit")
+        .select(col("doc_id"), col("text"))
+    }),
+
     "q77_cluster_dedup" -> ((s, dir) => {
       // Connected components + canonical dedup, ORACLE-CHECKED: the same
       // clusterPairs/dedupByPairs operators as q41, but driven by the
@@ -3019,6 +3042,28 @@ object SparkEntry {
         |  lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
         |    8, '0')
         |ORDER BY doc_id""".stripMargin,
+
+    // First-occurrence unit dedup + position-ordered reassembly, over
+    // the same deterministic 3-token chunking.
+    "q93_paragraph_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    array_to_string(
+        |      tok[CAST(i*3+1 AS INT):CAST(i*3+3 AS INT)], ' ') AS unit
+        |  FROM (SELECT doc_id,
+        |          list_filter(
+        |            string_split_regex(trim(lower(text)), '\s+'),
+        |            x -> x <> '') AS tok
+        |        FROM documents) t,
+        |  LATERAL unnest(range(0, CAST(ceil(len(tok)/3.0) AS BIGINT)))
+        |    AS r(i)),
+        |k AS (
+        |  SELECT doc_id, idx, unit,
+        |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM u)
+        |SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS text
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q58's pair derivation + a recursive min-label closure for the
     // connected components, then keep unpaired docs and each cluster's

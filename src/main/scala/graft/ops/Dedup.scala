@@ -413,6 +413,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Global first-occurrence unit dedup — the paragraph-dedup core of
+    * modern corpus curation (RefinedWeb / Dolma drop repeated paragraphs
+    * corpus-wide, not just repeated documents), generalized to any
+    * (doc, position, unit) decomposition: a unit string seen before — in
+    * an earlier doc, or earlier in the same doc — is dropped; the first
+    * occurrence by (docId, idx) survives.
+    *
+    * One shuffle, partitioned by the unit itself (the exchange hashes
+    * the string; at 100 TB project a 128-bit content hash alongside to
+    * shrink wire rows — same plan, the window then partitions on the
+    * hash and orders identically). */
+  def dedupUnits(units: DataFrame, docIdCol: String, idxCol: String,
+      unitCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(unitCol))
+      .orderBy(col(docIdCol), col(idxCol))
+    units.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Reassemble document text from surviving units in position order
+    * (docs that lost every unit disappear — standard curation
+    * behavior; left-join the id table to audit them). The per-doc sort
+    * runs on collected structs: paragraph counts are small, so the
+    * interpreted lambda is off the hot path. */
+  def reassembleUnits(units: DataFrame, docIdCol: String, idxCol: String,
+      unitCol: String, sep: String = " "): DataFrame =
+    units.groupBy(col(docIdCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(idxCol).as("i"),
+            col(unitCol).as("u")))),
+          x => x.getField("u")),
+        sep).as("text"))
+
+  /** Paragraph-level exact dedup: split on `delim` (blank lines by
+    * default), drop corpus-wide repeated paragraphs, reassemble. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\\n{2,}"): DataFrame = {
+    val units = docs.select(col(idCol),
+        posexplode(split(col(textCol), delim)).as(Seq("idx", "unit")))
+      .filter(trim(col("unit")) =!= "")
+    reassembleUnits(dedupUnits(units, idCol, "idx", "unit"),
+      idCol, "idx", "unit", "\n\n")
+  }
+
   /** Exact all-pairs Jaccard self-join via PREFIX FILTERING (the
     * AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     * WWW'08): under any fixed global element order, a pair with

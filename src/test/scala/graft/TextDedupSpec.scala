@@ -394,4 +394,27 @@ class TextDedupSpec extends SparkSpec {
       "text", n = 3).as[(Long, Long)].collect().toMap
     assert(loose.keySet == Set(1L, 3L))
   }
+
+  test("paragraphDedup: repeated paragraphs keep first occurrence only; " +
+      "reassembly preserves order; emptied docs vanish") {
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, s"unique intro one\n\n$boiler\n\nunique body one"),
+      (2L, s"$boiler\n\nunique body two"),
+      (3L, boiler), // only the boilerplate -> doc disappears
+      (4L, s"repeated para\n\nrepeated para\n\ntail four"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) ==
+      s"unique intro one\n\n$boiler\n\nunique body one")
+    assert(out(2L) == "unique body two")
+    assert(!out.contains(3L))
+    // within-doc repeat also deduped, order kept
+    assert(out(4L) == "repeated para\n\ntail four")
+    // layout independence: same result from a different partitioning
+    val out2 = Dedup.paragraphDedup(docs.repartition(5), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out2 == out)
+  }
 }
