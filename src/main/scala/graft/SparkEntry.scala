@@ -1266,6 +1266,27 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
     }),
 
+    "q94_bm25" -> ((s, dir) => {
+      // Okapi BM25 term weights (k1=1.2, b=0.75) — the retrieval/data-
+      // selection scorer; same shuffle profile as q71's tf-idf plus the
+      // doc-length join. avg doc length is an exact integer-sum mean,
+      // so the only FP-order sensitivity is handled by round-6.
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("bm25"), 6).as("bm25"))
+    }),
+
+    "q95_det_shuffle" -> ((s, dir) => {
+      // Deterministic global training order: dense 0-based rank over a
+      // seeded md5 permutation (replayable; production default is the
+      // xxhash64 rank — same operator). Range-partition + zipWithIndex,
+      // no single-partition window stage.
+      graft.ops.Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 5,
+        rank = graft.ops.Sampling.md5Rank(col("doc_id"), 5))
+        .select(col("doc_id"), col("shuffle_rank"))
+    }),
+
     "q93_paragraph_dedup" -> ((s, dir) => {
       // Paragraph-level exact dedup (RefinedWeb/Dolma curation: repeated
       // paragraphs keep only their first corpus occurrence, docs
@@ -3042,6 +3063,46 @@ object SparkEntry {
         |  lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
         |    8, '0')
         |ORDER BY doc_id""".stripMargin,
+
+    // Lucene-style BM25 with the arithmetic replicated literally (the
+    // constant folds 1.2+1.0 / 1.0-0.75 run the same IEEE ops in both
+    // engines; avg_dl is an exact integer-sum mean).
+    "q94_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |lens AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS DOUBLE) AS dl
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+        |  FROM lens)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl)),
+        |    6) AS bm25
+        |FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q95_det_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) - 1
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // First-occurrence unit dedup + position-ordered reassembly, over
     // the same deterministic 3-token chunking.

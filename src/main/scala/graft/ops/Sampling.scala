@@ -52,6 +52,23 @@ object Sampling {
       n: Int, seed: Long): DataFrame =
     stratifiedSample(df, stratumCol, idCol, n, hashRank(col(idCol), seed))
 
+  /** Deterministic global shuffle for training order: a dense
+    * 0-based rank over a seeded content-hash permutation of the ids.
+    * `orderBy(rand(seed))` re-deals on every retry/re-plan and a
+    * row_number window funnels the corpus through one partition;
+    * this ranks by (hash, id) with range-partition + per-partition
+    * zipWithIndex ([[graft.ingest.Ids.denseIdsBy]]) — a pure function
+    * of (id, seed), one range exchange, no single-partition stage.
+    * Readers consume in rank order (or range-bucket it into shards). */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+      rank: Column = null): DataFrame = {
+    val key = if (rank != null) rank else hashRank(col(idCol), seed)
+    graft.ingest.Ids.denseIdsBy(
+      df.withColumn("__shuffle_key", key),
+      "shuffle_rank", Seq(col("__shuffle_key"), col(idCol)))
+      .drop("__shuffle_key")
+  }
+
   /** Per-domain keep rates for TEMPERATURE-flattened mixture sampling
     * (the multilingual/multi-domain pretraining recipe: sample domain d
     * with probability ∝ n_d^α, α<1 up-weighting small domains). For a

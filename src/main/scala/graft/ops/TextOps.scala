@@ -186,6 +186,38 @@ object TextOps {
         (col("tf") * log(col("__n_docs") / col("df"))).as("tfidf"))
   }
 
+  /** BM25 term weighting (the Lucene/Okapi scoring retrieval and
+    * data-selection pipelines rank with; reduces to tf-idf as k1→∞,
+    * b=0): idf = ln(1 + (N−df+0.5)/(df+0.5)), score = idf ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·len/avgLen)). Same two-aggregation
+    * shuffle profile as [[tfIdf]] (per-(doc,term) counts, per-term df)
+    * plus a per-doc length frame joined back on the doc id; N and
+    * avgLen ride in one broadcast scalar row. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokenCount(col(textCol)).cast("double")
+        .as("dl"))
+    val terms = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = lens.agg(count(lit(1)).cast("double").as("__n_docs"),
+      avg(col("dl")).as("__avg_dl"))
+    tf.join(df, "term")
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (log(lit(1.0) + (col("__n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("__avg_dl"))))
+          .as("bm25"))
+  }
+
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))

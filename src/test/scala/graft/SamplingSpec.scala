@@ -86,4 +86,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureSample(rows, "dom", "id", 0.5, 100000,
       seed = 3, replayable = true).count() == 1000)
   }
+
+  test("deterministicShuffle: dense 0..n-1 permutation, stable across " +
+      "layouts, seed changes the order") {
+    val ids = (1L to 500L).toDF("id")
+    val a = Sampling.deterministicShuffle(ids, "id", seed = 9)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted == (0L until 500L))
+    val b = Sampling.deterministicShuffle(ids.repartition(13), "id", 9)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val c = Sampling.deterministicShuffle(ids, "id", seed = 10)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(c != a) // different permutation
+    assert(c.values.toSeq.sorted == (0L until 500L))
+  }
 }

@@ -417,4 +417,26 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out2 == out)
   }
+
+  test("bm25: known-answer weights; reduces toward tf-idf shape") {
+    // 3 docs, hand-computed: N=3, avg_dl=(2+2+4)/3
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat"), (3L, "fish a b c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "bm25")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val avgDl = (2.0 + 2 + 4) / 3
+    def score(tf: Long, df: Long, dl: Double): Double =
+      math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgDl))
+    assert(out((1L, "cat"))._1 == 1L && out((1L, "cat"))._2 == 2L)
+    assert(math.abs(out((1L, "cat"))._3 - score(1, 2, 2)) < 1e-12)
+    assert(math.abs(out((2L, "cat"))._3 - score(2, 2, 2)) < 1e-12)
+    assert(math.abs(out((3L, "fish"))._3 - score(1, 1, 4)) < 1e-12)
+    // higher tf -> higher score, same term
+    assert(out((2L, "cat"))._3 > out((1L, "cat"))._3)
+    // rarer term (df=1) outscores common (df=2) at equal tf and dl=2
+    assert(out((1L, "dog"))._3 > out((1L, "cat"))._3)
+  }
 }
