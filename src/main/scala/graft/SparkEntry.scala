@@ -1266,6 +1266,17 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"))
     }),
 
+    "q96_bigram_lm" -> ((s, dir) => {
+      // Corpus-fit bigram LM quality score (CCNet/KenLM perplexity-
+      // filter idiom, LM fit in-engine): add-k smoothed transition
+      // logprobs, per-doc mean. Train = score = documents (the
+      // self-perplexity variant for gibberish/repetition cuts).
+      val docs = t(s, dir, "documents")
+      TextOps.bigramLogProb(docs, docs, "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), col("n_transitions"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+    }),
+
     "q94_bm25" -> ((s, dir) => {
       // Okapi BM25 term weights (k1=1.2, b=0.75) — the retrieval/data-
       // selection scorer; same shuffle profile as q71's tf-idf plus the
@@ -3063,6 +3074,41 @@ object SparkEntry {
         |  lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
         |    8, '0')
         |ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM replay: same tokenization, lead() transitions, add-k
+    // arithmetic; the context count c(w1) counts TRANSITIONS starting
+    // at w1 (= sum over w2 of c(w1,w2)), the proper conditional
+    // denominator, in both engines.
+    "q96_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tok
+        |  FROM documents
+        |  WHERE (CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |        >= 2),
+        |flat AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    tok[CAST(i AS INT)] AS w1
+        |  FROM toks, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |tr AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w1,
+        |      lead(w1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+        |    FROM flat)
+        |  WHERE w2 IS NOT NULL),
+        |bg AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM tr GROUP BY 1, 2),
+        |ug AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_w1
+        |  FROM tr GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ug)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(ln((COALESCE(bg.c_bg, 0) + 0.5) /
+        |    (COALESCE(ug.c_w1, 0) + 0.5 * v.v))), 6) AS avg_logprob
+        |FROM tr LEFT JOIN bg USING (w1, w2) LEFT JOIN ug USING (w1), v
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // Lucene-style BM25 with the arithmetic replicated literally (the
     // constant folds 1.2+1.0 / 1.0-0.75 run the same IEEE ops in both

@@ -218,6 +218,52 @@ object TextOps {
           .as("bm25"))
   }
 
+  /** Corpus-fit bigram language-model scoring — the CCNet/KenLM
+    * perplexity-filter idiom with the LM fit in-engine: add-k smoothed
+    * transition probability p(w2|w1) = (c(w1 w2)+k)/(c(w1)+k·V) from
+    * `train`'s token stream, and each `score` doc gets the MEAN log
+    * probability of its transitions (low = gibberish / vocabulary
+    * soup / wrong-language — the classic quality cut). Docs with fewer
+    * than two tokens have no transitions and are absent.
+    *
+    * Distributed shape: one posexplode of tokens (narrow) → lead()
+    * window per doc (one doc-keyed exchange — bigrams materialize
+    * WITHOUT an interpreted per-element lambda) → corpus counts via two
+    * map-side-partial aggregations (V falls out of the unigram agg) →
+    * count joins (AQE picks broadcast while vocab tables fit; the
+    * bigram join degrades gracefully to shuffle at 100 TB) → per-doc
+    * mean. Unseen transitions smooth to k/(c(w1)+k·V) via left joins. */
+  def bigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, k: Double = 0.5): DataFrame = {
+    def transitions(df: DataFrame): DataFrame = {
+      val toksOf = df.filter(tokenCount(col(textCol)) >= 2)
+        .select(col(idCol), posexplode(tokens(lower(col(textCol))))
+          .as(Seq("idx", "w1")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("idx"))
+      toksOf.withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+    }
+    val trainTr = transitions(train)
+    val bigramCounts = trainTr.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_bg"))
+    val unigramCounts = trainTr.groupBy("w1")
+      .agg(count(lit(1)).as("c_w1"))
+    val vocab = unigramCounts.agg(
+      count(lit(1)).cast("double").as("__v"))
+    transitions(score)
+      .join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(unigramCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("c_bg"), lit(0L)) + lit(k)) /
+          (coalesce(col("c_w1"), lit(0L)) + lit(k) * col("__v")))
+          .as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        avg(col("lp")).as("avg_logprob"))
+  }
+
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))

@@ -439,4 +439,38 @@ class TextDedupSpec extends SparkSpec {
     // rarer term (df=1) outscores common (df=2) at equal tf and dl=2
     assert(out((1L, "dog"))._3 > out((1L, "cat"))._3)
   }
+
+  test("bigramLogProb: known-answer smoothed transition probabilities; " +
+      "fluent text outscores vocabulary soup") {
+    // train corpus: "a b" x3 and "a c" x1 -> c(a b)=3, c(a c)=1,
+    // context c(a)=4, V=3 distinct contexts... V = |{a,b,c}| among w1?
+    // contexts seen as w1: only "a" (4 transitions) -> V=1
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val scored = TextOps.bigramLogProb(train, train, "doc_id", "text",
+      k = 0.5)
+      .select("doc_id", "n_transitions", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // V = 1 (only "a" occurs as a context); p(b|a) = (3+0.5)/(4+0.5),
+    // p(c|a) = (1+0.5)/(4+0.5)
+    assert(scored(1L)._1 == 1L)
+    assert(math.abs(scored(1L)._2 - math.log(3.5 / 4.5)) < 1e-12)
+    assert(math.abs(scored(4L)._2 - math.log(1.5 / 4.5)) < 1e-12)
+    // common transitions score higher than rare ones
+    assert(scored(1L)._2 > scored(4L)._2)
+    // single-token and empty docs have no transitions -> absent
+    val withShort = train.union(Seq((5L, "a"), (6L, "")).toDF(
+      "doc_id", "text"))
+    val s2 = TextOps.bigramLogProb(withShort, withShort, "doc_id",
+      "text").select("doc_id").as[Long].collect().toSet
+    assert(!s2.contains(5L) && !s2.contains(6L))
+    // unseen transition in the scored set smooths, not crashes
+    val other = Seq((9L, "b a")).toDF("doc_id", "text")
+    val cross = TextOps.bigramLogProb(train, other, "doc_id", "text",
+      k = 0.5).select("doc_id", "avg_logprob")
+      .as[(Long, Double)].collect().toMap
+    // c(b a)=0, context c(b)=0 -> ln(0.5 / (0 + 0.5*1))= ln(1) = 0
+    assert(math.abs(cross(9L) - 0.0) < 1e-12)
+  }
 }
