@@ -56,6 +56,31 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming decontamination: drop stream docs sharing any word
+    * n-gram with a STATIC benchmark corpus — an arriving corpus
+    * scrubbed against a fixed eval suite before it reaches training
+    * storage. The doc-level verdict is an aggregate of its gram hits,
+    * which the pure streaming DSL can't express statelessly (the
+    * clean-doc set is the ABSENCE of hits, and deriving it from the
+    * same stream would be a stream-stream self-join), so this is the
+    * documented `foreachBatch` idiom: each micro-batch runs the batch
+    * operator ([[graft.ops.TextOps.contaminationMatches]] — broadcast
+    * eval grams, no corpus shuffle) and anti-joins the flagged ids.
+    * Zero state store entries; the eval relation is static.
+    *
+    * Usage: `stream.writeStream.foreachBatch { (b, _) =>
+    *   decontaminateBatch(evalStatic, "doc_id", "text")(b).write....}`
+    */
+  def decontaminateBatch(evalStatic: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame => DataFrame = {
+    batch => {
+      val flagged = graft.ops.TextOps.contaminationMatches(
+        batch, evalStatic, idCol, textCol, n)
+        .select(col("id").as(idCol))
+      batch.join(flagged, Seq(idCol), "left_anti")
+    }
+  }
+
   /** Per-subject session windows: events closer than `gap` merge into one
     * session (native session_window — state per open session, evicted at
     * watermark + gap). */

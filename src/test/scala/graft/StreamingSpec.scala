@@ -220,4 +220,37 @@ class StreamingSpec extends SparkSpec {
       assert(merged == Seq(2L))
     } finally q.stop()
   }
+
+  test("decontaminateBatch via foreachBatch: contaminated docs dropped " +
+      "per micro-batch against the static eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalStatic = Seq((100L,
+      "the secret benchmark answer is forty two exactly")).toDF(
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val scrub = StreamOps.decontaminateBatch(evalStatic, "doc_id",
+      "text", n = 5)
+    val q = docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept.synchronized {
+          kept ++= scrub(batch).select("doc_id")
+            .collect().map(_.getLong(0))
+        }
+        ()
+    }.start()
+    try {
+      input.addData(
+        (1L, "clean document with completely original content here"),
+        (2L, "leaky doc quoting the secret benchmark answer is forty " +
+          "two exactly verbatim"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "another clean one arriving in a later micro batch"),
+        (4L, "secret benchmark answer is forty two repeated elsewhere"))
+      q.processAllAvailable()
+      kept.synchronized { assert(kept.toSet == Set(1L, 3L)) }
+    } finally q.stop()
+  }
 }
