@@ -1321,6 +1321,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q97_substring_dedup" -> ((s, dir) => {
+      // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
+      // 50-char span whose text occurred earlier in the corpus (global
+      // order (doc_id, pos)) is excised; overlapping flagged grams merge
+      // into maximal spans and each doc is stitched back from the gaps.
+      // Production flips hashShuffleKey=true (8-byte exchange keys); the
+      // oracle path compares true string equality.
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text",
+        L = 50)
+        .select(col("id").as("doc_id"), col("n_spans"),
+          col("dup_chars"), col("clean_text"))
+    }),
+
     "q77_cluster_dedup" -> ((s, dir) => {
       // Connected components + canonical dedup, ORACLE-CHECKED: the same
       // clusterPairs/dedupByPairs operators as q41, but driven by the
@@ -3171,6 +3184,62 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS text
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Positions whose 50-char gram has an earlier corpus occurrence are
+    // flagged; gaps-and-islands merges them into maximal spans; docs are
+    // rebuilt by string_agg over the inter-span gaps plus the tail.
+    "q97_substring_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(1, length(text) - 48)) AS INT) AS i
+        |  FROM documents WHERE length(text) >= 50),
+        |r AS (
+        |  SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY substr(text, i, 50)
+        |                       ORDER BY doc_id, i) AS rn
+        |  FROM pos),
+        |f AS (SELECT doc_id, i AS s, i + 49 AS e FROM r WHERE rn > 1),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM f),
+        |sp AS (
+        |  SELECT doc_id, min(s) AS ss, max(e) AS ee
+        |  FROM (SELECT doc_id, s, e,
+        |          sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |        FROM m)
+        |  GROUP BY doc_id, grp),
+        |seg AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(ee) OVER (PARTITION BY doc_id ORDER BY ss) + 1,
+        |             1) AS a,
+        |    ss - 1 AS b
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT doc_id, max(ee) + 1 AS a, -1 AS b FROM sp
+        |  GROUP BY doc_id),
+        |reb AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, s.a,
+        |      (CASE WHEN s.b = -1 THEN length(d.text) ELSE s.b END)
+        |        - s.a + 1), '' ORDER BY s.a) AS clean_text
+        |  FROM seg s JOIN documents d USING (doc_id)
+        |  WHERE s.b = -1 OR s.b >= s.a
+        |  GROUP BY s.doc_id),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(ee - ss + 1) AS BIGINT) AS dup_chars
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_spans, 0) AS n_spans,
+        |  coalesce(st.dup_chars, 0) AS dup_chars,
+        |  coalesce(reb.clean_text, d.text) AS clean_text
+        |FROM documents d
+        |LEFT JOIN st USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q58's pair derivation + a recursive min-label closure for the
     // connected components, then keep unpaired docs and each cluster's

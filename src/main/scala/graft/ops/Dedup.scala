@@ -459,6 +459,106 @@ object Dedup {
       idCol, "idx", "unit", "\n\n")
   }
 
+  /** Exact duplicated-substring spans — the suffix-array dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-expressed relationally. Every position whose
+    * L-char gram occurred EARLIER in the corpus (global occurrence order
+    * = (docId, position)) is a duplicated position; runs of duplicated
+    * positions merge into maximal spans. A region of length m ≥ L
+    * repeated verbatim yields m−L+1 flagged grams in each later
+    * occurrence, and those overlapping grams merge back into ONE
+    * [start, start+m−1] span — the suffix-array answer without building
+    * a suffix array (the relational form trades its O(total chars) index
+    * for one gram-keyed exchange, which is what a cluster wants anyway).
+    *
+    * Shuffle profile: gram explode (narrow; L bytes × positions on the
+    * wire) → one exchange partitioned by the gram (first-occurrence
+    * window) → one exchange by doc (island merge). With
+    * `hashShuffleKey=true` the first exchange is keyed on
+    * xxhash64(gram) instead of the gram string — 8 bytes instead of L
+    * on the wire and in the sort, at a ~2⁻⁶⁴-per-pair collision risk
+    * whose worst case is excising one extra span: the 100 TB setting.
+    * Default false so the oracle compares true string equality.
+    *
+    * Returns (id, span_start, span_end), 1-based inclusive positions.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      L: Int = 50, hashShuffleKey: Boolean = false): DataFrame = {
+    require(L >= 2, s"span gram length must be >= 2: $L")
+    val grams = docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= L)
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("i"))
+      .select(col("id"), col("i"),
+        expr(s"substring(__t, i, $L)").as("gram"))
+    val key = if (hashShuffleKey) xxhash64(col("gram")) else col("gram")
+    val firstOcc = Window.partitionBy(key).orderBy(col("id"), col("i"))
+    val flagged = grams
+      .withColumn("__rn", row_number().over(firstOcc))
+      .filter(col("__rn") > 1)
+      .select(col("id"), col("i").as("s"), (col("i") + (L - 1)).as("e"))
+    // gaps-and-islands merge: a flagged start adjacent to (or inside) the
+    // running max end extends the island; otherwise it opens a new one
+    val byDoc = Window.partitionBy("id").orderBy("s")
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new",
+        when(col("s") > coalesce(prevMax, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Substring-level dedup: excise every duplicated span found by
+    * [[substringSpans]] and stitch the survivors back together. Output is
+    * one row per input doc: (id, n_spans, dup_chars, clean_text) — docs
+    * with nothing duplicated pass through verbatim, a doc that is one
+    * giant duplicate comes back with clean_text = "".
+    *
+    * The rebuild is relational, not per-char: kept segments are the gaps
+    * between consecutive spans (plus the tail), each a single codegen'd
+    * `substring`, assembled per doc with an array_sort over the handful
+    * of segment structs. Spans are localCheckpointed once — three
+    * consumers (stats, gaps, tails), tiny frame. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      L: Int = 50, hashShuffleKey: Boolean = false): DataFrame = {
+    val spans = substringSpans(docs, idCol, textCol, L, hashShuffleKey)
+      .localCheckpoint(true)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val bySpan = Window.partitionBy("id").orderBy("span_start")
+    val gaps = spans.select(col("id"),
+        coalesce(lag(col("span_end"), 1).over(bySpan) + 1, lit(1)).as("ss"),
+        (col("span_start") - 1).as("se"))
+      .filter(col("se") >= col("ss"))
+    // tail sentinel se = -1 → "to end of text" (resolved after the join,
+    // where length(__t) is in scope)
+    val tails = spans.groupBy("id")
+      .agg((max("span_end") + 1).as("ss"))
+      .withColumn("se", lit(-1))
+    val rebuilt = gaps.unionByName(tails)
+      .join(base, Seq("id"))
+      .select(col("id"), col("ss"),
+        expr("substring(__t, ss, (CASE WHEN se = -1 THEN length(__t) " +
+          "ELSE se END) - ss + 1)").as("seg"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ss"), col("seg")))),
+          x => x.getField("seg")), "").as("clean_text"))
+    val stats = spans.groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
+    base
+      .join(stats, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("clean_text"), col("__t")).as("clean_text"))
+  }
+
   /** Exact all-pairs Jaccard self-join via PREFIX FILTERING (the
     * AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     * WWW'08): under any fixed global element order, a pair with

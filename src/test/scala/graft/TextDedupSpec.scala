@@ -473,4 +473,33 @@ class TextDedupSpec extends SparkSpec {
     // c(b a)=0, context c(b)=0 -> ln(0.5 / (0 + 0.5*1))= ln(1) = 0
     assert(math.abs(cross(9L) - 0.0) < 1e-12)
   }
+
+  test("substringDedup: repeated >=L spans excised (cross-doc, self-copy, " +
+      "within-doc repetition); hash shuffle key is result-equivalent") {
+    val d1 = "abcdefghijklmnopqrst" // 20 chars, internally unique
+    val docs = Seq(
+      (1L, d1),                          // first occurrence — untouched
+      (2L, "ZZZZZ" + d1 + "YYYYY"),      // embedded copy at 6..25
+      (3L, d1),                          // whole doc is a duplicate
+      (4L, "qwertyuiop" * 3),            // self-repetition: 11..30 dup
+      (5L, "short")                      // below L — untouched
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", L = 10)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans == Set((2L, 6, 25), (3L, 1, 20), (4L, 11, 30)))
+    val out = Dedup.substringDedup(docs, "doc_id", "text", L = 10)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, d1)))
+    assert(out(2L) == ((1L, 20L, "ZZZZZYYYYY")))
+    assert(out(3L) == ((1L, 20L, "")))
+    assert(out(4L) == ((1L, 20L, "qwertyuiop")))
+    assert(out(5L) == ((0L, 0L, "short")))
+    // the 100 TB shuffle-key variant (8-byte keys) must not change results
+    val hashed = Dedup.substringDedup(docs, "doc_id", "text", L = 10,
+      hashShuffleKey = true)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(hashed == out)
+  }
 }
