@@ -1446,6 +1446,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     }),
 
+    "q98_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (arXiv:2303.09540): embedding-cosine pair graph →
+      // connected components → min-id survivor per component. Exact pair
+      // route (q80's math) so DuckDB replays it; production uses the
+      // hyperplane-bucketed discovery (q30) with identical downstream
+      // clustering. vec_id < 200 bounds the quadratic exact path.
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.ops.Dedup.semanticDedup(emb, "vec_id", "embedding",
+          threshold = 0.3, exact = true)
+        .select(col("vec_id"))
+    }),
+
     "q81_unified_offsets" -> ((s, dir) => {
       // Unified vocab offsets with TWO dynamic measurements (reference
       // event_stream_pytorch_dataset.py:124-153): event_type pinned at
@@ -3285,6 +3297,30 @@ object SparkEntry {
     "q78_minhash_replay" -> MinhashReplay.oracle,
 
     "q79_simhash_replay" -> SimhashReplay.oracle,
+
+    // q80's pair derivation + q77's recursive min-label closure: a
+    // vector survives iff it has no ≥0.3 neighbor or is its component's
+    // minimum id.
+    "q98_semantic_dedup" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200 AND b.vec_id < 200
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[]))
+        |        >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pr
+        |      UNION SELECT id_b, id_a FROM pr),
+        |cc AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM e
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON e.a = cc.node),
+        |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+        |SELECT v.vec_id FROM embeddings v
+        |LEFT JOIN lab ON lab.node = v.vec_id
+        |WHERE v.vec_id < 200
+        |  AND (lab.node IS NULL OR lab.label = v.vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q80_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -677,6 +677,30 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * documents whose EMBEDDINGS are near-identical (cosine ≥ threshold)
+    * are semantic duplicates even when their surface text differs —
+    * paraphrases, templated rewrites, machine translations. Connected
+    * components of the pair graph collapse to their min-id
+    * representative ([[dedupByPairs]]).
+    *
+    * Discovery route is pluggable, mirroring the paper's design where
+    * k-means cluster scoping only bounds the candidate space: the
+    * default is the hyperplane-bucketed [[embeddingNearDups]] (one
+    * bucket exchange, no all-pairs); `exact = true` swaps in the
+    * quadratic [[embeddingNearDupsExact]] — for small corpora,
+    * re-ranking, and oracle verification only. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, exact: Boolean = false,
+      nPlanes: Int = 12, seed: Long = 7, dim: Int = 64): DataFrame = {
+    val pairs =
+      if (exact) embeddingNearDupsExact(vecs, idCol, vecCol, threshold)
+      else embeddingNearDups(vecs, idCol, vecCol, threshold, nPlanes,
+        seed, dim)
+    dedupByPairs(vecs, idCol, pairs.select("id_a", "id_b"))
+  }
+
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 7,
       dim: Int = 64): DataFrame = {

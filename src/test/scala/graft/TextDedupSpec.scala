@@ -474,6 +474,28 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(cross(9L) - 0.0) < 1e-12)
   }
 
+  test("semanticDedup: cosine components collapse to min-id survivor; " +
+      "bucketed and exact discovery agree on planted duplicates") {
+    // ids 1,2,3 share a direction (cos = 1 pairwise), 4 and 5 are
+    // orthogonal to them and to each other
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0.5f, 0f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val exact = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, exact = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 4L, 5L))
+    // identical directions produce identical hyperplane sign bits, so the
+    // bucketed production route must find the same components here
+    val bucketed = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, exact = false, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bucketed == exact)
+  }
+
   test("substringDedup: repeated >=L spans excised (cross-doc, self-copy, " +
       "within-doc repetition); hash shuffle key is result-equivalent") {
     val d1 = "abcdefghijklmnopqrst" // 20 chars, internally unique
