@@ -1277,6 +1277,20 @@ object SparkEntry {
           round(col("avg_logprob"), 6).as("avg_logprob"))
     }),
 
+    "q99_naive_bayes" -> ((s, dir) => {
+      // Multinomial Naive Bayes language classifier fit IN-ENGINE (the
+      // closed-form stand-in for the fastText-style quality/language
+      // filters of CCNet/GPT-3 pipelines): train on the doc_id%5!=0
+      // fold with the lang label, predict the held-out fold. Round-6
+      // scores + label tiebreak pin the argmax across engines.
+      val docs = t(s, dir, "documents")
+      TextOps.naiveBayesClassify(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("pred_label"), col("score"))
+    }),
+
     "q94_bm25" -> ((s, dir) => {
       // Okapi BM25 term weights (k1=1.2, b=0.75) — the retrieval/data-
       // selection scorer; same shuffle profile as q71's tf-idf plus the
@@ -3138,6 +3152,58 @@ object SparkEntry {
     // Lucene-style BM25 with the arithmetic replicated literally (the
     // constant folds 1.2+1.0 / 1.0-0.75 run the same IEEE ops in both
     // engines; avg_dl is an exact integer-sum mean).
+    // NB fit = (label,term) counts + label totals + V + doc priors;
+    // predict = per-(doc,label) smoothed evidence sum over in-vocab
+    // terms + logprior, argmax via round-6 score then label tiebreak.
+    "q99_naive_bayes" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |sc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |ttok AS (
+        |  SELECT lang AS label, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM tr),
+        |tc AS (SELECT label, term, count(*) AS c_lt
+        |       FROM ttok GROUP BY 1, 2),
+        |lt AS (SELECT label, sum(c_lt) AS c_l FROM tc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
+        |pr AS (SELECT lang AS label, count(*) AS n_docs
+        |       FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM pr),
+        |li AS (
+        |  SELECT pr.label, coalesce(lt.c_l, 0) AS c_l, v.v,
+        |    ln(pr.n_docs / tot.n) AS logprior
+        |  FROM pr LEFT JOIN lt USING (label), v, tot),
+        |dt0 AS (
+        |  SELECT doc_id AS id, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM sc),
+        |dt AS (
+        |  SELECT id, term, count(*) AS c_dt FROM dt0
+        |  WHERE term IN (SELECT DISTINCT term FROM tc)
+        |  GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT dt.id, li.label,
+        |    sum(dt.c_dt * ln((coalesce(tc.c_lt, 0) + 1.0) /
+        |        (li.c_l + 1.0 * li.v))) AS ev
+        |  FROM dt CROSS JOIN li
+        |  LEFT JOIN tc ON tc.label = li.label AND tc.term = dt.term
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.id, b.label,
+        |    round(b.logprior + coalesce(ev.ev, 0), 6) AS score
+        |  FROM (SELECT DISTINCT s.doc_id AS id, li.label, li.logprior
+        |        FROM sc s CROSS JOIN li) b
+        |  LEFT JOIN ev ON ev.id = b.id AND ev.label = b.label),
+        |rk AS (
+        |  SELECT id, label, score,
+        |    row_number() OVER (PARTITION BY id
+        |                       ORDER BY score DESC, label) AS rn
+        |  FROM scored)
+        |SELECT id AS doc_id, label AS pred_label, score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q94_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -264,6 +264,78 @@ object TextOps {
         avg(col("lp")).as("avg_logprob"))
   }
 
+  /** Multinomial Naive Bayes classifier, fit IN-ENGINE — the closed-form
+    * cousin of the fastText-style quality/language classifiers corpus
+    * pipelines train (CCNet, the GPT-3 quality filter): one groupBy over
+    * (label, term) IS the fit; no SGD, no iterations, trivially
+    * distributed.
+    *
+    * Fit (train): log p(label) from doc counts; log p(term|label) =
+    * log((c(label,term)+k) / (c(label)+k·V)), V = |train vocabulary|,
+    * add-k smoothing. Predict (score): argmax over labels of
+    * log p(label) + Σ_t c(doc,t)·log p(t|label) — terms outside the
+    * train vocabulary are ignored, in-vocab terms unseen under a label
+    * smooth to k/(c(label)+k·V). Docs with zero in-vocab tokens fall
+    * back to the prior argmax.
+    *
+    * Scale shape: the model IS two small relations (per-label totals ⋈
+    * priors ⋈ V broadcast; (label,term) likelihoods an equi-join on the
+    * term — AQE broadcasts while vocab fits). The corpus side is one
+    * narrow explode + two joins + one (doc,label)-keyed aggregation;
+    * nothing driver-side. Ties and cross-engine FP-sum jitter are
+    * handled by rounding scores to 6 before the argmax and breaking
+    * ties on the label.
+    *
+    * Returns (id, pred_label, score) — score rounded to 6. */
+  def naiveBayesClassify(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      k: Double = 1.0): DataFrame = {
+    def toks(df: DataFrame, keep: Column, as: String): DataFrame =
+      df.select(keep.as(as),
+          explode(tokens(lower(col(textCol)))).as("term"))
+        .filter(col("term") =!= "")
+    val trainTok = toks(train, col(labelCol), "label")
+    val termCounts = trainTok.groupBy("label", "term")
+      .agg(count(lit(1)).as("c_lt"))
+    val labelTotals = termCounts.groupBy("label")
+      .agg(sum("c_lt").as("c_l"))
+    val vocabV = termCounts.select("term").distinct()
+      .agg(count(lit(1)).cast("double").as("__v"))
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = priors.agg(sum("n_docs").cast("double").as("__n"))
+    val labelInfo = priors
+      .join(labelTotals, Seq("label"), "left")
+      .crossJoin(broadcast(vocabV)).crossJoin(broadcast(total))
+      .select(col("label"),
+        coalesce(col("c_l"), lit(0L)).as("c_l"), col("__v"),
+        log(col("n_docs") / col("__n")).as("logprior"))
+    val docTok = toks(score, col(idCol), "id")
+      .groupBy("id", "term").agg(count(lit(1)).as("c_dt"))
+      .join(termCounts.select("term").distinct(), Seq("term"),
+        "left_semi") // OOV terms carry no evidence under any label
+    val evidence = docTok
+      .crossJoin(broadcast(labelInfo))
+      .join(termCounts, Seq("label", "term"), "left")
+      .select(col("id"), col("label"),
+        (col("c_dt") * log((coalesce(col("c_lt"), lit(0L)) + lit(k)) /
+          (col("c_l") + lit(k) * col("__v")))).as("ev"))
+      .groupBy("id", "label").agg(sum("ev").as("ev"))
+    // prior-only base guarantees every doc × label is scored even when
+    // the doc has no in-vocab token
+    val scored = score.select(col(idCol).as("id")).distinct()
+      .crossJoin(broadcast(labelInfo.select("label", "logprior")))
+      .join(evidence, Seq("id", "label"), "left")
+      .select(col("id"), col("label"),
+        round(col("logprior") + coalesce(col("ev"), lit(0.0)), 6)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), asc("label"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("label").as("pred_label"), col("score"))
+  }
+
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))

@@ -474,6 +474,36 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(cross(9L) - 0.0) < 1e-12)
   }
 
+  test("naiveBayesClassify: known-answer smoothed scores, OOV-only and " +
+      "empty docs fall back to the prior argmax") {
+    val train = Seq(
+      (1L, "cat cat dog", "en"),
+      (2L, "chat chien", "fr"),
+      (3L, "dog dog", "en")).toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (10L, "cat dog"),   // en evidence dominates
+      (11L, "chat chat"), // fr evidence dominates
+      (12L, "zebra"),     // OOV-only -> prior argmax (en: 2/3 docs)
+      (13L, "")           // tokenless -> prior argmax
+    ).toDF("doc_id", "text")
+    val out = TextOps.naiveBayesClassify(train, score, "doc_id", "text",
+      "lang")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L)._1 == "en")
+    assert(out(11L)._1 == "fr")
+    assert(out(12L)._1 == "en")
+    assert(out(13L)._1 == "en")
+    // V=4 {cat,dog,chat,chien}; en: c_l=5 (cat 2, dog 3), prior 2/3 →
+    // score(10,en) = ln(2/3) + ln((2+1)/(5+4)) + ln((3+1)/(5+4))
+    val expected = math.log(2.0 / 3) + math.log(3.0 / 9) +
+      math.log(4.0 / 9)
+    assert(math.abs(out(10L)._2 - math.rint(expected * 1e6) / 1e6) < 1e-9)
+    // prior-only docs score exactly the prior
+    assert(math.abs(out(12L)._2 -
+      math.rint(math.log(2.0 / 3) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("semanticDedup: cosine components collapse to min-id survivor; " +
       "bucketed and exact discovery agree on planted duplicates") {
     // ids 1,2,3 share a direction (cos = 1 pairwise), 4 and 5 are
