@@ -1505,6 +1505,33 @@ object SparkEntry {
             (a, x) => a + x).as("sum_uidx"),
           aggregate(flatten(col("dynamic_measurement_indices")), lit(0L),
             (a, x) => a + x).as("sum_midx"))
+    }),
+
+    "q100_bpe_pairs" -> ((s, dir) => {
+      // BPE tokenizer-fit round-1 statistics (Sennrich et al., ACL 2016,
+      // arXiv:1508.07909): distinct-word compression (corpus collapses
+      // to the word-frequency table before any per-character work) then
+      // adjacent character-pair counts weighted by word frequency — the
+      // argmax input of Bpe.fit.
+      graft.ops.Bpe.pairCounts(
+        graft.ops.Bpe.initialSymbols(t(s, dir, "documents"), "text"))
+        .select(col("s1"), col("s2"), col("c"))
+    }),
+
+    "q101_bpe_merge" -> ((s, dir) => {
+      // One full Bpe.fit iteration: corpus argmax pair (count desc, then
+      // lexicographic tiebreak), greedy-leftmost merge via gaps-and-
+      // islands, re-densified symbol table. The 1-row argmax collect is
+      // the documented per-round driver scalar of the BPE fit loop
+      // (Bpe.scala header); everything else is windows + joins.
+      val syms = graft.ops.Bpe
+        .initialSymbols(t(s, dir, "documents"), "text")
+        .localCheckpoint(true)
+      val top = graft.ops.Bpe.pairCounts(syms)
+        .orderBy(desc("c"), asc("s1"), asc("s2")).limit(1).collect()(0)
+      graft.ops.Bpe.mergeStep(syms, top.getString(0), top.getString(1))
+        .select(col("w"), col("freq"), col("i").cast("long").as("i"),
+          col("sym"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3148,6 +3175,82 @@ object SparkEntry {
         |    (COALESCE(ug.c_w1, 0) + 0.5 * v.v))), 6) AS avg_logprob
         |FROM tr LEFT JOIN bg USING (w1, w2) LEFT JOIN ug USING (w1), v
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // BPE round-1 pair statistics: distinct lowercased whitespace words
+    // with frequencies, exploded to characters, adjacent-pair counts
+    // weighted by word frequency.
+    "q100_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |syms AS (
+        |  SELECT w, freq, r.i - 1 AS i,
+        |    substring(w, CAST(r.i AS INT), 1) AS sym
+        |  FROM words,
+        |    LATERAL unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i)),
+        |nx AS (
+        |  SELECT w, freq, sym AS s1,
+        |    lead(sym) OVER (PARTITION BY w ORDER BY i) AS s2
+        |  FROM syms)
+        |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS c
+        |FROM nx WHERE s2 IS NOT NULL GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // One BPE fit iteration: argmax pair (count desc, lexicographic
+    // tiebreak) then the greedy-leftmost merge. Islands of consecutive
+    // hit positions (only self-pairs produce them) keep their odd-ranked
+    // members; each kept start consumes position i+1; positions
+    // re-densify per word.
+    "q101_bpe_merge" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |syms AS (
+        |  SELECT w, freq, r.i - 1 AS i,
+        |    substring(w, CAST(r.i AS INT), 1) AS sym
+        |  FROM words,
+        |    LATERAL unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i)),
+        |wn AS (
+        |  SELECT w, freq, i, sym,
+        |    lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt
+        |  FROM syms),
+        |pc AS (
+        |  SELECT sym AS s1, nxt AS s2, sum(freq) AS c
+        |  FROM wn WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |top AS (SELECT s1, s2 FROM pc ORDER BY c DESC, s1, s2 LIMIT 1),
+        |hits AS (
+        |  SELECT wn.w, wn.i FROM wn, top
+        |  WHERE wn.sym = top.s1 AND wn.nxt = top.s2),
+        |grp AS (
+        |  SELECT w, i,
+        |    i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+        |  FROM hits),
+        |starts AS (
+        |  SELECT w, i FROM (
+        |    SELECT w, i,
+        |      row_number() OVER (PARTITION BY w, g ORDER BY i) AS r
+        |    FROM grp)
+        |  WHERE r % 2 = 1),
+        |kept AS (
+        |  SELECT wn.w, wn.freq, wn.i,
+        |    CASE WHEN st.i IS NOT NULL THEN wn.sym || wn.nxt
+        |         ELSE wn.sym END AS sym
+        |  FROM wn
+        |  LEFT JOIN starts st ON wn.w = st.w AND wn.i = st.i
+        |  LEFT JOIN (SELECT w, i + 1 AS ci FROM starts) cons
+        |    ON wn.w = cons.w AND wn.i = cons.ci
+        |  WHERE cons.ci IS NULL)
+        |SELECT w, freq,
+        |  CAST(row_number() OVER (PARTITION BY w ORDER BY i) - 1
+        |       AS BIGINT) AS i,
+        |  sym
+        |FROM kept ORDER BY w, i""".stripMargin,
 
     // Lucene-style BM25 with the arithmetic replicated literally (the
     // constant folds 1.2+1.0 / 1.0-0.75 run the same IEEE ops in both
