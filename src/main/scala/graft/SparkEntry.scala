@@ -1532,6 +1532,21 @@ object SparkEntry {
       graft.ops.Bpe.mergeStep(syms, top.getString(0), top.getString(1))
         .select(col("w"), col("freq"), col("i").cast("long").as("i"),
           col("sym"))
+    }),
+
+    "q102_cms_heavy" -> ((s, dir) => {
+      // Count-Min sketch heavy hitters (Cormode & Muthukrishnan, 2005):
+      // one-pass 4×2048 token-frequency grid via a native
+      // TypedImperativeAggregate — constant 64 KB merge state, so the
+      // exchange carries one buffer per partition, never a token row —
+      // probed for the top-50 exact terms. Replayable poly-hash rows
+      // (the q78/q79 family over ASCII-projected lowercased text) let
+      // DuckDB rebuild the grid bit-for-bit; est ≥ exact by
+      // construction.
+      val docs = t(s, dir, "documents").select(
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      graft.ops.Sketch.heavyHitters(docs, "text", k = 50)
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3467,6 +3482,8 @@ object SparkEntry {
 
     "q79_simhash_replay" -> SimhashReplay.oracle,
 
+    "q102_cms_heavy" -> CmsReplay.oracle,
+
     // q80's pair derivation + q77's recursive min-label closure: a
     // vector survives iff it has no ≥0.3 neighbor or is its component's
     // minimum id.
@@ -3582,6 +3599,53 @@ object SparkEntry {
          |  AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
          |ORDER BY id_a, id_b""".stripMargin
+    }
+  }
+
+  /** q102's DuckDB twin: rebuilds the Count-Min grid from per-term
+    * exact counts (bucket count = Σ exact over terms hashing there —
+    * identical to instance counting) with the SimhashReplay coefficient
+    * trick for the base-b first-8-byte polynomial hashes. */
+  private object CmsReplay {
+    private val M = 1000000007L
+    private val width = 2048
+    private val bases = graft.ops.Sketch.defaultBases
+    private def coeffs(base: Long): String =
+      (0 until 8).map { i =>
+        var p = 1L
+        (0 until (7 - i)).foreach(_ => p = p * base % M)
+        p
+      }.mkString("[", ", ", "]")
+    private def hashExpr(base: Long): String =
+      s"""list_sum(list_transform(range(0, least(length(term), 8)), i ->
+         |      CAST(unicode(substr(term, CAST(i + 1 AS INT), 1)) AS BIGINT)
+         |      * ${coeffs(base)}
+         |        [CAST(8 - least(length(term), 8) + i + 1 AS INT)]))
+         |      % $M % $width""".stripMargin
+    def oracle: String = {
+      val hj = bases.zipWithIndex.map { case (b, j) =>
+        s"""  SELECT term, exact, CAST($j AS BIGINT) AS j,
+           |    ${hashExpr(b)} AS bucket
+           |  FROM ex""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'))
+         |    AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT unnest(list_filter(string_split_regex(t, '\\s+'),
+         |                            x -> x <> '')) AS term
+         |  FROM d),
+         |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+         |       FROM tok GROUP BY 1),
+         |hj AS (
+         |$hj),
+         |sk AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+         |       FROM hj GROUP BY 1, 2),
+         |top AS (SELECT term FROM ex ORDER BY exact DESC, term LIMIT 50)
+         |SELECT hj.term, hj.exact, CAST(min(sk.cnt) AS BIGINT) AS est
+         |FROM hj JOIN top USING (term) JOIN sk USING (j, bucket)
+         |GROUP BY 1, 2 ORDER BY term""".stripMargin
     }
   }
 }

@@ -128,10 +128,129 @@ case class WeightedVecSumAgg(
   override def prettyName: String = "weighted_vec_sum"
 }
 
+/** Count-Min sketch of whitespace-token frequencies (Cormode &
+  * Muthukrishnan, J. Algorithms 2005) built in ONE pass over document
+  * text: each input row's tokens bump `d` counters (one per hash row)
+  * in a flat `d×width` Long buffer.
+  *
+  * This is the 100 TB shape for frequency estimation: the corpus never
+  * explodes to token rows — partial aggregation keeps a constant-size
+  * buffer per task (width=2048, d=4 → 64 KB) and only those buffers
+  * merge across the exchange, so the shuffle is O(partitions), not
+  * O(tokens).
+  *
+  * The hash family is the SQL-replayable base-`b` polynomial mod 1e9+7
+  * over each token's first 8 bytes (ByteTextUtil.tokenPolyHashes — the
+  * q78/q79 twin discipline); callers feed ASCII-projected lowercased
+  * text so byte == codepoint and an external engine replays the bucket
+  * assignment exactly. Row `j`'s bucket is `hash_bases(j)(token) %
+  * width`; all `d` hashes accumulate in one walk over the byte array.
+  */
+case class CmsSketchAgg(
+    text: Expression,
+    bases: Seq[Long],
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with Serializable {
+
+  require(bases.nonEmpty && width > 0,
+    s"cms_sketch needs >=1 hash row and positive width: $bases, $width")
+
+  override def children: Seq[Expression] = Seq(text)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch needs a string column, got ${text.dataType.sql}")
+
+  private val d = bases.length
+  @transient private lazy val basesArr: Array[Long] = bases.toArray
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](d * width)
+
+  override def update(buffer: Array[Long], input: InternalRow)
+      : Array[Long] = {
+    val t = text.eval(input)
+    if (t == null) return buffer
+    val bytes =
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val M = 1000000007L
+    val len = bytes.length
+    var i = 0
+    while (i < len) {
+      while (i < len && ByteTextUtil.isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !ByteTextUtil.isWs(bytes(i))) i += 1
+      if (i > start) {
+        val end = math.min(i, start + 8)
+        var j = 0
+        while (j < d) {
+          var h = 0L
+          var p = start
+          val b = basesArr(j)
+          while (p < end) { h = (h * b + (bytes(p) & 0xffL)) % M; p += 1 }
+          buffer(j * width + (h % width).toInt) += 1L
+          j += 1
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : CmsSketchAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : CmsSketchAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsSketchAgg =
+    copy(text = newChildren(0))
+
+  override def prettyName: String = "cms_sketch"
+}
+
 object AggregateFunctions {
   /** Column-level API: per-group weighted vector sum `Σ w·vec`. */
   def weightedVecSum(w: Column, v: Column): Column =
     Bridge.toColumn(
       WeightedVecSumAgg(Bridge.toExpression(w), Bridge.toExpression(v))
+        .toAggregateExpression())
+
+  /** Column-level API: flat `bases.length × width` Count-Min sketch of
+    * whitespace-token counts over a text column. */
+  def cmsSketch(text: Column, bases: Seq[Long], width: Int): Column =
+    Bridge.toColumn(
+      CmsSketchAgg(Bridge.toExpression(text), bases, width)
         .toAggregateExpression())
 }

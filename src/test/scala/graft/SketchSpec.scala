@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Sketch
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch: one-pass grid, merge-correct, est ≥ exact. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat"),
+    (2L, "cat cat cat"),
+    (3L, ""),
+    (4L, "the")).toDF("doc_id", "text")
+
+  test("estimates upper-bound exact counts; exact at ample width") {
+    val hh = Sketch.heavyHitters(docs, "text", k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(hh.nonEmpty)
+    assert(hh.forall { case (_, exact, est) => est >= exact })
+    // width 1<<16 with 8 distinct terms → collision-free, est == exact
+    val wide = Sketch.heavyHitters(docs, "text", k = 10, width = 1 << 16)
+      .as[(String, Long, Long)].collect().toList
+    assert(wide.forall { case (_, exact, est) => est == exact })
+    assert(wide.map(r => r._1 -> r._2).toMap ==
+      Map("the" -> 4L, "cat" -> 4L, "sat" -> 2L, "on" -> 1L,
+        "mat" -> 1L, "dog" -> 1L))
+  }
+
+  test("forced collisions still upper-bound (width 2)") {
+    val hh = Sketch.heavyHitters(docs, "text", k = 10, width = 2)
+      .as[(String, Long, Long)].collect()
+    assert(hh.forall { case (_, exact, est) => est >= exact })
+    // 6 terms in 2 buckets per row: someone must share a bucket in
+    // every one of the 4 rows
+    assert(hh.exists { case (_, exact, est) => est > exact })
+  }
+
+  test("grid is partition-layout invariant (merge correctness)") {
+    val a = Sketch.cmsTable(docs, "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Sketch.cmsTable(docs.repartition(7), "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    // total mass per hash row = total token instances (6+3+3+0+1)
+    val rowMass = Sketch.cmsTable(docs, "text")
+      .groupBy("j").agg(sum("cnt").as("m"))
+      .select("m").as[Long].collect().toList
+    assert(rowMass == List.fill(4)(13L))
+  }
+
+  test("null and empty text contribute nothing") {
+    val withNull = docs.unionByName(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val a = Sketch.cmsTable(docs, "text").as[(Long, Long, Long)]
+      .collect().toSet
+    val b = Sketch.cmsTable(withNull, "text").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(a == b)
+  }
+}
