@@ -1547,6 +1547,19 @@ object SparkEntry {
         lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
           .as("text"))
       graft.ops.Sketch.heavyHitters(docs, "text", k = 50)
+    }),
+
+    "q103_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al., arXiv:2302.03169):
+      // hashed unigram+bigram bucket log-likelihood-ratio weights fit
+      // with target = the English fold and raw = the whole corpus,
+      // scored per doc, deterministic top-100 by (round-6 logw desc,
+      // doc_id). Replayable feature hashes → DuckDB replays fit+score.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      graft.ops.Dsir.resample(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = 100)
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3484,6 +3497,8 @@ object SparkEntry {
 
     "q102_cms_heavy" -> CmsReplay.oracle,
 
+    "q103_dsir" -> DsirReplay.oracle,
+
     // q80's pair derivation + q77's recursive min-label closure: a
     // vector survives iff it has no ≥0.3 neighbor or is its component's
     // minimum id.
@@ -3602,26 +3617,35 @@ object SparkEntry {
     }
   }
 
-  /** q102's DuckDB twin: rebuilds the Count-Min grid from per-term
-    * exact counts (bucket count = Σ exact over terms hashing there —
-    * identical to instance counting) with the SimhashReplay coefficient
-    * trick for the base-b first-8-byte polynomial hashes. */
-  private object CmsReplay {
-    private val M = 1000000007L
-    private val width = 2048
-    private val bases = graft.ops.Sketch.defaultBases
+  /** Shared DuckDB fragment: the base-b first-8-byte polynomial hash
+    * mod 1e9+7 of a string-valued SQL variable `v`, as a precomputed
+    * power-coefficient sum (the SimhashReplay trick — per-step modular
+    * reduction folded into `(Σ byte·(b^k mod M)) mod M`, exact because
+    * the unreduced sum stays < 2^63). */
+  private object PolyHashSql {
+    val M = 1000000007L
     private def coeffs(base: Long): String =
       (0 until 8).map { i =>
         var p = 1L
         (0 until (7 - i)).foreach(_ => p = p * base % M)
         p
       }.mkString("[", ", ", "]")
-    private def hashExpr(base: Long): String =
-      s"""list_sum(list_transform(range(0, least(length(term), 8)), i ->
-         |      CAST(unicode(substr(term, CAST(i + 1 AS INT), 1)) AS BIGINT)
+    def over(v: String, base: Long): String =
+      s"""list_sum(list_transform(range(0, least(length($v), 8)), i ->
+         |      CAST(unicode(substr($v, CAST(i + 1 AS INT), 1)) AS BIGINT)
          |      * ${coeffs(base)}
-         |        [CAST(8 - least(length(term), 8) + i + 1 AS INT)]))
-         |      % $M % $width""".stripMargin
+         |        [CAST(8 - least(length($v), 8) + i + 1 AS INT)]))
+         |      % $M""".stripMargin
+  }
+
+  /** q102's DuckDB twin: rebuilds the Count-Min grid from per-term
+    * exact counts (bucket count = Σ exact over terms hashing there —
+    * identical to instance counting). */
+  private object CmsReplay {
+    private val width = 2048
+    private val bases = graft.ops.Sketch.defaultBases
+    private def hashExpr(base: Long): String =
+      s"""${PolyHashSql.over("term", base)} % $width"""
     def oracle: String = {
       val hj = bases.zipWithIndex.map { case (b, j) =>
         s"""  SELECT term, exact, CAST($j AS BIGINT) AS j,
@@ -3647,5 +3671,55 @@ object SparkEntry {
          |FROM hj JOIN top USING (term) JOIN sk USING (j, bucket)
          |GROUP BY 1, 2 ORDER BY term""".stripMargin
     }
+  }
+
+  /** q103's DuckDB twin: DSIR fit + score replayed relationally —
+    * per-token poly hashes, lead() bigram fold, B-bounded bucket
+    * counts, add-1 smoothed log-ratio weights, per-doc sums. */
+  private object DsirReplay {
+    private val B = 4096
+    def oracle: String =
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> x <> '')
+         |      AS tok
+         |  FROM d),
+         |flat AS (
+         |  SELECT doc_id, lang, CAST(i AS BIGINT) AS idx,
+         |    tok[CAST(i AS INT)] AS term
+         |  FROM toks, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+         |th AS (
+         |  SELECT doc_id, lang, idx,
+         |    ${PolyHashSql.over("term", 257L)} AS h
+         |  FROM flat),
+         |bi AS (
+         |  SELECT doc_id, lang, h,
+         |    lead(h) OVER (PARTITION BY doc_id ORDER BY idx) AS h2
+         |  FROM th),
+         |feats AS (
+         |  SELECT doc_id, lang, h % $B AS bucket FROM th
+         |  UNION ALL
+         |  SELECT doc_id, lang, (h * 31 + h2) % ${PolyHashSql.M} % $B
+         |    AS bucket
+         |  FROM bi WHERE h2 IS NOT NULL),
+         |rc AS (SELECT bucket, count(*) AS rc FROM feats GROUP BY 1),
+         |tc AS (SELECT bucket, count(*) AS tc FROM feats
+         |       WHERE lang = 'en' GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rc) AS rtot,
+         |         (SELECT CAST(sum(tc) AS DOUBLE) FROM tc) AS ttot),
+         |lam AS (
+         |  SELECT rc.bucket,
+         |    ln((coalesce(tc.tc, 0) + 1.0) / (tots.ttot + $B.0)) -
+         |    ln((rc.rc + 1.0) / (tots.rtot + $B.0)) AS lam
+         |  FROM rc LEFT JOIN tc USING (bucket), tots)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  round(sum(l.lam), 6) AS logw
+         |FROM feats f JOIN lam l USING (bucket)
+         |GROUP BY 1 ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
   }
 }
