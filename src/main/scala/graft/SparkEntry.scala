@@ -1560,6 +1560,37 @@ object SparkEntry {
           .as("text"))
       graft.ops.Dsir.resample(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", k = 100)
+    }),
+
+    "q104_bloom_decontam" -> ((s, dir) => {
+      // Two-stage decontamination: eval 5-grams collapse into a
+      // counting-Bloom grid (CMS whole-string mode, 4×2^17 — constant
+      // size however large the eval suite), train grams probe the
+      // broadcast grid, exact gram verify only on bloom survivors.
+      // Contrast q90's broadcast-set join, whose broadcast grows with
+      // the eval suite. Eval fold = doc_id%7==0 (as q90).
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      graft.ops.Sketch.bloomDecontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_bloom"), col("n_matched"))
+    }),
+
+    "q105_bloom_prod" -> ((s, dir) => {
+      // Production-family bloom decontamination: full-gram xxhash64
+      // grid rows — no prefix cap, so no shared-prefix false positives.
+      // Engine-seeded hashes aren't portable → rows-only; q104 is the
+      // oracle-checked replayable twin through the same operator code.
+      val docs = t(s, dir, "documents")
+      graft.ops.Sketch.bloomDecontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 5, replayable = false)
+        .select(col("id").as("doc_id"), col("n_bloom"),
+          col("n_matched"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3499,6 +3530,8 @@ object SparkEntry {
 
     "q103_dsir" -> DsirReplay.oracle,
 
+    "q104_bloom_decontam" -> BloomReplay.oracle,
+
     // q80's pair derivation + q77's recursive min-label closure: a
     // vector survives iff it has no ≥0.3 neighbor or is its component's
     // minimum id.
@@ -3624,17 +3657,17 @@ object SparkEntry {
     * the unreduced sum stays < 2^63). */
   private object PolyHashSql {
     val M = 1000000007L
-    private def coeffs(base: Long): String =
-      (0 until 8).map { i =>
+    private def coeffs(base: Long, cap: Int): String =
+      (0 until cap).map { i =>
         var p = 1L
-        (0 until (7 - i)).foreach(_ => p = p * base % M)
+        (0 until (cap - 1 - i)).foreach(_ => p = p * base % M)
         p
       }.mkString("[", ", ", "]")
-    def over(v: String, base: Long): String =
-      s"""list_sum(list_transform(range(0, least(length($v), 8)), i ->
+    def over(v: String, base: Long, cap: Int = 8): String =
+      s"""list_sum(list_transform(range(0, least(length($v), $cap)), i ->
          |      CAST(unicode(substr($v, CAST(i + 1 AS INT), 1)) AS BIGINT)
-         |      * ${coeffs(base)}
-         |        [CAST(8 - least(length($v), 8) + i + 1 AS INT)]))
+         |      * ${coeffs(base, cap)}
+         |        [CAST($cap - least(length($v), $cap) + i + 1 AS INT)]))
          |      % $M""".stripMargin
   }
 
@@ -3721,5 +3754,58 @@ object SparkEntry {
          |  round(sum(l.lam), 6) AS logw
          |FROM feats f JOIN lam l USING (bucket)
          |GROUP BY 1 ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** q104's DuckDB twin: grid cells = distinct (hash row, bucket) of
+    * the eval 5-gram set under cap-16 poly hashes; a train gram passes
+    * the bloom iff all 4 probes land on occupied cells; exact verify
+    * joins survivors against the eval gram strings. */
+  private object BloomReplay {
+    private val W = 1 << 17
+    private val bases = graft.ops.Sketch.defaultBases
+    private def probeRows(src: String, cols: String): String =
+      bases.zipWithIndex.map { case (b, j) =>
+        s"""  SELECT $cols, CAST($j AS BIGINT) AS j,
+           |    ${PolyHashSql.over("gram", b, 16)} % $W AS bucket
+           |  FROM $src""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    def oracle: String =
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> x <> '')
+         |      AS tok
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tok) - 3),
+         |      i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
+         |        || ' ' || tok[CAST(i AS INT)+2] || ' '
+         |        || tok[CAST(i AS INT)+3] || ' '
+         |        || tok[CAST(i AS INT)+4])) AS grams
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+         |       WHERE doc_id % 7 = 0),
+         |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+         |       WHERE doc_id % 7 <> 0),
+         |eb AS (
+         |  SELECT DISTINCT j, bucket FROM (
+         |${probeRows("ev", "gram")})),
+         |pb AS (
+         |${probeRows("tr", "doc_id, gram")}),
+         |pass AS (
+         |  SELECT doc_id, gram FROM pb JOIN eb USING (j, bucket)
+         |  GROUP BY doc_id, gram HAVING count(*) = ${bases.length}),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+         |       FROM pass GROUP BY 1),
+         |nm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |       FROM pass JOIN ev USING (gram) GROUP BY 1)
+         |SELECT nb.doc_id, nb.n_bloom,
+         |  coalesce(nm.n_matched, 0) AS n_matched
+         |FROM nb LEFT JOIN nm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   }
 }

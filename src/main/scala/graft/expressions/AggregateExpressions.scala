@@ -150,12 +150,24 @@ case class CmsSketchAgg(
     text: Expression,
     bases: Seq[Long],
     width: Int,
+    split: Boolean = true,
+    cap: Int = 8,
+    family: String = "poly",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with Serializable {
 
   require(bases.nonEmpty && width > 0,
     s"cms_sketch needs >=1 hash row and positive width: $bases, $width")
+  require(cap >= 1 && cap <= 16,
+    s"cms_sketch hash cap in [1,16] (coefficient replay < 2^63): $cap")
+  // "poly" = replayable capped polynomial (the oracle family);
+  // "xx" = full-string xxhash64 rows seeded like MinHashSigExpr —
+  // the production family (no prefix cap, so no shared-prefix
+  // collisions), bit-matched by `xxhash64(lit(splitmix64(j)), s)`
+  // on the probe side. Whole-string mode only.
+  require(family == "poly" || (family == "xx" && !split),
+    s"cms_sketch family '$family' (xx requires split=false)")
 
   override def children: Seq[Expression] = Seq(text)
   override def nullable: Boolean = false
@@ -172,6 +184,13 @@ case class CmsSketchAgg(
 
   private val d = bases.length
   @transient private lazy val basesArr: Array[Long] = bases.toArray
+  // xx-family per-row seeds: seed_j = xxhash64's running hash after the
+  // lit(splitmix64(j)) child — the MinHashSigExpr convention, so the
+  // probe expression xxhash64(lit(splitmix64(j)), s) replays the grid.
+  @transient private lazy val xxSeeds: Array[Long] =
+    Array.tabulate(d)(j =>
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(graft.core.Hashing.splitmix64(j.toLong), 42L))
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](d * width)
@@ -180,8 +199,29 @@ case class CmsSketchAgg(
       : Array[Long] = {
     val t = text.eval(input)
     if (t == null) return buffer
-    val bytes =
-      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val u = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    if (!split) {
+      // whole-string mode: the row IS the unit (e.g. a word n-gram)
+      val isXx = family == "xx"
+      val polyBytes = if (isXx) null else u.getBytes
+      var j = 0
+      while (j < d) {
+        val bucket =
+          if (isXx)
+            java.lang.Math.floorMod(
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                  u.numBytes, xxSeeds(j)),
+              width.toLong).toInt
+          else
+            (ByteTextUtil.strPolyHash(polyBytes, basesArr(j), cap)
+              % width).toInt
+        buffer(j * width + bucket) += 1L
+        j += 1
+      }
+      return buffer
+    }
+    val bytes = u.getBytes
     val M = 1000000007L
     val len = bytes.length
     var i = 0
@@ -190,7 +230,7 @@ case class CmsSketchAgg(
       val start = i
       while (i < len && !ByteTextUtil.isWs(bytes(i))) i += 1
       if (i > start) {
-        val end = math.min(i, start + 8)
+        val end = math.min(i, start + cap)
         var j = 0
         while (j < d) {
           var h = 0L
@@ -248,9 +288,12 @@ object AggregateFunctions {
         .toAggregateExpression())
 
   /** Column-level API: flat `bases.length × width` Count-Min sketch of
-    * whitespace-token counts over a text column. */
-  def cmsSketch(text: Column, bases: Seq[Long], width: Int): Column =
+    * whitespace-token counts over a text column; `split = false`
+    * sketches whole rows (first `cap` bytes) instead of tokens. */
+  def cmsSketch(text: Column, bases: Seq[Long], width: Int,
+      split: Boolean = true, cap: Int = 8,
+      family: String = "poly"): Column =
     Bridge.toColumn(
-      CmsSketchAgg(Bridge.toExpression(text), bases, width)
-        .toAggregateExpression())
+      CmsSketchAgg(Bridge.toExpression(text), bases, width, split, cap,
+        family).toAggregateExpression())
 }

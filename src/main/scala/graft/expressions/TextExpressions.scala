@@ -74,6 +74,20 @@ private[expressions] object ByteTextUtil {
     if (cnt == buf.length) buf else java.util.Arrays.copyOf(buf, cnt)
   }
 
+  /** SQL-replayable whole-string hash: base-`base` polynomial mod 1e9+7
+    * over the FIRST `cap` bytes (no tokenization — the input IS the
+    * unit, e.g. a word n-gram string). Same coefficient-replay argument
+    * as [[tokenPolyHashes]]; cap ≤ 16 keeps the unreduced replay sum
+    * < 2^63. */
+  def strPolyHash(bytes: Array[Byte], base: Long, cap: Int): Long = {
+    val M = 1000000007L
+    var h = 0L
+    var i = 0
+    val end = math.min(bytes.length, cap)
+    while (i < end) { h = (h * base + (bytes(i) & 0xffL)) % M; i += 1 }
+    h
+  }
+
   /** Sort the first `m` entries ascending and dedup in place; returns the
     * distinct prefix (the input array when nothing was dropped). */
   def sortedDistinct(hs: Array[Long], m: Int): Array[Long] = {
@@ -244,6 +258,22 @@ case class CharShingleHashExpr(child: Expression, n: Int)
   * unlike split(), separator-only or empty input yields an EMPTY array
   * (split returns a single "" token there) — callers treat zero-token
   * docs as having no signature. */
+/** SQL-replayable whole-string poly hash (ByteTextUtil.strPolyHash):
+  * the scalar probe-side twin of CmsSketchAgg's split=false mode. */
+case class StrPolyHashExpr(child: Expression, base: Long, cap: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteTextUtil.strPolyHash(
+      input.asInstanceOf[UTF8String].getBytes, base, cap)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : StrPolyHashExpr = copy(child = newChild)
+}
+
 case class WsTokenHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback with Serializable {
 
@@ -598,6 +628,11 @@ object TextExpressions {
     * bytes per whitespace token, duplicates kept). */
   def wsTokenPolyHashes(s: Column, base: Long = 257L): Column =
     Bridge.toColumn(WsTokenPolyHashExpr(Bridge.toExpression(s), base))
+
+  /** SQL-replayable whole-string poly hash (first `cap` bytes, no
+    * tokenization). */
+  def strPolyHash(s: Column, base: Long, cap: Int = 16): Column =
+    Bridge.toColumn(StrPolyHashExpr(Bridge.toExpression(s), base, cap))
 
   /** k-permutation MinHash signature of an array<long> of element
     * hashes; null for empty input. */

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.expressions.{AggregateFunctions, TextExpressions}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frequency sketching over document text — the streaming-friendly
@@ -57,5 +58,87 @@ object Sketch {
     probes.join(sketch, Seq("j", "bucket"))
       .groupBy("term", "exact").agg(min(col("cnt")).as("est"))
       .select("term", "exact", "est")
+  }
+
+  /** Distinct word n-gram STRINGS per doc, built with one window of
+    * n−1 leads (codegen'd — no interpreted per-gram lambdas):
+    * (id, gram). */
+  def wordNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wn = Window.partitionBy("id").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"__w$k", lead(col("w"), k).over(wn))
+    }
+    withLeads
+      .filter((1 until n).map(k => col(s"__w$k").isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .select(col("id"), concat_ws(" ",
+        col("w") +: (1 until n).map(k => col(s"__w$k")): _*).as("gram"))
+      .distinct()
+  }
+
+  /** Two-stage decontamination with a Bloom prefilter: the eval suite's
+    * gram set collapses into a counting-Bloom grid (the CMS in
+    * whole-string mode — a gram is "present" iff ALL `d` of its grid
+    * cells are nonzero), train grams probe the broadcast grid, and only
+    * bloom survivors pay the exact gram-string verify join.
+    *
+    * This is the 100 TB shape the plain broadcast-set join
+    * (TextOps.contaminationMatches) can't reach: a large eval suite's
+    * distinct gram set grows without bound, but the grid is
+    * `d×width` Longs regardless — FP rate ≈ (1−e^(−n/width))^d, and
+    * false positives only cost verify work, never correctness.
+    *
+    * Returns one row per train doc with ≥ 1 bloom hit:
+    * (id, n_bloom, n_matched) — n_bloom ≥ n_matched, the gap is the
+    * prefilter's FP count (distinct-gram granularity). */
+  def bloomDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      bases: Seq[Long] = defaultBases, width: Int = 1 << 17,
+      cap: Int = 16, replayable: Boolean = true): DataFrame = {
+    // replayable=true: capped poly hashes an external engine replays
+    // (grams sharing a `cap`-byte prefix collide — extra FPs, still
+    // sound). Production flips to full-gram xxhash64 rows (family
+    // "xx"), same operator code, no prefix collisions.
+    val family = if (replayable) "poly" else "xx"
+    def probeBucket(b: Long, j: Int) =
+      if (replayable)
+        TextExpressions.strPolyHash(col("gram"), b, cap) % width
+      else
+        pmod(xxhash64(lit(graft.core.Hashing.splitmix64(j.toLong)),
+          col("gram")), lit(width.toLong))
+    val evalGrams = wordNgrams(evalSet, idCol, textCol, n)
+      .select(col("gram")).distinct().localCheckpoint(true)
+    val grid = evalGrams
+      .agg(AggregateFunctions.cmsSketch(col("gram"), bases, width,
+        split = false, cap = cap, family = family).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("slot", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(expr(s"slot DIV $width").as("j"),
+        (col("slot") % width).cast("long").as("bucket"))
+    val trainGrams = wordNgrams(train, idCol, textCol, n)
+    val probes = trainGrams.select(col("id"), col("gram"),
+        posexplode(array(bases.zipWithIndex.map { case (b, j) =>
+          probeBucket(b, j) }: _*)).as(Seq("j", "bucket")))
+      .select(col("id"), col("gram"), col("j").cast("long").as("j"),
+        col("bucket"))
+    // survivors are small — checkpoint so the two consumers below don't
+    // re-run the probe join
+    val bloomPass = probes.join(broadcast(grid), Seq("j", "bucket"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === bases.length)
+      .select("id", "gram")
+      .localCheckpoint(true)
+    val matched = bloomPass.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+    bloomPass.groupBy("id").agg(count(lit(1)).as("n_bloom"))
+      .join(matched, Seq("id"), "left")
+      .select(col("id"), col("n_bloom"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
   }
 }

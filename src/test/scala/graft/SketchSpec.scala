@@ -50,6 +50,41 @@ class SketchSpec extends SparkSpec {
     assert(rowMass == List.fill(4)(13L))
   }
 
+  test("bloomDecontaminate finds shared 5-grams, only for real matches") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF(
+      "doc_id", "text")
+    val train = Seq(
+      (0L, "we saw the quick brown fox jumps too"), // shares one 5-gram
+      (1L, "completely unrelated words here nothing shared at all"),
+      (2L, "quick brown fox jumps over the lazy dog indeed") // shares 4
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Sketch.bloomDecontaminate(train, evalSet,
+      "doc_id", "text", n = 5)
+      .select("id", "n_bloom", "n_matched")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, b, m) => k -> (b, m) }.toMap
+    assert(r.contains(0L) && r(0L)._2 == 1L)
+    assert(r.contains(2L) && r(2L)._2 == 4L)
+    assert(!r.keySet.contains(1L) ||
+      r(1L)._2 == 0L) // doc 1 may bloom-FP but never exact-matches
+    assert(r.values.forall { case (b, m) => b >= m })
+  }
+
+  test("production xx family matches the same real grams") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF(
+      "doc_id", "text")
+    val train = Seq(
+      (0L, "we saw the quick brown fox jumps too"),
+      (2L, "quick brown fox jumps over the lazy dog indeed")).toDF(
+      "doc_id", "text")
+    val xx = graft.ops.Sketch.bloomDecontaminate(train, evalSet,
+      "doc_id", "text", n = 5, replayable = false)
+      .select("id", "n_matched").as[(Long, Long)].collect().toMap
+    assert(xx == Map(0L -> 1L, 2L -> 4L))
+  }
+
   test("null and empty text contribute nothing") {
     val withNull = docs.unionByName(
       Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
