@@ -1591,6 +1591,19 @@ object SparkEntry {
         "doc_id", "text", n = 5, replayable = false)
         .select(col("id").as("doc_id"), col("n_bloom"),
           col("n_matched"))
+    }),
+
+    "q106_doc_chunks" -> ((s, dir) => {
+      // Long-doc context-window chunking with stride (HF
+      // return_overflowing_tokens idiom): 64-token windows, stride 48
+      // (16-token overlap). Narrow — one sequence() explode, zero
+      // shuffles at any corpus size.
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      graft.serve.Packing.chunkDocs(docs, "doc_id", "n_tok",
+          maxLen = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("tok_start"), col("tok_end"), col("n_chunk_tok"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3531,6 +3544,28 @@ object SparkEntry {
     "q103_dsir" -> DsirReplay.oracle,
 
     "q104_bloom_decontam" -> BloomReplay.oracle,
+
+    // chunk k of doc with n tokens: [k*48, min(k*48+64, n)), k in
+    // 0..ceil(max(n-64,0)/48) — the q91 token-count idiom plus one
+    // range unnest.
+    "q106_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(ceil(greatest(n_tok - 64, 0) / 48.0) AS BIGINT) AS nk
+        |  FROM d WHERE n_tok > 0)
+        |SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_idx,
+        |  CAST(r.i * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(r.i * 48 + 64, n_tok) AS BIGINT) AS tok_end,
+        |  CAST(least(r.i * 48 + 64, n_tok) - r.i * 48 AS BIGINT)
+        |    AS n_chunk_tok
+        |FROM k, LATERAL unnest(range(0, nk + 1)) AS r(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q80's pair derivation + q77's recursive min-label closure: a
     // vector survives iff it has no ≥0.3 neighbor or is its component's

@@ -51,6 +51,39 @@ object Packing {
           col("first_seq") + 1L)
   }
 
+  /** Split LONG documents into fixed-length context windows with
+    * stride (the within-doc dual of [[packSequences]]' across-doc
+    * concat): window k covers tokens [k·stride, min(k·stride + maxLen,
+    * n)); with stride ≤ maxLen every token is covered and consecutive
+    * windows overlap by maxLen − stride — the `return_overflowing_
+    * tokens` truncation idiom of HF tokenizers. Entirely NARROW: one
+    * `sequence()` explode per doc, no shuffle at any scale.
+    *
+    * Output: (id, chunk_idx, tok_start, tok_end, n_chunk_tok);
+    * zero-token docs are excluded; a doc with n ≤ maxLen yields one
+    * window [0, n). */
+  def chunkDocs(docs: DataFrame, idCol: String, tokCol: String,
+      maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen > 0 && stride > 0 && stride <= maxLen,
+      s"need 0 < stride <= maxLen: $stride, $maxLen")
+    docs.select(col(idCol).as("id"),
+        col(tokCol).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      // last window index: ceil(max(n - maxLen, 0) / stride) — double
+      // division + floor/ceil is the engine-portable integer quotient
+      // (exact below 2^53)
+      .withColumn("__nk", ceil(
+        greatest(col("n_tok") - maxLen, lit(0L)).cast("double") / stride)
+        .cast("long"))
+      .select(col("id"), col("n_tok"),
+        explode(sequence(lit(0L), col("__nk"))).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + maxLen, col("n_tok"))
+          .as("tok_end"))
+      .withColumn("n_chunk_tok", col("tok_end") - col("tok_start"))
+  }
+
   /** Windows-per-shard summary (the training-step count a scheduler
     * needs): total tokens and ⌈tokens/ctxLen⌉ full-or-partial windows
     * per shard. One aggregation over the packing output. */

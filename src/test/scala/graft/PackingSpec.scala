@@ -40,6 +40,29 @@ class PackingSpec extends SparkSpec {
     assert(shuffled == byId)
   }
 
+  test("chunkDocs: stride windows cover every token, overlap right") {
+    val docs = Seq((1L, 10L), (2L, 4L), (3L, 3L), (4L, 0L), (5L, 9L))
+      .toDF("id", "n_tok")
+    val ch = Packing.chunkDocs(docs, "id", "n_tok", maxLen = 4,
+      stride = 3)
+      .select("id", "chunk_idx", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(r => (r._3, r._4)).toList).toMap
+    // n=10, L=4, S=3: starts 0,3,6 → last covers [6,10)
+    assert(ch(1L) == List((0L, 4L), (3L, 7L), (6L, 10L)))
+    assert(ch(2L) == List((0L, 4L))) // n == L: single window
+    assert(ch(3L) == List((0L, 3L))) // n < L: single short window
+    assert(!ch.contains(4L))         // zero-token doc excluded
+    // n=9: starts 0,3,6 → final window is shorter, ends at n
+    assert(ch(5L) == List((0L, 4L), (3L, 7L), (6L, 9L)))
+    // coverage invariant: union of [start,end) == [0,n) for every doc
+    ch.foreach { case (_, spans) =>
+      val covered = spans.flatMap { case (s, e) => s until e }.toSet
+      assert(covered == (0L until spans.last._2).toSet)
+    }
+  }
+
   test("shardWindows: ceil(token/ctx) windows per shard") {
     val docs = Seq((1L, 0, 6), (2L, 0, 6), (3L, 1, 4)).toDF(
       "id", "shard", "n_tok")
