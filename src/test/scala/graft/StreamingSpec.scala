@@ -147,6 +147,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsSketch aggregates a stream: running token-frequency grid " +
+    "at fixed state size, batch-equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val df = input.toDF().toDF("text")
+    val out = df.agg(graft.expressions.AggregateFunctions
+      .cmsSketch(org.apache.spark.sql.functions.col("text"),
+        graft.ops.Sketch.defaultBases, 64).as("sk"))
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData("the cat sat", "on the mat")
+      q.processAllAvailable()
+      input.addData("the dog sat") // second micro-batch merges into state
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .selectExpr("sk").as[Seq[Long]].collect().head
+      val batch = Seq("the cat sat", "on the mat", "the dog sat")
+        .toDF("text")
+        .agg(graft.expressions.AggregateFunctions
+          .cmsSketch(org.apache.spark.sql.functions.col("text"),
+            graft.ops.Sketch.defaultBases, 64).as("sk"))
+        .selectExpr("sk").as[Seq[Long]].collect().head
+      assert(streamed == batch) // incremental merge == one-shot batch
+      assert(streamed.sum == 4 * 9) // 9 tokens counted in each hash row
+    } finally q.stop()
+  }
+
   test("runningSubjectStats: mapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SubjectEvent]
