@@ -1604,6 +1604,26 @@ object SparkEntry {
           maxLen = 64, stride = 48)
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("tok_start"), col("tok_end"), col("n_chunk_tok"))
+    }),
+
+    "q107_linear_count" -> ((s, dir) => {
+      // Linear-probabilistic distinct counting (Whang et al. 1990):
+      // per-lang distinct-token estimates from m=1024 bucket occupancy,
+      // replayable poly-hash buckets (HLL registers would be
+      // engine-specific), exact distinct alongside for grading.
+      val docs = t(s, dir, "documents").select(col("lang"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      val tok = docs.select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val lc = graft.ops.Sketch.linearCountDistinct(tok, "lang", "term",
+        m = 1024)
+      val ex = tok.groupBy("lang")
+        .agg(countDistinct(col("term")).as("exact_distinct"))
+      lc.join(ex, lc("grp") === ex("lang"))
+        .select(col("lang"), col("occupied"), col("est_distinct"),
+          col("exact_distinct"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3544,6 +3564,34 @@ object SparkEntry {
     "q103_dsir" -> DsirReplay.oracle,
 
     "q104_bloom_decontam" -> BloomReplay.oracle,
+
+    // per-lang occupied buckets of the cap-8 poly-hash bitmap → the
+    // −m·ln(V/m) linear-counting estimate, exact distinct alongside.
+    "q107_linear_count" -> {
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT lang, unnest(list_filter(string_split_regex(t, '\\s+'),
+         |                                  x -> x <> '')) AS term
+         |  FROM d),
+         |occ AS (
+         |  SELECT lang,
+         |    CAST(count(DISTINCT ${PolyHashSql.over("term", 257L)}
+         |      % 1024) AS BIGINT) AS occupied
+         |  FROM tok GROUP BY 1),
+         |ex AS (
+         |  SELECT lang, CAST(count(DISTINCT term) AS BIGINT)
+         |    AS exact_distinct
+         |  FROM tok GROUP BY 1)
+         |SELECT lang, occupied,
+         |  CASE WHEN occupied < 1024 THEN
+         |    round(-1024.0 * ln((1024.0 - occupied) / 1024.0), 6)
+         |  END AS est_distinct,
+         |  exact_distinct
+         |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
 
     // chunk k of doc with n tokens: [k*48, min(k*48+64, n)), k in
     // 0..ceil(max(n-64,0)/48) — the q91 token-count idiom plus one

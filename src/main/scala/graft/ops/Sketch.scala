@@ -141,4 +141,58 @@ object Sketch {
       .select(col("id"), col("n_bloom"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"))
   }
+
+  /** Linear-probabilistic distinct counting (Whang, Vander-Zanden &
+    * Taylor, TODS 1990): distinct ≈ −m·ln(V_m/m) where V_m is the
+    * number of VACANT buckets of an m-bucket hash bitmap. The
+    * cardinality-estimation sibling of the CMS grid, in relational
+    * form: per-group occupied-bucket count (one distinct-aggregate over
+    * (group, bucket) — nothing wider than m rows per group survives the
+    * shuffle), replayable poly-hash buckets so an external engine
+    * replays the estimate bit-for-bit — unlike HLL registers, which
+    * are engine-specific. Saturated groups (all m occupied) estimate
+    * null (ln 0); size m above the expected cardinality. */
+  def linearCountDistinct(df: DataFrame, groupCol: String,
+      valueCol: String, m: Int = 4096, base: Long = 257L, cap: Int = 8)
+      : DataFrame =
+    df.select(col(groupCol).as("grp"),
+        (TextExpressions.strPolyHash(col(valueCol), base, cap) % m)
+          .as("__b"))
+      .groupBy("grp")
+      .agg(countDistinct(col("__b")).as("occupied"))
+      .select(col("grp"), col("occupied"),
+        when(col("occupied") < m,
+          round(-lit(m.toDouble) *
+            log((lit(m.toDouble) - col("occupied")) / m), 6))
+          .as("est_distinct"))
+
+  /** Hash-family parameters of a persisted grid. */
+  case class GridParams(bases: Seq[Long], width: Int, cap: Int,
+      family: String)
+
+  /** Persist a sketch grid WITH its hash-family parameters as data
+    * (the EventDataset save/load discipline — plain parquet, no
+    * serialized objects): `path/grid` holds (j, bucket, cnt),
+    * `path/params` one row of (bases, width, cap, family). Incremental
+    * curation loads yesterday's grid and probes today's batch with the
+    * recorded family — probing with mismatched params is the classic
+    * silent-corruption bug, which is why they travel with the grid. */
+  def saveGrid(grid: DataFrame, params: GridParams, path: String)
+      : Unit = {
+    grid.write.mode("overwrite").parquet(s"$path/grid")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    Seq((params.bases, params.width, params.cap, params.family))
+      .toDF("bases", "width", "cap", "family")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadGrid(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, GridParams) = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    (spark.read.parquet(s"$path/grid"),
+      GridParams(p.getSeq[Long](p.fieldIndex("bases")).toList,
+        p.getAs[Int]("width"),
+        p.getAs[Int]("cap"), p.getAs[String]("family")))
+  }
 }

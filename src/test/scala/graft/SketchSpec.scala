@@ -85,6 +85,37 @@ class SketchSpec extends SparkSpec {
     assert(xx == Map(0L -> 1L, 2L -> 4L))
   }
 
+  test("linearCountDistinct: near-exact when sparse, null at saturation") {
+    val vals = (0 until 50).map(i => ("g1", s"v$i")) ++
+      Seq(("g2", "a"), ("g2", "a"), ("g2", "b"))
+    val df = vals.toDF("grp", "v")
+    val r = Sketch.linearCountDistinct(df, "grp", "v", m = 4096)
+      .as[(String, Long, Option[Double])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // sparse occupancy: estimate within 2% of the true cardinality
+    assert(math.abs(r("g1")._2.get - 50.0) / 50.0 < 0.02)
+    assert(math.abs(r("g2")._2.get - 2.0) < 0.1)
+    // duplicates don't add occupancy
+    assert(r("g2")._1 == 2L)
+    // saturation: m=2 with >2 distinct bucket values → null estimate
+    val sat = Sketch.linearCountDistinct(
+      (0 until 40).map(i => ("g", s"w$i")).toDF("grp", "v"),
+      "grp", "v", m = 2)
+      .as[(String, Long, Option[Double])].collect().head
+    assert(sat._2 == 2L && sat._3.isEmpty)
+  }
+
+  test("grid save/load round-trips data and params as data") {
+    val dir = java.nio.file.Files.createTempDirectory("grid").toString
+    val grid = Sketch.cmsTable(docs, "text", width = 128)
+    val params = Sketch.GridParams(Sketch.defaultBases, 128, 8, "poly")
+    Sketch.saveGrid(grid, params, dir)
+    val (loaded, p2) = Sketch.loadGrid(spark, dir)
+    assert(p2 == params)
+    assert(loaded.as[(Long, Long, Long)].collect().toSet ==
+      grid.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("null and empty text contribute nothing") {
     val withNull = docs.unionByName(
       Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
