@@ -1624,6 +1624,29 @@ object SparkEntry {
       lc.join(ex, lc("grp") === ex("lang"))
         .select(col("lang"), col("occupied"), col("est_distinct"),
           col("exact_distinct"))
+    }),
+
+    "q108_cdc_dedup" -> ((s, dir) => {
+      // Content-defined chunking + corpus-wide chunk dedup: rolling
+      // 8-gram hash ≡ 0 (mod 64) cuts (expected chunk ≈ 64 chars,
+      // insertion-robust boundaries), then dedupUnits keeps each
+      // distinct chunk's first (doc_id, start) occurrence. Per-doc
+      // stats so the oracle compares chunking AND dedup outcomes.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      val ch = Dedup.cdcChunks(docs, "doc_id", "text", k = 8,
+        divisor = 64).localCheckpoint(true)
+      val kept = Dedup.dedupUnits(ch, "id", "chunk_start", "chunk")
+      ch.groupBy("id")
+        .agg(count(lit(1)).as("n_chunks"))
+        .join(kept.groupBy("id")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(length(col("chunk"))).as("kept_chars")),
+          Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3593,6 +3616,8 @@ object SparkEntry {
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
     },
 
+    "q108_cdc_dedup" -> CdcReplay.oracle,
+
     // chunk k of doc with n tokens: [k*48, min(k*48+64, n)), k in
     // 0..ceil(max(n-64,0)/48) — the q91 token-count idiom plus one
     // range unnest.
@@ -3740,7 +3765,7 @@ object SparkEntry {
     * the unreduced sum stays < 2^63). */
   private object PolyHashSql {
     val M = 1000000007L
-    private def coeffs(base: Long, cap: Int): String =
+    def coeffs(base: Long, cap: Int): String =
       (0 until cap).map { i =>
         var p = 1L
         (0 until (cap - 1 - i)).foreach(_ => p = p * base % M)
@@ -3837,6 +3862,59 @@ object SparkEntry {
          |  round(sum(l.lam), 6) AS logw
          |FROM feats f JOIN lam l USING (bucket)
          |GROUP BY 1 ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** q108's DuckDB twin: per-position 8-gram hashes via the q77
+    * coefficient trick, cut positions where h ≡ 0 (mod 64), chunk
+    * spans from a lead() window over starts, first-occurrence chunk
+    * dedup by (doc_id, chunk_start). */
+  private object CdcReplay {
+    def oracle: String =
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, t,
+         |    list_transform(range(1, greatest(length(t) - 8 + 2, 1)),
+         |      i -> list_sum(list_transform(range(0, 8), j ->
+         |        CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT)
+         |        * ${PolyHashSql.coeffs(257L, 8)}[CAST(j + 1 AS INT)]))
+         |        % ${PolyHashSql.M}) AS hs
+         |  FROM d WHERE length(t) > 0),
+         |cuts AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) + 8 AS s
+         |  FROM h, LATERAL unnest(range(1, len(hs) + 1)) AS r(i)
+         |  WHERE hs[CAST(i AS INT)] % 64 = 0
+         |    AND CAST(i AS BIGINT) + 8 <= length(t)),
+         |starts AS (
+         |  SELECT doc_id, s FROM cuts
+         |  UNION ALL SELECT doc_id, 1 AS s FROM h),
+         |sp AS (
+         |  SELECT st.doc_id, st.s,
+         |    coalesce(lead(st.s) OVER (PARTITION BY st.doc_id
+         |      ORDER BY st.s) - 1, length(h.t)) AS e,
+         |    h.t
+         |  FROM starts st JOIN h USING (doc_id)),
+         |chunks AS (
+         |  SELECT doc_id, s AS chunk_start,
+         |    substr(t, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS chunk
+         |  FROM sp),
+         |keep AS (
+         |  SELECT doc_id, chunk,
+         |    row_number() OVER (PARTITION BY chunk
+         |      ORDER BY doc_id, chunk_start) AS rn
+         |  FROM chunks),
+         |n1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |       FROM chunks GROUP BY 1),
+         |n2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         CAST(sum(length(chunk)) AS BIGINT) AS kept_chars
+         |       FROM keep WHERE rn = 1 GROUP BY 1)
+         |SELECT n1.doc_id, n1.n_chunks,
+         |  coalesce(n2.n_kept, 0) AS n_kept,
+         |  coalesce(n2.kept_chars, 0) AS kept_chars
+         |FROM n1 LEFT JOIN n2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   }
 
   /** q104's DuckDB twin: grid cells = distinct (hash row, bucket) of

@@ -514,6 +514,57 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
       : WinnowFingerprintExpr = copy(child = newChild)
 }
 
+/** Content-defined-chunking boundaries: 1-based start positions of the
+  * k-grams whose rolling hash ≡ 0 (mod divisor) — the rsync/CDC cut
+  * rule. Same O(len) rolling recurrence (and therefore the same
+  * coefficient-replay SQL twin) as [[WinnowFingerprintExpr]]; fewer
+  * than k codepoints → empty (callers emit one whole-doc chunk). */
+case class CdcBoundaryExpr(child: Expression, k: Int, divisor: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(k >= 1 && divisor >= 1,
+    s"k and divisor must be >= 1: k=$k divisor=$divisor")
+
+  private val M = 1000000007L
+  private val B = 257L
+  private val pTop: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p = p * B % M; i += 1 }
+    p
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val nH = cps.length - k + 1
+    if (nH <= 0) return new GenericArrayData(Array.empty[Int])
+    var out = new Array[Int](8)
+    var cnt = 0
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    if (h % divisor == 0) { out(0) = 1; cnt = 1 }
+    while (i < cps.length) {
+      h = ((h - cps(i - k) * pTop % M + M) * B + cps(i)) % M
+      if (h % divisor == 0) {
+        if (cnt == out.length) out = java.util.Arrays.copyOf(out, cnt * 2)
+        out(cnt) = i - k + 2 // 1-based gram start
+        cnt += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (cnt == out.length) out else java.util.Arrays.copyOf(out, cnt))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CdcBoundaryExpr = copy(child = newChild)
+}
+
 /** Word n-gram repetition statistics in one narrow pass: total n-gram
   * occurrences, the modal n-gram's count, and the occurrence mass of
   * n-grams appearing more than once — the inputs to the Gopher-style
@@ -653,6 +704,11 @@ object TextExpressions {
     * w min-sampling). */
   def winnowFingerprints(s: Column, k: Int, w: Int): Column =
     Bridge.toColumn(WinnowFingerprintExpr(Bridge.toExpression(s), k, w))
+
+  /** 1-based starts of k-grams whose rolling hash ≡ 0 (mod divisor) —
+    * content-defined chunk boundaries. */
+  def cdcBoundaries(s: Column, k: Int, divisor: Int): Column =
+    Bridge.toColumn(CdcBoundaryExpr(Bridge.toExpression(s), k, divisor))
 
   /** struct(total, max_cnt, dup_cnt) of word n-gram occurrences. */
   def wordNgramStats(s: Column, n: Int): Column =

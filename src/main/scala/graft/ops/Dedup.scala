@@ -448,6 +448,45 @@ object Dedup {
           x => x.getField("u")),
         sep).as("text"))
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC rolling-hash
+    * idiom, Muthitacharoen et al. SOSP'01): a cut fires after every
+    * k-gram whose rolling hash ≡ 0 (mod divisor), so boundaries are
+    * anchored to CONTENT — inserting text shifts only the chunk it
+    * lands in, and every later chunk stays byte-identical, which is
+    * the property fixed-size blocks lack and the reason storage dedup
+    * and insertion-robust long-doc dedup chunk this way. Expected
+    * chunk length ≈ divisor (geometric). No min/max clamps — the
+    * textbook form, exactly replayable by the SQL oracle; production
+    * clamps are a `filter`/`greatest` away and don't change the plan.
+    *
+    * Narrow except nothing: boundary discovery is one native
+    * expression pass; chunk spans derive from a per-doc lead() window.
+    * Returns (id, chunk_start, chunk_end, chunk), 1-based inclusive.
+    * Compose with [[dedupUnits]] for corpus-wide chunk dedup. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    val b = docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        graft.expressions.TextExpressions.cdcBoundaries(
+          col(textCol), k, divisor).as("__bs"))
+      .filter(length(col("__t")) > 0)
+    // chunk starts: 1 plus (gram start + k) for each boundary gram that
+    // does not cut at the very end (tiny per-doc arrays — the HOF
+    // lambdas run over ~len/divisor elements, off the hot path)
+    val starts = b.select(col("id"), col("__t"),
+      explode(concat(array(lit(1)),
+        filter(transform(col("__bs"), x => x + k),
+          x => x <= length(col("__t"))))).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s")
+    starts
+      .withColumn("e",
+        coalesce(lead(col("s"), 1).over(w) - 1, length(col("__t"))))
+      .select(col("id"), col("s").cast("long").as("chunk_start"),
+        col("e").cast("long").as("chunk_end"),
+        expr("substring(__t, s, e - s + 1)").as("chunk"))
+  }
+
   /** Paragraph-level exact dedup: split on `delim` (blank lines by
     * default), drop corpus-wide repeated paragraphs, reassemble. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,

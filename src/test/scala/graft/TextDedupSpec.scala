@@ -554,4 +554,40 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(hashed == out)
   }
+
+  test("cdcChunks: chunks tile the doc; boundaries are content-defined " +
+    "(insertion-robust)") {
+    // deterministic pseudorandom a-z string
+    def rnd(n: Int, seed: Long): String =
+      (0 until n).map(i => ('a' +
+        (math.floorMod(graft.core.Hashing.splitmix64(seed * 1000 + i),
+          26L)).toInt).toChar).mkString
+    val a = rnd(400, 1)
+    val b = a.substring(0, 200) + "INSERTED" + a.substring(200)
+    val docs = Seq((1L, a), (2L, b), (3L, ""), (4L, "xy")).toDF(
+      "doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", k = 8, divisor = 8)
+      .select("id", "chunk_start", "chunk_end", "chunk")
+      .as[(Long, Long, Long, String)].collect()
+    val byId = ch.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).toList).toMap
+    // tiling: in-order concat reassembles each doc exactly
+    assert(byId(1L).map(_._4).mkString == a)
+    assert(byId(2L).map(_._4).mkString == b)
+    assert(byId(4L) == List((4L, 1L, 2L, "xy"))) // len < k: one chunk
+    assert(!byId.contains(3L))                   // empty doc excluded
+    // content-defined: every chunk of A lying strictly after the
+    // insertion point survives in B verbatim (boundaries resync) —
+    // the property fixed-size blocks lack
+    val bChunks = byId(2L).map(_._4).toSet
+    val aAfter = byId(1L).filter(_._2 > 208).map(_._4)
+    assert(aAfter.nonEmpty && aAfter.forall(bChunks.contains))
+    // composition with dedupUnits: an exact duplicate doc keeps nothing
+    val dup = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val kept = Dedup.dedupUnits(
+      Dedup.cdcChunks(dup, "doc_id", "text", k = 8, divisor = 8),
+      "id", "chunk_start", "chunk")
+      .select("id").as[Long].collect()
+    assert(kept.forall(_ == 1L))
+  }
 }
