@@ -1647,6 +1647,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_chunks"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+    }),
+
+    "q109_gopher_filter" -> ((s, dir) => {
+      // Gopher filter recipe (arXiv:2112.11446 table A1, adapted):
+      // per-rule booleans + the keep conjunction for every doc. All
+      // thresholds compare exact integer-ratio doubles, so the flags
+      // are engine-portable without rounding.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.gopherFilter(col("text")).as("g"))
+        .select(col("doc_id"), col("g.ok_n_tokens"),
+          col("g.ok_mean_word_len"), col("g.ok_stopwords"),
+          col("g.ok_punct"), col("g.ok_top_bigram"),
+          col("g.ok_dup_trigram"), col("g.keep"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3617,6 +3631,73 @@ object SparkEntry {
     },
 
     "q108_cdc_dedup" -> CdcReplay.oracle,
+
+    // q25's quality features + q69's repetition stats, thresholded into
+    // the Gopher rule booleans; empty/tokenless docs get the Spark
+    // side's zero-default signals.
+    "q109_gopher_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','on',
+        |       'for','with','as','at','by','be','this','that','are',
+        |       'was'], lower(x)))) AS DOUBLE)
+        |      / greatest(CAST(n_tok AS DOUBLE), 1.0) AS stopword_ratio,
+        |    CASE WHEN n_tok = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+        |        AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS mean_word_len
+        |  FROM base),
+        |d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE trim(text) <> ''),
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, ws[CAST(i AS INT)] || ' ' ||
+        |      ws[CAST(i + 1 AS INT)] AS g
+        |    FROM d, unnest(range(1, len(ws))) AS t(i)) GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c)
+        |    AS top_bigram_frac
+        |  FROM bc GROUP BY 1),
+        |tc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, ws[CAST(i AS INT)] || ' ' ||
+        |      ws[CAST(i + 1 AS INT)] || ' ' ||
+        |      ws[CAST(i + 2 AS INT)] AS g
+        |    FROM d, unnest(range(1, len(ws) - 1)) AS t(i))
+        |  GROUP BY 1, 2),
+        |ts AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(c) AS dup_trigram_frac
+        |  FROM tc GROUP BY 1),
+        |r AS (
+        |  SELECT q.doc_id,
+        |    (q.n_tok >= 10 AND q.n_tok <= 100000) AS ok_n_tokens,
+        |    (q.mean_word_len >= 2 AND q.mean_word_len <= 12)
+        |      AS ok_mean_word_len,
+        |    (q.stopword_ratio >= 0.01) AS ok_stopwords,
+        |    (q.punct_ratio <= 0.2) AS ok_punct,
+        |    (coalesce(bs.top_bigram_frac, 0.0) <= 0.2) AS ok_top_bigram,
+        |    (coalesce(ts.dup_trigram_frac, 0.0) <= 0.3)
+        |      AS ok_dup_trigram
+        |  FROM q LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id))
+        |SELECT doc_id, ok_n_tokens, ok_mean_word_len, ok_stopwords,
+        |  ok_punct, ok_top_bigram, ok_dup_trigram,
+        |  (ok_n_tokens AND ok_mean_word_len AND ok_stopwords AND
+        |   ok_punct AND ok_top_bigram AND ok_dup_trigram) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // chunk k of doc with n tokens: [k*48, min(k*48+64, n)), k in
     // 0..ceil(max(n-64,0)/48) — the q91 token-count idiom plus one

@@ -68,6 +68,28 @@ object TextOps {
       .reduce(_ + _) / checks.length.toDouble
   }
 
+  /** Gopher-style document filter (Rae et al., arXiv:2112.11446, table
+    * A1 adapted to this engine's signals): the named per-rule booleans
+    * AND their conjunction, so downstream can both filter (`keep`) and
+    * audit per-rule rejection rates — the form curation reports need.
+    * One narrow pass composing [[qualityFeatures]] +
+    * [[repetitionSignals]]. */
+  def gopherFilter(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val r = repetitionSignals(text)
+    val rules = Seq(
+      "ok_n_tokens" ->
+        (f("n_tokens") >= 10 && f("n_tokens") <= 100000),
+      "ok_mean_word_len" ->
+        (f("mean_word_len") >= 2 && f("mean_word_len") <= 12),
+      "ok_stopwords" -> (f("stopword_ratio") >= 0.01),
+      "ok_punct" -> (f("punct_ratio") <= 0.2),
+      "ok_top_bigram" -> (r("top_bigram_frac") <= 0.2),
+      "ok_dup_trigram" -> (r("dup_trigram_frac") <= 0.3))
+    struct(rules.map { case (n, c) => c.as(n) } :+
+      rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Language-ID by stopword-set voting: score each candidate language by
     * the fraction of tokens in its tiny stopword set; pick the argmax,
     * 'und' when nothing matches. An n-gram-free heuristic that is pure

@@ -555,6 +555,26 @@ class TextDedupSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("gopherFilter: rule booleans and conjunction, zero-default edges") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a fine day for all of " +
+        "us to be here together in the sun"), // passes everything
+      (2L, ""),                                // empty: keep false
+      (3L, ("spam " * 40).trim)                // repetitive: bigram rule
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextOps.gopherFilter(col("text")).as("g"))
+      .select(col("doc_id"), col("g.ok_n_tokens"), col("g.ok_punct"),
+        col("g.ok_top_bigram"), col("g.keep"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(r(1L) == ((true, true, true, true)))
+    // empty: token rule fails, punct/bigram zero-default to pass
+    assert(r(2L) == ((false, true, true, false)))
+    // "spam spam" bigram dominates: top_bigram_frac = 1.0
+    assert(r(3L)._3 == false && r(3L)._4 == false)
+  }
+
   test("cdcChunks: chunks tile the doc; boundaries are content-defined " +
     "(insertion-robust)") {
     // deterministic pseudorandom a-z string
