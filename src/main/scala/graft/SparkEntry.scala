@@ -1661,6 +1661,17 @@ object SparkEntry {
           col("g.ok_mean_word_len"), col("g.ok_stopwords"),
           col("g.ok_punct"), col("g.ok_top_bigram"),
           col("g.ok_dup_trigram"), col("g.keep"))
+    }),
+
+    "q110_kn_bigram" -> ((s, dir) => {
+      // Interpolated Kneser-Ney bigram scoring (the KenLM-grade
+      // smoothing; q96 is the add-k baseline): absolute discounting
+      // δ=0.75 interpolated with the continuation distribution
+      // (add-γ=0.5 floored). Self-scoring fit, as q96.
+      val docs = t(s, dir, "documents")
+      TextOps.knBigramLogProb(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_transitions"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3631,6 +3642,58 @@ object SparkEntry {
     },
 
     "q108_cdc_dedup" -> CdcReplay.oracle,
+
+    // q96's transition CTEs + the KN count tables: c(w1) and N1+(w1.)
+    // from the bigram table's per-w1 rows, N1+(.w2) per w2, N1+(..)
+    // total rows, V = distinct contexts; P assembled with the exact
+    // literal association of the Spark expression.
+    "q110_kn_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tok
+        |  FROM documents
+        |  WHERE (CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |        >= 2),
+        |flat AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    tok[CAST(i AS INT)] AS w1
+        |  FROM toks, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |tr AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w1,
+        |      lead(w1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+        |    FROM flat)
+        |  WHERE w2 IS NOT NULL),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM tr GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
+        |    CAST(count(*) AS BIGINT) AS n1p_w1
+        |  FROM bc GROUP BY 1),
+        |rc AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+        |  FROM bc GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bc) AS n1p_tot,
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM uc) AS v)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(ln(
+        |    CASE WHEN uc.c_w1 IS NULL THEN
+        |      (coalesce(rc.n1p_r, 0) + 0.5) /
+        |        (tot.n1p_tot + 0.5 * (tot.v + 1.0))
+        |    ELSE
+        |      greatest(coalesce(bc.c_bg, 0) - 0.75, 0.0) / uc.c_w1 +
+        |      0.75 * uc.n1p_w1 / uc.c_w1 *
+        |        ((coalesce(rc.n1p_r, 0) + 0.5) /
+        |         (tot.n1p_tot + 0.5 * (tot.v + 1.0)))
+        |    END)), 6) AS avg_logprob
+        |FROM tr
+        |LEFT JOIN bc USING (w1, w2)
+        |LEFT JOIN uc USING (w1)
+        |LEFT JOIN rc USING (w2), tot
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // q25's quality features + q69's repetition stats, thresholded into
     // the Gopher rule booleans; empty/tokenless docs get the Spark

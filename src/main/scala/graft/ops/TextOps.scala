@@ -286,6 +286,66 @@ object TextOps {
         avg(col("lp")).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP'95;
+    * Chen & Goodman, 1999) — the KenLM-grade upgrade over
+    * [[bigramLogProb]]'s add-k smoothing, fit IN-ENGINE from the same
+    * transition stream:
+    *
+    *   P(w2|w1) = max(c(w1w2)−δ,0)/c(w1)
+    *            + δ·N1+(w1·)/c(w1) · P_cont(w2)
+    *
+    * with the continuation distribution P_cont(w2) ∝ N1+(·w2) — how
+    * many CONTEXTS a word completes, not how often it occurs (the
+    * "San Francisco" correction: "francisco" is frequent but follows
+    * only one word, so its continuation mass is tiny). P_cont gets
+    * add-γ smoothing over V+1 types so OOV words keep finite mass;
+    * an unseen context backs off to P_cont alone.
+    *
+    * Everything is counting: the bigram-count table yields c(w1),
+    * N1+(w1·) (rows per w1), N1+(·w2) (rows per w2) and N1+(··) (total
+    * rows) in two B-bounded aggregations; scoring is two
+    * vocab-cardinality joins + one broadcast scalar frame. */
+  def knBigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, delta: Double = 0.75, gamma: Double = 0.5)
+      : DataFrame = {
+    def transitions(df: DataFrame): DataFrame = {
+      val toksOf = df.filter(tokenCount(col(textCol)) >= 2)
+        .select(col(idCol), posexplode(tokens(lower(col(textCol))))
+          .as(Seq("idx", "w1")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("idx"))
+      toksOf.withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+    }
+    val bc = transitions(train).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint(true) // feeds 3 aggregations + the score join
+    val uc = bc.groupBy("w1")
+      .agg(sum("c_bg").as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val rc = bc.groupBy("w2").agg(count(lit(1)).as("n1p_r"))
+    val tot = bc.agg(count(lit(1)).cast("double").as("__n1p_tot"))
+      .crossJoin(uc.agg(count(lit(1)).cast("double").as("__v")))
+    val pcont = (coalesce(col("n1p_r"), lit(0L)) + lit(gamma)) /
+      (col("__n1p_tot") + lit(gamma) * (col("__v") + lit(1.0)))
+    // explicit coalesce: greatest() null semantics differ across
+    // engines, so the unseen-pair zero must not rely on them
+    val p = when(col("c_w1").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("c_bg"), lit(0L)) - lit(delta),
+          lit(0.0)) / col("c_w1") +
+          lit(delta) * col("n1p_w1") / col("c_w1") * pcont)
+    transitions(score)
+      .join(bc.select(col("w1"), col("w2"), col("c_bg")),
+        Seq("w1", "w2"), "left")
+      .join(uc, Seq("w1"), "left")
+      .join(rc, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), log(p).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        avg(col("lp")).as("avg_logprob"))
+  }
+
   /** Multinomial Naive Bayes classifier, fit IN-ENGINE — the closed-form
     * cousin of the fastText-style quality/language classifiers corpus
     * pipelines train (CCNet, the GPT-3 quality filter): one groupBy over

@@ -555,6 +555,30 @@ class TextDedupSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("knBigramLogProb: hand-computed probabilities and the " +
+    "continuation (san-francisco) effect") {
+    // bc: (san,francisco,3) (a,b,1) (c,b,1); c(san)=3, N1+(san·)=1;
+    // N1+(·francisco)=1, N1+(·b)=2, N1+(··)=3, V=3
+    val train = Seq((1L, "san francisco"), (2L, "san francisco"),
+      (3L, "san francisco"), (4L, "a b"), (5L, "c b"))
+      .toDF("doc_id", "text")
+    def score(docs: Seq[(Long, String)]): Map[Long, Double] =
+      TextOps.knBigramLogProb(train, docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+        .select("doc_id", "avg_logprob").as[(Long, Double)]
+        .collect().toMap
+    // seen pair: (3−0.75)/3 + 0.75·(1/3)·P_cont(francisco),
+    // P_cont(francisco) = (1+0.5)/(3+0.5·4) = 0.3 → p = 0.825
+    val sf = score(Seq((10L, "san francisco")))(10L)
+    assert(math.abs(sf - math.log(0.825)) < 1e-9)
+    // unseen context backs off to P_cont: "francisco" is frequent but
+    // completes ONE context; "b" is rarer but completes two → b wins
+    val cont = score(Seq((11L, "zzz francisco"), (12L, "zzz b")))
+    assert(math.abs(cont(11L) - math.log(0.3)) < 1e-9)
+    assert(math.abs(cont(12L) - math.log(0.5)) < 1e-9)
+    assert(cont(12L) > cont(11L))
+  }
+
   test("gopherFilter: rule booleans and conjunction, zero-default edges") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was a fine day for all of " +
