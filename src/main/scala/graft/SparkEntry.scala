@@ -1672,6 +1672,15 @@ object SparkEntry {
       TextOps.knBigramLogProb(docs, docs, "doc_id", "text")
         .select(col("doc_id"), col("n_transitions"),
           round(col("avg_logprob"), 6).as("avg_logprob"))
+    }),
+
+    "q111_tfidf_embed" -> ((s, dir) => {
+      // In-engine doc embeddings: ±1 random projection of the tf-idf
+      // vector (Achlioptas JL), md5-parity signs as a vocab-sized
+      // broadcast table. Output feeds the cosine/ANN/SemDeDup stack
+      // without an external embedding model.
+      TextOps.tfidfEmbed(t(s, dir, "documents"), "doc_id", "text",
+        dims = 16)
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3642,6 +3651,35 @@ object SparkEntry {
     },
 
     "q108_cdc_dedup" -> CdcReplay.oracle,
+
+    // q71's tf-idf CTEs + md5-parity sign columns, 16 sums per doc.
+    "q111_tfidf_embed" -> {
+      val signCols = (0 until 16).map(d =>
+        s"""CASE WHEN ascii(substr(md5(term || ':$d'), 1, 1)) % 2 = 0
+           |      THEN 1.0 ELSE -1.0 END AS __s$d""".stripMargin)
+        .mkString(",\n")
+      val sums = (0 until 16).map(d =>
+        s"round(sum(w.tfidf * s.__s$d), 6) AS v$d").mkString(",\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |           AS term
+         |  FROM documents WHERE trim(text) <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM t),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf * ln(nd / df.df) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |s AS (
+         |  SELECT term,
+         |$signCols
+         |  FROM (SELECT DISTINCT term FROM tf))
+         |SELECT w.doc_id,
+         |  $sums
+         |FROM w JOIN s USING (term)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+    },
 
     // q96's transition CTEs + the KN count tables: c(w1) and N1+(w1.)
     // from the bigram table's per-w1 rows, N1+(.w2) per w2, N1+(..)

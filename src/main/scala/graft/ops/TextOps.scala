@@ -208,6 +208,35 @@ object TextOps {
         (col("tf") * log(col("__n_docs") / col("df"))).as("tfidf"))
   }
 
+  /** In-engine document embeddings: random projection of the tf-idf
+    * vector (Achlioptas, JCSS 2003 — ±1 projections preserve inner
+    * products in expectation; the sparse-JL idiom). vec_d(doc) =
+    * Σ_terms tfidf(doc,term)·sign(term,d), with signs the md5-parity
+    * of "term:d" — engine-replayable (the HyperplaneReplay discipline)
+    * and a pure function of the term, so the sign table is a
+    * VOCAB-sized broadcast dimension table computed once, never an
+    * md5 per (doc,term,dim).
+    *
+    * This closes the loop between the text and embedding stacks: the
+    * output feeds the cosine / ANN / SemDeDup operators without any
+    * external embedding model. One extra broadcast join + `dims` sum
+    * aggregates over the tf-idf frame. */
+  def tfidfEmbed(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 16): DataFrame = {
+    val ti = tfIdf(docs, idCol, textCol)
+    val signCols = (0 until dims).map { d =>
+      (when(ascii(substring(md5(concat(col("term"), lit(s":$d"))),
+        1, 1)) % 2 === 0, 1.0).otherwise(-1.0)).as(s"__s$d")
+    }
+    val signs = ti.select(col("term")).distinct()
+      .select(col("term") +: signCols: _*)
+    val aggs = (0 until dims).map(d =>
+      round(sum(col("tfidf") * col(s"__s$d")), 6).as(s"v$d"))
+    ti.join(broadcast(signs), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** BM25 term weighting (the Lucene/Okapi scoring retrieval and
     * data-selection pipelines rank with; reduces to tf-idf as k1→∞,
     * b=0): idf = ln(1 + (N−df+0.5)/(df+0.5)), score = idf ·

@@ -555,6 +555,24 @@ class TextDedupSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("tfidfEmbed: identical term profiles map to identical vectors; " +
+    "disjoint vocab stays far") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta alpha alpha gamma"), // same multiset, other order
+      (3L, "delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val v = TextOps.tfidfEmbed(docs, "doc_id", "text", dims = 16)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getDouble).toVector).toMap
+    def cos(a: Vector[Double], b: Vector[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(v(1L) == v(2L)) // projection is a pure function of tf-idf
+    assert(cos(v(1L), v(3L)) < 0.8) // disjoint vocab: uncorrelated
+    assert(v(1L).exists(_ != 0.0))
+  }
+
   test("knBigramLogProb: hand-computed probabilities and the " +
     "continuation (san-francisco) effect") {
     // bc: (san,francisco,3) (a,b,1) (c,b,1); c(san)=3, N1+(san·)=1;
