@@ -1681,6 +1681,23 @@ object SparkEntry {
       // without an external embedding model.
       TextOps.tfidfEmbed(t(s, dir, "documents"), "doc_id", "text",
         dims = 16)
+    }),
+
+    "q112_embed_semdedup" -> ((s, dir) => {
+      // The loop closed end-to-end IN-ENGINE: text → tf-idf JL
+      // embedding (q111) → exact cosine near-dup pairs (q80 math) —
+      // semantic dup discovery with no external embedding model.
+      // doc_id < 600 bounds the quadratic exact route (production
+      // would hyperplane-bucket the discovery, q30).
+      val emb = TextOps.tfidfEmbed(
+          t(s, dir, "documents").filter(col("doc_id") < 600),
+          "doc_id", "text", dims = 16)
+        .select(col("doc_id"),
+          array((0 until 16).map(d => col(s"v$d")): _*).as("emb"))
+      Dedup.embeddingNearDupsExact(emb, "doc_id", "emb",
+          threshold = 0.95)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("cos"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3651,6 +3668,43 @@ object SparkEntry {
     },
 
     "q108_cdc_dedup" -> CdcReplay.oracle,
+
+    // q111's embedding CTEs → list vectors → q80's cosine-pair math.
+    "q112_embed_semdedup" -> {
+      val signCols = (0 until 16).map(d =>
+        s"""CASE WHEN ascii(substr(md5(term || ':$d'), 1, 1)) % 2 = 0
+           |      THEN 1.0 ELSE -1.0 END AS __s$d""".stripMargin)
+        .mkString(",\n")
+      val sums = (0 until 16).map(d =>
+        s"round(sum(w.tfidf * s.__s$d), 6) AS v$d").mkString(",\n  ")
+      val lv = (0 until 16).map(d => s"v$d").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |           AS term
+         |  FROM documents
+         |  WHERE trim(text) <> '' AND doc_id < 600),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM t),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf * ln(nd / df.df) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |s AS (
+         |  SELECT term,
+         |$signCols
+         |  FROM (SELECT DISTINCT term FROM tf)),
+         |e AS (
+         |  SELECT w.doc_id,
+         |  $sums
+         |  FROM w JOIN s USING (term) GROUP BY w.doc_id),
+         |v AS (SELECT doc_id, $lv AS emb FROM e)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+         |FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // q71's tf-idf CTEs + md5-parity sign columns, 16 sums per doc.
     "q111_tfidf_embed" -> {
