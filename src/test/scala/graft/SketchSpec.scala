@@ -116,6 +116,47 @@ class SketchSpec extends SparkSpec {
       grid.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("incremental curation: a reloaded grid probes identically to " +
+    "the in-session one") {
+    // "yesterday": build + persist the eval-gram grid
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF(
+      "doc_id", "text")
+    val grams = graft.ops.Sketch.wordNgrams(evalSet, "doc_id", "text", 5)
+      .select("gram").distinct()
+    val params = Sketch.GridParams(Sketch.defaultBases, 1 << 17, 16,
+      "poly")
+    val grid = grams
+      .agg(graft.expressions.AggregateFunctions.cmsSketch(col("gram"),
+        params.bases, params.width, split = false, cap = params.cap)
+        .as("sk"))
+      .select(posexplode(col("sk")).as(Seq("slot", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(expr(s"slot DIV ${params.width}").as("j"),
+        (col("slot") % params.width).cast("long").as("bucket"),
+        col("cnt"))
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    Sketch.saveGrid(grid, params, dir)
+    // "today": load and probe a new batch — identical to in-session
+    val (loaded, p) = Sketch.loadGrid(spark, dir)
+    assert(p == params)
+    val probe = graft.ops.Sketch.wordNgrams(
+        Seq((0L, "we saw the quick brown fox jumps too")).toDF(
+          "doc_id", "text"), "doc_id", "text", 5)
+      .select(col("id"), col("gram"),
+        posexplode(array(p.bases.map(b =>
+          graft.expressions.TextExpressions.strPolyHash(col("gram"), b,
+            p.cap) % p.width): _*)).as(Seq("j", "bucket")))
+      .select(col("id"), col("gram"), col("j").cast("long").as("j"),
+        col("bucket"))
+    val hits = probe.join(loaded.select("j", "bucket"), Seq("j",
+        "bucket"))
+      .groupBy("id", "gram").count()
+      .filter(col("count") === p.bases.length)
+      .select("gram").as[String].collect().toSet
+    assert(hits.contains("the quick brown fox jumps"))
+  }
+
   test("null and empty text contribute nothing") {
     val withNull = docs.unionByName(
       Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))

@@ -555,6 +555,31 @@ class TextDedupSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("cdcBoundaries == naive per-position hash on random strings " +
+    "(rolling-subtraction recurrence check)") {
+    val M = 1000000007L
+    val B = 257L
+    def naive(s: String, k: Int, d: Int): List[Int] =
+      (0 to s.length - k).filter { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = (h * B + s.charAt(j)) % M)
+        h % d == 0
+      }.map(_ + 1).toList
+    val r = new scala.util.Random(7)
+    val cases = (1 to 20).map(_ =>
+      (1 to 3 + r.nextInt(120)).map(_ =>
+        ('a' + r.nextInt(26)).toChar).mkString)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.expressions.TextExpressions.cdcBoundaries(col("t"), 5, 4)
+          .as("bs"))
+      .as[(Long, Seq[Int])].collect().toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong).toList == naive(s, 5, 4), s"case $i: $s")
+    }
+  }
+
   test("tfidfEmbed: identical term profiles map to identical vectors; " +
     "disjoint vocab stays far") {
     val docs = Seq(
