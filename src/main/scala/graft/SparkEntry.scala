@@ -1698,6 +1698,20 @@ object SparkEntry {
           threshold = 0.95)
         .select(col("id_a"), col("id_b"),
           round(col("cos"), 6).as("cos"))
+    }),
+
+    "q113_gif_frames" -> ((s, dir) => {
+      // REAL video-frame sampling: 6-frame animated GIFs written and
+      // read through the JDK ImageIO sequence codec, every 2nd frame
+      // decoded to its mean gray level. The 8-level rasters palettize
+      // losslessly, so the oracle replays the formula — a codec defect
+      // anywhere breaks the hash (q84/q86 discipline; retires the
+      // byte-stub frame path q31 as the only frame story).
+      val gifs = graft.ops.Multimodal.synthesizeGifs(
+        t(s, dir, "documents"), "doc_id", nFrames = 6)
+      graft.ops.Multimodal.sampleGifFrames(gifs, stride = 2)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("mean_gray"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3668,6 +3682,28 @@ object SparkEntry {
     },
 
     "q108_cdc_dedup" -> CdcReplay.oracle,
+
+    // replay of the sampled-frame gray means: the pixel formula
+    // ((x + 3y + 7f + id) mod 8)·32 over each id's w×h raster, frames
+    // 0/2/4 — the GIF codec sits between the engines.
+    "q113_gif_frames" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 5 AS INT) AS w,
+        |    CAST(12 + doc_id % 3 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, CAST(f.f AS INT) AS frame_idx, w, h,
+        |    ((x.x + 3 * y.y + 7 * f.f + media_id) % 8) * 32 AS v
+        |  FROM ids,
+        |    LATERAL unnest(range(0, 6)) AS f(f),
+        |    LATERAL unnest(range(0, w)) AS x(x),
+        |    LATERAL unnest(range(0, h)) AS y(y)
+        |  WHERE f.f % 2 = 0)
+        |SELECT media_id, frame_idx, w AS width, h AS height,
+        |  CAST(sum(v) AS DOUBLE) / (w * h) AS mean_gray
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // q111's embedding CTEs → list vectors → q80's cosine-pair math.
     "q112_embed_semdedup" -> {

@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
   *    (q84/q85 hash-check it end to end — the pixels are a deterministic
   *    function of the id, so a SQL oracle replays the expected features
   *    while the query proves the codec round-trip);
+  *  - REAL multi-frame sampling via animated GIF (ImageIO sequence
+  *    writer/reader — a genuine frames-in-a-container codec path, so
+  *    frame counting and stride sampling run against real decode);
   *  - the original byte-level kernels (`decodeStub`, `resize`) for
-  *    payloads with no JDK codec (video/CNN features), clearly marked
-  *    deterministic stubs with the real distributed shape around them.
+  *    payloads with no JDK codec (MP4-class video, CNN features),
+  *    clearly marked deterministic stubs with the real distributed
+  *    shape around them.
   */
 object Multimodal {
 
@@ -178,6 +182,110 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  // ── REAL multi-frame kernels (JDK ImageIO — animated GIF) ───────────
+
+  /** Deterministic 8-level grayscale frame formula: GIF palettizes
+    * losslessly at ≤256 distinct colors, so the decode returns these
+    * exact bytes — the same replay argument as the PNG formulas. */
+  @inline def gifV(id: Long, f: Int, x: Int, y: Int): Int =
+    ((x + 3L * y + 7L * f + id) % 8L).toInt * 32
+  @inline def gifW(id: Long): Int = (16 + id % 5).toInt
+  @inline def gifH(id: Long): Int = (12 + id % 3).toInt
+
+  /** Synthesize a REAL multi-frame animated GIF per id: `nFrames`
+    * formula rasters through the JDK's GIF sequence writer
+    * (prepareWriteSequence/writeToSequence). Writer SPI resolved once
+    * per partition — the q86 per-partition-init lesson. */
+  def synthesizeGifs(df: DataFrame, idCol: String, nFrames: Int = 6)
+      : DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val spi = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+          .getOriginatingProvider
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = (gifW(id), gifH(id))
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          val writer = spi.createWriterInstance()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = gifV(id, f, x, y)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          Row(id, baos.toByteArray,
+            Row("image/gif", w, h, nFrames.toLong))
+        }
+      }(enc)
+  }
+
+  final case class GifFrame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_gray: Double)
+
+  /** REAL frame sampling from a real container: open the GIF, count
+    * frames (`getNumImages(true)` — input must not be
+    * seek-forward-only), decode every `stride`-th frame, mean gray per
+    * sampled frame (integer sum, one double division —
+    * engine-replayable). A codec defect anywhere breaks the hash. */
+  def sampleGifFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    implicit val enc = Encoders.product[GifFrame]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val spi = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+          .getOriginatingProvider
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val reader = spi.createReaderInstance()
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            val out = (0 until n by stride).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var s = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { s += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+              GifFrame(id, f, w, h, s.toDouble / (w.toLong * h))
+            }
+            reader.dispose()
+            iis.close()
+            out.iterator
+          }
+        }
+      }(enc)
+      .toDF()
   }
 
   // ── REAL audio kernels (JDK javax.sound.sampled — WAV/PCM) ──────────

@@ -155,6 +155,31 @@ class BatchBuilderSpec extends SparkSpec {
     assert(feats(1L).n_bytes == 4)
   }
 
+  test("multimodal REAL codec: animated-GIF frame sampling recovers " +
+    "the per-frame formula exactly") {
+    val ids = Seq(Tuple1(3L), Tuple1(41L), Tuple1(7L)).toDF("doc_id")
+    val gifs = Multimodal.synthesizeGifs(ids, "doc_id", nFrames = 6)
+    // payloads are genuine GIF89a containers
+    val pay = gifs.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(pay.values.forall(p => p(0) == 'G' && p(1) == 'I' &&
+      p(2) == 'F' && p(3) == '8' && p(4) == '9' && p(5) == 'a'))
+    val fr = Multimodal.sampleGifFrames(gifs, stride = 2)
+      .as[Multimodal.GifFrame].collect()
+      .map(x => (x.media_id, x.frame_idx) -> x).toMap
+    // every id samples frames 0, 2, 4 of its 6
+    assert(fr.keySet == Set(3L, 41L, 7L)
+      .flatMap(id => Seq(0, 2, 4).map(f => id -> f)))
+    for { id <- Seq(3L, 41L, 7L); f <- Seq(0, 2, 4) } {
+      val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
+      val got = fr((id, f))
+      assert(got.width == w && got.height == h)
+      val want = (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.gifV(id, f, x, y)).sum.toDouble / (w * h)
+      assert(got.mean_gray == want) // lossless palette: exact
+    }
+  }
+
   test("multimodal REAL codec: PNG round-trip recovers the formula raster") {
     val ids = Seq(Tuple1(3L), Tuple1(40L), Tuple1(123L)).toDF("doc_id")
     val imgs = Multimodal.synthesizeImages(ids, "doc_id")
