@@ -120,17 +120,35 @@ object Bpe {
     spark.createDataFrame(merges.toList.asJava, schema)
   }
 
-  /** Final word segmentation after [[fit]]'s merges: (w, freq, i, sym).
-    * Encoding a corpus with the learned vocab is then a broadcast join
-    * of its words against this table (the distinct-word trick again);
-    * out-of-vocabulary words fall back to character symbols. */
-  def segment(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  /** Apply an already-learned merge table (rank, lhs, rhs, …) to a
+    * corpus: replay the merges in rank order over the distinct-word
+    * symbol table. This is the tokenizer-APPLY half — fit once, save
+    * the merges as data, encode any corpus later; words whose pieces
+    * never merged stay as character symbols (the OOV fallback).
+    * Encoding full text is then a broadcast join of its words against
+    * the returned (w → ordered syms) table — the distinct-word trick
+    * again. */
+  def applyMerges(docs: DataFrame, textCol: String, merges: DataFrame)
+      : DataFrame = {
     var syms = initialSymbols(docs, textCol).localCheckpoint(true)
-    val ms = fit(docs, textCol, nMerges).collect()
-    ms.foreach { r =>
-      syms = mergeStep(syms, r.getString(1), r.getString(2))
-        .localCheckpoint(true)
-    }
+    merges.select("rank", "lhs", "rhs").orderBy("rank").collect()
+      .foreach { r =>
+        syms = mergeStep(syms, r.getString(1), r.getString(2))
+          .localCheckpoint(true)
+      }
     syms
   }
+
+  /** Persist learned merges AS DATA (plain parquet — the fit-state
+    * discipline of the whole engine; no serialized tokenizer
+    * objects). */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.write.mode("overwrite").parquet(path)
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = spark.read.parquet(path)
+
+  /** Final word segmentation after [[fit]]'s merges: (w, freq, i, sym). */
+  def segment(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    applyMerges(docs, textCol, fit(docs, textCol, nMerges))
 }

@@ -44,6 +44,28 @@ class BpeSpec extends SparkSpec {
     assert(merges == List(("a", "b")))
   }
 
+  test("applyMerges: saved merges encode a NEW corpus (tokenizer " +
+    "save/load as data)") {
+    val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.saveMerges(Bpe.fit(train, "text", 4), dir)
+    // encode unseen words with the reloaded merges: "lowest" uses the
+    // learned lo/low/es/est pieces; OOV "zzz" stays characters
+    val fresh = Seq((0L, "lowest zzz")).toDF("doc_id", "text")
+    val enc = Bpe.applyMerges(fresh, "text", Bpe.loadMerges(spark, dir))
+      .groupBy("w").agg(collect_list(struct(col("i"), col("sym")))
+        .as("ss"))
+      .select(col("w"), expr("transform(array_sort(ss), x -> x.sym)")
+        .as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    // merges learned: (e,s),(es,t),(l,o),(lo,w) → lowest = low|est
+    assert(enc("lowest") == Seq("low", "est"))
+    assert(enc("zzz") == Seq("z", "z", "z"))
+  }
+
   test("segment reassembles every word exactly") {
     val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
