@@ -1712,6 +1712,32 @@ object SparkEntry {
       graft.ops.Multimodal.sampleGifFrames(gifs, stride = 2)
         .select(col("media_id"), col("frame_idx"), col("width"),
           col("height"), col("mean_gray"))
+    }),
+
+    "q114_curriculum" -> ((s, dir) => {
+      // Curriculum/annealing order: decile-bucket every doc by its KN
+      // LM quality — thresholds from ONE small exact-percentile
+      // aggregate broadcast back (no ntile, no global window), bucket
+      // = 1 + #thresholds strictly below, then a replayable md5 order
+      // key within bucket. A loader sorts by (bucket, okey) to anneal
+      // toward high-quality data. At 100 TB the exact percentile
+      // swaps for the rounded-score frequency-weighted form
+      // (NumericKernel's quantile idiom) without changing the plan
+      // shape.
+      val docs = t(s, dir, "documents")
+      val scored = TextOps.knBigramLogProb(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("logw"))
+        .localCheckpoint(true) // threshold agg + final projection
+      val th = scored.agg(expr(
+        "percentile(logw, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("ths"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("logw"),
+          (lit(1) + expr("aggregate(ths, 0, (a, t) -> " +
+            "a + (CASE WHEN logw > t THEN 1 ELSE 0 END))"))
+            .cast("int").as("bucket"),
+          md5(concat(col("doc_id").cast("string"), lit(":curr17")))
+            .as("okey"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3776,52 +3802,27 @@ object SparkEntry {
     // total rows, V = distinct contexts; P assembled with the exact
     // literal association of the Spark expression.
     "q110_kn_bigram" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS tok
-        |  FROM documents
-        |  WHERE (CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
-        |        >= 2),
-        |flat AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
-        |    tok[CAST(i AS INT)] AS w1
-        |  FROM toks, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
-        |tr AS (
-        |  SELECT doc_id, w1, w2 FROM (
-        |    SELECT doc_id, w1,
-        |      lead(w1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
-        |    FROM flat)
-        |  WHERE w2 IS NOT NULL),
-        |bc AS (
-        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
-        |  FROM tr GROUP BY 1, 2),
-        |uc AS (
-        |  SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
-        |    CAST(count(*) AS BIGINT) AS n1p_w1
-        |  FROM bc GROUP BY 1),
-        |rc AS (
-        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
-        |  FROM bc GROUP BY 1),
-        |tot AS (
-        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bc) AS n1p_tot,
-        |         (SELECT CAST(count(*) AS DOUBLE) FROM uc) AS v)
-        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
-        |  round(avg(ln(
-        |    CASE WHEN uc.c_w1 IS NULL THEN
-        |      (coalesce(rc.n1p_r, 0) + 0.5) /
-        |        (tot.n1p_tot + 0.5 * (tot.v + 1.0))
-        |    ELSE
-        |      greatest(coalesce(bc.c_bg, 0) - 0.75, 0.0) / uc.c_w1 +
-        |      0.75 * uc.n1p_w1 / uc.c_w1 *
-        |        ((coalesce(rc.n1p_r, 0) + 0.5) /
-        |         (tot.n1p_tot + 0.5 * (tot.v + 1.0)))
-        |    END)), 6) AS avg_logprob
-        |FROM tr
-        |LEFT JOIN bc USING (w1, w2)
-        |LEFT JOIN uc USING (w1)
-        |LEFT JOIN rc USING (w2), tot
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+      s"""WITH ${KnReplay.ctes}
+         |${KnReplay.scoreSelect}
+         |ORDER BY doc_id""".stripMargin,
+
+    // KN per-doc scores (q110's CTEs) → exact decile thresholds
+    // (quantile_cont ↔ Spark percentile, the q13 parity) → bucket =
+    // 1 + #thresholds strictly below → md5 order key within bucket.
+    "q114_curriculum" ->
+      s"""WITH ${KnReplay.ctes},
+         |sc AS (
+         |  SELECT doc_id, avg_logprob AS logw FROM (
+         |${KnReplay.scoreSelect})),
+         |th AS (
+         |  SELECT quantile_cont(logw, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+         |                              0.7, 0.8, 0.9]) AS ths
+         |  FROM sc)
+         |SELECT sc.doc_id, sc.logw,
+         |  CAST(1 + len(list_filter(th.ths, t -> sc.logw > t)) AS INT)
+         |    AS bucket,
+         |  md5(CAST(sc.doc_id AS VARCHAR) || ':curr17') AS okey
+         |FROM sc, th ORDER BY sc.doc_id""".stripMargin,
 
     // q25's quality features + q69's repetition stats, thresholded into
     // the Gopher rule booleans; empty/tokenless docs get the Spark
@@ -4134,6 +4135,59 @@ object SparkEntry {
          |  round(sum(l.lam), 6) AS logw
          |FROM feats f JOIN lam l USING (bucket)
          |GROUP BY 1 ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** Shared KN-bigram oracle fragments (q110 scoring, q114 reuses the
+    * per-doc scores for curriculum bucketing). */
+  private object KnReplay {
+    val ctes: String =
+      """toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tok
+        |  FROM documents
+        |  WHERE (CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |        >= 2),
+        |flat AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    tok[CAST(i AS INT)] AS w1
+        |  FROM toks, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |tr AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w1,
+        |      lead(w1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+        |    FROM flat)
+        |  WHERE w2 IS NOT NULL),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM tr GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
+        |    CAST(count(*) AS BIGINT) AS n1p_w1
+        |  FROM bc GROUP BY 1),
+        |rc AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+        |  FROM bc GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bc) AS n1p_tot,
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM uc) AS v)""".stripMargin
+    val scoreSelect: String =
+      """SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(ln(
+        |    CASE WHEN uc.c_w1 IS NULL THEN
+        |      (coalesce(rc.n1p_r, 0) + 0.5) /
+        |        (tot.n1p_tot + 0.5 * (tot.v + 1.0))
+        |    ELSE
+        |      greatest(coalesce(bc.c_bg, 0) - 0.75, 0.0) / uc.c_w1 +
+        |      0.75 * uc.n1p_w1 / uc.c_w1 *
+        |        ((coalesce(rc.n1p_r, 0) + 0.5) /
+        |         (tot.n1p_tot + 0.5 * (tot.v + 1.0)))
+        |    END)), 6) AS avg_logprob
+        |FROM tr
+        |LEFT JOIN bc USING (w1, w2)
+        |LEFT JOIN uc USING (w1)
+        |LEFT JOIN rc USING (w2), tot
+        |GROUP BY tr.doc_id""".stripMargin
   }
 
   /** q108's DuckDB twin: per-position 8-gram hashes via the q77
