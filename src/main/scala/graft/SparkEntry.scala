@@ -1738,6 +1738,15 @@ object SparkEntry {
             .cast("int").as("bucket"),
           md5(concat(col("doc_id").cast("string"), lit(":curr17")))
             .as("okey"))
+    }),
+
+    "q115_bm25_search" -> ((s, dir) => {
+      // Retrieval: top-20 docs for a 3-term query by summed BM25. The
+      // term filter prunes the inverted-index build to the query's
+      // vocabulary before any join.
+      TextOps.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        query = "join hash filter", k = 20)
+        .select(col("doc_id"), col("n_hit"), col("score"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3805,6 +3814,43 @@ object SparkEntry {
       s"""WITH ${KnReplay.ctes}
          |${KnReplay.scoreSelect}
          |ORDER BY doc_id""".stripMargin,
+
+    // q94's BM25 CTEs restricted to the query terms, summed per doc,
+    // top-20 by (round-6 score desc, doc_id).
+    "q115_bm25_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |lens AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS DOUBLE) AS dl
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+        |  FROM lens),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl))
+        |      AS bm25
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
+        |  WHERE term IN ('join', 'hash', 'filter'))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |  round(sum(bm25), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // KN per-doc scores (q110's CTEs) → exact decile thresholds
     // (quantile_cont ↔ Spark percentile, the q13 parity) → bucket =

@@ -269,6 +269,26 @@ object TextOps {
           .as("bm25"))
   }
 
+  /** BM25 retrieval: score every document against a free-text query
+    * (sum of its [[bm25]] weights over the query's distinct terms) and
+    * return the top-`k` by (round-6 score desc, id asc). The term
+    * filter sits below the weight joins, so Catalyst prunes the
+    * inverted-index build down to the query's terms — the plan never
+    * materializes weights for non-query vocabulary. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val qt = query.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qt.nonEmpty, "bm25Search needs a non-empty query")
+    bm25(docs, idCol, textCol, k1, b)
+      .filter(col("term").isin(qt: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"),
+        round(sum(col("bm25")), 6).as("score"))
+      .orderBy(desc("score"), asc(idCol)).limit(k)
+  }
+
   /** Corpus-fit bigram language-model scoring — the CCNet/KenLM
     * perplexity-filter idiom with the LM fit in-engine: add-k smoothed
     * transition probability p(w2|w1) = (c(w1 w2)+k)/(c(w1)+k·V) from
