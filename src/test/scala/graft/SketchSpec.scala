@@ -157,6 +157,20 @@ class SketchSpec extends SparkSpec {
     assert(hits.contains("the quick brown fox jumps"))
   }
 
+  test("grouped sketches: one grid per group key, each group exact") {
+    val byLang = Seq(
+      ("en", "the cat"), ("en", "the dog"), ("fr", "le chat"))
+      .toDF("lang", "text")
+      .groupBy("lang")
+      .agg(graft.expressions.AggregateFunctions
+        .cmsSketch(col("text"), Sketch.defaultBases, 64).as("sk"))
+      .select(col("lang"), expr(
+        "aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x)").as("mass"))
+      .as[(String, Long)].collect().toMap
+    // per-group token mass × 4 hash rows: en = 4 tokens, fr = 2
+    assert(byLang == Map("en" -> 16L, "fr" -> 8L))
+  }
+
   test("null and empty text contribute nothing") {
     val withNull = docs.unionByName(
       Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
