@@ -23,6 +23,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_simhash(s)               64-bit SimHash of whitespace tokens
   *   graft_winnow_fp(s, k, w)       winnowing fingerprints (rolling hash)
   *   graft_interp_ecdf(v, qs)       interpolated ECDF (quantile transform)
+  *   graft_cdc_boundaries(s, k, d)  content-defined chunk cut positions
+  *   graft_str_poly_hash(s, b, cap) replayable whole-string poly hash
+  *   graft_cms_sketch(s, width)     Count-Min grid AGGREGATE (4×width)
+  *   graft_weighted_vec_sum(w, v)   weighted vector-sum AGGREGATE
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -85,6 +89,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("graft_interp_ecdf", args, 2)
         expressions.InterpolateEcdf(args(0), args(1))
+      }),
+    ("graft_cdc_boundaries",
+      "content-defined chunk cut positions: k-gram rolling hash " +
+        "≡ 0 (mod divisor)",
+      (args: Seq[Expression]) => {
+        arity("graft_cdc_boundaries", args, 3)
+        expressions.CdcBoundaryExpr(args(0),
+          litInt(args(1), "graft_cdc_boundaries", "k"),
+          litInt(args(2), "graft_cdc_boundaries", "divisor"))
+      }),
+    ("graft_str_poly_hash",
+      "replayable whole-string base-b polynomial hash of the first " +
+        "cap bytes, mod 1e9+7",
+      (args: Seq[Expression]) => {
+        arity("graft_str_poly_hash", args, 3)
+        expressions.StrPolyHashExpr(args(0),
+          litInt(args(1), "graft_str_poly_hash", "base").toLong,
+          litInt(args(2), "graft_str_poly_hash", "cap"))
+      }),
+    ("graft_cms_sketch",
+      "Count-Min sketch aggregate: flat 4×width token-frequency grid " +
+        "(replayable poly-hash rows)",
+      (args: Seq[Expression]) => {
+        arity("graft_cms_sketch", args, 2)
+        expressions.CmsSketchAgg(args(0),
+          graft.ops.Sketch.defaultBases,
+          litInt(args(1), "graft_cms_sketch", "width"))
+          .toAggregateExpression()
+      }),
+    ("graft_weighted_vec_sum",
+      "per-group weighted element-wise vector sum Σ w·vec",
+      (args: Seq[Expression]) => {
+        arity("graft_weighted_vec_sum", args, 2)
+        expressions.WeightedVecSumAgg(args(0), args(1))
+          .toAggregateExpression()
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -43,6 +43,36 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].head())
   }
 
+  test("round-5 natives reach SQL: cdc boundaries, poly hash, " +
+    "cms sketch, weighted vec sum") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_cdc_boundaries('abcdefabcdef', 3, 2) AS cuts,
+        |  graft_str_poly_hash('hello', 257, 16) AS ph""".stripMargin)
+      .collect().head
+    // same kernels as the Scala API
+    val cutsScala = Seq("abcdefabcdef").toDF("t")
+      .select(graft.expressions.TextExpressions
+        .cdcBoundaries(col("t"), 3, 2).as("c"))
+      .as[Seq[Int]].head()
+    assert(r.getSeq[Int](0) == cutsScala)
+    assert(r.getLong(1) == Seq("hello").toDF("t")
+      .select(graft.expressions.TextExpressions
+        .strPolyHash(col("t"), 257L, 16).as("h"))
+      .as[Long].head())
+    // aggregates work from pure SQL
+    val agg = spark.sql(
+      """SELECT
+        |  aggregate(graft_cms_sketch(t, 8), CAST(0 AS BIGINT),
+        |    (a, x) -> a + x) AS mass,
+        |  graft_weighted_vec_sum(w, v) AS vs
+        |FROM VALUES ('a b', 2.0D, array(1.0D, 10.0D)),
+        |            ('c',   1.0D, array(5.0D, 5.0D)) AS t(t, w, v)
+        |""".stripMargin).collect().head
+    assert(agg.getLong(0) == 3L * 4) // 3 tokens × 4 hash rows
+    assert(agg.getSeq[Double](1) == Seq(7.0, 25.0))
+  }
+
   test("graft_winnow_fp rejects non-literal size arguments") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_winnow_fp('abc', 1 + 2, 4)").collect()
