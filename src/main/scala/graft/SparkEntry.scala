@@ -1747,6 +1747,17 @@ object SparkEntry {
       TextOps.bm25Search(t(s, dir, "documents"), "doc_id", "text",
         query = "join hash filter", k = 20)
         .select(col("doc_id"), col("n_hit"), col("score"))
+    }),
+
+    "q116_containment" -> ((s, dir) => {
+      // Directed containment pairs (Broder SEQUENCES'97): the
+      // asymmetric dup relation symmetric Jaccard misses — a short doc
+      // quoted in a long one. q58's winnow posting shape + per-doc
+      // fingerprint-set sizes; threshold 0.15 (this corpus's near-dups
+      // share winnow fps only partially under the posting cap; max
+      // observed containment 0.25 at sf0.01).
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 16, threshold = 0.15, maxPostingSize = 5)
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3814,6 +3825,42 @@ object SparkEntry {
       s"""WITH ${KnReplay.ctes}
          |${KnReplay.scoreSelect}
          |ORDER BY doc_id""".stripMargin,
+
+    // q58's winnow-fingerprint CTEs + per-doc set sizes → directed
+    // containment n_shared/|fp(A)| with the same posting cap.
+    "q116_containment" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+        |      i -> list_sum(list_transform(range(0, 8), j ->
+        |        CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) *
+        |        [13163680, 805498697, 154885210, 362470373, 16974593,
+        |         66049, 257, 1][CAST(j + 1 AS INT)])) % 1000000007)
+        |      AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 16 + 2),
+        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))
+        |    END AS fps
+        |  FROM h),
+        |fd AS (
+        |  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |       FROM fd GROUP BY 1),
+        |ok AS (SELECT fp FROM fd GROUP BY fp HAVING count(*) <= 5),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fd a JOIN fd b USING (fp) JOIN ok USING (fp)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.n_shared, sz.n_fp,
+        |  round(CAST(p.n_shared AS DOUBLE) / sz.n_fp, 6) AS containment
+        |FROM p JOIN sz ON sz.doc_id = p.id_a
+        |WHERE CAST(p.n_shared AS DOUBLE) / sz.n_fp >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q94's BM25 CTEs restricted to the query terms, summed per doc,
     // top-20 by (round-6 score desc, doc_id).

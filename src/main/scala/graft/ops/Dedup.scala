@@ -696,6 +696,43 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric containment pairs (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES'97): C(A→B) =
+    * |fp(A)∩fp(B)| / |fp(A)| over winnowing fingerprint SETS — catches
+    * a short document quoted inside a much larger one, where symmetric
+    * Jaccard vanishes (|A∩B|/|A∪B| → 0 as |B| grows). Same bounded
+    * posting shape as [[winnowOverlapPairs]] plus each doc's
+    * fingerprint-set size joined back. DIRECTED output (both rows
+    * appear when both directions clear the threshold); boilerplate
+    * fingerprints (posting > maxPostingSize) drop from the numerator
+    * but stay in the denominator — conservative, never inflating. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, threshold: Double = 0.8,
+      maxPostingSize: Int = 50): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.expressions.TextExpressions.winnowFingerprints(
+        col(textCol), k, w)).as("fp"))
+      .localCheckpoint(true) // sizes + posting scan + both join sides
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val oversized = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__pn"))
+      .filter(col("__pn") > maxPostingSize)
+      .select("fp")
+    val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
+    val a = capped.select(col("fp"), col("id").as("id_a"))
+    val b = capped.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n_fp")), Seq("id_a"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_fp"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_fp"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed by random
     * hyperplane signs (sign bits of dot products with `nPlanes` seeded
     * pseudo-random hyperplanes → one bucket key; near-identical vectors

@@ -555,6 +555,30 @@ class TextDedupSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("containmentPairs: a quoted doc is contained, not resembling") {
+    val quote = "the five boxing wizards jump quickly over the fence " +
+      "and vanish into the night without a trace at all"
+    val filler = (1 to 12).map(i =>
+      s"unrelated padding sentence number $i with plenty of distinct " +
+        s"words like marker$i and token$i floating around").mkString(" ")
+    val docs = Seq(
+      (1L, quote),             // the short doc
+      (2L, filler + " " + quote + " " + filler), // quotes it verbatim
+      (3L, "completely different content nothing shared here at all " +
+        "not even close to any other document in this tiny corpus")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxPostingSize = 10)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // quote ⊂ big doc: C(1→2) ≈ 1; the reverse direction is far below
+    // threshold (big doc mostly NOT in the quote), as is doc 3 anywhere
+    assert(c.contains((1L, 2L)) && c((1L, 2L)) >= 0.9)
+    assert(!c.contains((2L, 1L)))
+    assert(!c.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("cdcBoundaries == naive per-position hash on random strings " +
     "(rolling-subtraction recurrence check)") {
     val M = 1000000007L
