@@ -1758,6 +1758,19 @@ object SparkEntry {
       // observed containment 0.25 at sf0.01).
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 16, threshold = 0.15, maxPostingSize = 5)
+    }),
+
+    "q117_normalize" -> ((s, dir) => {
+      // Canonical text normalization (C4/CCNet cleanup): control-char
+      // strip, ASCII projection, whitespace collapse, trim, lowercase
+      // — with the removed-char count as the cleanup audit signal.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalize(col("text")).as("norm_text"),
+          length(col("text")).as("__raw_len"))
+        .select(col("doc_id"), col("norm_text"),
+          (col("__raw_len") - length(col("norm_text")))
+            .cast("long").as("n_removed"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3825,6 +3838,21 @@ object SparkEntry {
       s"""WITH ${KnReplay.ctes}
          |${KnReplay.scoreSelect}
          |ORDER BY doc_id""".stripMargin,
+
+    // the same RE2 chain: ctl strip → ascii projection → ws collapse
+    // → trim → lower; n_removed from the length delta.
+    "q117_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, length(text) AS raw_len,
+        |    lower(trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+        |        '[^\x20-\x7e\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(raw_len - length(norm_text) AS BIGINT) AS n_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // q58's winnow-fingerprint CTEs + per-doc set sizes → directed
     // containment n_shared/|fp(A)| with the same posting cap.

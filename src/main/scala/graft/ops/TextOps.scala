@@ -68,6 +68,22 @@ object TextOps {
       .reduce(_ + _) / checks.length.toDouble
   }
 
+  /** Canonical text normalization (the C4/CCNet cleanup pass, and the
+    * named form of the ASCII-projection idiom the replayable-hash
+    * operators inline): strip control characters, optionally project
+    * to printable ASCII, collapse whitespace runs to single spaces,
+    * trim, lowercase. Pure codegen'd regexp chain — RE2-portable
+    * patterns so an external engine replays the output verbatim. */
+  def normalize(text: Column, asciiOnly: Boolean = true,
+      lowercase: Boolean = true): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", "")
+    val projected =
+      if (asciiOnly) regexp_replace(noCtl, "[^\\x20-\\x7e\\s]", "")
+      else noCtl
+    val collapsed = trim(regexp_replace(projected, "\\s+", " "))
+    if (lowercase) lower(collapsed) else collapsed
+  }
+
   /** Gopher-style document filter (Rae et al., arXiv:2112.11446, table
     * A1 adapted to this engine's signals): the named per-rule booleans
     * AND their conjunction, so downstream can both filter (`keep`) and

@@ -555,6 +555,22 @@ class TextDedupSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("normalize: ctl strip, ascii projection, ws collapse, lower") {
+    val out = Seq(
+      "  Hello\tWORLDé  x\n\ny ",
+      "", "你好 ok").toDF("t")
+      .select(TextOps.normalize(col("t")).as("n"))
+      .as[String].collect().toList
+    assert(out == List("hello world x y", "", "ok"))
+    // non-lowercase, non-ascii variant keeps case and É; the
+    // NUL is a control char (not whitespace), so stripping it glues
+    // A and b
+    val keep = Seq("\u00c9  A\u0000b").toDF("t")
+      .select(TextOps.normalize(col("t"), asciiOnly = false,
+        lowercase = false).as("n")).as[String].head()
+    assert(keep == "É Ab")
+  }
+
   test("containmentPairs: a quoted doc is contained, not resembling") {
     val quote = "the five boxing wizards jump quickly over the fence " +
       "and vanish into the night without a trace at all"
