@@ -692,13 +692,18 @@ object SparkEntry {
     }),
 
     "q31_media_frames" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(
-        t(s, dir, "documents"), "doc_id", "text")
-      val frames = Multimodal.sampleFrames(media, frameBytes = 64)
-        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-      media.select(col("media_id"),
-          length(col("payload")).cast("long").as("n_bytes"))
-        .join(frames, Seq("media_id"))
+      // REAL frame counting over VARIABLE-length containers: 3 + id%4
+      // frame animated GIFs through the JDK sequence writer, then a
+      // stride-1 read decodes every frame — n_frames comes from the
+      // reader's own container walk (getNumImages), not metadata, so a
+      // truncated or miscounted container breaks the hash. Complements
+      // q113 (fixed-length stride sampling + per-frame features).
+      val gifs = Multimodal.synthesizeGifs(
+        t(s, dir, "documents"), "doc_id", nFrames = 3, varyMod = 4)
+      Multimodal.sampleGifFrames(gifs, stride = 1)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max("width").as("width"), max("height").as("height"))
     }),
 
     "q54_collate_pad" -> ((s, dir) => {
@@ -880,20 +885,18 @@ object SparkEntry {
     }),
 
     "q64_media_features" -> ((s, dir) => {
-      // The mapPartitions decode path (Multimodal.extractFeatures): per-
-      // partition stub codec → (n_bytes, mean_byte, 8-dim folded feature).
-      // Payloads are ASCII-projected so the oracle can replay the byte
-      // math with character codes (UTF-8 byte == codepoint only in ASCII).
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("text"))
-      val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
-      Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("n_bytes"),
-          round(col("mean_byte"), 6).as("mean_byte"),
-          posexplode(col("feature")))
-        .select(col("media_id"), col("n_bytes"), col("mean_byte"),
-          (col("pos") + 1).as("pos"), col("col").as("feat"))
+      // REAL decode → fixed-width feature vector: PNG payloads decoded
+      // with the JDK codec, red channel bucketed into an 8-bin level
+      // histogram (bucket = r >> 5) — the replayable stand-in for a CNN
+      // feature, zeros kept so the vector stays rectangular. The oracle
+      // replays the pixel formula per (x, y); any codec or binning
+      // defect breaks the hash.
+      val imgs = Multimodal.synthesizeImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeImageHistogram(imgs, bins = 8)
+        .select(col("media_id"), col("n_px"), posexplode(col("hist")))
+        .select(col("media_id"), col("n_px"),
+          (col("pos") + 1).cast("int").as("bin"), col("col").as("cnt"))
     }),
 
     "q65_topk_per_group" -> ((s, dir) => {
@@ -1140,20 +1143,21 @@ object SparkEntry {
     }),
 
     "q76_media_resize" -> ((s, dir) => {
-      // The resize stub in the media pipeline: ASCII-projected payloads
-      // (byte == codepoint, q64 discipline) → every-k-th-byte decimation
-      // to ≤64 bytes → the same decode path. Decimation and byte moments
-      // are SQL-replayable.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("text"))
-      val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
-      val resized = Multimodal.resize(media, targetBytes = 64)
-      Multimodal.extractFeatures(resized)
-        .join(resized.select(col("media_id"), col("scale_den")),
-          Seq("media_id"))
-        .select(col("media_id"), col("n_bytes"), col("scale_den"),
-          round(col("mean_byte"), 6).as("mean_byte"))
+      // PROGRESSIVE real resize — the two-stage downsample ladder
+      // (w×h → 12×10 → 6×5) runs the PNG codec three times (encode,
+      // decode+re-encode, decode) and composes the nearest-neighbor
+      // index math twice; the oracle replays the composed integer
+      // arithmetic sx0 = ((2·x)·w) DIV 12, sy0 = ((2·y)·h) DIV 10.
+      // Complements q85 (single-stage resize).
+      val imgs = Multimodal.synthesizeImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val r1 = Multimodal.resizeNearest(imgs, dstW = 12, dstH = 10)
+      val r2 = Multimodal.resizeNearest(r1, dstW = 6, dstH = 5)
+      Multimodal.decodeImageFeatures(r2)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
     }),
 
     "q84_image_decode" -> ((s, dir) => {
@@ -1705,8 +1709,8 @@ object SparkEntry {
       // read through the JDK ImageIO sequence codec, every 2nd frame
       // decoded to its mean gray level. The 8-level rasters palettize
       // losslessly, so the oracle replays the formula — a codec defect
-      // anywhere breaks the hash (q84/q86 discipline; retires the
-      // byte-stub frame path q31 as the only frame story).
+      // anywhere breaks the hash (q84/q86 discipline; q31 counts
+      // frames of variable-length containers through the same codec).
       val gifs = graft.ops.Multimodal.synthesizeGifs(
         t(s, dir, "documents"), "doc_id", nFrames = 6)
       graft.ops.Multimodal.sampleGifFrames(gifs, stride = 2)
@@ -2648,11 +2652,14 @@ object SparkEntry {
         |  round(cos(tm * 0.01), 6) AS enc_cos1
         |FROM tm ORDER BY event_id""".stripMargin,
 
+    // Replays the variable frame count (3 + id%4) and formula dims of
+    // the synthesized GIFs; the Spark side counts frames by actually
+    // walking the container with the JDK reader.
     "q31_media_frames" ->
       """SELECT doc_id AS media_id,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT),
-        |  1) AS n_frames
+        |  CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(16 + doc_id % 5 AS INT) AS width,
+        |  CAST(12 + doc_id % 3 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q54_collate_pad" ->
@@ -2745,27 +2752,26 @@ object SparkEntry {
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Replays the red-channel pixel formula bucketed into 8 level bins
+    // (bin = r DIV 32); zero bins kept via the generate_series cross
+    // join — the Spark side gets the raster back from a real PNG decode.
     "q64_media_features" ->
-      """WITH c AS (
-        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 7 AS h
         |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, t, length(t) AS n,
-        |         CASE WHEN length(t) = 0 THEN 0.0
-        |              ELSE CAST(list_sum(list_transform(range(1,
-        |                length(t) + 1), i -> unicode(substr(t,
-        |                CAST(i AS INT), 1)))) AS DOUBLE) / length(t)
-        |         END AS mean_byte
-        |  FROM c)
-        |SELECT doc_id AS media_id, CAST(n AS INT) AS n_bytes,
-        |       round(mean_byte, 6) AS mean_byte,
-        |       CAST(g.j + 1 AS INT) AS pos,
-        |       CAST(coalesce(list_sum(list_transform(
-        |         list_filter(range(0, n), i -> i % 8 = g.j),
-        |         i -> unicode(substr(t, CAST(i + 1 AS INT), 1)) / 255.0)),
-        |         0.0) AS REAL) AS feat
-        |FROM d CROSS JOIN generate_series(0, 7) AS g(j)
-        |ORDER BY media_id, pos""".stripMargin,
+        |px AS (
+        |  SELECT d.doc_id,
+        |         ((d.doc_id*31 + x.g*7 + y.g*13) % 256) // 32 AS bin
+        |  FROM dims d, generate_series(0, 27) x(g),
+        |       generate_series(0, 17) y(g)
+        |  WHERE x.g < d.w AND y.g < d.h),
+        |c AS (SELECT doc_id, bin, count(*) AS cnt FROM px GROUP BY 1, 2)
+        |SELECT d.doc_id AS media_id, CAST(d.w * d.h AS INT) AS n_px,
+        |       CAST(b.g + 1 AS INT) AS bin,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM dims d CROSS JOIN generate_series(0, 7) b(g)
+        |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = b.g
+        |ORDER BY media_id, bin""".stripMargin,
 
     "q62_sliding_daily" ->
       """WITH w AS (
@@ -3184,31 +3190,30 @@ object SparkEntry {
         |                                   ORDER BY iter DESC) AS rk
         |      FROM it) WHERE rk = 1 ORDER BY key""".stripMargin,
 
+    // Replays the COMPOSED two-stage nearest-neighbor index math:
+    // stage 2 (12×10 → 6×5) src = (2x, 2y); stage 1 (w×h → 12×10)
+    // src = ((2x)·w) DIV 12, ((2y)·h) DIV 10 — then the pixel formulas
+    // at the composed source index (the Spark side runs the PNG codec
+    // three times).
     "q76_media_resize" ->
-      """WITH a AS (
-        |  SELECT doc_id AS media_id,
-        |         regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 7 AS h
         |  FROM documents),
-        |k AS (
-        |  SELECT media_id, t, length(t) AS n,
-        |         CASE WHEN length(t) = 0 THEN 1
-        |              ELSE greatest(1, (length(t) + 63) // 64) END AS kd
-        |  FROM a),
-        |b AS (
-        |  SELECT media_id, kd,
-        |         CASE WHEN n = 0 THEN 0 ELSE (n + kd - 1) // kd END
-        |           AS n_out,
-        |         CASE WHEN n = 0 THEN [] ELSE
-        |           list_transform(range(0, (n + kd - 1) // kd), i ->
-        |             unicode(substr(t, CAST(i * kd + 1 AS INT), 1)))
-        |         END AS bytes
-        |  FROM k)
-        |SELECT media_id, CAST(n_out AS INT) AS n_bytes,
-        |       CAST(kd AS INT) AS scale_den,
-        |       round(CASE WHEN n_out = 0 THEN 0.0
-        |             ELSE CAST(list_sum(bytes) AS DOUBLE) / n_out END, 6)
-        |         AS mean_byte
-        |FROM b ORDER BY media_id""".stripMargin,
+        |px AS (
+        |  SELECT d.doc_id,
+        |         ((2 * x.g) * d.w) // 12 AS sx,
+        |         ((2 * y.g) * d.h) // 10 AS sy
+        |  FROM dims d, generate_series(0, 5) x(g),
+        |       generate_series(0, 4) y(g))
+        |SELECT doc_id AS media_id, CAST(6 AS INT) AS width,
+        |       CAST(5 AS INT) AS height,
+        |       round(sum((doc_id*31 + sx*7 + sy*13) % 256) / 30.0, 6)
+        |         AS mean_r,
+        |       round(sum((doc_id*17 + sx*5 + sy*3) % 256) / 30.0, 6)
+        |         AS mean_g,
+        |       round(sum((doc_id*13 + sx*11 + sy*19) % 256) / 30.0, 6)
+        |         AS mean_b
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q84/q85: the oracle replays the deterministic pixel FORMULAS; the
     // Spark side goes through real PNG encode/decode (JDK ImageIO), so a
@@ -3281,7 +3286,7 @@ object SparkEntry {
         |    '<EMAIL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
         |    '<IP>', 'g'),
-        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |    '\+[0-9](?:[ -]?[0-9]){6,14}', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Brute-force pairwise replay of the prefix-filtered exact Jaccard
@@ -3712,7 +3717,7 @@ object SparkEntry {
 
     "q104_bloom_decontam" -> BloomReplay.oracle,
 
-    // per-lang occupied buckets of the cap-8 poly-hash bitmap → the
+    // per-lang occupied buckets of the cap-16 poly-hash bitmap → the
     // −m·ln(V/m) linear-counting estimate, exact distinct alongside.
     "q107_linear_count" -> {
       s"""WITH d AS (
@@ -3725,7 +3730,7 @@ object SparkEntry {
          |  FROM d),
          |occ AS (
          |  SELECT lang,
-         |    CAST(count(DISTINCT ${PolyHashSql.over("term", 257L)}
+         |    CAST(count(DISTINCT ${PolyHashSql.over("term", 257L, 16)}
          |      % 1024) AS BIGINT) AS occupied
          |  FROM tok GROUP BY 1),
          |ex AS (

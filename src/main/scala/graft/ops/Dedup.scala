@@ -117,10 +117,8 @@ object Dedup {
     // the (tiny) oversized-bucket list is cheaper than the per-bucket
     // sort a row_number cap needs. True near-dups lost this way are
     // pathological duplicates that collide in other bands anyway.
-    val oversized = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") > maxBucketSize)
-      .select("band", "bucket")
+    val oversized = CapAudit.oversizedKeys(banded.select("band", "bucket"),
+      Seq("band", "bucket"), maxBucketSize, "minhashLsh.bucket")
     val capped = banded
       .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
       .select("band", "bucket", "id")
@@ -394,10 +392,8 @@ object Dedup {
         lower(col(textCol)), n).as("sh"))
       .withColumn("ns", size(col("sh")))
       .localCheckpoint(true)
-    val oversized = sh.groupBy("blk")
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") > maxBlockSize)
-      .select("blk")
+    val oversized = CapAudit.oversizedKeys(sh.select("blk"), "blk",
+      maxBlockSize, "ngramJaccardPairs.block")
     val capped = sh.join(broadcast(oversized), Seq("blk"), "left_anti")
     val a = capped.select(col("blk"), col("id").as("id_a"),
       col("sh").as("sh_a"), col("ns").as("ns_a"))
@@ -640,10 +636,8 @@ object Dedup {
       ceil(lit(threshold) * col("ns")).cast("int") + 1)
     val posts = sh.select(col("id"),
       explode(slice(col("sh"), lit(1), p)).as("tok"))
-    val oversized = posts.groupBy("tok")
-      .agg(count(lit(1)).as("__pn"))
-      .filter(col("__pn") > maxPostingSize)
-      .select("tok")
+    val oversized = CapAudit.oversizedKeys(posts.select("tok"), "tok",
+      maxPostingSize, "prefixJaccardPairs.posting")
     val capped = posts.join(broadcast(oversized), Seq("tok"), "left_anti")
     val cand = capped.select(col("tok"), col("id").as("id_a"))
       .join(capped.select(col("tok"), col("id").as("id_b")), Seq("tok"))
@@ -682,10 +676,8 @@ object Dedup {
       explode(graft.expressions.TextExpressions.winnowFingerprints(
         col(textCol), k, w)).as("fp"))
       .localCheckpoint(true) // feeds the posting-size scan AND both join sides
-    val oversized = fps.groupBy("fp")
-      .agg(count(lit(1)).as("__pn"))
-      .filter(col("__pn") > maxPostingSize)
-      .select("fp")
+    val oversized = CapAudit.oversizedKeys(fps.select("fp"), "fp",
+      maxPostingSize, "winnowOverlapPairs.posting")
     val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
     val a = capped.select(col("fp"), col("id").as("id_a"))
     val b = capped.select(col("fp"), col("id").as("id_b"))
@@ -714,10 +706,8 @@ object Dedup {
         col(textCol), k, w)).as("fp"))
       .localCheckpoint(true) // sizes + posting scan + both join sides
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
-    val oversized = fps.groupBy("fp")
-      .agg(count(lit(1)).as("__pn"))
-      .filter(col("__pn") > maxPostingSize)
-      .select("fp")
+    val oversized = CapAudit.oversizedKeys(fps.select("fp"), "fp",
+      maxPostingSize, "containmentPairs.posting")
     val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
     val a = capped.select(col("fp"), col("id").as("id_a"))
     val b = capped.select(col("fp"), col("id").as("id_b"))

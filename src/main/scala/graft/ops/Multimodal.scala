@@ -21,10 +21,13 @@ import org.apache.spark.sql.types._
   *  - REAL multi-frame sampling via animated GIF (ImageIO sequence
   *    writer/reader — a genuine frames-in-a-container codec path, so
   *    frame counting and stride sampling run against real decode);
-  *  - the original byte-level kernels (`decodeStub`, `resize`) for
-  *    payloads with no JDK codec (MP4-class video, CNN features),
-  *    clearly marked deterministic stubs with the real distributed
-  *    shape around them.
+  *  - a REAL audio path on the JDK sound SPI (`javax.sound.sampled`,
+  *    WAV/PCM).
+  *
+  * Every kernel decodes a real container with a real codec; payloads the
+  * JDK cannot decode (MP4-class video, learned CNN features) are out of
+  * scope rather than stubbed — the former byte-decimation stand-ins are
+  * gone, their queries re-pointed at the codec paths.
   */
 object Multimodal {
 
@@ -38,20 +41,6 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))),
       nullable = true)))
-
-  /** Wrap any table into the media schema, faking payloads from a string
-    * column — lets the full pipeline run on the driver's text-only testdata.
-    */
-  def synthesizeMedia(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame =
-    df.select(
-      col(idCol).cast("long").as("media_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      struct(
-        lit("application/octet-stream").as("mime"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
-        lit(null).cast("long").as("duration_ms")).as("meta"))
 
   // ── REAL image kernels (JDK ImageIO — PNG, lossless) ────────────────
 
@@ -143,6 +132,50 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ImageHistogram(media_id: Long, n_px: Int,
+      hist: Array[Long])
+
+  /** REAL decode → red-channel occupancy histogram: `bins` equal-width
+    * level buckets (bucket = r >> log2(256/bins)) — the replayable
+    * stand-in for a learned feature vector, with the full distributed
+    * shape of one (per-partition codec init, binary → fixed-width
+    * vector). All `bins` slots are always present (zeros kept) so
+    * downstream vector ops see a rectangular feature. */
+  def decodeImageHistogram(media: DataFrame, bins: Int = 8): DataFrame = {
+    require(bins > 0 && 256 % bins == 0 &&
+      Integer.bitCount(256 / bins) == 1,
+      s"bins must be a power of two dividing 256: $bins")
+    val shift = Integer.numberOfTrailingZeros(256 / bins)
+    implicit val enc = Encoders.product[ImageHistogram]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img =
+            if (r.isNullAt(1)) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) ImageHistogram(id, 0, new Array[Long](bins))
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Long](bins)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                hist(((img.getRGB(x, y) >> 16) & 0xff) >> shift) += 1
+                x += 1
+              }
+              y += 1
+            }
+            ImageHistogram(id, w * h, hist)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** REAL resize: decode, nearest-neighbor resample (src index =
     * dst·srcDim DIV dstDim — integer math, engine-replayable), re-encode
     * PNG. The output feeds `decodeImageFeatures` unchanged, so q85 drives
@@ -194,12 +227,16 @@ object Multimodal {
   @inline def gifW(id: Long): Int = (16 + id % 5).toInt
   @inline def gifH(id: Long): Int = (12 + id % 3).toInt
 
-  /** Synthesize a REAL multi-frame animated GIF per id: `nFrames`
-    * formula rasters through the JDK's GIF sequence writer
-    * (prepareWriteSequence/writeToSequence). Writer SPI resolved once
-    * per partition — the q86 per-partition-init lesson. */
-  def synthesizeGifs(df: DataFrame, idCol: String, nFrames: Int = 6)
-      : DataFrame = {
+  /** Synthesize a REAL multi-frame animated GIF per id: `nFrames +
+    * id % varyMod` formula rasters through the JDK's GIF sequence writer
+    * (prepareWriteSequence/writeToSequence). `varyMod = 1` (default)
+    * keeps every container at exactly `nFrames`; larger values vary the
+    * frame count per id so frame COUNTING is exercised against
+    * variable-length containers. Writer SPI resolved once per
+    * partition — the q86 per-partition-init lesson. */
+  def synthesizeGifs(df: DataFrame, idCol: String, nFrames: Int = 6,
+      varyMod: Int = 1): DataFrame = {
+    require(varyMod >= 1, s"varyMod must be >= 1: $varyMod")
     implicit val enc = Encoders.row(mediaSchema)
     df.select(col(idCol).cast("long"))
       .mapPartitions { rows =>
@@ -210,13 +247,14 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val (w, h) = (gifW(id), gifH(id))
+          val frames = nFrames + (id % varyMod).toInt
           val baos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
           val writer = spi.createWriterInstance()
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
-          while (f < nFrames) {
+          while (f < frames) {
             val img = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             var y = 0
@@ -237,7 +275,7 @@ object Multimodal {
           writer.dispose()
           ios.close()
           Row(id, baos.toByteArray,
-            Row("image/gif", w, h, nFrames.toLong))
+            Row("image/gif", w, h, frames.toLong))
         }
       }(enc)
   }
@@ -426,103 +464,4 @@ object Multimodal {
       .toDF()
   }
 
-  // ── byte-level stub kernels (payloads with no JDK codec) ─────────────
-
-  final case class MediaFeatures(
-      media_id: Long, n_bytes: Int, mean_byte: Double, feature: Array[Float])
-
-  /** STUB decode kernel: a real build replaces this body with an actual
-    * codec (e.g. JPEG decode + CNN features). Deterministic fake: byte
-    * histogram moments + an 8-dim folded-byte feature so downstream
-    * operators (ANN over features, dedup) are exercised end to end.
-    * Per-slot accumulation runs in DOUBLE with one float32 cast at the
-    * end: the value is then bit-replayable by any engine summing
-    * b/255.0 in payload order (the q64 oracle does exactly that) —
-    * float32 accumulation would make the result order-entangled at the
-    * 1e-7 level. */
-  def decodeStub(payload: Array[Byte]): (Int, Double, Array[Float]) = {
-    if (payload == null) return (0, 0.0, Array.fill(8)(0f))
-    var sum = 0L
-    val acc = new Array[Double](8)
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      sum += b
-      acc(i % 8) += b / 255.0
-      i += 1
-    }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    (payload.length, mean, acc.map(_.toFloat))
-  }
-
-  /** Per-partition decode / feature-extraction: the distributed shape a real
-    * decoder needs (init once per partition, stream rows, no driver
-    * collect). Narrow — preserves partitioning of the input scan. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    implicit val enc = Encoders.product[MediaFeatures]
-    media.select("media_id", "payload")
-      .mapPartitions { rows =>
-        // [init expensive codec/model state here, once per partition]
-        rows.map { r =>
-          val id = r.getLong(0)
-          val payload =
-            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          val (n, mean, feat) = decodeStub(payload)
-          MediaFeatures(id, n, mean, feat)
-        }
-      }(enc)
-      .toDF()
-  }
-
-  /** STUB resize: decimate the payload to ~`targetBytes` by keeping every
-    * k-th byte (k = ceil(n / target)) and stamp the metadata with the new
-    * nominal dimensions. A real build replaces the kernel with an actual
-    * image resample (and width/height math); the Spark shape — a narrow
-    * binary→binary projection whose output feeds the same decode /
-    * frame-sample operators — is what matters and is tested. Pure
-    * expressions (substr-free positional filter via transform+filter on
-    * byte indices would be interpreted per byte — the kernel runs in a
-    * mapPartitions like decode, amortizing real-resampler init). */
-  final case class ResizedMedia(media_id: Long, payload: Array[Byte],
-      scale_den: Int)
-
-  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
-    require(targetBytes > 0, "targetBytes must be positive")
-    implicit val enc = Encoders.product[ResizedMedia]
-    media.select("media_id", "payload")
-      .mapPartitions { rows =>
-        // [init real resampler here, once per partition]
-        rows.map { r =>
-          val id = r.getLong(0)
-          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          if (p == null || p.length == 0) ResizedMedia(id, p, 1)
-          else {
-            val k = math.max(1, (p.length + targetBytes - 1) / targetBytes)
-            val out = new Array[Byte]((p.length + k - 1) / k)
-            var i = 0
-            while (i < out.length) { out(i) = p(i * k); i += 1 }
-            ResizedMedia(id, out, k)
-          }
-        }
-      }(enc)
-      .toDF()
-  }
-
-  /** Frame-sampling shape for video-like payloads: deterministic byte-range
-    * "frames" every `frameBytes` bytes — the plumbing (explode to frames,
-    * per-frame features, frame index) is what a real video pipeline needs.
-    */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 64): DataFrame = {
-    // substr works on BINARY: each "frame" is a byte range — the real
-    // pipeline replaces the slicing with keyframe offsets from the codec.
-    val nFrames = greatest(
-      ceil(length(col("payload")).cast("double") / frameBytes).cast("int"),
-      lit(1))
-    media.select(col("media_id"),
-      posexplode(
-        transform(sequence(lit(0), nFrames - 1),
-          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
-        .as(Seq("frame_idx", "frame")))
-  }
 }

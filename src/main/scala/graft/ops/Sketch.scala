@@ -151,9 +151,17 @@ object Sketch {
     * shuffle), replayable poly-hash buckets so an external engine
     * replays the estimate bit-for-bit — unlike HLL registers, which
     * are engine-specific. Saturated groups (all m occupied) estimate
-    * null (ln 0); size m above the expected cardinality. */
+    * null (ln 0); size m above the expected cardinality.
+    *
+    * The hash reads only the first `cap` bytes of each value, so
+    * distinct values sharing a `cap`-byte prefix collapse into one
+    * bucket BEFORE bitmap collision — a systematic undercount the
+    * −m·ln(V/m) estimator cannot correct (same tradeoff as
+    * bloomDecontaminate's prefix hashing). Default cap = 16 keeps the
+    * precomputed-coefficient oracle replay exact (unreduced sum < 2^63);
+    * raise it for columns whose values share long prefixes. */
   def linearCountDistinct(df: DataFrame, groupCol: String,
-      valueCol: String, m: Int = 4096, base: Long = 257L, cap: Int = 8)
+      valueCol: String, m: Int = 4096, base: Long = 257L, cap: Int = 16)
       : DataFrame =
     df.select(col(groupCol).as("grp"),
         (TextExpressions.strPolyHash(col(valueCol), base, cap) % m)

@@ -141,7 +141,11 @@ object TextOps {
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val Ipv4Re =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+[0-9][0-9 -]{6,}[0-9]"
+  // Each digit after the first is preceded by AT MOST ONE separator and
+  // the total run is bounded (7–15 digits, the E.164 envelope) — the
+  // earlier greedy [0-9 -]{6,} absorbed unrelated space-separated digit
+  // groups trailing a phone number into one over-wide match.
+  val PhoneRe = "\\+[0-9](?:[ -]?[0-9]){6,14}"
 
   def redactPii(text: Column): Column =
     regexp_replace(

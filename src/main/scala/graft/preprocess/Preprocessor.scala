@@ -343,8 +343,13 @@ object Preprocessor {
     val vInlier = when(isInlier, v1)
     // custom registry normalizers dispatch on the fitted model name — a
     // when-chain over the registered models (the reference resolves the
-    // pickled model class the same way: by what's importable at load time)
-    val customNorm = NumericModels.customNormalizers.foldLeft(vInlier) {
+    // pickled model class the same way: by what's importable at load time).
+    // A fitted norm_name with no registered model is a deploy error, not a
+    // value: fail loudly (the reference's unpickle would raise on a missing
+    // class), never silently pass the unnormalized value through.
+    val unregistered = raise_error(
+      concat(lit("unregistered normalizer: "), col("norm_name"))).cast("double")
+    val customNorm = NumericModels.customNormalizers.foldLeft(unregistered) {
       case (acc, (name, m)) =>
         when(col("norm_name") === name,
           m.transformExpr(vInlier, col("norm_params"))).otherwise(acc)

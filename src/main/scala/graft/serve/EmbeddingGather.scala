@@ -103,7 +103,9 @@ object EmbeddingGather {
           .over(byBag)))
       .withColumn("__meas_cnt", count(lit(1)).over(byBagMeas))
       .withColumn("__meas_norm",
-        when(col(measIdxCol) === 0, lit(0.0))
+        // NULL measurement idx gets 0.0 like padding — the pre-rewrite
+        // join form never matched null keys, so nulls carried zero weight
+        when(col(measIdxCol) === 0 || col(measIdxCol).isNull, lit(0.0))
           .otherwise(lit(1.0) /
             (col("__meas_cnt") * col("__n_meas"))))
       .drop("__meas_cnt", "__n_meas")

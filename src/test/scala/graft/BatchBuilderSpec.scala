@@ -118,41 +118,56 @@ class BatchBuilderSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == Seq("EARLY_AM", "PM", "LATE_PM"))
   }
 
-  test("multimodal: synthesized media → features → frames") {
-    val docs = Seq((1L, "hello world this is a test document"),
-      (2L, "x")).toDF("doc_id", "text")
-    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
-    assert(media.schema.fieldNames.toSeq ==
-      Seq("media_id", "payload", "meta"))
-    val feats = Multimodal.extractFeatures(media)
-      .as[Multimodal.MediaFeatures].collect()
-      .map(f => f.media_id -> f).toMap
-    assert(feats(1L).n_bytes == 35)
-    assert(feats(1L).feature.length == 8)
-    assert(feats(2L).n_bytes == 1)
-    val frames = Multimodal.sampleFrames(media, frameBytes = 16)
-      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
-    assert(frames(1L) == math.ceil(35 / 16.0).toLong)
-    assert(frames(2L) == 1L)
+  test("multimodal REAL codec: red-channel histogram matches the pixel " +
+    "formula, zeros kept") {
+    val ids = Seq(Tuple1(5L), Tuple1(12L)).toDF("doc_id")
+    val imgs = Multimodal.synthesizeImages(ids, "doc_id")
+    val hists = Multimodal.decodeImageHistogram(imgs, bins = 8)
+      .as[Multimodal.ImageHistogram].collect()
+      .map(h => h.media_id -> h).toMap
+    for (id <- Seq(5L, 12L)) {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      assert(hists(id).n_px == w * h)
+      val expect = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w)
+        expect(Multimodal.pxR(id, x, y) >> 5) += 1
+      assert(hists(id).hist.toSeq == expect.toSeq)
+      assert(hists(id).hist.length == 8) // zero bins survive
+    }
   }
 
-  test("multimodal resize: every-k-th-byte decimation to the target size") {
-    val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, ""))
-      .toDF("doc_id", "text")
-    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
-    val out = Multimodal.resize(media, targetBytes = 4)
-      .as[Multimodal.ResizedMedia].collect()
-      .map(r => r.media_id -> r).toMap
-    assert(new String(out(1L).payload) == "aceg") // k = 2
-    assert(out(1L).scale_den == 2)
-    assert(new String(out(2L).payload) == "xy") // already under target
-    assert(out(2L).scale_den == 1)
-    assert(out(3L).payload.isEmpty && out(3L).scale_den == 1)
-    // resized payloads feed the same decode path
-    val feats = Multimodal.extractFeatures(
-      Multimodal.resize(media, 4).withColumnRenamed("payload", "payload"))
-      .as[Multimodal.MediaFeatures].collect().map(f => f.media_id -> f).toMap
-    assert(feats(1L).n_bytes == 4)
+  test("multimodal REAL codec: variable-frame GIF containers count " +
+    "correctly through a stride-1 read") {
+    val ids = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L), Tuple1(4L))
+      .toDF("doc_id")
+    val gifs = Multimodal.synthesizeGifs(ids, "doc_id", nFrames = 3,
+      varyMod = 4)
+    val counts = Multimodal.sampleGifFrames(gifs, stride = 1)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    for (id <- 1L to 4L) assert(counts(id) == 3 + id % 4)
+    // varyMod = 1 (default) keeps the fixed-length behavior bit-identical
+    val fixed = Multimodal.sampleGifFrames(
+      Multimodal.synthesizeGifs(ids, "doc_id", nFrames = 3), stride = 1)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(fixed.values.forall(_ == 3L))
+  }
+
+  test("multimodal REAL codec: progressive two-stage resize composes " +
+    "the nearest-neighbor index math") {
+    val ids = Seq(Tuple1(9L)).toDF("doc_id")
+    val imgs = Multimodal.synthesizeImages(ids, "doc_id")
+    val r2 = Multimodal.resizeNearest(
+      Multimodal.resizeNearest(imgs, dstW = 12, dstH = 10),
+      dstW = 6, dstH = 5)
+    val f = Multimodal.decodeImageFeatures(r2)
+      .as[Multimodal.ImageFeatures].collect().head
+    assert(f.width == 6 && f.height == 5)
+    val (w, h) = (Multimodal.imgW(9L), Multimodal.imgH(9L))
+    val expected = (for (y <- 0 until 5; x <- 0 until 6) yield {
+      val (sx, sy) = ((2 * x) * w / 12, (2 * y) * h / 10)
+      Multimodal.pxR(9L, sx, sy)
+    }).sum / 30.0
+    assert(math.abs(f.mean_r - expected) < 1e-9)
   }
 
   test("multimodal REAL codec: animated-GIF frame sampling recovers " +
