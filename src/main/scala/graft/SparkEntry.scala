@@ -1775,6 +1775,122 @@ object SparkEntry {
         .select(col("doc_id"), col("norm_text"),
           (col("__raw_len") - length(col("norm_text")))
             .cast("long").as("n_removed"))
+    }),
+
+    "q118_running_stats" -> ((s, dir) => {
+      // Batch twin of StreamOps.runningSubjectStats (the q45 twin
+      // discipline applied to mapGroupsWithState): in batch execution
+      // the SAME stateful lambda runs once per group with no prior
+      // state, so its output equals the stream's FINAL per-subject
+      // update. n_events/last_ts are order-free; the Welford mean is
+      // FP-order-sensitive AND means of 2-dp values sit exactly on
+      // rounding boundaries (51.8346875 at sf0.01), so the hash column
+      // is the mean RE-MULTIPLIED by n — bijective given n_events,
+      // lands on the exact 2-dp sum, and any Welford defect > 1e-9
+      // still breaks it.
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("subject_id"),
+          date_trunc("second", col("ts")).as("timestamp"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamOps.SubjectEvent]
+      graft.streaming.StreamOps.runningSubjectStats(ev).toDF()
+        .select(col("subject_id"), col("n_events"), col("last_ts"),
+          round(col("mean_value") * col("n_events"), 6).as("sum_value"))
+    }),
+
+    "q119_closed_sessions" -> ((s, dir) => {
+      // Batch twin of StreamOps.closedSessions (flatMapGroupsWithState):
+      // one whole-group invocation sorts by event time and emits every
+      // session CLOSED by a later event's strict >gap delta — the final
+      // session per subject stays open in state and is NOT emitted,
+      // exactly the streaming Append contract. Same 30-minute gap and
+      // strict-inequality semantics as q45's session_window; the oracle
+      // replays the gap walk and drops each subject's last session.
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("subject_id"),
+          date_trunc("second", col("ts")).as("timestamp"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamOps.SubjectEvent]
+      graft.streaming.StreamOps.closedSessions(ev, gapMs = 30L * 60 * 1000)
+        .toDF()
+        .select(col("subject_id"),
+          (col("sess_start") / 1000).cast("long").as("sess_start"),
+          (col("sess_end") / 1000).cast("long").as("sess_end"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    "q120_save_load" -> ((s, dir) => {
+      // Save/load round-trip as a contract row (EventDataset.save/load —
+      // plain splittable parquet with params-as-data, vs the reference's
+      // dill pickle of the whole object, event_stream_dataset.py:42-44):
+      // persist the ingested dataset to a scratch dir, re-open it COLD,
+      // and prove the reloaded events answer q01's ingest oracle
+      // bit-for-bit.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q120")
+        .toString
+      EventDataset.save(dsRaw(s, dir), tmp)
+      EventDataset.load(s, tmp).events
+        .select(col("event_id"), col("subject_id"),
+          unix_timestamp(col("timestamp")).as("ts_sec"), col("event_type"))
+    }),
+
+    "q121_inf_null" -> ((s, dir) => {
+      // ±inf/NaN → null normalization
+      // (event_stream_pytorch_dataset.py:370-376) through a synthetic
+      // poisoning: event_id mod 7 plants +inf / −inf / NaN; the kernel
+      // must null exactly those and pass everything else untouched.
+      val poisoned = t(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 7 === 1, lit(Double.NegativeInfinity))
+          .when(col("event_id") % 7 === 2, lit(Double.NaN))
+          .otherwise(col("value")).as("v"))
+      poisoned.select(col("event_id"),
+        NumericKernel.nanInfToNull(col("v")).as("v_clean"))
+    }),
+
+    "q122_nested_vocab" -> ((s, dir) => {
+      // Nested (array-cell) vocabulary counting (vocabulary.py:114-123:
+      // lists inside cells flatten while counting, null cells skipped):
+      // token ARRAYS are the observation cells; fitNested explodes and
+      // counts with the same (n desc, element) ranking + UNK pinning
+      // as the scalar fit (q09).
+      val cells = t(s, dir, "documents")
+        .select(when(trim(col("text")) === "", lit(null))
+          .otherwise(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+      Vocabulary.fitNested(cells, "toks")
+        .select(col("element"), col("n"), col("idx"),
+          round(col("freq"), 9).as("freq"))
+    }),
+
+    "q123_static_indices" -> ((s, dir) => {
+      // withStaticIndices (event_stream_pytorch_dataset.py:411-442): two
+      // declared static measurements per subject (synthetic group/region
+      // labels derived from subject_id), each looked up in its fitted
+      // vocabulary (UNK 0 default) and shifted by its unified-vocab
+      // offset; the companion array carries the measurement index.
+      val ev = t(s, dir, "events")
+      val subjects = ev.select(col("user_id").as("subject_id")).distinct()
+        .select(col("subject_id"),
+          concat(lit("g"), (col("subject_id") % 3).cast("string"))
+            .as("grp"),
+          concat(lit("r"), (col("subject_id") % 5).cast("string"))
+            .as("reg"))
+      val gv = Vocabulary.fit(subjects, "grp")
+      val rv = Vocabulary.fit(subjects, "reg")
+      val statics = Seq(
+        ("grp", gv, BatchBuilder.MeasurementOffset("grp", 1, 10L, 4L)),
+        ("reg", rv, BatchBuilder.MeasurementOffset("reg", 2, 14L, 6L)))
+      val seqs = ev.groupBy(col("user_id").as("subject_id"))
+        .agg(count(lit(1)).as("n_events"))
+      BatchBuilder.withStaticIndices(seqs, subjects, statics)
+        .select(col("subject_id"), col("n_events"),
+          col("static_measurement_indices").as("__mi"),
+          posexplode(col("static_indices")))
+        .select(col("subject_id"), col("n_events"),
+          col("pos").cast("int").as("pos"), col("col").as("sidx"),
+          element_at(col("__mi"), col("pos") + 1).as("midx"))
     }))
 
   /** q82/q83's replayable hyperplane family — the q75/q78/q79 twin
@@ -3858,6 +3974,106 @@ object SparkEntry {
         |SELECT doc_id, norm_text,
         |  CAST(raw_len - length(norm_text) AS BIGINT) AS n_removed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Final per-subject running stats: count / last-seen millis / the
+    // Welford mean re-multiplied by n (the FP-boundary-safe encoding —
+    // it equals the exact 2-dp sum; see the query comment).
+    "q118_running_stats" ->
+      """SELECT user_id AS subject_id,
+        |  count(*) AS n_events,
+        |  CAST(epoch(max(date_trunc('second', ts))) * 1000 AS BIGINT)
+        |    AS last_ts,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q45's gap-walk session assignment, minus each subject's LAST
+    // session (it stays open in streaming state, never emitted).
+    "q119_closed_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL THEN 1
+        |         WHEN t - lag(t) OVER w > INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d),
+        |g AS (
+        |  SELECT user_id, sid,
+        |    CAST(epoch(min(t)) AS BIGINT) AS sess_start,
+        |    CAST(epoch(max(t)) AS BIGINT) AS sess_end,
+        |    count(*) AS n_events,
+        |    round(sum(value), 6) AS sum_value,
+        |    max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id AS subject_id, sess_start, sess_end, n_events,
+        |       sum_value
+        |FROM g WHERE sid < max_sid
+        |ORDER BY subject_id, sess_start""".stripMargin,
+
+    // The round-trip target is q01's ingest projection: the reloaded
+    // parquet must answer the ORIGINAL oracle.
+    "q120_save_load" ->
+      """SELECT event_id, user_id AS subject_id,
+        |CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q121_inf_null" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 IN (0, 1, 2) THEN NULL
+        |       ELSE value END AS v_clean
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q09's ranking over FLATTENED token cells; empty docs are null
+    // cells and contribute nothing.
+    "q122_nested_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS element
+        |  FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT element, count(*) AS n FROM tok
+        |      WHERE element IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+        |SELECT element, n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, element) AS INT)
+        |         AS idx,
+        |       round(n / (SELECT tot FROM t), 9) AS freq
+        |FROM c
+        |UNION ALL SELECT 'UNK', 0, 0, 0.0
+        |ORDER BY idx""".stripMargin,
+
+    // Vocab ranks replayed per label family; pos 0 = grp (+10 offset,
+    // measurement 1), pos 1 = reg (+14 offset, measurement 2).
+    "q123_static_indices" ->
+      """WITH s AS (SELECT DISTINCT user_id AS subject_id FROM events),
+        |lab AS (
+        |  SELECT subject_id, 'g' || (subject_id % 3) AS grp,
+        |         'r' || (subject_id % 5) AS reg
+        |  FROM s),
+        |gv AS (
+        |  SELECT grp, CAST(row_number() OVER
+        |    (ORDER BY count(*) DESC, grp) AS INT) AS idx
+        |  FROM lab GROUP BY grp),
+        |rv AS (
+        |  SELECT reg, CAST(row_number() OVER
+        |    (ORDER BY count(*) DESC, reg) AS INT) AS idx
+        |  FROM lab GROUP BY reg),
+        |n AS (SELECT user_id AS subject_id, count(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT n.subject_id, n.n_events, CAST(p.pos AS INT) AS pos,
+        |  CAST(CASE WHEN p.pos = 0 THEN gv.idx + 10
+        |            ELSE rv.idx + 14 END AS BIGINT) AS sidx,
+        |  CAST(CASE WHEN p.pos = 0 THEN 1 ELSE 2 END AS BIGINT) AS midx
+        |FROM n JOIN lab USING (subject_id) JOIN gv USING (grp)
+        |  JOIN rv USING (reg)
+        |CROSS JOIN (SELECT 0 AS pos UNION ALL SELECT 1) p
+        |ORDER BY subject_id, pos""".stripMargin,
 
     // q58's winnow-fingerprint CTEs + per-doc set sizes → directed
     // containment n_shared/|fp(A)| with the same posting cap.
