@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape regression gate: the flagship queries' shuffle counts are
+  * load-bearing scale claims (SCALE.md "Shuffle inventory"), so they are
+  * RATCHETS — a future edit that silently adds an Exchange fails here
+  * before it reaches a 100 TB cluster. Counts are taken with AQE off
+  * (the static plan is the worst case AQE can only improve) against the
+  * sf0.001 driver testdata; localCheckpoint boundaries mean the count
+  * covers the FINAL job of multi-job queries, which is exactly the part
+  * a regression would silently widen.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case _: ShuffleExchangeExec => 1
+    }.sum
+
+  private def withStaticPlans[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private val expected = Seq(
+    "q18_subject_seqs" -> 2,   // SCALE.md: rank + ragged assembly
+    "q34_embedding_gather" -> 1, // one gather shuffle, vocab broadcast
+    // AsofJoin itself is the ONE union exchange; the second is the
+    // in-query max() agg that builds the quote side from raw events.
+    "q61_asof_join" -> 2,
+    // The dense-id rank sits behind a zipWithIndex RDD boundary
+    // (ExistingRDD); the final job adds the measurement-count agg and
+    // the remap join's exchange.
+    "q05_agg_by_time_type" -> 2,
+    "q93_paragraph_dedup" -> 2 // unit-keyed window + reassembly agg
+  )
+
+  expected.foreach { case (name, want) =>
+    test(s"$name plans exactly $want shuffle exchange(s)") {
+      withStaticPlans {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val got = shuffles(df)
+        assert(got == want,
+          s"$name: expected $want ShuffleExchangeExec nodes, got $got —" +
+            " a plan edit added or removed a wide stage; update" +
+            " SCALE.md's shuffle inventory only if the change is" +
+            " deliberate.\n" + df.queryExecution.executedPlan.toString)
+      }
+    }
+  }
+}
