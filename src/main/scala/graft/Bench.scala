@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bucketed-variant tables land in scratch, never the repo cwd
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Full materialization: the noop v2 sink evaluates every row and column
@@ -46,7 +50,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map {
       case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        val times = (1 to reps).map { i =>
+          // stderr marker so session-level WARNs (large task binaries,
+          // capped-candidate audits) are attributable to a query
+          System.err.println(s"[bench] $name rep $i")
           val t0 = System.nanoTime()
           val ok =
             try { run(fn(spark, sfDir)); true }
@@ -74,12 +81,46 @@ object Bench {
     }.mkString("{", ",", "}")
     // Full-fidelity record (full query names, every rep's time): immune to
     // the stdout tail window. Path overridable for local iteration.
+    // Opt-in bucketed-persistence variants (SPARK_GRAFT_BUCKETED=1): the
+    // one-time bucketed write, then the q18/q05 twins reading the
+    // bucketed tables. Reports per-query time AND the shuffle-exchange
+    // count of the static plan (AQE off for the count, on for timing) —
+    // the SCALE.md zero-exchange claim, measured every opt-in run.
+    val bucketed: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")) None
+      else {
+        val t0 = System.nanoTime()
+        SparkEntry.bucketedSetup(spark, sfDir)
+        val setupSec = (System.nanoTime() - t0) / 1e9
+        val entries = SparkEntry.bucketedQueries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            val nShuffles = fn(spark).queryExecution.executedPlan.collect {
+              case _: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => 1
+            }.sum
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            val ts = (1 to reps).map { i =>
+              System.err.println(s"[bench] $name rep $i")
+              val s0 = System.nanoTime()
+              run(fn(spark))
+              (System.nanoTime() - s0) / 1e9
+            }
+            System.err.println(
+              s"[bench] $name shuffle exchanges: $nShuffles")
+            s""""$name":{"sec":${ts.min},"shuffle_exchanges":$nShuffles,""" +
+              s""""reps":[${ts.mkString(",")}]}"""
+        }
+        Some(s""""bucketed":{"setup_sec":$setupSec,""" +
+          entries.mkString("", ",", "}"))
+      }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val fullQs = results.map { case (k, (reps, v)) =>
       s""""$k":{"sec":$v,"reps":[${reps.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs,"n_failed":$nFailed,""" +
+        bucketed.fold("")(_ + ",") + s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>

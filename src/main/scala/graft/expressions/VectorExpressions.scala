@@ -294,6 +294,66 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int,
       : HyperplaneBucket = copy(child = newChild)
 }
 
+/** Replay twin of [[HyperplaneBucket]] for CALLER-SUPPLIED ±1 sign
+  * families (the q82/q83 md5-parity oracle family): integer-quantized
+  * dot products — round(x·1e6) as long, exact Spark `round` semantics
+  * via BigDecimal HALF_UP — so the bucket is bit-replayable in any
+  * engine with the same decimal rounding. The signs travel as ONE
+  * array field of the expression: the previous composable form built a
+  * 256-term literal tree per plane set, which serialized into ~1.8 MiB
+  * task binaries (attributed to q82/q83 in the round-5 bench tail). */
+case class QuantizedSignBucket(child: Expression, signs: Seq[Int],
+    nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with Serializable {
+
+  require(signs.nonEmpty && signs.length % nPlanes == 0,
+    s"signs (${signs.length}) must split evenly across $nPlanes planes")
+  private val dim = signs.length / nPlanes
+  @transient private lazy val s: Array[Int] = signs.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"quantized_sign_bucket: vector has ${v.numElements()} " +
+          s"components, expected >= $dim")
+    val f = isFloat
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0L
+      val base = p * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+        // Spark round() semantics exactly: shortest-decimal BigDecimal,
+        // HALF_UP — floor(x + 0.5) diverges on ...49999999999999994-style
+        // doubles and would silently de-sync from the SQL oracle.
+        val q = java.math.BigDecimal.valueOf(x * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        dot += q * s(base + i)
+        i += 1
+      }
+      if (dot >= 0) bucket += 1L << (nPlanes - 1 - p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : QuantizedSignBucket = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level API: cosine similarity of two vector columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -321,4 +381,10 @@ object VectorFunctions {
       : Column =
     Bridge.toColumn(HyperplaneBucket(Bridge.toExpression(v), nPlanes, dim,
       seed))
+
+  /** Column-level API: quantized caller-signed LSH bucket (replay). */
+  def quantizedSignBucket(v: Column, signs: Seq[Int], nPlanes: Int)
+      : Column =
+    Bridge.toColumn(QuantizedSignBucket(Bridge.toExpression(v), signs,
+      nPlanes))
 }

@@ -21,6 +21,15 @@ object Bucketing {
     * size buckets so each holds 128–512 MB per partition-file. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // Idempotent across sessions: a prior session's managed-table
+    // directory with no catalog entry (in-memory catalog died with the
+    // JVM) fails CREATE with LOCATION_ALREADY_EXISTS — drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head,

@@ -68,16 +68,25 @@ object BatchBuilder {
       maxSeqLen: Int = Int.MaxValue, minSeqLen: Int = 1,
       seed: Long = 1, windowU: Option[Column] = None): DataFrame = {
 
-    // Per-event ragged triples: one shuffle on event_id.
+    // Per-event ragged triples: one shuffle on event_id. When the
+    // measurement frame carries the subject key (denormalized layout /
+    // subject-bucketed tables), the subject rides the grouping and join
+    // keys: result-identical (event_id determines subject_id), but a
+    // HashPartitioning(subject_id) from storage then satisfies EVERY
+    // stage's clustered distribution and the whole pipeline plans with
+    // zero exchanges (Bench SPARK_GRAFT_BUCKETED=1 measures it).
+    val hasSubj = measIndexed.columns.contains("subject_id")
+    val groupKeys = if (hasSubj) Seq("subject_id", "event_id")
+      else Seq("event_id")
     val perEvent = measIndexed
-      .groupBy("event_id")
+      .groupBy(groupKeys.map(col): _*)
       .agg(
         collect_list(struct(col("unified_idx"), col("value"),
           col("measurement_idx"))).as("ms"))
 
     // Attach to events and group per subject: one shuffle on subject_id.
     val perSubject = events
-      .join(perEvent, Seq("event_id"), "left")
+      .join(perEvent, groupKeys, "left")
       .groupBy("subject_id")
       .agg(sort_array(collect_list(struct(
         col("timestamp").cast("double").as("ts"),
