@@ -1821,6 +1821,45 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
     }),
 
+    "q124_weighted_sample" -> ((s, dir) => {
+      // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+      // A-ES): 100 docs with probability ∝ n_chars via the
+      // md5-replayable draw u = (hex12(md5(id:seed)) + 1)/2^48, key
+      // ln(u)/w, top-k by key — the data-mixing primitive ("10k docs
+      // ∝ quality") as one narrow pass + TakeOrdered.
+      graft.ops.Sampling.weightedSampleK(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 100, seed = 7)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("__es_key"), 9).as("es_key"))
+    }),
+
+    "q125_url_canonical" -> ((s, dir) => {
+      // URL hygiene (C4/RefinedWeb stage 1): deterministic synthesized
+      // URLs exercise every canonicalization rule (scheme case, www,
+      // query, fragment, trailing slash), then registered-domain
+      // extraction and a broadcast blocklist anti-join. The full
+      // canonical string is hash-checked.
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+            .when(col("doc_id") % 3 === 1, lit("http://"))
+            .otherwise(lit("https://")),
+          lit("w"), (col("doc_id") % 40).cast("string"), lit("."),
+          col("source"),
+          when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")),
+          lit("/a/"), (col("doc_id") % 300).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=x&id="), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+      graft.ops.UrlOps.filterBlockedDomains(urls, "url",
+          Seq("src3.com", "src7.org"))
+        .select(col("doc_id"), col("canonical_url"), col("domain"))
+    }),
+
     "q120_save_load" -> ((s, dir) => {
       // Save/load round-trip as a contract row (EventDataset.save/load —
       // plain splittable parquet with params-as-data, vs the reference's
@@ -4070,6 +4109,57 @@ object SparkEntry {
         |       sum_value
         |FROM g WHERE sid < max_sid
         |ORDER BY subject_id, sess_start""".stripMargin,
+
+    // A-ES keys replayed: hex12(md5)+1 over 2^48, ln, divide by the
+    // weight, top-100 by key. power(16, 11-i) is double-exact ≤ 16^11.
+    "q124_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((list_sum(list_transform(range(0, 12), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+        |                  CAST(i + 1 AS INT), 1)) - 1)
+        |        * power(16.0, CAST(11 - i AS DOUBLE)))) + 1)
+        |       / 281474976710656.0)
+        |      / n_chars AS es_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+        |FROM k ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // The same regexp chain, verbatim, plus the last-two-labels domain
+    // and the blocklist anti-join.
+    "q125_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+        |          WHEN doc_id % 3 = 1 THEN 'http://'
+        |          ELSE 'https://' END)
+        |    || 'w' || (doc_id % 40) || '.' || source
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+        |    || '/a/' || (doc_id % 300)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |             THEN '?utm_source=x&id=' || doc_id ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '#.*$', ''),
+        |      '\?.*$', ''),
+        |      '^[a-z][a-z0-9+.-]*://', ''),
+        |      '^www\.', ''),
+        |      '/$', '') AS canonical_url
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, canonical_url,
+        |    regexp_extract(regexp_replace(canonical_url, '/.*$', ''),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM c)
+        |SELECT doc_id, canonical_url, domain
+        |FROM d WHERE domain NOT IN ('src3.com', 'src7.org')
+        |ORDER BY doc_id""".stripMargin,
 
     // The round-trip target is q01's ingest projection: the reloaded
     // parquet must answer the ORIGINAL oracle.

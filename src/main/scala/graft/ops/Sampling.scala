@@ -123,4 +123,31 @@ object Sampling {
       }
     joined.filter(keep).drop("__dom", "rate")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * IPL 2006 "A-ES"): each row draws u_i uniform in (0, 1] and the
+    * k rows with the largest u_i^(1/w_i) form an exact weighted
+    * sample — the one-pass, shuffle-light way to take "10k docs,
+    * probability proportional to length/quality" for data mixing.
+    * Ranking by ln(u)/w (monotone in u^(1/w)) avoids pow's domain
+    * edges. The uniform comes from the md5 discipline above — first
+    * 12 hex digits of md5("id:seed") as an integer v, u = (v+1)/2^48 —
+    * so the draw is a pure function of (id, seed) and any engine with
+    * md5 replays the exact sample (ln is within 1 ulp across IEEE
+    * libms; keys are continuous so ties at the k-boundary are
+    * probability-zero). Plan: narrow key computation + TakeOrdered
+    * top-k — no global sort materialization, no single-partition
+    * window. Rows with non-positive or null weight are excluded (a
+    * zero-weight row can never be sampled). */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val v = conv(substring(md5Rank(col(idCol), seed), 1, 12), 16, 10)
+      .cast("double")
+    val u = (v + lit(1.0)) / lit(281474976710656.0) // 2^48
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("__es_key"), col(idCol).asc)
+      .limit(k)
+  }
 }
