@@ -135,4 +135,34 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(partial == Map(1L -> 0.5, 2L -> 0.0))
   }
+
+  test("QuantizedSignBucket == the composable 256-term literal form it " +
+    "replaced (incl. Spark round() half-up semantics)") {
+    val nPlanes = 4
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val signs = Seq.fill(nPlanes * dim)(if (rnd.nextBoolean()) 1 else -1)
+    // values engineered to hit .5-quantization boundaries: k/2e6 lands
+    // exactly on round(x*1e6) halves where floor(x+0.5) vs BigDecimal
+    // HALF_UP can disagree
+    val vecs = (1L to 50L).map { i =>
+      i -> Array.tabulate(dim)(d =>
+        ((i * 7 + d * 13) % 41 - 20).toFloat / 2e6f)
+    }
+    val df = vecs.toDF("id", "v")
+    val native = df.select(col("id"),
+        graft.expressions.VectorFunctions
+          .quantizedSignBucket(col("v"), signs, nPlanes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val composable = (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map { i =>
+        round(element_at(col("v"), i + 1).cast("double") * 1e6)
+          .cast("long") * lit(signs(p * dim + i).toLong)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << (nPlanes - 1 - p))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val old = df.select(col("id"), composable.as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == old)
+  }
 }
