@@ -36,18 +36,29 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Table reader. The driver's `events.ts` is TIMESTAMP(NANOS) parquet,
-    * which Spark 4 refuses outright — read nanos as LONG and convert with
-    * integer division (ns values ≈ 1.7e18 overflow double's 2^53 mantissa,
-    * so `DIV`, never `/`). Truncation to µs matches DuckDB ordering; queries
-    * whose VALUES depend on sub-second arithmetic truncate to whole seconds
-    * on both sides (see oracle-fidelity notes above). */
+  /** Table reader, adaptive to the two generations of driver testdata.
+    * Older drivers wrote `events.ts` as TIMESTAMP(NANOS) parquet, which
+    * Spark 4 refuses outright — read nanos as LONG and convert with integer
+    * division (ns values ≈ 1.7e18 overflow double's 2^53 mantissa, so
+    * `DIV`, never `/`). Current drivers write native timestamp[us], which
+    * Spark reads as TIMESTAMP_NTZ — cast to session-TZ TIMESTAMP (identity
+    * on the stored micros under the UTC sessions every runner configures)
+    * so every downstream query sees one ts type regardless of generation.
+    * DuckDB reads both generations natively, so the oracle SQL is unchanged.
+    * Queries whose VALUES depend on sub-second arithmetic truncate to whole
+    * seconds on both sides (see oracle-fidelity notes above). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Events with raw (µs) timestamps — ordering-only queries. */
