@@ -49,6 +49,10 @@ object SparkEntry {
     * seconds on both sides (see oracle-fidelity notes above). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below is an identity on the stored micros
+    // ONLY under a UTC session — pin it here so an externally-launched
+    // SparkSession without the conf can't silently shift every timestamp.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       df.schema("ts").dataType match {

@@ -61,6 +61,112 @@ object Multimodal {
     baos.toByteArray
   }
 
+  // ── raster transfer (the bulk-path discipline) ──────────────────────
+  //
+  // Per-pixel `BufferedImage.getRGB(x, y)` / `setRGB(x, y, v)` routes
+  // every pixel through the generic ColorModel conversion AND allocates
+  // a fresh transfer array per call (`Raster.getDataElements(x, y,
+  // null)`) — the textbook slow path, and these loops sat under the two
+  // most expensive bench queries. Preference order here:
+  //  1. images WE construct are always TYPE_INT_RGB in the standard
+  //     layout → read/write the packed 0xRRGGBB ints straight off the
+  //     backing DataBufferInt (zero conversion, zero allocation);
+  //  2. decoded rasters in the layout the JDK PNG reader actually
+  //     produces (TYPE_3BYTE_BGR, interleaved B,G,R) → repack from the
+  //     backing byte array directly (guards verify the exact standard
+  //     strides/offsets before trusting it);
+  //  3. anything else (e.g. the GIF reader's indexed rasters) → ONE
+  //     bulk `getRGB(0, 0, w, h, buf, 0, w)` call per image: still a
+  //     per-pixel conversion inside, but with a single reused transfer
+  //     object and no per-call overhead.
+  // All three paths produce bit-identical packed RGB (sRGB, no color
+  // space conversion for these types), so the seven media oracle hashes
+  // must not move — BatchBuilderSpec pins path-1/2/3 equivalence
+  // against a per-pixel getRGB walk.
+
+  /** Backing int array of a TYPE_INT_RGB image in the standard layout
+    * (scanline stride = width, zero offsets), else null. */
+  private[graft] def intRgbData(img: java.awt.image.BufferedImage)
+      : Array[Int] = {
+    val raster = img.getRaster
+    raster.getSampleModel match {
+      case sm: java.awt.image.SinglePixelPackedSampleModel
+          if img.getType ==
+              java.awt.image.BufferedImage.TYPE_INT_RGB &&
+            sm.getScanlineStride == img.getWidth &&
+            raster.getDataBuffer.getOffset == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 =>
+        raster.getDataBuffer match {
+          case db: java.awt.image.DataBufferInt => db.getData
+          case _ => null
+        }
+      case _ => null
+    }
+  }
+
+  /** Backing byte array of a TYPE_3BYTE_BGR image in the standard
+    * interleaved layout (pixel stride 3, band offsets B,G,R), else
+    * null. */
+  private[graft] def bgrData(img: java.awt.image.BufferedImage)
+      : Array[Byte] = {
+    val raster = img.getRaster
+    raster.getSampleModel match {
+      case sm: java.awt.image.PixelInterleavedSampleModel
+          if img.getType ==
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            sm.getPixelStride == 3 &&
+            sm.getScanlineStride == 3 * img.getWidth &&
+            java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0)) &&
+            raster.getDataBuffer.getOffset == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 =>
+        raster.getDataBuffer match {
+          case db: java.awt.image.DataBufferByte => db.getData
+          case _ => null
+        }
+      case _ => null
+    }
+  }
+
+  /** Read the full raster as packed 0xRRGGBB ints into `buf0` (grown
+    * when too small; row-major, index y*w+x). Returns the buffer used —
+    * callers reuse it across a partition. */
+  private[graft] def grabRgb(img: java.awt.image.BufferedImage,
+      buf0: Array[Int]): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w * h
+    val buf =
+      if (buf0 != null && buf0.length >= n) buf0 else new Array[Int](n)
+    val direct = intRgbData(img)
+    if (direct != null) System.arraycopy(direct, 0, buf, 0, n)
+    else {
+      val bgr = bgrData(img)
+      if (bgr != null) {
+        var i = 0
+        while (i < n) {
+          buf(i) = ((bgr(3 * i + 2) & 0xff) << 16) |
+            ((bgr(3 * i + 1) & 0xff) << 8) | (bgr(3 * i) & 0xff)
+          i += 1
+        }
+      } else img.getRGB(0, 0, w, h, buf, 0, w)
+    }
+    buf
+  }
+
+  /** Write `n = w*h` packed RGB ints into an image we constructed
+    * (TYPE_INT_RGB): direct arraycopy onto the backing buffer, bulk
+    * setRGB as the defensive fallback. */
+  private[graft] def putRgb(img: java.awt.image.BufferedImage,
+      buf: Array[Int]): Unit = {
+    val n = img.getWidth * img.getHeight
+    val direct = intRgbData(img)
+    if (direct != null) System.arraycopy(buf, 0, direct, 0, n)
+    else img.setRGB(0, 0, img.getWidth, img.getHeight, buf, 0,
+      img.getWidth)
+  }
+
   /** Synthesize a REAL PNG per id (the formula raster above, encoded with
     * the JDK codec). One mapPartitions — ImageIO state initialized per
     * partition (setUseCache(false): no temp-file cache on executors). */
@@ -69,21 +175,24 @@ object Multimodal {
     df.select(col(idCol).cast("long"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        var buf: Array[Int] = null
         rows.map { r =>
           val id = r.getLong(0)
           val (w, h) = (imgW(id), imgH(id))
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          if (buf == null || buf.length < w * h) buf = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.setRGB(x, y,
-                (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+              buf(y * w + x) =
+                (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y)
               x += 1
             }
             y += 1
           }
+          putRgb(img, buf)
           Row(id, encodePng(img),
             Row("image/png", w, h, null.asInstanceOf[java.lang.Long]))
         }
@@ -102,6 +211,7 @@ object Multimodal {
     media.select("media_id", "payload")
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        var buf: Array[Int] = null
         rows.map { r =>
           val id = r.getLong(0)
           val img =
@@ -111,18 +221,16 @@ object Multimodal {
           if (img == null) ImageFeatures(id, 0, 0, 0.0, 0.0, 0.0)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
+            buf = grabRgb(img, buf)
             var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff
-                sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            val np = w * h
+            while (i < np) {
+              val rgb = buf(i)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              i += 1
             }
             val n = (w.toLong * h).toDouble
             ImageFeatures(id, w, h, sr / n, sg / n, sb / n)
@@ -150,6 +258,7 @@ object Multimodal {
     media.select("media_id", "payload")
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        var buf: Array[Int] = null
         rows.map { r =>
           val id = r.getLong(0)
           val img =
@@ -159,15 +268,13 @@ object Multimodal {
           if (img == null) ImageHistogram(id, 0, new Array[Long](bins))
           else {
             val (w, h) = (img.getWidth, img.getHeight)
+            buf = grabRgb(img, buf)
             val hist = new Array[Long](bins)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                hist(((img.getRGB(x, y) >> 16) & 0xff) >> shift) += 1
-                x += 1
-              }
-              y += 1
+            var i = 0
+            val np = w * h
+            while (i < np) {
+              hist(((buf(i) >> 16) & 0xff) >> shift) += 1
+              i += 1
             }
             ImageHistogram(id, w * h, hist)
           }
@@ -186,6 +293,8 @@ object Multimodal {
     media.select("media_id", "payload")
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        var srcBuf: Array[Int] = null
+        val dstBuf = new Array[Int](dstW * dstH)
         rows.map { r =>
           val id = r.getLong(0)
           val src =
@@ -197,18 +306,20 @@ object Multimodal {
               Row("image/png", 0, 0, null.asInstanceOf[java.lang.Long]))
           else {
             val (w, h) = (src.getWidth, src.getHeight)
+            srcBuf = grabRgb(src, srcBuf)
             val dst = new java.awt.image.BufferedImage(
               dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
             var y = 0
             while (y < dstH) {
-              val sy = y * h / dstH
+              val srow = (y * h / dstH) * w
               var x = 0
               while (x < dstW) {
-                dst.setRGB(x, y, src.getRGB(x * w / dstW, sy))
+                dstBuf(y * dstW + x) = srcBuf(srow + x * w / dstW)
                 x += 1
               }
               y += 1
             }
+            putRgb(dst, dstBuf)
             Row(id, encodePng(dst),
               Row("image/png", dstW, dstH,
                 null.asInstanceOf[java.lang.Long]))
@@ -244,6 +355,7 @@ object Multimodal {
         val spi = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
           .getOriginatingProvider
+        var buf: Array[Int] = null
         rows.map { r =>
           val id = r.getLong(0)
           val (w, h) = (gifW(id), gifH(id))
@@ -253,6 +365,7 @@ object Multimodal {
           val writer = spi.createWriterInstance()
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
+          if (buf == null || buf.length < w * h) buf = new Array[Int](w * h)
           var f = 0
           while (f < frames) {
             val img = new java.awt.image.BufferedImage(w, h,
@@ -262,11 +375,12 @@ object Multimodal {
               var x = 0
               while (x < w) {
                 val v = gifV(id, f, x, y)
-                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                buf(y * w + x) = (v << 16) | (v << 8) | v
                 x += 1
               }
               y += 1
             }
+            putRgb(img, buf)
             writer.writeToSequence(
               new javax.imageio.IIOImage(img, null, null), null)
             f += 1
@@ -296,6 +410,7 @@ object Multimodal {
         val spi = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
           .getOriginatingProvider
+        var buf: Array[Int] = null
         rows.flatMap { r =>
           val id = r.getLong(0)
           if (r.isNullAt(1)) Iterator.empty
@@ -308,13 +423,11 @@ object Multimodal {
             val out = (0 until n by stride).map { f =>
               val img = reader.read(f)
               val (w, h) = (img.getWidth, img.getHeight)
+              buf = grabRgb(img, buf)
               var s = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) { s += img.getRGB(x, y) & 0xff; x += 1 }
-                y += 1
-              }
+              var i = 0
+              val np = w * h
+              while (i < np) { s += buf(i) & 0xff; i += 1 }
               GifFrame(id, f, w, h, s.toDouble / (w.toLong * h))
             }
             reader.dispose()

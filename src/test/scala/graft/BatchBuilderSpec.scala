@@ -136,6 +136,53 @@ class BatchBuilderSpec extends SparkSpec {
     }
   }
 
+  test("multimodal raster transfer: grabRgb/putRgb match a per-pixel " +
+    "getRGB walk on every decoded layout") {
+    // The bulk-raster paths (direct DataBufferInt / DataBufferByte reads,
+    // bulk-getRGB fallback) replaced per-pixel getRGB/setRGB — pixel
+    // semantics must be bit-identical or the seven media oracle hashes
+    // move. Exercise all three layouts: TYPE_INT_RGB (constructed),
+    // TYPE_3BYTE_BGR (JDK PNG reader), TYPE_BYTE_INDEXED (GIF reader).
+    def perPixel(img: java.awt.image.BufferedImage): Array[Int] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xffffff)
+    }
+    def viaGrab(img: java.awt.image.BufferedImage): Array[Int] =
+      Multimodal.grabRgb(img, null)
+        .take(img.getWidth * img.getHeight).map(_ & 0xffffff)
+    // constructed TYPE_INT_RGB, written through putRgb
+    val rgb = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pix = Array.tabulate(35)(i => (i * 2654435761L).toInt & 0xffffff)
+    Multimodal.putRgb(rgb, pix)
+    assert(perPixel(rgb).toSeq == pix.toSeq)
+    assert(viaGrab(rgb).toSeq == pix.toSeq)
+    // PNG round-trip (the reader returns an interleaved BGR raster)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", baos)
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    assert(viaGrab(png).toSeq == perPixel(png).toSeq)
+    assert(viaGrab(png).toSeq == pix.toSeq) // PNG is lossless
+    // GIF round-trip (indexed raster → bulk-getRGB fallback); grayscale
+    // ≤256-color content palettizes losslessly. Production frame dims
+    // (16×12) — the JDK's default interlaced GIF write scrambles rows on
+    // images under ~8 rows tall (a writer quirk, verified independent of
+    // the raster-transfer paths; synthesizeGifs frames are all ≥12 rows).
+    val gray = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gpix = Array.tabulate(16 * 12) { i =>
+      val v = (i * 11) % 256; (v << 16) | (v << 8) | v
+    }
+    Multimodal.putRgb(gray, gpix)
+    val gb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "gif", gb)
+    val gif = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gb.toByteArray))
+    assert(viaGrab(gif).toSeq == perPixel(gif).toSeq)
+    assert(viaGrab(gif).toSeq == gpix.toSeq)
+  }
+
   test("multimodal REAL codec: variable-frame GIF containers count " +
     "correctly through a stride-1 read") {
     val ids = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L), Tuple1(4L))
