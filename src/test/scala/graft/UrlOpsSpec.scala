@@ -28,6 +28,29 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("ex.com", "ex.org", ""))
   }
 
+  test("withRegisteredDomain: PSL longest-match, host-is-suffix and " +
+    "single-label null, unlisted-TLD fallback") {
+    val cases = Seq(
+      ("bbc.co.uk", "bbc.co.uk"),          // 2-label rule + 1
+      ("news.bbc.co.uk", "bbc.co.uk"),     // deeper subdomain
+      ("a.b.news.bbc.co.uk", "bbc.co.uk"), // arbitrarily deep
+      ("me.blogspot.co.uk", "me.blogspot.co.uk"), // 3-label rule + 1
+      ("x.me.blogspot.co.uk", "me.blogspot.co.uk"),
+      ("user.github.io", "user.github.io"), // private-registry rule
+      ("www.example.com", "example.com"),   // unlisted TLD → 2-label
+      ("example.com", "example.com"),
+      ("co.uk", null),                      // host IS a public suffix
+      ("blogspot.co.uk", null),             // host IS a 3-label suffix
+      ("localhost", null))                  // single label
+    val got = UrlOps.withRegisteredDomain(
+        cases.map(_._1).toDF("host"), "host")
+      .select("host", "registered_domain")
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h")
+    }
+  }
+
   test("filterBlockedDomains anti-joins on registered domain; " +
     "urlDedup keeps min id per canonical form") {
     val docs = Seq(
