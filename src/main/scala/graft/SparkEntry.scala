@@ -1079,6 +1079,27 @@ object SparkEntry {
         .select(col("q_vec_id"), round(col("recall"), 6).as("recall"))
     }),
 
+    "q126_ivf_replay" -> ((s, dir) => {
+      // IVF twin (the q75/q78/q79 replay discipline applied to the last
+      // zero-oracle component): the Lloyd's FIT isn't SQL-replayable,
+      // but everything the index DOES — nearest-centroid assignment
+      // (argmin distance), nProbe cell probing, in-cell cosine top-k —
+      // is pure relational algebra over whatever centroid table exists.
+      // A LITERAL formula centroid table (exact dyadic rationals, so FP
+      // is engine-portable) drives the same ivfAssign/ivfTopK production
+      // code as q50; the oracle replays assignment + probe + rank.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val cents = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", cents, k = 5, nProbe = 2)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"))
+    }),
+
     "q73_prepend_gather" -> ((s, dir) => {
       // DataEmbeddingLayer static mode PREPEND (data_embedding_layer.py:
       // 395-396): per-EVENT dynamic embeddings as sequence positions 1..L,
@@ -1875,6 +1896,107 @@ object SparkEntry {
         .select(col("doc_id"), col("canonical_url"), col("domain"))
     }),
 
+    "q127_psl_domain" -> ((s, dir) => {
+      // PSL-aware registered-domain extraction (crawl-key correctness:
+      // bbc.co.uk must key as bbc.co.uk, never co.uk): synthesized
+      // hosts cover 2-label ccTLD suffixes, a 3-label private-registry
+      // rule, deeper subdomains, host-IS-suffix (null), single-label
+      // (null) and unlisted-TLD fallback. Two broadcast joins against
+      // the embedded PSL snapshot, zero corpus shuffle; the oracle
+      // replays the longest-suffix-match walk over the same rule list.
+      val m6 = col("doc_id") % 6
+      val num = (col("doc_id") % 50).cast("string")
+      val base =
+        when(m6 === 0, concat(lit("site"), num, lit(".co.uk")))
+          .when(m6 === 1, concat(lit("shop"), num, lit(".com.au")))
+          .when(m6 === 2, concat(lit("example"), num, lit(".com")))
+          .when(m6 === 3, concat(lit("blog"), num,
+            lit(".blogspot.co.uk")))
+          .when(m6 === 4, concat(lit("app"), num, lit(".github.io")))
+          .otherwise(concat(lit("host"), num, lit(".org")))
+      val host =
+        when(col("doc_id") % 31 === 0, lit("co.uk"))
+          .when(col("doc_id") % 37 === 0, lit("blogspot.co.uk"))
+          .when(col("doc_id") % 41 === 0, lit("uk"))
+          .otherwise(concat(
+            when(col("doc_id") % 4 === 0, lit("news."))
+              .otherwise(lit("")), base))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+      graft.ops.UrlOps.withRegisteredDomain(hosts, "host")
+        .select(col("doc_id"), col("host"), col("registered_domain"))
+    }),
+
+    "q128_windowed_stream" -> ((s, dir) => {
+      // Batch-mode execution of the ACTUAL StreamOps.windowedTypeStats
+      // (q118 discipline: the EventTimeWatermark node is eliminated on a
+      // batch input, everything else — window bucketing, the per-type
+      // aggregate — runs verbatim). FP-order-sensitive avg hashes as
+      // avg·n (the q118 re-multiplication trick: lands on the 2-dp sum).
+      val ev = t(s, dir, "events").select(
+        date_trunc("second", col("ts")).as("timestamp"),
+        col("event_type"), col("value").cast("double").as("value"))
+      graft.streaming.StreamOps.windowedTypeStats(ev, "1 day")
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          unix_timestamp(col("win_end")).as("win_end"),
+          col("event_type"), col("n"),
+          round(col("avg_value") * col("n"), 6).as("sum_value"))
+    }),
+
+    "q129_dedup_stream" -> ((s, dir) => {
+      // REAL streaming execution of StreamOps.dedupStream (Spark
+      // rejects dropDuplicatesWithinWatermark on batch inputs, so this
+      // row runs the genuine article): stage the docs as parquet, read
+      // them back as a file-source STREAM, dedup, drain with an
+      // AvailableNow trigger into a memory sink, and return the sink.
+      // Determinism by construction: (a) every projected column is a
+      // pure function of the NORMALIZED content, so arrival-order
+      // survivor choice cannot reach the hash; (b) event time is a
+      // constant, so the watermark never passes any key's horizon and
+      // within-watermark dedup IS exact global dedup regardless of how
+      // AvailableNow slices micro-batches.
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val docs = t(s, dir, "documents").select(
+        norm.as("text"),
+        timestamp_seconds(lit(1700000000L)).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q129")
+        .toString
+      docs.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(docs.schema).parquet(tmp)
+      val sink = "q129_sink_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "")
+      val sq = graft.streaming.StreamOps.dedupStream(stream, "text", "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink).select(col("text"))
+    }),
+
+    "q130_stream_interval_join" -> ((s, dir) => {
+      // Batch-mode execution of the ACTUAL StreamOps.taskWindowsStream:
+      // the stream-stream interval join's predicate — INCLUDING the
+      // maxTaskWindow state-eviction bound — runs verbatim on batch
+      // input. Task spans vary 7..20 days against a 14-day bound, so
+      // BOTH the end_time predicate (short tasks) and the truncation
+      // bound (long tasks — the documented divergence from batch
+      // taskWindows) decide rows; subject spans are 26-30 days, so the
+      // bound genuinely drops events.
+      val ev = dsSec(s, dir).events
+        .select(col("subject_id"), col("timestamp"), col("event_type"))
+      val tasks = ev.groupBy(col("subject_id").as("task_subject_id"))
+        .agg(min(col("timestamp")).as("start_time"))
+        .withColumn("end_time", col("start_time") +
+          expr("make_dt_interval(CAST(7 + task_subject_id % 14 AS INT)," +
+            " 0, 0, 0)"))
+      graft.streaming.StreamOps.taskWindowsStream(ev, tasks,
+          maxTaskWindow = "14 days")
+        .groupBy(col("task_subject_id").as("subject_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          unix_timestamp(max(col("timestamp"))).as("last_ts_sec"))
+    }),
+
     "q120_save_load" -> ((s, dir) => {
       // Save/load round-trip as a contract row (EventDataset.save/load —
       // plain splittable parquet with params-as-data, vs the reference's
@@ -2532,6 +2654,36 @@ object SparkEntry {
          |FROM exact e LEFT JOIN approx a
          |  ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q126: the literal formula centroid table (exact dyadic values —
+    // (j*31+i*7)%17-8 over 8) replays bit-for-bit; assignment is argmin
+    // distance = argmax cosine with centroid_id tie-break, probing takes
+    // the 2 nearest cells per query, rank is the in-cell cosine top-k —
+    // the exact ivfAssign/ivfTopK pipeline.
+    "q126_ivf_replay" ->
+      """WITH cents AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, t.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(
+        |             CAST(e.embedding AS DOUBLE[]), t.c_vec) DESC,
+        |             t.centroid_id) AS pr
+        |  FROM embeddings e CROSS JOIN cents t),
+        |c AS (SELECT vec_id, embedding, centroid_id
+        |      FROM assign WHERE pr = 1),
+        |q AS (SELECT vec_id, embedding, centroid_id
+        |      FROM assign WHERE vec_id < 5 AND pr <= 2)
+        |SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |               CAST(c.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS INT) AS rank
+        |FROM q JOIN c USING (centroid_id)
+        |QUALIFY rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,
@@ -4175,6 +4327,92 @@ object SparkEntry {
         |SELECT doc_id, canonical_url, domain
         |FROM d WHERE domain NOT IN ('src3.com', 'src7.org')
         |ORDER BY doc_id""".stripMargin,
+
+    // q127: the suffix VALUES list is interpolated from the SAME
+    // pslSnapshot constant the operator broadcasts, so rule list and
+    // oracle can never drift; the CASE walk replays longest-suffix
+    // match (3-label rule, then 2-label, then the unlisted-TLD
+    // 2-label default; host-IS-suffix and 1-label hosts → NULL).
+    "q127_psl_domain" -> {
+      val pslValues = graft.ops.UrlOps.pslSnapshot
+        .map(sfx => s"('$sfx')").mkString(", ")
+      s"""WITH psl(suffix) AS (VALUES $pslValues),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 31 = 0 THEN 'co.uk'
+         |         WHEN doc_id % 37 = 0 THEN 'blogspot.co.uk'
+         |         WHEN doc_id % 41 = 0 THEN 'uk'
+         |         ELSE concat(
+         |           CASE WHEN doc_id % 4 = 0 THEN 'news.' ELSE '' END,
+         |           CASE doc_id % 6
+         |             WHEN 0 THEN 'site' || CAST(doc_id % 50 AS VARCHAR)
+         |                         || '.co.uk'
+         |             WHEN 1 THEN 'shop' || CAST(doc_id % 50 AS VARCHAR)
+         |                         || '.com.au'
+         |             WHEN 2 THEN 'example'
+         |                         || CAST(doc_id % 50 AS VARCHAR)
+         |                         || '.com'
+         |             WHEN 3 THEN 'blog' || CAST(doc_id % 50 AS VARCHAR)
+         |                         || '.blogspot.co.uk'
+         |             WHEN 4 THEN 'app' || CAST(doc_id % 50 AS VARCHAR)
+         |                         || '.github.io'
+         |             ELSE 'host' || CAST(doc_id % 50 AS VARCHAR)
+         |                         || '.org'
+         |           END) END AS host
+         |  FROM documents),
+         |lab AS (
+         |  SELECT doc_id, host, string_split(host, '.') AS ls,
+         |         len(string_split(host, '.')) AS n
+         |  FROM hosts)
+         |SELECT doc_id, host,
+         |  CASE
+         |    WHEN n >= 3 AND array_to_string(ls[-3:], '.')
+         |                    IN (SELECT suffix FROM psl)
+         |      THEN CASE WHEN n >= 4
+         |                THEN array_to_string(ls[-4:], '.') END
+         |    WHEN n >= 2 AND array_to_string(ls[-2:], '.')
+         |                    IN (SELECT suffix FROM psl)
+         |      THEN CASE WHEN n >= 3
+         |                THEN array_to_string(ls[-3:], '.') END
+         |    WHEN n >= 2 THEN array_to_string(ls[-2:], '.')
+         |  END AS registered_domain
+         |FROM lab ORDER BY doc_id""".stripMargin
+    },
+
+    // q128: window('1 day') buckets = UTC day floor (q43 precedent);
+    // avg·n rounds onto the exact 2-dp sum.
+    "q128_windowed_stream" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+        |CAST(epoch(date_trunc('day', ts)) + 86400 AS BIGINT) AS win_end,
+        |event_type, count(*) AS n,
+        |round(avg(value) * count(*), 6) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+
+    // q129: one surviving row per distinct normalized content; the
+    // projected column is a pure function of that content, so DISTINCT
+    // replays the stream dedup exactly.
+    "q129_dedup_stream" ->
+      """SELECT DISTINCT
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS text
+        |FROM documents ORDER BY text""".stripMargin,
+
+    // q130: q17's interval join plus the VARIABLE task end (7 +
+    // user_id % 14 days) and the 14-day maxTaskWindow truncation bound
+    // — both predicates replayed.
+    "q130_stream_interval_join" ->
+      """WITH tasks AS (
+        |  SELECT user_id, min(date_trunc('second', ts)) AS st
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id AS subject_id, count(*) AS n_in_window,
+        |  CAST(epoch(max(date_trunc('second', e.ts))) AS BIGINT)
+        |    AS last_ts_sec
+        |FROM events e JOIN tasks t ON e.user_id = t.user_id
+        | AND date_trunc('second', e.ts) >= t.st
+        | AND date_trunc('second', e.ts) <=
+        |     t.st + to_days(CAST(14 AS INT))
+        | AND date_trunc('second', e.ts) <=
+        |     t.st + to_days(CAST(7 + t.user_id % 14 AS INT))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The round-trip target is q01's ingest projection: the reloaded
     // parquet must answer the ORIGINAL oracle.

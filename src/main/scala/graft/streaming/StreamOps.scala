@@ -148,7 +148,20 @@ object StreamOps {
     * sf0.1 where an exact-gap delta exists). State: one SessionState per
     * live subject. Production bounds state with an event-time timeout;
     * NoTimeout here for deterministic tests (processing-time timeouts
-    * re-trigger empty batches). */
+    * re-trigger empty batches).
+    *
+    * MEMORY BOUND (the `rows.toSeq.sortBy` below): the per-invocation
+    * buffer is ONE GROUP'S rows in ONE trigger. In streaming execution
+    * that is the subject's events per micro-batch — bounded by trigger
+    * sizing (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`), the knob that
+    * already bounds every stateful operator's per-batch input. In BATCH
+    * execution (the q119 oracle twin) the group is the subject's whole
+    * history, so the twin carries the same hot-subject hazard
+    * `SkewTools.saltedCollectList` documents — acceptable at contract
+    * scale (≤10³ events/subject in the testdata); a batch caller at
+    * 100 TB should use the q45 `sessionize` aggregation (or a
+    * sort-within-partitions walk) instead of this lambda. See SCALE.md
+    * "Stateful-lambda buffer bounds". */
   final case class SessionState(start: Long, last: Long, n: Long,
       sum: Double)
   final case class ClosedSession(subject_id: Long, sess_start: Long,
