@@ -46,14 +46,30 @@ object Bench {
     // recurring cost of the PLAN, which is what a 100 TB projection
     // scales from.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Contention/GC attribution (the r6 driver-vs-idle divergence lesson):
+    // record the 1-minute loadavg per query and the JVM GC-time delta per
+    // rep, and force a full collection BETWEEN queries so garbage left by
+    // an allocation-heavy query is collected in the gap instead of
+    // surfacing as a mysterious rep-1 spike in whichever query runs next.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val loadStart = osBean.getSystemLoadAverage
+    val gcStart = gcMs
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map {
       case (name, fn) =>
-        val times = (1 to reps).map { i =>
+        val load = osBean.getSystemLoadAverage
+        val timed = (1 to reps).map { i =>
           // stderr marker so session-level WARNs (large task binaries,
           // capped-candidate audits) are attributable to a query
           System.err.println(s"[bench] $name rep $i")
+          val g0 = gcMs
           val t0 = System.nanoTime()
           val ok =
             try { run(fn(spark, sfDir)); true }
@@ -61,11 +77,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
             }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, gcMs - g0)
         }
+        System.gc()
+        val times = timed.map(_._1)
         // any failed rep fails the query (plans are deterministic — a
         // pass/fail flicker would mean nondeterminism worth surfacing)
-        name -> (times, if (times.exists(_ < 0)) -1.0 else times.min)
+        name -> (times, if (times.exists(_ < 0)) -1.0 else times.min,
+          timed.map(_._2), load)
     }
     // -1.0 failure sentinels must not reduce the total
     val total = results.map(_._2._2).filter(_ >= 0).sum
@@ -76,7 +95,7 @@ object Bench {
     // unique qNN prefix (the contract's own example uses "q1") and times
     // carry 3 decimals. Full names + per-rep times go to the companion
     // file below.
-    val qs = results.map { case (k, (_, v)) =>
+    val qs = results.map { case (k, (_, v, _, _)) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     // Full-fidelity record (full query names, every rep's time): immune to
@@ -115,18 +134,25 @@ object Bench {
           entries.mkString("", ",", "}"))
       }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val fullQs = results.map { case (k, (reps, v)) =>
-      s""""$k":{"sec":$v,"reps":[${reps.mkString(",")}]}"""
+    val fullQs = results.map { case (k, (reps, v, gcs, load)) =>
+      s""""$k":{"sec":$v,"reps":[${reps.mkString(",")}],""" +
+        s""""gc_ms":[${gcs.mkString(",")}],"load":${r3(load)}}"""
     }.mkString("{", ",", "}")
+    val loadEnd = osBean.getSystemLoadAverage
+    val gcSec = r3((gcMs - gcStart) / 1e3)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs,"n_failed":$nFailed,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
+        s""""gc_sec":$gcSec,"queries":$fullQs,"n_failed":$nFailed,""" +
         bucketed.fold("")(_ + ",") + s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    // Compact load/GC note in the one-liner too (the driver keeps only the
+    // stdout tail): enough to attribute a slow run to box contention.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

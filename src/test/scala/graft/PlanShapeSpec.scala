@@ -38,7 +38,12 @@ class PlanShapeSpec extends SparkSpec {
     // (ExistingRDD); the final job adds the measurement-count agg and
     // the remap join's exchange.
     "q05_agg_by_time_type" -> 2,
-    "q93_paragraph_dedup" -> 2 // unit-keyed window + reassembly agg
+    "q93_paragraph_dedup" -> 2, // unit-keyed window + reassembly agg
+    // Substring-span dedup: the gram exchange + span agg run in earlier
+    // jobs behind a localCheckpoint boundary; the FINAL job is one
+    // doc-keyed join exchange (reassembly) — the part a regression
+    // would silently widen.
+    "q97_substring_dedup" -> 1
   )
 
   expected.foreach { case (name, want) =>
@@ -52,6 +57,40 @@ class PlanShapeSpec extends SparkSpec {
             " SCALE.md's shuffle inventory only if the change is" +
             " deliberate.\n" + df.queryExecution.executedPlan.toString)
       }
+    }
+  }
+
+  test("q124 weighted sampling plans as TakeOrderedAndProject " +
+    "(no global sort)") {
+    withStaticPlans {
+      val df = SparkEntry.queries("q124_weighted_sample")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val hasTakeOrdered = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty
+      val hasGlobalSort = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }.nonEmpty
+      assert(hasTakeOrdered && !hasGlobalSort,
+        "weightedSampleK must select its top-k via TakeOrderedAndProject" +
+          " — a global sort of the corpus is the 100 TB failure mode.\n" +
+          plan.toString)
+    }
+  }
+
+  test("q125 blocklist anti-join stays a broadcast join") {
+    withStaticPlans {
+      val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val bcastAnti = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          j
+      }
+      assert(bcastAnti.nonEmpty && shuffles(df) == 0,
+        "the domain blocklist is list-sized — its anti-join must stay" +
+          " map-side (BroadcastHashJoin, zero exchanges), never a" +
+          " shuffled join of the corpus.\n" + plan.toString)
     }
   }
 }
