@@ -81,14 +81,25 @@ object Bpe {
   }
 
   /** Initial symbol table from a corpus: distinct lowercased whitespace
-    * words with frequencies, exploded to one row per character. */
+    * words with frequencies, exploded to one row per character.
+    * Char-split via `split(w, "(?!^)(?=[\\s\\S])")` — a zero-width
+    * boundary at every INTERIOR position: `(?!^)` rejects the start,
+    * `(?=[\s\S])` rejects the end (Spark's split keeps trailing empty
+    * strings for any limit ≤ 0, so the end position must not match).
+    * The regex engine only matches at code-point boundaries, so this
+    * equals the per-codepoint substring walk, including astral chars.
+    * Replaces `transform(sequence(...), i -> substring(w, i, 1))`: the
+    * HOF form is CodegenFallback — interpreted per element, the
+    * SCALE.md hot-loop smell — where split is a single codegen'd call
+    * per word. (q100's rep-1 compile cost measured unchanged either
+    * way — it lives in the window/agg stage codegen, not here.) */
   def initialSymbols(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextOps.tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"),
-        posexplode(expr("transform(sequence(1, length(w)), " +
-          "i -> substring(w, i, 1))")).as(Seq("i", "sym")))
+        posexplode(split(col("w"), "(?!^)(?=[\\s\\S])"))
+          .as(Seq("i", "sym")))
 
   /** Learn `nMerges` BPE merges. Returns (rank, lhs, rhs, pair_count) —
     * rank is 1-based merge order; ties break on (count desc, lhs, rhs).
