@@ -1901,9 +1901,10 @@ object SparkEntry {
       // bbc.co.uk must key as bbc.co.uk, never co.uk): synthesized
       // hosts cover 2-label ccTLD suffixes, a 3-label private-registry
       // rule, deeper subdomains, host-IS-suffix (null), single-label
-      // (null) and unlisted-TLD fallback. Two broadcast joins against
-      // the embedded PSL snapshot, zero corpus shuffle; the oracle
-      // replays the longest-suffix-match walk over the same rule list.
+      // (null), unlisted-TLD fallback, and the wildcard/exception
+      // algebra (*.ck / !www.ck). Two broadcast joins + two tiny isin
+      // predicates, zero corpus shuffle; the oracle replays the
+      // prevailing-rule walk over the same rule lists.
       val m6 = col("doc_id") % 6
       val num = (col("doc_id") % 50).cast("string")
       val base =
@@ -1918,6 +1919,14 @@ object SparkEntry {
         when(col("doc_id") % 31 === 0, lit("co.uk"))
           .when(col("doc_id") % 37 === 0, lit("blogspot.co.uk"))
           .when(col("doc_id") % 41 === 0, lit("uk"))
+          .when(col("doc_id") % 43 === 0, lit("www.ck"))
+          .when(col("doc_id") % 47 === 0, lit("sub.www.ck"))
+          .when(col("doc_id") % 53 === 0,
+            concat(lit("shop.zone"), (col("doc_id") % 9).cast("string"),
+              lit(".ck")))
+          .when(col("doc_id") % 59 === 0,
+            concat(lit("zone"), (col("doc_id") % 9).cast("string"),
+              lit(".ck")))
           .otherwise(concat(
             when(col("doc_id") % 4 === 0, lit("news."))
               .otherwise(lit("")), base))
@@ -4328,20 +4337,32 @@ object SparkEntry {
         |FROM d WHERE domain NOT IN ('src3.com', 'src7.org')
         |ORDER BY doc_id""".stripMargin,
 
-    // q127: the suffix VALUES list is interpolated from the SAME
-    // pslSnapshot constant the operator broadcasts, so rule list and
-    // oracle can never drift; the CASE walk replays longest-suffix
-    // match (3-label rule, then 2-label, then the unlisted-TLD
-    // 2-label default; host-IS-suffix and 1-label hosts → NULL).
+    // q127: the suffix VALUES / wildcard / exception lists are
+    // interpolated from the SAME UrlOps constants the operator uses,
+    // so rule lists and oracle can never drift; the CASE walk replays
+    // the prevailing-rule order (exception, then 3-label, then
+    // wildcard, then 2-label, then the unlisted-TLD 2-label default;
+    // host-IS-suffix and 1-label hosts → NULL).
     "q127_psl_domain" -> {
       val pslValues = graft.ops.UrlOps.pslSnapshot
         .map(sfx => s"('$sfx')").mkString(", ")
+      val wildList = graft.ops.UrlOps.pslWildcardParents
+        .map(p => s"'$p'").mkString(", ")
+      val excList = graft.ops.UrlOps.pslExceptions
+        .map(e => s"'$e'").mkString(", ")
       s"""WITH psl(suffix) AS (VALUES $pslValues),
          |hosts AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 31 = 0 THEN 'co.uk'
          |         WHEN doc_id % 37 = 0 THEN 'blogspot.co.uk'
          |         WHEN doc_id % 41 = 0 THEN 'uk'
+         |         WHEN doc_id % 43 = 0 THEN 'www.ck'
+         |         WHEN doc_id % 47 = 0 THEN 'sub.www.ck'
+         |         WHEN doc_id % 53 = 0
+         |           THEN 'shop.zone' || CAST(doc_id % 9 AS VARCHAR)
+         |                || '.ck'
+         |         WHEN doc_id % 59 = 0
+         |           THEN 'zone' || CAST(doc_id % 9 AS VARCHAR) || '.ck'
          |         ELSE concat(
          |           CASE WHEN doc_id % 4 = 0 THEN 'news.' ELSE '' END,
          |           CASE doc_id % 6
@@ -4366,10 +4387,16 @@ object SparkEntry {
          |  FROM hosts)
          |SELECT doc_id, host,
          |  CASE
+         |    WHEN n >= 2 AND array_to_string(ls[-2:], '.')
+         |                    IN ($excList)
+         |      THEN array_to_string(ls[-2:], '.')
          |    WHEN n >= 3 AND array_to_string(ls[-3:], '.')
          |                    IN (SELECT suffix FROM psl)
          |      THEN CASE WHEN n >= 4
          |                THEN array_to_string(ls[-4:], '.') END
+         |    WHEN ls[-1] IN ($wildList)
+         |      THEN CASE WHEN n >= 3
+         |                THEN array_to_string(ls[-3:], '.') END
          |    WHEN n >= 2 AND array_to_string(ls[-2:], '.')
          |                    IN (SELECT suffix FROM psl)
          |      THEN CASE WHEN n >= 3

@@ -49,9 +49,9 @@ object UrlOps {
     * rule, which the 2-label fallback already implements, so
     * single-label entries (`com`, `org`, …) carry no information here.
     * A production deployment replaces this constant with the full
-    * list (~10k rules, still KB-sized → same broadcast plan); wildcard
-    * (`*.ck`) and exception (`!www.ck`) rules are out of snapshot
-    * scope and documented as such. */
+    * list (~10k rules, still KB-sized → same broadcast plan). Wildcard
+    * (`*.ck`) and exception (`!www.ck`) rules live in
+    * [[pslWildcardParents]] / [[pslExceptions]]. */
   val pslSnapshot: Seq[String] = Seq(
     // ccTLD second-level registries
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
@@ -103,18 +103,35 @@ object UrlOps {
     "blogspot.co.uk", "blogspot.com.au", "blogspot.co.nz",
     "blogspot.com.br", "blogspot.co.il", "s3.amazonaws.com")
 
-  /** PSL-aware registered domain: the public suffix is the LONGEST
-    * snapshot rule matching the host's trailing labels (checked at
-    * label boundaries — candidates are exact last-k-label strings),
-    * and the registered domain is that suffix plus one label. Hosts
-    * that ARE a public suffix, and single-label hosts, have no
-    * registered domain (null). Unlisted TLDs fall back to the 2-label
-    * rule — the PSL's own default for unknown TLDs.
+  /** PSL WILDCARD rules (`*.ck` — every direct child of the parent is
+    * a public suffix) from the same snapshot: stored as the parent
+    * label. The PSL's pure-wildcard ccTLDs. */
+  val pslWildcardParents: Seq[String] =
+    Seq("ck", "jm", "bd", "kw", "er", "fk", "mm", "np", "pg")
+
+  /** PSL EXCEPTION rules (`!www.ck` — carved back OUT of a wildcard:
+    * the name IS registrable). */
+  val pslExceptions: Seq[String] = Seq("www.ck")
+
+  /** PSL-aware registered domain, full rule algebra: the public suffix
+    * is decided by the PREVAILING rule over the host's trailing labels
+    * (checked at label boundaries — candidates are exact last-k-label
+    * strings): exception rules beat everything (`!www.ck` → `www.ck`
+    * itself is registrable), then the longest match among plain rules
+    * and wildcards (`*.ck` → any direct child of `ck` is a public
+    * suffix), and the registered domain is the public suffix plus one
+    * label. Hosts that ARE a public suffix, and single-label hosts,
+    * have no registered domain (null). Unlisted TLDs fall back to the
+    * 2-label rule — the PSL's own default for unknown TLDs.
+    * (Canonical vectors: `c.ck`→null, `b.c.ck`→`b.c.ck`,
+    * `a.b.c.ck`→`b.c.ck`, `www.ck`→`www.ck`, `www.www.ck`→`www.ck`.)
     *
-    * Plan shape: the rule set is KB-sized → TWO broadcast left joins
-    * (3-label then 2-label candidates), both map-side, zero corpus
-    * shuffle — the same cost class as the regex heuristic, so there is
-    * no scale reason to accept `bbc.co.uk` keying as `co.uk`. */
+    * Plan shape: the plain-rule set is KB-sized → TWO broadcast left
+    * joins (3-label then 2-label candidates); the wildcard/exception
+    * sets are single-digit → literal `isin` predicates (pure codegen).
+    * Everything is map-side, zero corpus shuffle — the same cost class
+    * as the regex heuristic, so there is no scale reason to accept
+    * `bbc.co.uk` keying as `co.uk`. */
   def withRegisteredDomain(df: DataFrame, hostCol: String,
       out: String = "registered_domain"): DataFrame = {
     val spark = df.sparkSession
@@ -131,10 +148,19 @@ object UrlOps {
         col("__s3") === col("__m3"), "left")
       .join(broadcast(psl.select(col("__psl_suffix").as("__m2"))),
         col("__s2") === col("__m2"), "left")
+    val isExc = col("__s2").isin(pslExceptions: _*)
+    val isWild = element_at(labels, -1).isin(pslWildcardParents: _*)
     joined
       .withColumn(out,
-        when(col("__m3").isNotNull && n >= 4, lastK(4))
+        // exception prevails: the exception name itself is registrable
+        when(isExc, lastK(2))
+          // then longest match: plain 3-label rules…
+          .when(col("__m3").isNotNull && n >= 4, lastK(4))
           .when(col("__m3").isNotNull, lit(null).cast("string"))
+          // …wildcard rules (effective length 2: parent + any child)…
+          .when(isWild && n >= 3, lastK(3))
+          .when(isWild, lit(null).cast("string"))
+          // …plain 2-label rules, then the unlisted-TLD default
           .when(col("__m2").isNotNull && n >= 3, lastK(3))
           .when(col("__m2").isNotNull, lit(null).cast("string"))
           .when(n >= 2, lastK(2))

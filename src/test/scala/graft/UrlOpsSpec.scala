@@ -41,7 +41,15 @@ class UrlOpsSpec extends SparkSpec {
       ("example.com", "example.com"),
       ("co.uk", null),                      // host IS a public suffix
       ("blogspot.co.uk", null),             // host IS a 3-label suffix
-      ("localhost", null))                  // single label
+      ("localhost", null),                  // single label
+      // canonical publicsuffix.org wildcard/exception vectors (*.ck,
+      // !www.ck)
+      ("c.ck", null),
+      ("b.c.ck", "b.c.ck"),
+      ("a.b.c.ck", "b.c.ck"),
+      ("www.ck", "www.ck"),
+      ("www.www.ck", "www.ck"),
+      ("ck", null))
     val got = UrlOps.withRegisteredDomain(
         cases.map(_._1).toDF("host"), "host")
       .select("host", "registered_domain")
