@@ -354,6 +354,133 @@ case class QuantizedSignBucket(child: Expression, signs: Seq[Int],
       : QuantizedSignBucket = copy(child = newChild)
 }
 
+/** Nearest-centroid ids of a vector against a SMALL embedded centroid
+  * table — IVF coarse assignment as one narrow projection.
+  *
+  * The composable form (`crossJoin(broadcast(centroids))` + window
+  * `row_number` per vector id) expands the corpus k-fold and then
+  * SHUFFLES that expansion by vector id just to rank k candidate rows
+  * that were born co-located — at 100 TB the exchange wire volume
+  * dwarfs the assignment arithmetic. The quantizer table is k-sized by
+  * construction (a property of the data distribution, not the corpus),
+  * so it rides into codegen as a reference object and assignment costs
+  * exactly one k×dim scan per row, zero exchanges.
+  *
+  * Returns ARRAY<LONG>: the `nProbe` centroid ids ordered by cosine
+  * similarity DESC, ties by centroid id ASC (iteration follows the
+  * table's row order, which builders keep id-sorted) — identical
+  * ordering to the window form it replaces, and the accumulation order
+  * matches [[CosineSimilarity]] exactly so ranks agree bit-for-bit.
+  * Null vector → null. Centroids whose dimension differs from the
+  * input are skipped (the window form made them rank via a null
+  * cosine — nonsense either way; builders guarantee equal dims). */
+case class NearestCentroids(child: Expression, centroidIds: Array[Long],
+    centroidVecs: Array[Array[Double]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  require(centroidIds.length == centroidVecs.length && centroidIds.nonEmpty,
+    "centroid ids/vecs must be non-empty and aligned")
+  require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"nearest_centroids needs array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroids.compute(v.asInstanceOf[ArrayData], isFloat,
+      centroidIds, centroidVecs, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", centroidIds, "long[]")
+    val vecsRef =
+      ctx.addReferenceObj("centVecs", centroidVecs, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.expressions.NearestCentroids$$.MODULE$$
+         |  .compute($a, $isFloat, $idsRef, $vecsRef, $nProbe);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCentroids = copy(child = newChild)
+}
+
+object NearestCentroids {
+  /** One k×dim scan + top-nProbe selection; called per row from the
+    * generated code (a single static call keeps the projection inside
+    * the whole-stage span while the selection logic stays compiled
+    * Scala, not string-built Java). */
+  def compute(a: ArrayData, isFloat: Boolean, ids: Array[Long],
+      cvs: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val n = a.numElements()
+    val k = ids.length
+    val cos = new Array[Double](k)
+    val valid = new Array[Boolean](k)
+    var c = 0
+    while (c < k) {
+      val cv = cvs(c)
+      if (cv.length == n) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          val y = cv(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        cos(c) = if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        valid(c) = true
+      }
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Long](m)
+    val used = new Array[Boolean](k)
+    var filled = 0
+    var continueSel = true
+    while (filled < m && continueSel) {
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        // ascending-id iteration + strict '>' keeps the lowest id on
+        // ties — the window form's (cos DESC, centroid_id ASC) order
+        if (valid(j) && !used(j) && cos(j) > bestCos) {
+          best = j; bestCos = cos(j)
+        }
+        j += 1
+      }
+      if (best < 0) continueSel = false
+      else {
+        used(best) = true
+        out(filled) = ids(best)
+        filled += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (filled == m) out else out.take(filled))
+  }
+}
+
 object VectorFunctions {
   /** Column-level API: cosine similarity of two vector columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -381,6 +508,14 @@ object VectorFunctions {
       : Column =
     Bridge.toColumn(HyperplaneBucket(Bridge.toExpression(v), nPlanes, dim,
       seed))
+
+  /** Column-level API: top-nProbe nearest-centroid ids (IVF coarse
+    * assignment as a narrow projection). `ids`/`vecs` must be aligned
+    * and id-sorted (tie-break order). */
+  def nearestCentroids(v: Column, ids: Array[Long],
+      vecs: Array[Array[Double]], nProbe: Int): Column =
+    Bridge.toColumn(NearestCentroids(Bridge.toExpression(v), ids, vecs,
+      nProbe))
 
   /** Column-level API: quantized caller-signed LSH bucket (replay). */
   def quantizedSignBucket(v: Column, signs: Seq[Int], nPlanes: Int)

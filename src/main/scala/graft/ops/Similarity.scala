@@ -178,19 +178,39 @@ object Similarity {
   }
 
   /** IVF (inverted-file) index: assign every corpus vector to its nearest
-    * of `centroids` (a small broadcast table (centroid_id, vec)); queries
-    * probe their `nProbe` nearest cells only. Centroids typically come from
-    * a sample + k-means (`fitIvfCentroids`); any small table works. */
+    * of `centroids` (a small table (centroid_id, vec)); queries probe
+    * their `nProbe` nearest cells only. Centroids typically come from a
+    * sample + k-means (`fitIvfCentroids`); any small table works.
+    *
+    * Plan shape: the quantizer is k-sized BY CONSTRUCTION (k cells, a
+    * distribution property — never corpus-sized), so it is collected
+    * once and embedded in the native [[graft.expressions.NearestCentroids]]
+    * expression: assignment is a pure narrow projection, ZERO exchanges.
+    * The previous crossJoin(broadcast)+window form expanded the corpus
+    * k-fold and shuffled that expansion by vector id just to rank k
+    * rows born co-located — wire volume that dwarfs the assignment
+    * arithmetic at 100 TB. Ordering/tie-break (cos DESC, centroid_id
+    * ASC) and FP accumulation match the window form bit-for-bit
+    * (equivalence spec-pinned; q126 replays it in SQL). Rows with null
+    * vectors are dropped (the window form ranked them via null
+    * cosines — an accident, not a contract). */
   def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cIdCol: String, cVecCol: String,
       nProbe: Int = 1): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        -VectorFunctions.cosineSimilarity(col(vecCol), col(cVecCol)))
-    val w = Window.partitionBy(idCol).orderBy(col("cdist"), col(cIdCol))
-    scored.withColumn("probe_rank", row_number().over(w))
-      .filter(col("probe_rank") <= nProbe)
-      .drop(cVecCol, "cdist")
+    val rows = centroids
+      .select(col(cIdCol).cast("long"),
+        col(cVecCol).cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0)) // id-sorted iteration = id-ASC tie-break
+    require(rows.nonEmpty, "ivfAssign: empty centroid table")
+    val ids = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    vecs
+      .select(col("*"),
+        posexplode(VectorFunctions.nearestCentroids(col(vecCol), ids,
+          cvs, nProbe)).as(Seq("__probe_pos", cIdCol)))
+      .withColumn("probe_rank", (col("__probe_pos") + 1).cast("int"))
+      .drop("__probe_pos")
   }
 
   /** Full IVF ANN: corpus in 1 cell each, queries probe `nProbe` cells,

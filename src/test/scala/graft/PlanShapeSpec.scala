@@ -78,6 +78,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF coarse assignment plans with ZERO exchanges (narrow " +
+    "NearestCentroids projection, not crossJoin+window)") {
+    import spark.implicits._
+    withStaticPlans {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = Seq((0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(-0.5)))
+        .toDF("centroid_id", "c_vec")
+      val assigned = graft.ops.Similarity.ivfAssign(emb, "vec_id",
+        "embedding", cents, "centroid_id", "c_vec", nProbe = 2)
+      assert(shuffles(assigned) == 0,
+        "IVF assignment must stay a pure projection — the " +
+          "crossJoin+window form shuffles a k-fold corpus expansion.\n" +
+          assigned.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("q125 blocklist anti-join stays a broadcast join") {
     withStaticPlans {
       val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)

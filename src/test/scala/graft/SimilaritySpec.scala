@@ -79,6 +79,46 @@ class SimilaritySpec extends SparkSpec {
       assigned(3L) == 20L)
   }
 
+  test("ivfAssign narrow projection == the crossJoin+window form it " +
+    "replaced (order, ties, probe ranks)") {
+    // the reference form: expand by k, rank per vector id — the shape
+    // ivfAssign used before NearestCentroids; semantics must agree
+    // bit-for-bit including the (cos DESC, centroid_id ASC) tie-break.
+    import org.apache.spark.sql.expressions.Window
+    val r = new scala.util.Random(11)
+    val corpus = (0L until 200L)
+      .map(i => (i, Seq.fill(8)(((r.nextInt(9) - 4) / 4.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    // duplicate centroids force cosine ties; ids deliberately unsorted
+    val cents = Seq(
+      (30L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (40L, Seq(0.5, 0.5, 0.5, 0.5, -0.5, 0.5, 0.5, 0.5)))
+      .toDF("centroid_id", "c_vec")
+    def reference(nProbe: Int) = {
+      val scored = corpus.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          -graft.expressions.VectorFunctions.cosineSimilarity(
+            col("embedding"), col("c_vec")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cdist"), col("centroid_id"))
+      scored.withColumn("probe_rank", row_number().over(w))
+        .filter(col("probe_rank") <= nProbe)
+        .select(col("vec_id"), col("centroid_id"),
+          col("probe_rank").cast("int").as("probe_rank"))
+    }
+    for (nProbe <- Seq(1, 2, 4)) {
+      val got = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+          cents, "centroid_id", "c_vec", nProbe)
+        .select("vec_id", "centroid_id", "probe_rank")
+        .as[(Long, Long, Int)].collect().sortBy(x => (x._1, x._3))
+      val want = reference(nProbe)
+        .as[(Long, Long, Int)].collect().sortBy(x => (x._1, x._3))
+      assert(got.toSeq == want.toSeq, s"nProbe=$nProbe")
+    }
+  }
+
   test("lshTopK finds identical vector in same bucket") {
     val r = new scala.util.Random(3)
     val vecs = (0L until 50L).map(i => (i, Seq.fill(16)(r.nextFloat())))
