@@ -280,12 +280,164 @@ case class CmsSketchAgg(
   override def prettyName: String = "cms_sketch"
 }
 
+/** Bounded top-k buffer: ≤ k (score, id) pairs with the index of the
+  * current worst tracked for O(1) reject / O(k) replace. */
+final class TopKBuf(val k: Int) extends Serializable {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n: Int = 0
+
+  /** (s, id) beats (s2, id2) under (score DESC, id ASC)? */
+  @inline private def beats(s: Double, id: Long, s2: Double,
+      id2: Long): Boolean = s > s2 || (s == s2 && id < id2)
+
+  private def worstIdx: Int = {
+    var w = 0
+    var i = 1
+    while (i < n) {
+      if (beats(scores(w), ids(w), scores(i), ids(i))) w = i
+      i += 1
+    }
+    w
+  }
+
+  def insert(s: Double, id: Long): Unit =
+    if (n < k) { scores(n) = s; ids(n) = id; n += 1 }
+    else {
+      val w = worstIdx
+      if (beats(s, id, scores(w), ids(w))) { scores(w) = s; ids(w) = id }
+    }
+
+  /** Indices 0..n-1 ordered by (score DESC, id ASC). */
+  def sortedIdx: Array[Int] =
+    Array.range(0, n).sortWith { (a, b) =>
+      beats(scores(a), ids(a), scores(b), ids(b))
+    }
+}
+
+/** Per-group top-k (id, score) pairs under (score DESC, id ASC) — the
+  * ANN rank stage as a PARTIAL-AGGREGATABLE aggregate.
+  *
+  * The window form (`row_number() OVER (PARTITION BY query ORDER BY
+  * cos DESC, id)` then `rank <= k`) must SHUFFLE every scored
+  * candidate row to its query's reducer before any ranking happens —
+  * for brute-force ANN that is |corpus|×|queries| rows on the wire.
+  * As a TypedImperativeAggregate the map side keeps only k pairs per
+  * query per partition, so the exchange carries ≤ partitions×|queries|
+  * ×k rows — corpus-size-independent. Top-k under a TOTAL order
+  * (score ties broken by id) is associative/commutative, so the merge
+  * order cannot change the result: output rows are identical to the
+  * window form's (spec-pinned).
+  *
+  * Returns ARRAY<STRUCT<id: LONG, score: DOUBLE>> ordered by
+  * (score DESC, id ASC); null scores/ids contribute nothing; an
+  * all-null group yields an empty array. */
+case class TopKByScoreAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuf] with Serializable {
+
+  require(k >= 1, s"top_k_by_score: k must be >= 1: $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score", DoubleType,
+        nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType &&
+      id.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"top_k_by_score needs (double, bigint), got " +
+            s"${score.dataType.sql}, ${id.dataType.sql}")
+
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+
+  override def update(buffer: TopKBuf, input: InternalRow): TopKBuf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
+
+  override def eval(buffer: TopKBuf): Any = {
+    val order = buffer.sortedIdx
+    val rows = new Array[Any](order.length)
+    var i = 0
+    while (i < order.length) {
+      rows(i) = InternalRow(buffer.ids(order(i)), buffer.scores(order(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buffer: TopKBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.n * 16)
+    bb.putInt(buffer.n)
+    var i = 0
+    while (i < buffer.n) {
+      bb.putDouble(buffer.scores(i)); bb.putLong(buffer.ids(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKBuf(k)
+    var i = 0
+    while (i < n) {
+      // direct fill: deserialized pairs are already a valid ≤k set
+      buf.scores(i) = bb.getDouble(); buf.ids(i) = bb.getLong(); i += 1
+    }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : TopKByScoreAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : TopKByScoreAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScoreAgg =
+    copy(score = newChildren(0), id = newChildren(1))
+
+  override def prettyName: String = "top_k_by_score"
+}
+
 object AggregateFunctions {
   /** Column-level API: per-group weighted vector sum `Σ w·vec`. */
   def weightedVecSum(w: Column, v: Column): Column =
     Bridge.toColumn(
       WeightedVecSumAgg(Bridge.toExpression(w), Bridge.toExpression(v))
         .toAggregateExpression())
+
+  /** Column-level API: per-group top-k (id, score) pairs under
+    * (score DESC, id ASC) — map-side-combinable ANN ranking. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    Bridge.toColumn(
+      TopKByScoreAgg(Bridge.toExpression(score), Bridge.toExpression(id),
+        k).toAggregateExpression())
 
   /** Column-level API: flat `bases.length × width` Count-Min sketch of
     * whitespace-token counts over a text column; `split = false`

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.expressions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -16,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k of a scored candidate relation via the
+    * map-side-combinable [[graft.expressions.TopKByScoreAgg]]: the map
+    * side keeps ≤ k pairs per query per partition, so the ONE exchange
+    * carries ≤ partitions×|queries|×k rows — independent of candidate
+    * count. The window form this replaces (`row_number() OVER
+    * (PARTITION BY query ORDER BY cos DESC, id)`) shuffled EVERY scored
+    * candidate to its query's reducer first — |corpus|×|queries| wire
+    * rows for the brute-force path. Output rows are identical (top-k
+    * under the total order (cos DESC, id ASC) is merge-order-invariant;
+    * spec-pinned); the one divergence is null scores, which the window
+    * form could surface at the tail of under-full groups and the
+    * aggregate skips — null cosines only arise from mixed-dimension
+    * corpora, which are a data bug. */
+  private def rankTopK(scored: DataFrame, qIdCol: String, idCol: String,
+      k: Int): DataFrame =
+    scored.groupBy(qIdCol)
+      .agg(graft.expressions.AggregateFunctions
+        .topKByScore(col("cos"), col(idCol).cast("long"), k).as("__top"))
+      .select(col(qIdCol),
+        posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col(qIdCol), col("__s.id").as(idCol),
+        col("__s.score").as("cos"),
+        (col("__pos") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries must be small enough to broadcast (the usual shape:
     * thousands of queries against billions of corpus rows).
@@ -23,8 +46,9 @@ object Similarity {
     * Plan at scale: `broadcast(queries)` → BroadcastNestedLoopJoin (a pure
     * map-side cross product, corpus scanned once, no corpus shuffle) → the
     * native CosineSimilarity expression (codegen) → per-query top-k via
-    * row_number over a window partitioned by query id: ONE shuffle whose key
-    * cardinality = |queries|.
+    * [[rankTopK]]: one k-bounded partial-aggregated exchange whose key
+    * cardinality = |queries| and whose wire volume is
+    * corpus-size-independent.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
@@ -33,9 +57,7 @@ object Similarity {
       .select(col(qIdCol), col(idCol),
         VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
           .as("cos"))
-    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, qIdCol, idCol, k)
   }
 
   /** Recall@k of an approximate ANN result against exact ground truth —
@@ -90,9 +112,7 @@ object Similarity {
       .select(col(qIdCol), col(idCol),
         VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
           .as("cos"))
-    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, qIdCol, idCol, k)
   }
 
   /** Fit IVF centroids — the coarse quantizer. The FAISS training idiom:
@@ -227,8 +247,6 @@ object Similarity {
       .select(col(qIdCol), col(idCol),
         VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
           .as("cos"))
-    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, qIdCol, idCol, k)
   }
 }

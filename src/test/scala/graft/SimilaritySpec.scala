@@ -79,6 +79,48 @@ class SimilaritySpec extends SparkSpec {
       assigned(3L) == 20L)
   }
 
+  test("TopKByScoreAgg ranking == the row_number window form it " +
+    "replaced (ties, ranks, partition-invariance)") {
+    import org.apache.spark.sql.expressions.Window
+    val r = new scala.util.Random(17)
+    // duplicated vectors force exact cosine ties at the k boundary
+    val base = (0L until 60L)
+      .map(i => (i, Seq.fill(8)(((r.nextInt(9) - 4) / 4.0).toFloat)))
+    val corpus = (base ++ base.map { case (i, v) => (i + 60L, v) })
+      .toDF("vec_id", "embedding")
+    val queries = base.take(4)
+      .map { case (i, v) => (i, v) }.toDF("q_id", "q_vec")
+    def windowForm(k: Int) = {
+      val scored = corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          graft.expressions.VectorFunctions.cosineSimilarity(
+            col("q_vec"), col("embedding")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"),
+        col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+    }
+    for (k <- Seq(1, 5, 17)) {
+      val want = windowForm(k).as[(Long, Long, Double, Int)]
+        .collect().sortBy(x => (x._1, x._4)).toSeq
+      val got = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+          "embedding", "q_id", "q_vec", k)
+        .select("q_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)]
+        .collect().sortBy(x => (x._1, x._4)).toSeq
+      assert(got == want, s"k=$k")
+      // merge-order invariance: different partitioning, same rows
+      val got13 = Similarity.bruteForceTopK(corpus.repartition(13),
+          queries, "vec_id", "embedding", "q_id", "q_vec", k)
+        .select("q_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)]
+        .collect().sortBy(x => (x._1, x._4)).toSeq
+      assert(got13 == want, s"k=$k repartitioned")
+    }
+  }
+
   test("ivfAssign narrow projection == the crossJoin+window form it " +
     "replaced (order, ties, probe ranks)") {
     // the reference form: expand by k, rank per vector id — the shape
