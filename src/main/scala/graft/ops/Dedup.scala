@@ -418,15 +418,24 @@ object Dedup {
     *
     * One shuffle, partitioned by the unit itself (the exchange hashes
     * the string; at 100 TB project a 128-bit content hash alongside to
-    * shrink wire rows — same plan, the window then partitions on the
-    * hash and orders identically). */
+    * shrink wire rows — same plan, keyed on the hash instead).
+    *
+    * First-occurrence selection is `min_by` over the (docId, idx)
+    * total order — a PARTIAL-AGGREGATABLE form: a boilerplate unit
+    * repeated corpus-wide collapses to one candidate per map partition
+    * before the exchange, where the previous `row_number` window form
+    * shuffled the unit's full multiplicity into ONE partition and
+    * sorted it there (the classic hot-key hazard). Output rows are
+    * identical: (docId, idx) is unique per row by construction, so the
+    * min is a total order and merge-order-invariant. */
   def dedupUnits(units: DataFrame, docIdCol: String, idxCol: String,
       unitCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(unitCol))
-      .orderBy(col(docIdCol), col(idxCol))
-    units.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others = units.columns.filter(_ != unitCol)
+    units.groupBy(col(unitCol))
+      .agg(min_by(struct(others.map(col): _*),
+        struct(col(docIdCol), col(idxCol))).as("__w"))
+      .select(col(unitCol) +: others.map(c => col(s"__w.`$c`").as(c)): _*)
+      .select(units.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Reassemble document text from surviving units in position order
@@ -528,10 +537,21 @@ object Dedup {
       .select(col("id"), col("i"),
         expr(s"substring(__t, i, $L)").as("gram"))
     val key = if (hashShuffleKey) xxhash64(col("gram")) else col("gram")
-    val firstOcc = Window.partitionBy(key).orderBy(col("id"), col("i"))
+    // First-occurrence flagging via an UNORDERED window min rather than
+    // row_number: same single gram-keyed exchange, but the executor-side
+    // sort is by the partition key alone — a corpus-hot gram's rows are
+    // all EQUAL under that sort (one TimSort run, near-linear) where the
+    // row_number form had to truly order the gram's full multiplicity by
+    // (id, i), O(m log m) with real comparisons, in one task. The min
+    // itself is a single O(m) frame pass. Semantics identical: every
+    // occurrence except the global (id, i) minimum per gram, and (id, i)
+    // is unique by construction. (An agg+join form was measured 4×
+    // slower here: it pays the gram-scale exchange twice.)
+    val wMin = Window.partitionBy(key)
     val flagged = grams
-      .withColumn("__rn", row_number().over(firstOcc))
-      .filter(col("__rn") > 1)
+      .withColumn("__first",
+        min(struct(col("id"), col("i"))).over(wMin))
+      .filter(struct(col("id"), col("i")) =!= col("__first"))
       .select(col("id"), col("i").as("s"), (col("i") + (L - 1)).as("e"))
     // gaps-and-islands merge: a flagged start adjacent to (or inside) the
     // running max end extends the island; otherwise it opens a new one
