@@ -480,11 +480,15 @@ object TextOps {
       .select(col("id"), col("label"),
         round(col("logprior") + coalesce(col("ev"), lit(0.0)), 6)
           .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(desc("score"), asc("label"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("label").as("pred_label"), col("score"))
+    // per-doc argmax as a hash aggregate (min_by over the
+    // (-score, label) order = score DESC, label ASC) — partial-agged
+    // and sort-free where the row_number window form sorted every
+    // (doc × label) row at the exchange
+    scored.groupBy("id")
+      .agg(min_by(struct(col("label"), col("score")),
+        struct(-col("score"), col("label"))).as("__b"))
+      .select(col("id"), col("__b.label").as("pred_label"),
+        col("__b.score").as("score"))
   }
 
   /** Word n-gram shingles. */
