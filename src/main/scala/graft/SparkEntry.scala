@@ -2006,6 +2006,74 @@ object SparkEntry {
           unix_timestamp(max(col("timestamp"))).as("last_ts_sec"))
     }),
 
+    "q131_pq_adc" -> ((s, dir) => {
+      // Product-quantization ADC scan (Jégou et al. TPAMI 2011 — the
+      // 100 TB ANN memory path: m=4 one-byte codes replace 64 floats).
+      // The q126 twin discipline: Lloyd's codebook FIT isn't
+      // SQL-replayable, but everything PQ DOES — per-subspace argmin
+      // encode, per-query LUT build, ADC distance Σ_s lut[codes[s]],
+      // rank — is pure relational algebra over whatever codebook table
+      // exists. A LITERAL dyadic-rational codebook drives the same
+      // pqEncode/pqAdcTopK production code a fitPqCodebooks table
+      // would; the oracle replays encode + LUT + rank with ordered
+      // sums, so every FP accumulation is bit-portable.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val cb = s.range(32)
+        .select(expr("CAST(id div 8 AS INT)").as("subspace"),
+          expr("CAST(id % 8 AS INT)").as("code"))
+        .select(col("subspace"), col("code"),
+          expr("transform(sequence(0, 15), i -> CAST((subspace * 131 +" +
+            " code * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)").as("c_vec"))
+      Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", cb, k = 5)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+    }),
+
+    "q132_int8_ann" -> ((s, dir) => {
+      // Int8 scalar-quantized ANN (the 4× embedding-compression every
+      // vector store ships): per-vector max-abs scaling via the
+      // rounding-mode-free floor(x·127/maxabs + 0.5), then cosine over
+      // the integer codes — scales cancel, the integer dot/norm sums
+      // are EXACT in doubles, and the oracle replays the whole scan
+      // bit-for-bit (explicit dot/√na·√nb mirror of the native
+      // CosineSimilarity, not an engine builtin).
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      Similarity.int8TopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", k = 5)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 6).as("qcos"))
+    }),
+
+    "q133_html_extract" -> ((s, dir) => {
+      // HTML → text extraction (Common Crawl WARC→WET / C4 §2.1 — the
+      // stage-0 every web-corpus pipeline runs before any other text
+      // operator here). Documents are wrapped in a deterministic HTML
+      // shell exercising every rule: script/style ELEMENT drop (incl.
+      // `<` `&&` `>` inside code), comment drop (incl. nested tags),
+      // tag strip, all six entity decodes with `&amp;amp;` proving the
+      // single-pass decode order, whitespace collapse. The FULL
+      // extracted string is hash-checked against the same RE2 chain
+      // replayed in the oracle.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\"> p { color: #a0b1c2; } " +
+          "</style><script>if (a < b && c > 1) { emit(\"x&y\"); }" +
+          "</script><!-- hidden <b>comment</b> --></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"f\">footer &amp;amp; &lt;tag&gt; " +
+          "&#39;q&#39;&nbsp;end</div></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.extractHtmlText(html)
+          .as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          length(col("extracted")).cast("long").as("n_ext"))
+    }),
+
     "q120_save_load" -> ((s, dir) => {
       // Save/load round-trip as a contract row (EventDataset.save/load —
       // plain splittable parquet with params-as-data, vs the reference's
@@ -4440,6 +4508,118 @@ object SparkEntry {
         | AND date_trunc('second', e.ts) <=
         |     t.st + to_days(CAST(7 + t.user_id % 14 AS INT))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PQ replay: encode = per-subspace argmin over the literal dyadic
+    // codebook (dist ASC, code ASC — PqEncode's strict-'<' walk), ADC =
+    // ordered sum of per-subspace LUT distances (list(d ORDER BY s) —
+    // PqAdcScore's s-ascending accumulation), rank = adc ASC, id ASC.
+    // Squared terms are written (a-b)*(a-b), not pow, so both engines
+    // round once per term.
+    "q131_pq_adc" ->
+      """WITH cb AS (
+        |  SELECT j // 8 AS s, j % 8 AS c,
+        |         list_transform(range(0, 16),
+        |           i -> CAST(((j // 8) * 131 + (j % 8) * 31 + i * 7)
+        |                     % 17 - 8 AS DOUBLE) / 8.0) AS cv
+        |  FROM range(0, 32) t(j)),
+        |codes AS (
+        |  SELECT e.vec_id, cb.s, cb.c,
+        |         row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |           ORDER BY list_sum(list_transform(range(0, 16), i ->
+        |             (CAST(e.embedding[CAST(cb.s * 16 + i + 1 AS INT)]
+        |                AS DOUBLE) - cv[CAST(i + 1 AS INT)]) *
+        |             (CAST(e.embedding[CAST(cb.s * 16 + i + 1 AS INT)]
+        |                AS DOUBLE) - cv[CAST(i + 1 AS INT)]))) ASC,
+        |             cb.c) AS rn
+        |  FROM embeddings e CROSS JOIN cb),
+        |cc AS (SELECT vec_id, s, c FROM codes WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_vec_id, embedding
+        |      FROM embeddings WHERE vec_id < 5),
+        |sub AS (
+        |  SELECT q.q_vec_id, cc.vec_id, cc.s,
+        |         list_sum(list_transform(range(0, 16), i ->
+        |           (CAST(q.embedding[CAST(cc.s * 16 + i + 1 AS INT)]
+        |              AS DOUBLE) - cb.cv[CAST(i + 1 AS INT)]) *
+        |           (CAST(q.embedding[CAST(cc.s * 16 + i + 1 AS INT)]
+        |              AS DOUBLE) - cb.cv[CAST(i + 1 AS INT)]))) AS d
+        |  FROM q CROSS JOIN cc JOIN cb ON cb.s = cc.s AND cb.c = cc.c),
+        |scored AS (
+        |  SELECT q_vec_id, vec_id, list_sum(list(d ORDER BY s)) AS adc
+        |  FROM sub GROUP BY 1, 2)
+        |SELECT q_vec_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY adc ASC, vec_id) AS INT) AS rank,
+        |  round(adc, 6) AS adc
+        |FROM scored QUALIFY rank <= 5 ORDER BY q_vec_id, rank"""
+        .stripMargin,
+
+    // Int8 replay: floor(x·127/maxabs + 0.5) codes, then the EXPLICIT
+    // dot/(√na·√nb) mirror of the native CosineSimilarity (zero-norm →
+    // 0.0) — integer-valued sums are exact, so qcos is bit-identical.
+    "q132_int8_ann" ->
+      """WITH ma AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         CASE WHEN maxabs = 0
+        |              THEN list_transform(embedding, x -> 0.0)
+        |              ELSE list_transform(embedding, x ->
+        |                floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5))
+        |         END AS codes
+        |  FROM ma),
+        |n AS (SELECT vec_id, codes,
+        |        list_sum(list_transform(codes, x -> x * x)) AS nn
+        |      FROM qz),
+        |scored AS (
+        |  SELECT q.vec_id AS q_vec_id, c.vec_id,
+        |    CASE WHEN q.nn = 0 OR c.nn = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(range(0, 64), i ->
+        |                q.codes[CAST(i + 1 AS INT)] *
+        |                c.codes[CAST(i + 1 AS INT)]))
+        |              / (sqrt(q.nn) * sqrt(c.nn)) END AS qcos
+        |  FROM n q CROSS JOIN n c WHERE q.vec_id < 5)
+        |SELECT q_vec_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY qcos DESC, vec_id) AS INT) AS rank,
+        |  round(qcos, 6) AS qcos
+        |FROM scored QUALIFY rank <= 5 ORDER BY q_vec_id, rank"""
+        .stripMargin,
+
+    // The same RE2 chain over the same synthesized shell: script/style/
+    // comment spans first, then tags, then the six entity decodes with
+    // &amp; LAST, then whitespace collapse.
+    "q133_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css"> p { color: #a0b1c2; } ' ||
+        |    '</style><script>if (a < b && c > 1) { emit("x&y"); }' ||
+        |    '</script><!-- hidden <b>comment</b> --></head><body><h1>' ||
+        |    lang || '</h1><p>' || text ||
+        |    '</p><div class="f">footer &amp;amp; &lt;tag&gt; ' ||
+        |    '&#39;q&#39;&nbsp;end</div></body></html>' AS html
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, regexp_replace(html,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |x2 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+        |x3 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+        |x4 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?s)<[/!]?[A-Za-z][^>]*>', ' ', 'g') AS t FROM x3),
+        |x5 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |       FROM x4),
+        |x6 AS (SELECT doc_id,
+        |         trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |       FROM x5)
+        |SELECT doc_id, extracted, length(extracted) AS n_ext
+        |FROM x6 ORDER BY doc_id""".stripMargin,
 
     // The round-trip target is q01's ingest projection: the reloaded
     // parquet must answer the ORIGINAL oracle.

@@ -481,6 +481,267 @@ object NearestCentroids {
   }
 }
 
+/** Product-quantization encode: split the vector into `m` contiguous
+  * subspaces of `dsub` dims each and emit, per subspace, the index of the
+  * nearest (squared-L2) codebook row — the FAISS PQ code layout
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011). `codebooks` is m × ksub × dsub, a model-size object
+  * (m·ksub·dsub doubles — KBs at any corpus size), so it rides into
+  * codegen as a reference object and encoding is a pure NARROW
+  * projection: one m·ksub·dsub fused loop per row, zero exchanges. At
+  * 100 TB this is the point of PQ — the corpus re-expressed as m bytes
+  * per vector (vs 4·dim for floats) that all later ANN scans read
+  * instead of the raw embeddings.
+  *
+  * Ties keep the LOWEST code (ascending-c iteration, strict '<') —
+  * the order `ORDER BY dist ASC, c ASC` replays in SQL. Null vector or
+  * a length ≠ m·dsub → null (mirrors [[CosineSimilarity]]'s mismatch
+  * contract). */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty m × ksub × dsub")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"pq_encode needs array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], isFloat, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.expressions.PqEncode$$.MODULE$$
+       |  .compute($a, $isFloat, $cbRef);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqEncode = copy(child = newChild)
+}
+
+object PqEncode {
+  def compute(a: ArrayData, isFloat: Boolean,
+      cbs: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    if (a.numElements() != m * dsub) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val base = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) a.getFloat(base + i).toDouble
+                  else a.getDouble(base + i)
+          val t = x - cv(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+}
+
+/** Per-query ADC lookup table: a flat m·ksub array where entry
+  * s·ksub + c is the squared-L2 distance between the query's subspace-s
+  * slice and codebook row (s, c). Computed ONCE per query (queries are
+  * broadcast-small by the ANN contract), then every corpus code row is
+  * scored by m table lookups in [[PqAdcScore]] — the asymmetric-distance
+  * computation of Jégou et al. §IV.A: the corpus side never touches
+  * floats. Accumulation is i-ascending per entry, so the values replay
+  * bit-for-bit as an ordered SQL sum. */
+case class PqLut(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty m × ksub × dsub")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"pq_lut needs array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqLut.compute(v.asInstanceOf[ArrayData], isFloat, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.expressions.PqLut$$.MODULE$$
+       |  .compute($a, $isFloat, $cbRef);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqLut = copy(child = newChild)
+}
+
+object PqLut {
+  def compute(a: ArrayData, isFloat: Boolean,
+      cbs: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val dsub = cbs(0)(0).length
+    if (a.numElements() != m * dsub) return null
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val base = s * dsub
+      var c = 0
+      while (c < ksub) {
+        val cv = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) a.getFloat(base + i).toDouble
+                  else a.getDouble(base + i)
+          val t = x - cv(i)
+          d += t * t
+          i += 1
+        }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+}
+
+/** ADC score: Σ_s lut[s·ksub + codes[s]] — the PQ approximate squared-L2
+  * distance between a query (via its [[PqLut]] table) and a PQ-encoded
+  * corpus vector. THE hot loop of a PQ scan (m lookups per corpus row
+  * per query, no float math), fully inlined into whole-stage codegen.
+  * s-ascending accumulation replays as an ordered SQL sum. Null if
+  * either side is null or the lut length isn't a multiple of the code
+  * length; a code outside [0, ksub) → null (corrupt input, not a
+  * distance). */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"pq_adc_score needs (array<int> codes, array<double> lut), " +
+              s"got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0) return null
+    val ksub = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub) return null
+      acc += lut.getDouble(s * ksub + c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $m = $codes.numElements();
+         |if ($m == 0 || $lut.numElements() % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $ksub = $lut.numElements() / $m;
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $c = $codes.getInt($s);
+         |    if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+         |    $acc += $lut.getDouble($s * $ksub + $c);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level API: cosine similarity of two vector columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -522,4 +783,17 @@ object VectorFunctions {
       : Column =
     Bridge.toColumn(QuantizedSignBucket(Bridge.toExpression(v), signs,
       nPlanes))
+
+  /** Column-level API: PQ codes (m nearest-subcentroid indices). */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.toColumn(PqEncode(Bridge.toExpression(v), codebooks))
+
+  /** Column-level API: per-query ADC lookup table (flat m·ksub). */
+  def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.toColumn(PqLut(Bridge.toExpression(v), codebooks))
+
+  /** Column-level API: ADC approximate squared-L2 from codes + lut. */
+  def pqAdcScore(codes: Column, lut: Column): Column =
+    Bridge.toColumn(PqAdcScore(Bridge.toExpression(codes),
+      Bridge.toExpression(lut)))
 }

@@ -90,14 +90,23 @@ object Dedup {
     // hashing of the whole corpus runs twice. (localCheckpoint, not
     // .cache(): CacheManager entries tax every later query's plan lookup
     // in long sessions — measured.)
-    val withSh = docs.select(
-      col(idCol).as("id"),
-      TextOps.charShingleHashes(col(textCol), shingleN).as("sh"))
+    // ONE corpus scan materializes BOTH per-doc artifacts (shingle-hash
+    // array + signature): the signature expression consumes the `sh`
+    // column directly, so hashing the byte stream happens once — the
+    // former separate withSh/sigs checkpoints each re-scanned the
+    // corpus (measured ~25% of q27/q41 wall). Same stored bytes (sh+sig
+    // either way), same results bit-for-bit (minhashSignatures IS
+    // minhashSig∘charShingleHashes; empty-shingle docs are absent from
+    // both sides — they can never be candidates).
+    val base = docs.select(
+        col(idCol).as("id"),
+        TextOps.charShingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig",
+        graft.expressions.TextExpressions.minhashSig(col("sh"), k))
+      .filter(col("sig").isNotNull)
       .localCheckpoint(true)
-    // k longs per doc; consumed by banding AND the est joins — materialize
-    // once (localCheckpoint, not cache: see SCALE.md hot-loop discipline)
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
-      .localCheckpoint(true)
+    val withSh = base.select("id", "sh")
+    val sigs = base.select("id", "sig")
     // Bands carry ONLY (id, band, bucket): the shingle arrays — by far the
     // widest payload — never ride through the band explode or the bucket
     // shuffle; they are joined back for the (deduped) candidate pairs only.

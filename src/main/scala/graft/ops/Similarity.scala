@@ -128,21 +128,45 @@ object Similarity {
   def fitIvfCentroids(vecs: DataFrame, vecCol: String, k: Int,
       seed: Long = 42, maxIter: Int = 20, maxSample: Int = 1 << 16)
       : DataFrame = {
-    val sample: Array[Array[Double]] = vecs
+    val sample = sampleVectors(vecs, vecCol, seed, maxSample)
+    require(sample.nonEmpty, "fitIvfCentroids: no non-null vectors")
+    val centers = lloyd(sample, k, seed, maxIter)
+    import scala.jdk.CollectionConverters._
+    vecs.sparkSession.createDataFrame(
+      centers.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.toIndexedSeq) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** ONE distributed job draws the deterministic quantizer-training
+    * sample (xxhash64-ranked TakeOrdered — no RNG, stable across runs
+    * and partitionings). Shared by the IVF and PQ fitters. */
+  private def sampleVectors(vecs: DataFrame, vecCol: String, seed: Long,
+      maxSample: Int): Array[Array[Double]] =
+    vecs
       .select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .orderBy(xxhash64(lit(seed), col("v")))
       .limit(maxSample)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "fitIvfCentroids: no non-null vectors")
+
+  /** Driver-side Lloyd's over the bounded sample (the FAISS training
+    * idiom — see [[fitIvfCentroids]]'s scaladoc for why cluster-side
+    * k-means loses here). Init draws splitmix-seeded DISTINCT sample
+    * indices (raw modulo draws collide, which would leave
+    * permanently-duplicated centroids — a duplicate center attracts no
+    * points under strict '<' and never moves). Returns min(k, |sample|)
+    * centers in init order (deterministic). */
+  private def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val kk = math.min(k, sample.length)
-    // splitmix-seeded DISTINCT initial sample indices (plan-free
-    // determinism): walk the stream skipping repeats — raw modulo draws
-    // collide, which would leave permanently-duplicated centroids (a
-    // duplicate center attracts no points under strict '<' and never
-    // moves).
     val usedIdx = scala.collection.mutable.LinkedHashSet.empty[Int]
     var draw = 0L
     while (usedIdx.size < kk) {
@@ -185,16 +209,116 @@ object Similarity {
       }
       iter += 1
     }
+    centers
+  }
+
+  /** Fit product-quantization codebooks (Jégou et al. TPAMI 2011): the
+    * sample is drawn ONCE (one distributed job — same discipline as
+    * [[fitIvfCentroids]]), then an independent Lloyd's runs per subspace
+    * over that sample's slices. Returns a small table
+    * (subspace INT, code INT, c_vec ARRAY<DOUBLE>) — m·ksub rows of
+    * dsub doubles, a model-size object at any corpus scale — that feeds
+    * [[pqEncode]]/[[pqAdcTopK]] with zero extra jobs. Vectors whose
+    * length isn't divisible by `m` fail fast (a schema bug, not data
+    * skew). */
+  def fitPqCodebooks(vecs: DataFrame, vecCol: String, m: Int,
+      ksub: Int = 256, seed: Long = 42, maxIter: Int = 20,
+      maxSample: Int = 1 << 16): DataFrame = {
+    val sample = sampleVectors(vecs, vecCol, seed, maxSample)
+    require(sample.nonEmpty, "fitPqCodebooks: no non-null vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"fitPqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val rows = (0 until m).flatMap { s =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(
+        v, s * dsub, (s + 1) * dsub))
+      lloyd(slices, ksub, seed + s, maxIter).zipWithIndex.map {
+        case (cv, c) =>
+          org.apache.spark.sql.Row(s, c, cv.toIndexedSeq)
+      }
+    }
     import scala.jdk.CollectionConverters._
-    vecs.sparkSession.createDataFrame(
-      centers.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        org.apache.spark.sql.Row(i.toLong, c.toIndexedSeq) }.asJava,
+    vecs.sparkSession.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("centroid_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("subspace",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("c_vec",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** Collect a codebook table into the m × ksub × dsub reference array
+    * the native PQ expressions embed. The table is model-sized BY
+    * CONSTRUCTION (m·ksub rows); ragged or non-contiguous
+    * (subspace, code) keys fail fast. */
+  def collectPqCodebooks(codebooks: DataFrame, sCol: String = "subspace",
+      cCol: String = "code", vCol: String = "c_vec")
+      : Array[Array[Array[Double]]] = {
+    val rows = codebooks
+      .select(col(sCol).cast("int"), col(cCol).cast("int"),
+        col(vCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(r => (r._1, r._2))
+    require(rows.nonEmpty, "collectPqCodebooks: empty codebook table")
+    val m = rows.map(_._1).max + 1
+    val grouped = Array.tabulate(m) { s =>
+      val g = rows.filter(_._1 == s).map(_._3)
+      require(g.nonEmpty, s"collectPqCodebooks: no codes for subspace $s")
+      g
+    }
+    require(grouped.forall(_.length == grouped(0).length),
+      "collectPqCodebooks: ragged ksub across subspaces")
+    grouped
+  }
+
+  /** PQ-encode a corpus: one NARROW projection (native [[PqEncode]]
+    * expression, zero exchanges) adding `codes ARRAY<INT>` — m small
+    * ints replacing 4·dim float bytes. This is the table a 100 TB ANN
+    * deployment persists and scans; rows with null/mis-sized vectors
+    * are dropped (they can never be ADC-scored). */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val cbs = collectPqCodebooks(codebooks)
+    vecs.select(col(idCol),
+        graft.expressions.VectorFunctions.pqEncode(col(vecCol), cbs)
+          .as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** PQ/ADC ANN scan: corpus as codes (narrow encode), queries carry a
+    * per-query distance lookup table (narrow [[PqLut]]), every
+    * (query, code-row) pair scores via m table lookups — no float
+    * vector is read corpus-side. Broadcast queries → the corpus is
+    * scanned once with zero shuffle; the only exchange is [[rankTopK]]'s
+    * k-bounded per-query reduction. Rank order: ADC distance ASC, id
+    * ASC (ADC approximates squared L2 — smaller is nearer). Compose
+    * with [[ivfAssign]] for the classic IVF-PQ: coarse cells bound the
+    * scan, ADC ranks inside the probed cells. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      codebooks: DataFrame, k: Int): DataFrame = {
+    val cbs = collectPqCodebooks(codebooks)
+    val coded = corpus.select(col(idCol),
+        graft.expressions.VectorFunctions.pqEncode(col(vecCol), cbs)
+          .as("__codes"))
+      .filter(col("__codes").isNotNull)
+    val luts = queries.select(col(qIdCol),
+        graft.expressions.VectorFunctions.pqLut(col(qVecCol), cbs)
+          .as("__lut"))
+      .filter(col("__lut").isNotNull)
+    // rankTopK keeps the LARGEST scores; negate the distance so the
+    // nearest (smallest-ADC) codes win. Negation is FP-exact, so the
+    // recovered `adc` replays bit-for-bit.
+    val scored = coded.crossJoin(broadcast(luts))
+      .select(col(qIdCol), col(idCol),
+        (-graft.expressions.VectorFunctions.pqAdcScore(col("__codes"),
+          col("__lut"))).as("cos"))
+    rankTopK(scored, qIdCol, idCol, k)
+      .select(col(qIdCol), col(idCol), (-col("cos")).as("adc"),
+        col("rank"))
   }
 
   /** IVF (inverted-file) index: assign every corpus vector to its nearest
@@ -246,6 +370,88 @@ object Similarity {
     val scored = q.join(c, Seq("centroid_id"))
       .select(col(qIdCol), col(idCol),
         VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
+          .as("cos"))
+    rankTopK(scored, qIdCol, idCol, k)
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ layout, flat-encoding variant): the coarse
+    * quantizer bounds the scan to `nProbe` cells per query
+    * ([[ivfAssign]] — zero-exchange narrow assignment), ADC ranks
+    * inside the probed cells ([[PqEncode]] codes joined against
+    * [[PqLut]] tables on the cell equi-join key). This is the
+    * many-queries 100 TB shape: no broadcast of the query set, the one
+    * wide stage is a hash equi-join on centroid_id + the k-bounded rank
+    * reduction. Codes encode the RAW vectors (not residuals — residual
+    * encoding needs a per-cell codebook transform; the flat variant is
+    * what keeps the codebook a single model-sized object). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cbs = collectPqCodebooks(codebooks)
+    val c = ivfAssign(corpus, idCol, vecCol, centroids, "centroid_id",
+        "c_vec", nProbe = 1).drop("probe_rank")
+      .select(col("centroid_id"), col(idCol),
+        graft.expressions.VectorFunctions.pqEncode(col(vecCol), cbs)
+          .as("__codes"))
+      .filter(col("__codes").isNotNull)
+    val q = ivfAssign(queries, qIdCol, qVecCol, centroids, "centroid_id",
+        "c_vec", nProbe = nProbe).drop("probe_rank")
+      .select(col("centroid_id"), col(qIdCol),
+        graft.expressions.VectorFunctions.pqLut(col(qVecCol), cbs)
+          .as("__lut"))
+      .filter(col("__lut").isNotNull)
+    val scored = q.join(c, Seq("centroid_id"))
+      .select(col(qIdCol), col(idCol),
+        (-graft.expressions.VectorFunctions.pqAdcScore(col("__codes"),
+          col("__lut"))).as("cos"))
+    rankTopK(scored, qIdCol, idCol, k)
+      .select(col(qIdCol), col(idCol), (-col("cos")).as("adc"),
+        col("rank"))
+  }
+
+  /** Int8 scalar quantization: per-vector symmetric max-abs scaling,
+    * `code_i = floor(v_i·127/maxabs + 0.5)` ∈ [-127, 127] stored as
+    * TINYINT — the standard 4× embedding-table compression (8× vs
+    * doubles) every vector store ships. The floor(x+0.5) form is used
+    * in BOTH engines instead of round() so no rounding-mode ambiguity
+    * exists to replay. A pure narrow projection; a 100 TB deployment
+    * persists (id, codes, scale) and scans it instead of the floats.
+    *
+    * Key property driving [[int8TopK]]: the per-vector scales CANCEL in
+    * cosine — cos(s_a·a, s_b·b) = cos(a, b) — so quantized-cosine
+    * ranking needs only the integer codes, and the integer dot/norm
+    * sums are EXACT in doubles (|Σ| < 2^53), making the whole scan
+    * bit-replayable. All-zero vectors quantize to all-zero codes
+    * (scale 0). */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    vecs.filter(v.isNotNull).select(col(idCol),
+      when(maxabs === 0d, transform(v, _ => lit(0d)))
+        .otherwise(transform(v,
+          x => floor(x * lit(127d) / maxabs + lit(0.5d))))
+        .cast("array<tinyint>").as("codes"),
+      (maxabs / 127d).as("scale"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: quantize corpus and
+    * queries, rank by cosine over the integer codes (scale-invariant —
+    * see [[quantizeInt8]]). Same plan shape as [[bruteForceTopK]]
+    * (broadcast queries, zero corpus shuffle, k-bounded rank exchange)
+    * but the corpus side reads 8× narrower data — the scan-throughput
+    * lever at 100 TB. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol), col("codes").cast("array<double>").as("__cv"))
+    val q = quantizeInt8(queries, qIdCol, qVecCol)
+      .select(col(qIdCol), col("codes").cast("array<double>").as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosineSimilarity(col("__qv"), col("__cv"))
           .as("cos"))
     rankTopK(scored, qIdCol, idCol, k)
   }

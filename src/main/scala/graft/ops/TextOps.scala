@@ -84,6 +84,42 @@ object TextOps {
     if (lowercase) lower(collapsed) else collapsed
   }
 
+  /** HTML → text extraction — the WET/boilerplate-strip stage that
+    * precedes every other text operator when the corpus is a web crawl
+    * (Common Crawl WARC→WET, C4 §2.1, RefinedWeb §3.1). A pure narrow
+    * RE2-portable chain (no lookaround, non-greedy spans only), so it
+    * runs in whole-stage codegen AND replays verbatim in an external
+    * SQL engine:
+    *
+    *  1. drop `<script>`/`<style>` ELEMENTS whole (their text is code,
+    *     not content) and `<!-- -->` comments;
+    *  2. strip remaining tags to a space (word boundaries survive
+    *     `<p>foo</p><p>bar</p>`) — a tag must open with a letter, `/`,
+    *     or `!` (`</?[A-Za-z]` / `<!`), so prose like `x < 5 and y > 2`
+    *     is NOT a tag and survives;
+    *  3. decode the five XML entities + `&nbsp;` — `&amp;` LAST, the
+    *     single-pass order that leaves double-escaped text
+    *     (`&amp;lt;`) correctly one-level decoded;
+    *  4. collapse whitespace and trim.
+    *
+    * Malformed fragments degrade safely: an unclosed `<script` with no
+    * terminator keeps its (unextractable) tail, an unclosed `<` with no
+    * `>` survives as literal text — both are what grep-based WET
+    * extractors do. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[/!]?[A-Za-z][^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from),
+        lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Gopher-style document filter (Rae et al., arXiv:2112.11446, table
     * A1 adapted to this engine's signals): the named per-rule booleans
     * AND their conjunction, so downstream can both filter (`keep`) and

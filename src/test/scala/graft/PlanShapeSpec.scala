@@ -94,6 +94,51 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode plans with ZERO exchanges; the q131 ADC scan's only " +
+    "exchange is the k-bounded rank reduction") {
+    import spark.implicits._
+    withStaticPlans {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cb = (for (s <- 0 until 4; c <- 0 until 8)
+        yield (s, c, Seq.fill(16)(0.25 * c - 0.5)))
+        .toDF("subspace", "code", "c_vec")
+      val coded = graft.ops.Similarity.pqEncode(emb, "vec_id",
+        "embedding", cb)
+      assert(shuffles(coded) == 0,
+        "PQ encode must stay a pure narrow projection — the codebook" +
+          " is model-sized and rides into codegen as a reference" +
+          " object.\n" + coded.queryExecution.executedPlan.toString)
+      val df = SparkEntry.queries("q131_pq_adc")(spark, sfDir)
+      assert(shuffles(df) == 1,
+        "the ADC scan broadcasts the query LUTs; its ONE exchange is" +
+          " rankTopK's k-bounded per-query reduction — anything more" +
+          " means the corpus is being shuffled.\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("q132 int8 scan: quantization is narrow; one k-bounded rank " +
+    "exchange") {
+    withStaticPlans {
+      val df = SparkEntry.queries("q132_int8_ann")(spark, sfDir)
+      assert(shuffles(df) == 1,
+        "int8 quantize+score must stay corpus-narrow (broadcast" +
+          " queries); the ONE exchange is the k-bounded rank" +
+          " reduction.\n" + df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("q133 HTML extraction plans with ZERO exchanges (pure narrow " +
+    "regexp chain)") {
+    withStaticPlans {
+      val df = SparkEntry.queries("q133_html_extract")(spark, sfDir)
+      assert(shuffles(df) == 0,
+        "HTML→text extraction is a per-row regexp chain — any exchange" +
+          " in this plan is a regression.\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("q125 blocklist anti-join stays a broadcast join") {
     withStaticPlans {
       val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)

@@ -247,4 +247,163 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(native == old)
   }
+
+  test("PQ encode/LUT/ADC agree with a driver-side reference " +
+    "(argmin ties → lowest code; ADC = Σ_s lut[codes[s]])") {
+    val m = 2; val ksub = 4; val dsub = 4
+    val cbs = Array.tabulate(m, ksub, dsub)((s, c, i) =>
+      ((s * 5 + c * 3 + i) % 7 - 3) / 2.0)
+    val cbDf = (for (s <- 0 until m; c <- 0 until ksub)
+      yield (s, c, cbs(s)(c).toSeq)).toDF("subspace", "code", "c_vec")
+    val r = new scala.util.Random(23)
+    // quarter-integer components force exact distance ties regularly
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.fill(m * dsub)((r.nextInt(9) - 4) / 4.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def refEncode(v: Seq[Float]): Seq[Int] =
+      (0 until m).map { s =>
+        (0 until ksub).minBy { c =>
+          val d = (0 until dsub).map { i =>
+            val t = v(s * dsub + i).toDouble - cbs(s)(c)(i); t * t
+          }.sum
+          (d, c) // strict-'<' walk == min by (dist, code)
+        }
+      }
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", cbDf)
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refEncode(v), s"encode vec $id") }
+    // ADC against hand-computed LUT sums, every (query, doc) pair
+    val queries = vecs.take(3).toDF("q_id", "q_vec")
+    val top = Similarity.pqAdcTopK(df, queries, "vec_id", "embedding",
+      "q_id", "q_vec", cbDf, k = 40)
+      .select("q_id", "vec_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top.length == 3 * 40)
+    def refAdc(q: Seq[Float], codes: Seq[Int]): Double =
+      (0 until m).map { s =>
+        val cv = cbs(s)(codes(s))
+        (0 until dsub).map { i =>
+          val t = q(s * dsub + i).toDouble - cv(i); t * t
+        }.sum
+      }.sum
+    val qv = vecs.take(3).toMap
+    top.foreach { case (q, id, adc, _) =>
+      assert(math.abs(adc - refAdc(qv(q), got(id))) < 1e-12) }
+    // ranks follow (adc ASC, id ASC) within each query
+    top.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4).map(r => (r._3, r._2))
+      assert(byRank.sameElements(byRank.sortBy(identity)))
+    }
+    // partition invariance
+    val got13 = Similarity.pqAdcTopK(df.repartition(13), queries,
+      "vec_id", "embedding", "q_id", "q_vec", cbDf, k = 40)
+      .select("q_id", "vec_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got13.sortBy(r => (r._1, r._4)).toSeq ==
+      top.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  test("fitPqCodebooks: shape, determinism, centroid round-trip") {
+    val r = new scala.util.Random(31)
+    val df = (0L until 300L)
+      .map(i => (i, Seq.fill(8)(r.nextFloat()))).toDF("vec_id", "embedding")
+    val cb1 = Similarity.fitPqCodebooks(df, "embedding", m = 2, ksub = 4,
+      seed = 9)
+    val rows1 = cb1.select("subspace", "code", "c_vec")
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
+    assert(rows1.length == 8 && rows1.forall(_._3.length == 4))
+    assert(rows1.map(t => (t._1, t._2)).toSeq ==
+      (for (s <- 0 until 2; c <- 0 until 4) yield (s, c)))
+    // deterministic across re-fits (no RNG anywhere)
+    val rows2 = Similarity.fitPqCodebooks(df, "embedding", m = 2,
+      ksub = 4, seed = 9).select("subspace", "code", "c_vec")
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
+    assert(rows1.toSeq == rows2.toSeq)
+    // a vector assembled FROM codebook rows encodes to those codes
+    // (distance 0 to its own sub-centroid)
+    val byKey = rows1.map(t => (t._1, t._2) -> t._3).toMap
+    val lifted = Seq((99L, byKey((0, 1)) ++ byKey((1, 3))))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(lifted, "vec_id", "embedding", cb1)
+      .as[(Long, Seq[Int])].collect().head._2
+    assert(codes == Seq(1, 3))
+  }
+
+  test("ivfPqTopK: candidates come only from probed cells; ADC agrees " +
+    "with the unpartitioned scan inside them") {
+    val m = 2; val ksub = 4; val dsub = 4
+    val cbDf = (for (s <- 0 until m; c <- 0 until ksub)
+      yield (s, c, Seq.tabulate(dsub)(i => ((s + c * 3 + i) % 5 - 2) / 2.0)))
+      .toDF("subspace", "code", "c_vec")
+    // two well-separated cells on the first axis
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("centroid_id", "c_vec")
+    val r = new scala.util.Random(53)
+    val vecs = (0L until 40L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i, (sign * (1f + r.nextFloat())) +: Seq.fill(7)(r.nextFloat()))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(4).toDF("q_id", "q_vec")
+    val got = Similarity.ivfPqTopK(corpus, queries, "vec_id",
+      "embedding", "q_id", "q_vec", cents, cbDf, k = 10, nProbe = 1)
+      .select("q_id", "vec_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // nProbe=1 on separated cells: candidates share the query's sign
+    got.foreach { case (q, id, _, _) =>
+      assert(q % 2 == id % 2, s"query $q probed the wrong cell ($id)") }
+    // inside the probed cell, ranks == the brute ADC scan restricted
+    // to that cell (same codes, same LUT, same tie-break)
+    val half = vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val qHalf = vecs.take(4).filter(_._1 % 2 == 0).toDF("q_id", "q_vec")
+    val brute = Similarity.pqAdcTopK(half, qHalf, "vec_id", "embedding",
+      "q_id", "q_vec", cbDf, k = 10)
+      .select("q_id", "vec_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .filter(t => Set(0L, 2L).contains(t._1))
+    val gotEven = got.filter(t => Set(0L, 2L).contains(t._1))
+    assert(gotEven.sortBy(t => (t._1, t._4)).toSeq ==
+      brute.sortBy(t => (t._1, t._4)).toSeq)
+  }
+
+  test("quantizeInt8: exact code formula, zero vector, scale") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes").cast("array<int>"), col("scale"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    // maxabs=1: floor(127.5)=127, floor(-63.0)=-63, floor(32.25)=32
+    assert(got(0)._2 == Seq(127, -63, 32, 0))
+    assert(math.abs(got(0)._3 - 1.0 / 127) < 1e-15)
+    assert(got(1)._2 == Seq(0, 0, 0, 0) && got(1)._3 == 0.0)
+  }
+
+  test("int8TopK: self is rank 1, ranks track exact cosine") {
+    val r = new scala.util.Random(41)
+    val vecs = (0L until 30L).map(i => (i, Seq.fill(16)(r.nextFloat())))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("q_id", "q_vec")
+    val got = Similarity.int8TopK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", k = 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.find(_._3 == 1).get._2 == q, s"self not rank 1 for $q")
+    }
+    // quantization distortion is bounded: top-5 overlap with exact
+    // brute-force top-5 is at least 4 of 5 per query on smooth data
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSet.intersect(exact(q)).size >= 4, s"q=$q")
+    }
+  }
 }

@@ -717,4 +717,35 @@ class TextDedupSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(kept.forall(_ == 1L))
   }
+
+  test("extractHtmlText: script/style/comment/tag/entity/ws rules, " +
+    "malformed fragments degrade safely") {
+    def ext(s: String): String =
+      Seq(s).toDF("h").select(TextOps.extractHtmlText(col("h")).as("t"))
+        .as[String].collect().head
+    // tags → word-boundary spaces
+    assert(ext("<p>Hello</p><p>World</p>") == "Hello World")
+    // script/style ELEMENTS drop whole, incl. </>-laden code; attrs ok
+    assert(ext("<script type=\"x\">if (a < b && c > d) go();</script>" +
+      "kept") == "kept")
+    assert(ext("<style media=\"all\">p > em { color: #fff; }</style>ok")
+      == "ok")
+    // non-greedy span: only to the FIRST terminator
+    assert(ext("<script>x</script>mid<script>y</script>end") == "mid end")
+    // comments drop whole, nested tags inside and all
+    assert(ext("a<!-- <b>hidden</b> -->b") == "a b")
+    // entity decode, &amp; LAST (single-pass: &amp;lt; → literal &lt;)
+    assert(ext("&lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;")
+      == "<x> \"q\" 's' & &lt;")
+    // whitespace collapse + trim
+    assert(ext("  <div>\n\ta \n b\t</div> ") == "a b")
+    // malformed: unclosed script keeps tail text, bare '<' survives
+    assert(ext("<script>lost forever") == "lost forever")
+    assert(ext("price < 5 and > 2") == "price < 5 and > 2")
+    // null propagates
+    val nul = Seq(Option.empty[String]).toDF("h")
+      .select(TextOps.extractHtmlText(col("h")).as("t"))
+      .as[Option[String]].collect().head
+    assert(nul.isEmpty)
+  }
 }
