@@ -2074,6 +2074,37 @@ object SparkEntry {
           length(col("extracted")).cast("long").as("n_ext"))
     }),
 
+    "q134_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ composed (the FAISS IVFPQ layout, flat-encoding
+      // variant): the q126 literal centroid table bounds the scan to
+      // nProbe=2 coarse cells per query, the q131 literal dyadic
+      // codebook supplies the ADC geometry inside them. Exercises the
+      // full production composition — zero-exchange NearestCentroids
+      // assignment on both sides, PqEncode codes joined against PqLut
+      // tables on the cell equi-join key, k-bounded rank — with both
+      // model tables replayable, so the oracle replays assignment,
+      // probing, encode, LUT, ADC ordered-sum and rank end to end.
+      // Only the two Lloyd's FITs stay un-replayable (q50/q131 rows
+      // cover those production paths).
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val cents = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val cb = s.range(32)
+        .select(expr("CAST(id div 8 AS INT)").as("subspace"),
+          expr("CAST(id % 8 AS INT)").as("code"))
+        .select(col("subspace"), col("code"),
+          expr("transform(sequence(0, 15), i -> CAST((subspace * 131 +" +
+            " code * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)").as("c_vec"))
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", cents, cb, k = 5, nProbe = 2)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+    }),
+
     "q120_save_load" -> ((s, dir) => {
       // Save/load round-trip as a contract row (EventDataset.save/load —
       // plain splittable parquet with params-as-data, vs the reference's
@@ -4620,6 +4651,69 @@ object SparkEntry {
         |       FROM x5)
         |SELECT doc_id, extracted, length(extracted) AS n_ext
         |FROM x6 ORDER BY doc_id""".stripMargin,
+
+    // IVF-PQ replay: q126's coarse assignment (cos DESC, centroid_id
+    // tie-break) restricts the candidate pairs, q131's argmin encode +
+    // per-subspace distance + ordered ADC sum scores them; rank is
+    // adc ASC, vec_id ASC inside each query's probed cells.
+    "q134_ivfpq_ann" ->
+      """WITH cents AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |assign AS (
+        |  SELECT e.vec_id, t.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(
+        |             CAST(e.embedding AS DOUBLE[]), t.c_vec) DESC,
+        |             t.centroid_id) AS pr
+        |  FROM embeddings e CROSS JOIN cents t),
+        |ca AS (SELECT vec_id, centroid_id FROM assign WHERE pr = 1),
+        |qa AS (SELECT vec_id, centroid_id FROM assign
+        |       WHERE vec_id < 5 AND pr <= 2),
+        |cb AS (
+        |  SELECT j // 8 AS s, j % 8 AS c,
+        |         list_transform(range(0, 16),
+        |           i -> CAST(((j // 8) * 131 + (j % 8) * 31 + i * 7)
+        |                     % 17 - 8 AS DOUBLE) / 8.0) AS cv
+        |  FROM range(0, 32) t(j)),
+        |codes AS (
+        |  SELECT e.vec_id, cb.s, cb.c,
+        |         row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |           ORDER BY list_sum(list_transform(range(0, 16), i ->
+        |             (CAST(e.embedding[CAST(cb.s * 16 + i + 1 AS INT)]
+        |                AS DOUBLE) - cv[CAST(i + 1 AS INT)]) *
+        |             (CAST(e.embedding[CAST(cb.s * 16 + i + 1 AS INT)]
+        |                AS DOUBLE) - cv[CAST(i + 1 AS INT)]))) ASC,
+        |             cb.c) AS rn
+        |  FROM embeddings e CROSS JOIN cb),
+        |cc AS (SELECT vec_id, s, c FROM codes WHERE rn = 1),
+        |pairs AS (
+        |  SELECT qa.vec_id AS q_vec_id, ca.vec_id
+        |  FROM qa JOIN ca USING (centroid_id)),
+        |q AS (SELECT vec_id AS q_vec_id, embedding
+        |      FROM embeddings WHERE vec_id < 5),
+        |sub AS (
+        |  SELECT p.q_vec_id, p.vec_id, cc.s,
+        |         list_sum(list_transform(range(0, 16), i ->
+        |           (CAST(q.embedding[CAST(cc.s * 16 + i + 1 AS INT)]
+        |              AS DOUBLE) - cb.cv[CAST(i + 1 AS INT)]) *
+        |           (CAST(q.embedding[CAST(cc.s * 16 + i + 1 AS INT)]
+        |              AS DOUBLE) - cb.cv[CAST(i + 1 AS INT)]))) AS d
+        |  FROM pairs p
+        |  JOIN q ON q.q_vec_id = p.q_vec_id
+        |  JOIN cc ON cc.vec_id = p.vec_id
+        |  JOIN cb ON cb.s = cc.s AND cb.c = cc.c),
+        |scored AS (
+        |  SELECT q_vec_id, vec_id, list_sum(list(d ORDER BY s)) AS adc
+        |  FROM sub GROUP BY 1, 2)
+        |SELECT q_vec_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY adc ASC, vec_id) AS INT) AS rank,
+        |  round(adc, 6) AS adc
+        |FROM scored QUALIFY rank <= 5 ORDER BY q_vec_id, rank"""
+        .stripMargin,
 
     // The round-trip target is q01's ingest projection: the reloaded
     // parquet must answer the ORIGINAL oracle.
