@@ -1375,6 +1375,33 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q135_boilerplate_lines" -> ((s, dir) => {
+      // Corpus document-frequency line filtering (the CCNet shard
+      // line-dedup / RefinedWeb line-wise-correction rule — stage 2 of
+      // every web pipeline, after HTML extraction and before document
+      // dedup): a line appearing in >= 3 DISTINCT documents is
+      // boilerplate and is removed from every doc INCLUDING its first
+      // occurrence — the contract difference from q93's
+      // first-occurrence dedup, which keeps one copy. The corpus is
+      // single-line, so q93's deterministic 3-token chunks stand in
+      // for lines; docs losing every line disappear (standard
+      // curation behavior).
+      val toks = filter(
+        split(trim(lower(col("text"))), "\\s+"), x => x =!= "")
+      val units = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tok"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0),
+              ceil(size(col("tok")) / lit(3.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("tok"), i * 3 + 1, lit(3)))))
+          .as(Seq("idx", "unit")))
+      Dedup.reassembleUnits(
+        Dedup.dropFrequentUnits(units, "doc_id", "unit", maxDocFreq = 3),
+        "doc_id", "idx", "unit")
+        .select(col("doc_id"), col("text"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -4094,6 +4121,29 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS text
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q93's unit CTE, then the frequency rule: units in >= 3 distinct
+    // docs vanish everywhere (no first-copy survivor), the rest keep
+    // all occurrences; reassembly in position order.
+    "q135_boilerplate_lines" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    array_to_string(
+        |      tok[CAST(i*3+1 AS INT):CAST(i*3+3 AS INT)], ' ') AS unit
+        |  FROM (SELECT doc_id,
+        |          list_filter(
+        |            string_split_regex(trim(lower(text)), '\s+'),
+        |            x -> x <> '') AS tok
+        |        FROM documents) t,
+        |  LATERAL unnest(range(0, CAST(ceil(len(tok)/3.0) AS BIGINT)))
+        |    AS r(i)),
+        |hot AS (
+        |  SELECT unit FROM (
+        |    SELECT unit, count(DISTINCT doc_id) AS df FROM u GROUP BY 1)
+        |  WHERE df >= 3)
+        |SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS text
+        |FROM u ANTI JOIN hot USING (unit)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Positions whose 50-char gram has an earlier corpus occurrence are
     // flagged; gaps-and-islands merges them into maximal spans; docs are

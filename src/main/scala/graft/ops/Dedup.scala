@@ -462,6 +462,32 @@ object Dedup {
           x => x.getField("u")),
         sep).as("text"))
 
+  /** Corpus document-frequency unit filter — the CCNet shard line-dedup
+    * / RefinedWeb "line-wise correction" rule: a unit (line, paragraph)
+    * whose normalized form appears in ≥ `maxDocFreq` DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, "Sign in") and is removed
+    * from EVERY document — including its first occurrence, which is the
+    * contract difference from [[dedupUnits]] (first-occurrence dedup
+    * keeps one copy; a frequency rule keeps none). Units under the
+    * threshold keep all their occurrences.
+    *
+    * Plan: doc-frequency is `(unit, doc) distinct → unit-keyed count` —
+    * both stages partial-aggregatable, so a corpus-wide banner collapses
+    * per map partition before either exchange (no hot-key sort). The
+    * over-threshold set is then CARDINALITY-BOUNDED BY CONSTRUCTION
+    * (≤ |corpus units| / maxDocFreq survivors), so the removal anti-join
+    * broadcasts at any corpus scale with a production-sized threshold;
+    * AQE picks that up from the runtime size. */
+  def dropFrequentUnits(units: DataFrame, docIdCol: String,
+      unitCol: String, maxDocFreq: Long): DataFrame = {
+    val hot = units.select(col(unitCol), col(docIdCol)).distinct()
+      .groupBy(col(unitCol)).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDocFreq)
+      .select(col(unitCol))
+    units.join(hot, Seq(unitCol), "left_anti")
+      .select(units.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Content-defined chunking (the rsync/LBFS/FastCDC rolling-hash
     * idiom, Muthitacharoen et al. SOSP'01): a cut fires after every
     * k-gram whose rolling hash ≡ 0 (mod divisor), so boundaries are

@@ -418,6 +418,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("dropFrequentUnits: >= maxDocFreq distinct docs kills ALL copies " +
+      "(no first-copy survivor); within-doc repeats count once; " +
+      "under-threshold repeats all survive") {
+    val banner = "accept all cookies"
+    val docs = Seq(
+      (1L, 0L, banner), (1L, 1L, "intro one"), (1L, 2L, "twice line"),
+      (2L, 0L, banner), (2L, 1L, "body two"), (2L, 2L, "twice line"),
+      (3L, 0L, banner), (3L, 1L, "only in three"),
+      // within-doc multiplicity must NOT inflate doc frequency:
+      (4L, 0L, "echoed"), (4L, 1L, "echoed"), (4L, 2L, "echoed"))
+      .toDF("doc_id", "idx", "unit")
+    val kept = Dedup.dropFrequentUnits(docs, "doc_id", "unit", 3)
+      .as[(Long, Long, String)].collect().toSet
+    // banner (df=3) gone everywhere, incl. doc 1's first copy
+    assert(!kept.exists(_._3 == banner))
+    // "twice line" (df=2) keeps BOTH occurrences
+    assert(kept.filter(_._3 == "twice line").map(_._1) == Set(1L, 2L))
+    // "echoed" appears in 1 doc (df=1) regardless of 3 copies
+    assert(kept.count(_._3 == "echoed") == 3)
+    assert(kept.exists(_._3 == "only in three"))
+    // layout independence
+    val kept2 = Dedup.dropFrequentUnits(
+      docs.repartition(7), "doc_id", "unit", 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(kept2 == kept)
+  }
+
   test("bm25: known-answer weights; reduces toward tf-idf shape") {
     // 3 docs, hand-computed: N=3, avg_dl=(2+2+4)/3
     val docs = Seq((1L, "cat dog"), (2L, "cat cat"), (3L, "fish a b c"))
