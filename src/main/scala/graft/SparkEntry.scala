@@ -1402,6 +1402,21 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q136_incremental_dedup" -> ((s, dir) => {
+      // Incremental snapshot dedup (the rolling CommonCrawl shape:
+      // today's crawl dedups against the accumulated 16-byte/doc
+      // fingerprint store of all prior snapshots, then within itself).
+      // Prior snapshot = doc_id % 3 == 0; new batch = the rest. The
+      // oracle replays both stages on the normalized text key — q23's
+      // fingerprint-injectivity discipline.
+      val docs = t(s, dir, "documents")
+      val prior = Dedup.fingerprintStore(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", prior)
+        .select(col("doc_id"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -4144,6 +4159,19 @@ object SparkEntry {
         |SELECT doc_id, string_agg(unit, ' ' ORDER BY idx) AS text
         |FROM u ANTI JOIN hot USING (unit)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Both stages on the normalized-text key: store anti-join, then
+    // intra-batch min-id per key.
+    "q136_incremental_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS key
+        |  FROM documents),
+        |prior AS (SELECT DISTINCT key FROM k WHERE doc_id % 3 = 0),
+        |batch AS (SELECT * FROM k WHERE doc_id % 3 <> 0)
+        |SELECT min(doc_id) AS doc_id
+        |FROM batch ANTI JOIN prior USING (key)
+        |GROUP BY key ORDER BY doc_id""".stripMargin,
 
     // Positions whose 50-char gram has an earlier corpus occurrence are
     // flagged; gaps-and-islands merges them into maximal spans; docs are

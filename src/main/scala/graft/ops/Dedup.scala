@@ -24,6 +24,40 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** The fingerprint STORE for incremental dedup: one (fp, docId) row
+    * per distinct normalized content, docId = first (minimum) holder —
+    * 16 bytes/doc, the only state a rolling-crawl pipeline persists
+    * between snapshots. Bucket it by fp ([[graft.ingest.Bucketing]]) and
+    * every later snapshot's anti-join reads it exchange-free. */
+  def fingerprintStore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+
+  /** Incremental (snapshot-over-snapshot) exact dedup — the rolling
+    * CommonCrawl shape: each new snapshot dedups against the accumulated
+    * fingerprint store of every prior snapshot (8-byte keys, never prior
+    * text), then first-occurrence dedups within itself. Survivors +
+    * `priorStore.unionByName(fingerprintStore(survivors))` is the next
+    * round's state.
+    *
+    * Plan: both wide stages key on fp — the store anti-join (store-side
+    * exchange disappears when the store is bucketed by fp) and the
+    * intra-batch min-id groupBy, which moves (fp, id) pairs only.
+    * [[graft.ops.Sketch.bloomDecontaminate]]'s counting-Bloom grid is
+    * the constant-state prefilter variant; this is the exact pass. */
+  def incrementalExact(newDocs: DataFrame, idCol: String,
+      textCol: String, priorStore: DataFrame,
+      fpCol: String = "fp"): DataFrame = {
+    val withFp = newDocs.withColumn("__fp",
+      TextOps.fingerprint(col(textCol)))
+    val fresh = withFp.join(
+      priorStore.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+    val keep = fresh.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    fresh.join(keep, Seq(idCol), "left_semi").drop("__fp")
+  }
+
   /** MinHash signature as an array column: k independent permutations
     * approximated by k seeded xxhash64 draws, min per shingle set. Pure
     * higher-order functions — one pass over the shingle array per hash.

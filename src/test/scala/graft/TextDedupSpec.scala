@@ -445,6 +445,32 @@ class TextDedupSpec extends SparkSpec {
     assert(kept2 == kept)
   }
 
+  test("incrementalExact: store blocks prior content (normalized), " +
+      "intra-batch keeps min id, store evolution covers the union") {
+    val prior = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val store = Dedup.fingerprintStore(prior, "doc_id", "text")
+    val batch = Seq(
+      (10L, "Seen   BEFORE"), // normalizes to prior content -> dropped
+      (11L, "brand new"),
+      (12L, "brand new"),     // intra-batch dup -> min id 11 survives
+      (13L, "also new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    // next round's state: prior store + survivors' fingerprints blocks
+    // everything seen so far
+    val survivors = batch.filter(col("doc_id").isin(11L, 13L))
+    val store2 = store.unionByName(
+      Dedup.fingerprintStore(survivors, "doc_id", "text"))
+    val round2 = Seq((20L, "brand  new"), (21L, "truly fresh"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.incrementalExact(round2, "doc_id", "text", store2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(21L))
+  }
+
   test("bm25: known-answer weights; reduces toward tf-idf shape") {
     // 3 docs, hand-computed: N=3, avg_dl=(2+2+4)/3
     val docs = Seq((1L, "cat dog"), (2L, "cat cat"), (3L, "fish a b c"))
