@@ -3,7 +3,7 @@ package graft
 import graft.core.Vocabulary
 import graft.functors.TimeOfDayFunctor
 import graft.ingest.{EventDataset, Splits}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps, Unigram}
 import graft.preprocess.{NumericKernel, Preprocessor, Viod}
 import graft.serve.{BatchBuilder, EmbeddingGather}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1415,6 +1415,37 @@ object SparkEntry {
       Dedup.incrementalExact(
           docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", prior)
         .select(col("doc_id"))
+    }),
+
+    "q137_unigram_viterbi" -> ((s, dir) => {
+      // Unigram-LM subword tokenizer (Kudo arXiv:1804.10959, the
+      // SentencePiece unigram model — the second tokenizer family next
+      // to BPE q100/q101): relational seed vocab (all ≤3-codepoint
+      // substrings of the distinct-word table, singles always kept,
+      // top-60 multis), exact-rational probs cnt/total, then native
+      // Viterbi segmentation. The DP runs MULTIPLICATIVE on purpose:
+      // IEEE multiply/compare replay bit-for-bit (the oracle's
+      // recursive-CTE DP matches the raw double scores exactly), where
+      // the ln form would hang the argmax on libm last-ulp diffs.
+      val wt = Unigram.words(t(s, dir, "documents"), "text")
+      val vocab = Unigram.withProbs(
+        Unigram.seedVocab(wt, maxPieceLen = 3, topM = 60))
+      Unigram.segmentWords(wt, vocab)
+        .select(col("w").as("word"), col("freq"),
+          concat_ws("|", col("pieces")).as("seg"),
+          size(col("pieces")).as("n_pieces"), col("score"))
+    }),
+
+    "q138_unigram_em" -> ((s, dir) => {
+      // One hard-EM step of the unigram fit: re-count pieces over each
+      // word's Viterbi-best segmentation, weighted by word frequency —
+      // the M-step counts are INTEGERS, which is exactly why the
+      // hard-EM variant (vs Baum-Welch soft counts) was chosen: the
+      // whole fit loop is engine-replayable.
+      val wt = Unigram.words(t(s, dir, "documents"), "text")
+      val vocab = Unigram.withProbs(
+        Unigram.seedVocab(wt, maxPieceLen = 3, topM = 60))
+      Unigram.hardEmStep(wt, vocab)
     }),
 
     "q97_substring_dedup" -> ((s, dir) => {
@@ -4172,6 +4203,134 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id
         |FROM batch ANTI JOIN prior USING (key)
         |GROUP BY key ORDER BY doc_id""".stripMargin,
+
+    // Unigram Viterbi replay: seed-vocab counts + rank, exact-rational
+    // probs, then the DP as a recursive CTE carrying (score, backptr)
+    // struct lists per word — candidate argmax via ORDER BY
+    // score DESC, j ASC LIMIT 1 (the expression's ascending-j strict-
+    // improvement rule); a second recursive CTE walks the backpointers.
+    // Scores compare RAW (no rounding): the multiplicative DP is
+    // bit-portable.
+    "q137_unigram_viterbi" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |subs AS (
+        |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         sum(freq) AS cnt
+        |  FROM words,
+        |    LATERAL unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i),
+        |    LATERAL unnest(range(1, 4)) AS r2(l)
+        |  WHERE i + l - 1 <= len(w)
+        |  GROUP BY 1),
+        |vocab0 AS (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        |    FROM subs WHERE len(piece) > 1) WHERE rk <= 60),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab0),
+        |vocab AS (SELECT piece, CAST(cnt AS DOUBLE) / tot.t AS p
+        |          FROM vocab0, tot),
+        |dp AS (
+        |  SELECT w, freq, 0 AS i,
+        |         [{'s': CAST(1.0 AS DOUBLE), 'j': CAST(-1 AS BIGINT)}]
+        |           AS st
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, freq, i + 1,
+        |    list_append(st, coalesce((
+        |      SELECT {'s': st[CAST(j + 1 AS INT)].s * v.p, 'j': j}
+        |      FROM unnest(range(greatest(0, i - 2), i + 1)) AS t(j)
+        |      JOIN vocab v
+        |        ON v.piece = substr(w, CAST(j + 1 AS INT),
+        |                            CAST(i + 1 - j AS INT))
+        |      WHERE st[CAST(j + 1 AS INT)].s IS NOT NULL
+        |      ORDER BY st[CAST(j + 1 AS INT)].s * v.p DESC, j LIMIT 1),
+        |      {'s': CAST(NULL AS DOUBLE), 'j': CAST(NULL AS BIGINT)}))
+        |  FROM dp WHERE i < len(w)),
+        |fin AS (SELECT w, freq, st FROM dp WHERE i = len(w)),
+        |bt AS (
+        |  SELECT w, freq, CAST(len(w) AS BIGINT) AS i,
+        |         []::VARCHAR[] AS segs, st
+        |  FROM fin WHERE st[CAST(len(w) + 1 AS INT)].s IS NOT NULL
+        |  UNION ALL
+        |  SELECT w, freq, st[CAST(i + 1 AS INT)].j AS i,
+        |    list_prepend(substr(w,
+        |      CAST(st[CAST(i + 1 AS INT)].j + 1 AS INT),
+        |      CAST(i - st[CAST(i + 1 AS INT)].j AS INT)), segs),
+        |    st
+        |  FROM bt WHERE i > 0)
+        |SELECT w AS word, freq, array_to_string(segs, '|') AS seg,
+        |  CAST(len(segs) AS INT) AS n_pieces,
+        |  st[CAST(len(w) + 1 AS INT)].s AS score
+        |FROM bt WHERE i = 0 ORDER BY word""".stripMargin,
+
+    // The same chain, then integer piece recounts over the Viterbi
+    // segmentations.
+    "q138_unigram_em" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |subs AS (
+        |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         sum(freq) AS cnt
+        |  FROM words,
+        |    LATERAL unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i),
+        |    LATERAL unnest(range(1, 4)) AS r2(l)
+        |  WHERE i + l - 1 <= len(w)
+        |  GROUP BY 1),
+        |vocab0 AS (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        |    FROM subs WHERE len(piece) > 1) WHERE rk <= 60),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab0),
+        |vocab AS (SELECT piece, CAST(cnt AS DOUBLE) / tot.t AS p
+        |          FROM vocab0, tot),
+        |dp AS (
+        |  SELECT w, freq, 0 AS i,
+        |         [{'s': CAST(1.0 AS DOUBLE), 'j': CAST(-1 AS BIGINT)}]
+        |           AS st
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, freq, i + 1,
+        |    list_append(st, coalesce((
+        |      SELECT {'s': st[CAST(j + 1 AS INT)].s * v.p, 'j': j}
+        |      FROM unnest(range(greatest(0, i - 2), i + 1)) AS t(j)
+        |      JOIN vocab v
+        |        ON v.piece = substr(w, CAST(j + 1 AS INT),
+        |                            CAST(i + 1 - j AS INT))
+        |      WHERE st[CAST(j + 1 AS INT)].s IS NOT NULL
+        |      ORDER BY st[CAST(j + 1 AS INT)].s * v.p DESC, j LIMIT 1),
+        |      {'s': CAST(NULL AS DOUBLE), 'j': CAST(NULL AS BIGINT)}))
+        |  FROM dp WHERE i < len(w)),
+        |fin AS (SELECT w, freq, st FROM dp WHERE i = len(w)),
+        |bt AS (
+        |  SELECT w, freq, CAST(len(w) AS BIGINT) AS i,
+        |         []::VARCHAR[] AS segs, st
+        |  FROM fin WHERE st[CAST(len(w) + 1 AS INT)].s IS NOT NULL
+        |  UNION ALL
+        |  SELECT w, freq, st[CAST(i + 1 AS INT)].j AS i,
+        |    list_prepend(substr(w,
+        |      CAST(st[CAST(i + 1 AS INT)].j + 1 AS INT),
+        |      CAST(i - st[CAST(i + 1 AS INT)].j AS INT)), segs),
+        |    st
+        |  FROM bt WHERE i > 0)
+        |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM (SELECT freq, unnest(segs) AS piece FROM bt WHERE i = 0)
+        |GROUP BY piece ORDER BY piece""".stripMargin,
 
     // Positions whose 50-char gram has an earlier corpus occurrence are
     // flagged; gaps-and-islands merges them into maximal spans; docs are

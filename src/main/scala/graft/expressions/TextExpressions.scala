@@ -653,6 +653,97 @@ case class WordNgramStatsExpr(child: Expression, n: Int)
       : WordNgramStatsExpr = copy(child = newChild)
 }
 
+/** Viterbi segmentation under a unigram piece LM (the SentencePiece
+  * decode DP, Kudo arXiv:1804.10959 §3.2) against a FIXED piece table
+  * embedded in the expression — model-sized by construction, the
+  * [[VectorExpressions]] NearestCentroids idiom, so segmentation is a
+  * pure narrow projection at any corpus scale.
+  *
+  * dp[i] = max over j of dp[j] · p(word[j..i)) for codepoint spans of
+  * length ≤ maxLen present in the table; j scans ASCENDING with strict
+  * improvement, so equal scores keep the SMALLEST j (longest final
+  * piece) — a total, engine-portable tie rule. The MULTIPLICATIVE
+  * domain is deliberate: probabilities arrive as exact binary64
+  * rationals (cnt/total) and IEEE multiply/compare replay bit-for-bit
+  * in any engine (q137's DuckDB oracle matches raw doubles), where the
+  * usual ln form would hang the argmax on libm last-ulp differences.
+  *
+  * Null for null/empty input and unsegmentable words (some codepoint
+  * covered by no piece). Returns struct(score, pieces). */
+case class UnigramViterbiExpr(child: Expression, pieces: Array[String],
+    probs: Array[Double])
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(pieces.nonEmpty && pieces.length == probs.length,
+    s"pieces/probs mismatch: ${pieces.length} vs ${probs.length}")
+
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.lang.Double](
+      pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), probs(i)); i += 1 }
+    m
+  }
+  @transient private lazy val maxLen =
+    pieces.iterator.map(p => p.codePointCount(0, p.length)).max
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("pieces",
+        ArrayType(StringType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    if (n == 0) return null
+    val dp = new Array[Double](n + 1)
+    val bk = new Array[Int](n + 1)
+    java.util.Arrays.fill(dp, -1.0)
+    dp(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var best = -1.0
+      var bj = -1
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (dp(j) >= 0.0) {
+          val p = table.get(new String(cps, j, i - j))
+          if (p != null) {
+            val cand = dp(j) * p.doubleValue()
+            if (cand > best) { best = cand; bj = j }
+          }
+        }
+        j += 1
+      }
+      dp(i) = best
+      bk(i) = bj
+      i += 1
+    }
+    if (dp(n) < 0.0) return null
+    var cnt = 0
+    var pos = n
+    while (pos > 0) { cnt += 1; pos = bk(pos) }
+    val segs = new Array[Any](cnt)
+    pos = n
+    var k = cnt - 1
+    while (pos > 0) {
+      val j = bk(pos)
+      segs(k) = UTF8String.fromString(new String(cps, j, pos - j))
+      k -= 1
+      pos = j
+    }
+    org.apache.spark.sql.catalyst.InternalRow(dp(n),
+      new GenericArrayData(segs))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramViterbiExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
@@ -713,4 +804,11 @@ object TextExpressions {
   /** struct(total, max_cnt, dup_cnt) of word n-gram occurrences. */
   def wordNgramStats(s: Column, n: Int): Column =
     Bridge.toColumn(WordNgramStatsExpr(Bridge.toExpression(s), n))
+
+  /** struct(score, pieces): Viterbi segmentation of a word under a
+    * unigram piece LM embedded in the expression. */
+  def unigramViterbi(word: Column, pieces: Array[String],
+      probs: Array[Double]): Column =
+    Bridge.toColumn(UnigramViterbiExpr(Bridge.toExpression(word),
+      pieces, probs))
 }
