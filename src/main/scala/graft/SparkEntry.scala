@@ -1448,6 +1448,24 @@ object SparkEntry {
       Unigram.hardEmStep(wt, vocab)
     }),
 
+    "q139_datacard" -> ((s, dir) => {
+      // Corpus data card (the Dolma/ROOTS data-statement reporting
+      // stage every released training set ships): per-(lang, source)
+      // and rollup-total doc counts, whitespace-token and char
+      // volumes, mean doc length. One narrow per-doc pass, one rollup
+      // agg — the 100 TB shape is a single partial-aggregatable
+      // grouping-sets exchange.
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nch"))
+      d.rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("n_tokens"), sum("nch").as("n_chars"),
+          (sum("nch").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_chars"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -4331,6 +4349,23 @@ object SparkEntry {
         |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM (SELECT freq, unnest(segs) AS piece FROM bt WHERE i = 0)
         |GROUP BY piece ORDER BY piece""".stripMargin,
+
+    // Rollup replay with q24's token-count twin; mean is one exact
+    // divide of exact integers.
+    "q139_datacard" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |         AS BIGINT) AS ntok,
+        |    CAST(length(text) AS BIGINT) AS nch
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  sum(ntok) AS n_tokens, sum(nch) AS n_chars,
+        |  CAST(sum(nch) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_chars
+        |FROM d GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     // Positions whose 50-char gram has an earlier corpus occurrence are
     // flagged; gaps-and-islands merges them into maximal spans; docs are

@@ -117,6 +117,16 @@ object Unigram {
     vocab
   }
 
+  /** Vocab persistence as DATA (piece, cnt, p) — the params-as-data
+    * discipline ([[Bpe.saveMerges]], `Sketch.saveGrid`): no pickles,
+    * splittable parquet, reload feeds [[segmentWords]]/[[tokenize]]
+    * unchanged. */
+  def saveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.write.mode("overwrite").parquet(path)
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = spark.read.parquet(path)
+
   /** Tokenize a corpus with a fitted vocab: distinct words segment
     * once (narrow), then join back to the positional token stream and
     * reassemble per-doc piece arrays in word order. One word-keyed

@@ -69,6 +69,22 @@ class UnigramSpec extends SparkSpec {
     assert(seg2.count() == 2)
   }
 
+  test("saveVocab/loadVocab round-trip: reloaded vocab tokenizes an " +
+      "unseen corpus identically (params-as-data, no pickles)") {
+    val docs = Seq((1L, "ab ab ba"), (2L, "ab cc")).toDF("doc_id", "text")
+    val vocab = Unigram.fit(docs, "text", 2, 20, iters = 1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-unigram").toString
+    Unigram.saveVocab(vocab, tmp)
+    val re = Unigram.loadVocab(spark, tmp)
+    val fresh = Seq((9L, "ba ab")).toDF("doc_id", "text")
+    val a = Unigram.tokenize(fresh, "doc_id", "text", vocab)
+      .as[(Long, Seq[String])].collect().toMap
+    val b = Unigram.tokenize(fresh, "doc_id", "text", re)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(a == b && a.contains(9L))
+  }
+
   test("fit + tokenize: end-to-end on a toy corpus; per-doc piece " +
       "arrays in word order; partition invariance") {
     val docs = Seq((1L, "ab ab ba"), (2L, "ab cc"), (3L, "ba cc cc"))
