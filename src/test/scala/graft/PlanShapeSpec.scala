@@ -43,7 +43,25 @@ class PlanShapeSpec extends SparkSpec {
     // jobs behind a localCheckpoint boundary; the FINAL job is one
     // doc-keyed join exchange (reassembly) — the part a regression
     // would silently widen.
-    "q97_substring_dedup" -> 1
+    "q97_substring_dedup" -> 1,
+    // IVF-PQ: assignment and encode are narrow on BOTH sides, the cell
+    // equi-join broadcasts the query side; the one exchange is the
+    // k-bounded rank reduction.
+    "q134_ivfpq_ann" -> 1,
+    // Boilerplate lines: (unit,doc) distinct + unit count (2, both
+    // partial-aggregatable) + the reassembly agg; the hot-set anti-join
+    // itself broadcasts.
+    "q135_boilerplate_lines" -> 3,
+    // Incremental dedup: store anti-join broadcasts at this sf; the two
+    // exchanges are the fp-keyed min-id agg and the id-keyed semi-join.
+    "q136_incremental_dedup" -> 2,
+    // Unigram Viterbi: ONE exchange (the distinct-word groupBy) — the
+    // segmentation itself is a pure narrow projection.
+    "q137_unigram_viterbi" -> 1,
+    // + the piece-keyed recount.
+    "q138_unigram_em" -> 2,
+    // Data card: one grouping-sets agg exchange.
+    "q139_datacard" -> 1
   )
 
   expected.foreach { case (name, want) =>
