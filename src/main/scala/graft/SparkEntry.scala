@@ -1466,6 +1466,25 @@ object SparkEntry {
             .as("mean_chars"))
     }),
 
+    "q140_kmeans_step" -> ((s, dir) => {
+      // Distributed k-means Lloyd step over the FULL embedding corpus
+      // (vs the bounded-sample driver fit behind q50/q126 — at 100 TB
+      // the cluster structure itself is sometimes the product, e.g.
+      // SemDeDup's cluster-then-dedup, and a 64k sample is biased).
+      // Assignment reuses q126's literal formula centroid table (zero-
+      // exchange narrow); the M-step accumulates on the INTEGER lattice
+      // floor(x·1e6 + 0.5) so the sums are order-invariant and the
+      // mean is one exact divide — bit-replayable (the q132 rule).
+      val emb = t(s, dir, "embeddings")
+      val cents = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      Similarity.kmeansStep(emb, "vec_id", "embedding", cents)
+        .select(col("centroid_id"), col("dim"), col("n"), col("qsum"),
+          col("mean"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -2883,6 +2902,33 @@ object SparkEntry {
         |             c.vec_id) AS INT) AS rank
         |FROM q JOIN c USING (centroid_id)
         |QUALIFY rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    // q140: q126's assignment replay (cos DESC, centroid_id tie-break)
+    // feeds an integer-lattice M-step — floor(x·1e6+0.5) sums are exact
+    // in any order, the mean is one exact divide of exact values.
+    "q140_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, t.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(
+        |             CAST(e.embedding AS DOUBLE[]), t.c_vec) DESC,
+        |             t.centroid_id) AS pr
+        |  FROM embeddings e CROSS JOIN cents t),
+        |a AS (SELECT vec_id, embedding, centroid_id
+        |      FROM assign WHERE pr = 1),
+        |q AS (
+        |  SELECT centroid_id, CAST(d AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+        |               * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM a, LATERAL unnest(range(0, 64)) AS r(d))
+        |SELECT centroid_id, dim, count(*) AS n, sum(qv) AS qsum,
+        |  CAST(sum(qv) AS DOUBLE) / (1000000.0 * count(*)) AS mean
+        |FROM q GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -143,6 +143,69 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType)))))
   }
 
+  /** One DISTRIBUTED Lloyd's step over the FULL corpus — the
+    * complement to [[fitIvfCentroids]]'s bounded-sample driver fit.
+    * At 100 TB a 64k sample under-represents tail domains; when the
+    * cluster structure itself is the product (SemDeDup-style
+    * cluster-then-dedup, corpus domain discovery) the E/M steps must
+    * see every row. Shape per step: assignment is the ZERO-exchange
+    * narrow [[ivfAssign]] projection (the centroid table rides into
+    * codegen as a model-sized object), and the M-step is ONE
+    * partial-aggregatable exchange on (centroid_id, dim) — map-side
+    * combine reduces each partition to ≤ k·dim rows before the wire.
+    *
+    * Replayability discipline (the q132 rule): double summation is
+    * order-sensitive, so each coordinate is quantized to the integer
+    * lattice floor(x·Q + 0.5) BEFORE summation. Integer sums are exact
+    * in any order (partial aggregation, AQE re-plans, DuckDB — all
+    * agree bit-for-bit) and the mean is ONE exact divide qsum/(Q·n).
+    * Assignment is cosine (spherical k-means — the embedding-space
+    * standard), which is scale-invariant, so the UNnormalized lattice
+    * mean is a valid next-round centroid as-is.
+    *
+    * Returns (centroid_id, dim, n, qsum, mean); empty cells simply
+    * produce no rows (standard Lloyd's — the cell count can shrink). */
+  def kmeansStep(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String = "centroid_id",
+      cVecCol: String = "c_vec", quantum: Double = 1e6): DataFrame = {
+    require(quantum > 0, s"quantum must be positive: $quantum")
+    val assigned = ivfAssign(vecs, idCol, vecCol, centroids, cIdCol,
+      cVecCol, nProbe = 1).drop("probe_rank")
+    assigned
+      .select(col(cIdCol), posexplode(expr(
+        s"transform(cast($vecCol as array<double>), " +
+          s"x -> cast(floor(x * ${quantum}d + 0.5d) as bigint))"))
+        .as(Seq("dim", "qv")))
+      .groupBy(col(cIdCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum("qv").as("qsum"))
+      .select(col(cIdCol), col("dim"), col("n"), col("qsum"),
+        (col("qsum").cast("double") /
+          (lit(quantum) * col("n").cast("double"))).as("mean"))
+  }
+
+  /** Full-corpus k-means: `iters` × ([[kmeansStep]] → rebuild the
+    * model-sized centroid table from the lattice means). Each
+    * iteration is one narrow pass + one (k·dim)-bounded exchange; the
+    * inter-iteration state is k·dim doubles — params-as-data, never a
+    * corpus-sized structure. Cells that go empty drop out (their rows
+    * vanish from the step output), matching textbook Lloyd's. */
+  def kmeansIterate(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids0: DataFrame, iters: Int, cIdCol: String = "centroid_id",
+      cVecCol: String = "c_vec", quantum: Double = 1e6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var cents = centroids0
+    var it = 0
+    while (it < iters) {
+      cents = kmeansStep(vecs, idCol, vecCol, cents, cIdCol, cVecCol,
+          quantum)
+        .groupBy(col(cIdCol))
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(dim, mean))), s -> s.mean)").as(cVecCol))
+      it += 1
+    }
+    cents
+  }
+
   /** ONE distributed job draws the deterministic quantizer-training
     * sample (xxhash64-ranked TakeOrdered — no RNG, stable across runs
     * and partitionings). Shared by the IVF and PQ fitters. */

@@ -406,4 +406,64 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._2).toSet.intersect(exact(q)).size >= 4, s"q=$q")
     }
   }
+
+  test("kmeansStep: matches driver-side reference, partition-invariant") {
+    // 2-d toy corpus with an obvious 2-cluster structure under cosine
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f)), (1L, Seq(1.0f, -0.1f)), (2L, Seq(0.9f, 0.0f)),
+      (3L, Seq(0.1f, 1.0f)), (4L, Seq(-0.1f, 1.0f)), (5L, Seq(0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "c_vec")
+    val got = Similarity.kmeansStep(vecs, "vec_id", "embedding", cents)
+      .select("centroid_id", "dim", "n", "qsum", "mean")
+      .as[(Long, Int, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // driver-side reference: cosine argmax assignment, lattice sums
+    val data = Map(0L -> Seq(1.0f, 0.1f), 1L -> Seq(1.0f, -0.1f),
+      2L -> Seq(0.9f, 0.0f), 3L -> Seq(0.1f, 1.0f), 4L -> Seq(-0.1f, 1.0f),
+      5L -> Seq(0.0f, 0.8f))
+    val cvs = Map(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val assign = data.view.mapValues { v =>
+      cvs.toSeq.sortBy { case (cid, cv) =>
+        (-cos(v.map(_.toDouble), cv), cid) }.head._1
+    }.toMap
+    val want = (for {
+      cid <- Seq(0L, 1L); dim <- 0 until 2
+      members = data.filter { case (id, _) => assign(id) == cid }
+      if members.nonEmpty
+      qs = members.values.map(v =>
+        math.floor(v(dim).toDouble * 1e6 + 0.5).toLong)
+    } yield (cid, dim, members.size.toLong, qs.sum,
+      qs.sum.toDouble / (1e6 * members.size))).sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // partition invariance: lattice sums are order-exact
+    val re = Similarity.kmeansStep(vecs.repartition(7), "vec_id",
+        "embedding", cents)
+      .select("centroid_id", "dim", "n", "qsum", "mean")
+      .as[(Long, Int, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(re.toSeq == want)
+  }
+
+  test("kmeansIterate: centroids move to cluster means and converge") {
+    val vecs = Seq(
+      (0L, Seq(2.0f, 0.0f)), (1L, Seq(4.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val cents0 = Seq((0L, Seq(1.0, 0.01)), (1L, Seq(0.01, 1.0)))
+      .toDF("centroid_id", "c_vec")
+    val out = Similarity.kmeansIterate(vecs, "vec_id", "embedding",
+        cents0, iters = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    // cell 0 = {(2,0),(4,0)} → lattice mean (3.0, 0.0); cell 1 =
+    // {(0,1),(0,3)} → (0.0, 2.0); a second iteration re-assigns
+    // identically (cosine ignores scale), so the fixpoint holds
+    assert(out(0L) == Seq(3.0, 0.0))
+    assert(out(1L) == Seq(0.0, 2.0))
+  }
 }
