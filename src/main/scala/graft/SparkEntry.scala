@@ -3,7 +3,7 @@ package graft
 import graft.core.Vocabulary
 import graft.functors.TimeOfDayFunctor
 import graft.ingest.{EventDataset, Splits}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps, Unigram}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps, Unigram, WordPiece}
 import graft.preprocess.{NumericKernel, Preprocessor, Viod}
 import graft.serve.{BatchBuilder, EmbeddingGather}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1485,6 +1485,22 @@ object SparkEntry {
           col("mean"))
     }),
 
+    "q141_wordpiece" -> ((s, dir) => {
+      // WordPiece greedy segmentation (Wu et al. 1609.08144, the BERT
+      // tokenizer — the THIRD tokenizer family next to BPE q100/q101
+      // and unigram q137/q138): positional (piece, is_continuation)
+      // vocabulary from one relational substring count, all single
+      // codepoints kept (coverage), top-120 multis by a total order,
+      // then the native greedy longest-match walk. No floats anywhere
+      // — the oracle replays the walk verbatim as a recursive CTE.
+      val wt = Unigram.words(t(s, dir, "documents"), "text")
+      val v = WordPiece.vocab(wt, maxPieceLen = 4, topM = 120)
+      WordPiece.segmentWords(wt, v)
+        .select(col("w").as("word"), col("freq"),
+          concat_ws("|", col("pieces")).as("seg"),
+          size(col("pieces")).as("n_pieces"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -2929,6 +2945,63 @@ object SparkEntry {
         |SELECT centroid_id, dim, count(*) AS n, sum(qv) AS qsum,
         |  CAST(sum(qv) AS DOUBLE) / (1000000.0 * count(*)) AS mean
         |FROM q GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
+
+    // q141: the greedy longest-match walk replayed as a recursive CTE —
+    // the positional vocab (singles always kept, top-120 multis under
+    // the total order cnt DESC, piece, cont), the start/continuation
+    // split, the `##` prefix, and the [UNK] collapse are all string
+    // algebra, no floats.
+    "q141_wordpiece" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |subs AS (
+        |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         i > 1 AS cont, sum(freq) AS cnt
+        |  FROM words,
+        |    LATERAL unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i),
+        |    LATERAL unnest(range(1, 5)) AS r2(l)
+        |  WHERE i + l - 1 <= len(w)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT piece, cont FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cont FROM (
+        |    SELECT piece, cont,
+        |      row_number() OVER (ORDER BY cnt DESC, piece, cont) AS rk
+        |    FROM subs WHERE len(piece) > 1) WHERE rk <= 120),
+        |walk AS (
+        |  SELECT w, freq, CAST(0 AS BIGINT) AS pos,
+        |         []::VARCHAR[] AS segs, false AS stuck
+        |  FROM words
+        |  UNION ALL
+        |  SELECT walk.w, walk.freq,
+        |    walk.pos + coalesce(nxt.l, 0),
+        |    CASE WHEN nxt.piece IS NULL THEN walk.segs
+        |         ELSE list_append(walk.segs,
+        |           CASE WHEN walk.pos > 0 THEN '##' || nxt.piece
+        |                ELSE nxt.piece END) END,
+        |    nxt.piece IS NULL AS stuck
+        |  FROM walk LEFT JOIN LATERAL (
+        |    SELECT v.piece, CAST(len(v.piece) AS BIGINT) AS l
+        |    FROM vocab v
+        |    WHERE v.cont = (walk.pos > 0)
+        |      AND v.piece = substr(walk.w, CAST(walk.pos + 1 AS INT),
+        |                           CAST(len(v.piece) AS INT))
+        |    ORDER BY l DESC LIMIT 1) AS nxt ON true
+        |  WHERE NOT walk.stuck AND walk.pos < len(walk.w))
+        |SELECT w AS word, freq,
+        |  array_to_string(segs, '|') AS seg,
+        |  CAST(len(segs) AS INT) AS n_pieces
+        |FROM walk WHERE pos = len(w) AND NOT stuck
+        |UNION ALL
+        |SELECT w AS word, freq, '[UNK]' AS seg, 1 AS n_pieces
+        |FROM walk WHERE stuck
+        |ORDER BY word""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

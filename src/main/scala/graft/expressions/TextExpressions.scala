@@ -670,6 +670,75 @@ case class WordNgramStatsExpr(child: Expression, n: Int)
   *
   * Null for null/empty input and unsegmentable words (some codepoint
   * covered by no piece). Returns struct(score, pieces). */
+/** WordPiece greedy longest-match-first segmentation (Wu et al. 2016,
+  * the BERT tokenizer apply rule; reference framing: the third
+  * tokenizer family next to BPE `ops/Bpe.scala` and unigram-LM
+  * [[UnigramViterbiExpr]]). Two model-sized vocabularies ride into the
+  * expression — word-START pieces and CONTINUATION pieces (the `##`
+  * forms) — so segmentation is a pure narrow projection, zero
+  * exchanges at any corpus scale. Greedy walk: at each position take
+  * the LONGEST vocab piece matching (position 0 consults the start
+  * set, later positions the continuation set); continuations are
+  * emitted with the `##` prefix; if no piece matches at some position
+  * the whole word collapses to `["[UNK]"]` (the HuggingFace WordPiece
+  * contract). Codepoint-indexed throughout, like the Viterbi DP. No
+  * floats anywhere — the walk replays in portable SQL verbatim. */
+case class WordPieceExpr(child: Expression, startPieces: Array[String],
+    contPieces: Array[String])
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(startPieces.nonEmpty, "empty word-start vocabulary")
+
+  @transient private lazy val startSet = {
+    val s = new java.util.HashSet[String](startPieces.length * 2)
+    startPieces.foreach(s.add)
+    s
+  }
+  @transient private lazy val contSet = {
+    val s = new java.util.HashSet[String](contPieces.length * 2)
+    contPieces.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxLen =
+    (startPieces.iterator ++ contPieces.iterator)
+      .map(p => p.codePointCount(0, p.length)).max
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val UNK = UTF8String.fromString("[UNK]")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    if (n == 0) return null
+    val out = new java.util.ArrayList[Any](4)
+    var pos = 0
+    while (pos < n) {
+      val set = if (pos == 0) startSet else contSet
+      var l = math.min(maxLen, n - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val s = new String(cps, pos, l)
+        if (set.contains(s)) hit = s else l -= 1
+      }
+      if (hit == null)
+        return new GenericArrayData(Array[Any](UNK))
+      out.add(UTF8String.fromString(
+        if (pos == 0) hit else "##" + hit))
+      pos += l
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordPieceExpr = copy(child = newChild)
+
+  override def prettyName: String = "word_piece"
+}
+
 case class UnigramViterbiExpr(child: Expression, pieces: Array[String],
     probs: Array[Double])
     extends UnaryExpression with CodegenFallback with Serializable {
@@ -811,4 +880,13 @@ object TextExpressions {
       probs: Array[Double]): Column =
     Bridge.toColumn(UnigramViterbiExpr(Bridge.toExpression(word),
       pieces, probs))
+
+  /** ARRAY<STRING>: WordPiece greedy longest-match-first segmentation
+    * of a word under (word-start, continuation) piece vocabularies
+    * embedded in the expression; continuations carry the `##` prefix,
+    * unsegmentable words collapse to `[UNK]`. */
+  def wordPiece(word: Column, startPieces: Array[String],
+      contPieces: Array[String]): Column =
+    Bridge.toColumn(WordPieceExpr(Bridge.toExpression(word),
+      startPieces, contPieces))
 }
