@@ -1501,6 +1501,29 @@ object SparkEntry {
           size(col("pieces")).as("n_pieces"))
     }),
 
+    "q142_image_phash_dedup" -> ((s, dir) => {
+      // Perceptual image near-dup (dHash — the pHash-family signature
+      // that survives resize/re-encode, where the byte fingerprint
+      // q23 sees three unrelated files): three renditions per base
+      // image — original PNG, 12×10 nearest-neighbor resize, a
+      // decode→re-encode copy — hashed onto the 9×8 difference grid
+      // (REAL codec decode in every path), then band-blocked Hamming
+      // ≤ 7 pairs: the copies match at distance 0 and the gentlest
+      // resizes at 4..7. The banding is result-preserving at
+      // maxDist ≤ 7 (pigeonhole over 8 8-bit chunks), so the oracle
+      // replays formula pixels → grid → bits → ALL-pairs Hamming.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 40)
+      val orig = Multimodal.synthesizeImages(ids, "doc_id")
+      val resized = Multimodal.resizeNearest(orig, 12, 10)
+        .withColumn("media_id", col("media_id") + 1000)
+      val copies = Multimodal.recodePng(orig)
+        .withColumn("media_id", col("media_id") + 2000)
+      val corpus = orig.unionByName(resized).unionByName(copies)
+      Multimodal.perceptualDupPairs(Multimodal.dHash(corpus),
+        maxDist = 7)
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3002,6 +3025,56 @@ object SparkEntry {
         |SELECT w AS word, freq, '[UNK]' AS seg, 1 AS n_pieces
         |FROM walk WHERE stuck
         |ORDER BY word""".stripMargin,
+
+    // q142: the dHash grid replays from the pixel formulas — original
+    // cells sample (c·w÷9, r·h÷8); the resized rendition composes the
+    // 12×10 resample indices first (the q76 composed-index argument);
+    // the re-encode copy is bit-identical to the original. The final
+    // all-pairs Hamming equals the banded join's output at maxDist ≤ 7.
+    "q142_image_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id < 40),
+        |imgs AS (
+        |  SELECT id, id AS mid, 0 AS v FROM ids
+        |  UNION ALL SELECT id, id + 1000, 1 FROM ids
+        |  UNION ALL SELECT id, id + 2000, 2 FROM ids),
+        |cells AS (
+        |  SELECT mid, id, r, c,
+        |    CASE WHEN v = 1
+        |      THEN (((c * 12) // 9) * (16 + id % 13)) // 12
+        |      ELSE (c * (16 + id % 13)) // 9 END AS x,
+        |    CASE WHEN v = 1
+        |      THEN (((r * 10) // 8) * (12 + id % 7)) // 10
+        |      ELSE (r * (12 + id % 7)) // 8 END AS y
+        |  FROM imgs, range(0, 8) rr(r), range(0, 9) cc(c)),
+        |grays AS (
+        |  SELECT mid, r, c,
+        |    (((id * 31 + x * 7 + y * 13) % 256)
+        |     + ((id * 17 + x * 5 + y * 3) % 256)
+        |     + ((id * 13 + x * 11 + y * 19) % 256)) // 3 AS g
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.mid, a.r * 8 + a.c AS j
+        |  FROM grays a JOIN grays b
+        |    ON a.mid = b.mid AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8 AND a.g < b.g),
+        |hashes AS (
+        |  SELECT i.mid,
+        |    CAST(coalesce(sum(CASE WHEN b.j >= 32
+        |      THEN CAST(1 AS BIGINT) << CAST(b.j - 32 AS INT) END), 0)
+        |      AS BIGINT) AS h_hi,
+        |    CAST(coalesce(sum(CASE WHEN b.j < 32
+        |      THEN CAST(1 AS BIGINT) << CAST(b.j AS INT) END), 0)
+        |      AS BIGINT) AS h_lo
+        |  FROM imgs i LEFT JOIN bits b ON b.mid = i.mid
+        |  GROUP BY 1)
+        |SELECT a.mid AS id_a, b.mid AS id_b,
+        |  CAST(bit_count(xor(a.h_hi, b.h_hi))
+        |       + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS dist
+        |FROM hashes a JOIN hashes b ON a.mid < b.mid
+        |WHERE bit_count(xor(a.h_hi, b.h_hi))
+        |      + bit_count(xor(a.h_lo, b.h_lo)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -326,6 +326,135 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Decode → re-encode round trip (PNG is lossless, so the raster is
+    * bit-preserved — spec-pinned). The storage-canonicalization stage:
+    * re-encoding normalizes container-level variance (ancillary chunks,
+    * compression level) so byte-level dedup downstream keys on pixels,
+    * not encoder settings. */
+  def recodePng(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src =
+            if (r.isNullAt(1)) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (src == null)
+            Row(id, null,
+              Row("image/png", 0, 0, null.asInstanceOf[java.lang.Long]))
+          else {
+            val (w, h) = (src.getWidth, src.getHeight)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            putRgb(out, grabRgb(src, null))
+            Row(id, encodePng(out),
+              Row("image/png", w, h, null.asInstanceOf[java.lang.Long]))
+          }
+        }
+      }(enc)
+  }
+
+  final case class DHashRow(media_id: Long, h_hi: Long, h_lo: Long)
+
+  /** Perceptual difference-hash (dHash — the image near-dup signature
+    * robust to resize/re-encode, where byte fingerprints see three
+    * different files): decode, nearest-neighbor sample onto a
+    * `gw`×`gh` grid (src index = grid·srcDim DIV gridDim — the
+    * [[resizeNearest]] integer-math convention, engine-replayable),
+    * integer gray (r+g+b)/3, then bit j = r·(gw−1)+c set iff
+    * g(r,c) < g(r,c+1). The default 9×8 grid yields 64 bits, carried
+    * as two non-negative 32-bit halves (h_hi = bits 32..63) so every
+    * engine's signed BIGINT arithmetic replays them without overflow.
+    * Undecodable/null payloads drop (they have no raster to hash). */
+  def dHash(media: DataFrame, gw: Int = 9, gh: Int = 8): DataFrame = {
+    require(gw >= 2 && gh >= 1 && (gw - 1) * gh <= 64,
+      s"grid ${gw}x$gh must fit 64 bits")
+    implicit val enc = Encoders.product[DHashRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        var buf: Array[Int] = null
+        val g = new Array[Int](gw * gh)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val img =
+            if (r.isNullAt(1)) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            buf = grabRgb(img, buf)
+            var rr = 0
+            while (rr < gh) {
+              val y = rr * h / gh
+              var cc = 0
+              while (cc < gw) {
+                val x = cc * w / gw
+                val p = buf(y * w + x)
+                g(rr * gw + cc) =
+                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                cc += 1
+              }
+              rr += 1
+            }
+            var hi = 0L
+            var lo = 0L
+            var j = 0
+            rr = 0
+            while (rr < gh) {
+              var cc = 0
+              while (cc < gw - 1) {
+                if (g(rr * gw + cc) < g(rr * gw + cc + 1)) {
+                  if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+                }
+                j += 1
+                cc += 1
+              }
+              rr += 1
+            }
+            Iterator.single(DHashRow(id, hi, lo))
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Image near-dup pairs from [[dHash]] signatures: Hamming distance
+    * ≤ `maxDist` via 8-bit band blocking — each 64-bit hash splits
+    * into 8 chunks and candidates share at least one chunk exactly.
+    * Pigeonhole-EXACT for maxDist ≤ 7 (7 differing bits can corrupt at
+    * most 7 of the 8 bands), the [[Dedup.simhashPairs]] discipline;
+    * above 7 it is a recall-bounded prefilter. The equi-join on
+    * (band, chunk) is the only exchange — never an all-pairs product —
+    * and the verify is two `bit_count` xors. */
+  def perceptualDupPairs(hashes: DataFrame, maxDist: Int = 7)
+      : DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    // band index is POSITIONAL (posexplode) — two equal chunk values in
+    // DIFFERENT bands must not collide
+    val bytesOf = (w: Column) => (0 until 4).map(k =>
+      shiftright(w, 8 * k).bitwiseAND(lit(0xffL)))
+    val posed = hashes.select(col("media_id"), col("h_hi"), col("h_lo"),
+      posexplode(array(bytesOf(col("h_lo")) ++ bytesOf(col("h_hi")): _*))
+        .as(Seq("band", "chunk")))
+    val a = posed.select(col("media_id").as("id_a"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"),
+      col("band"), col("chunk"))
+    val b = posed.select(col("media_id").as("id_b"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+          .cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   // ── REAL multi-frame kernels (JDK ImageIO — animated GIF) ───────────

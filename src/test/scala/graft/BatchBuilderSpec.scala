@@ -295,6 +295,54 @@ class BatchBuilderSpec extends SparkSpec {
     }
   }
 
+  test("multimodal dHash: formula reference, recode invariance, banded " +
+    "pairs = brute-force Hamming") {
+    val ids = spark.range(0, 12).toDF("doc_id")
+    val imgs = Multimodal.synthesizeImages(ids, "doc_id")
+    val got = Multimodal.dHash(imgs)
+      .as[Multimodal.DHashRow].collect().map(r => r.media_id -> r).toMap
+    // driver-side reference straight from the pixel formulas
+    def gray(id: Long, x: Int, y: Int): Int =
+      (Multimodal.pxR(id, x, y) + Multimodal.pxG(id, x, y) +
+        Multimodal.pxB(id, x, y)) / 3
+    def refHash(id: Long): (Long, Long) = {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      var hi = 0L; var lo = 0L; var j = 0
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val y = r * h / 8
+        if (gray(id, c * w / 9, y) < gray(id, (c + 1) * w / 9, y)) {
+          if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+        }
+        j += 1
+      }
+      (hi, lo)
+    }
+    (0L until 12L).foreach { id =>
+      assert((got(id).h_hi, got(id).h_lo) == refHash(id), s"id=$id")
+    }
+    // decode→re-encode is raster-preserving → identical signature
+    val re = Multimodal.dHash(Multimodal.recodePng(imgs))
+      .as[Multimodal.DHashRow].collect().map(r => r.media_id -> r).toMap
+    assert((0L until 12L).forall(id =>
+      (re(id).h_hi, re(id).h_lo) == (got(id).h_hi, got(id).h_lo)))
+    // banded pairs == brute-force all-pairs Hamming for maxDist <= 7
+    val corpus = imgs.unionByName(
+      Multimodal.resizeNearest(imgs, 12, 10)
+        .withColumn("media_id", col("media_id") + 100))
+    val hashes = Multimodal.dHash(corpus)
+    val banded = Multimodal.perceptualDupPairs(hashes, maxDist = 7)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val all = hashes.as[Multimodal.DHashRow].collect()
+    val brute = (for {
+      a <- all; b <- all if a.media_id < b.media_id
+      d = java.lang.Long.bitCount(a.h_hi ^ b.h_hi) +
+        java.lang.Long.bitCount(a.h_lo ^ b.h_lo)
+      if d <= 7
+    } yield (a.media_id, b.media_id, d)).toSet
+    assert(banded == brute)
+  }
+
   test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
     "string codes (reference :61-81)") {
     import graft.serve.TaskLabels
