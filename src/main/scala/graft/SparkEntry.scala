@@ -1524,6 +1524,31 @@ object SparkEntry {
         maxDist = 7)
     }),
 
+    "q143_domain_cap" -> ((s, dir) => {
+      // Per-domain document quota (the C4/Gopher per-host cap — no
+      // single domain may dominate the corpus): q125's synthesized
+      // URLs → canonical host → registered domain, then keep ≤ 5 docs
+      // per domain under the deterministic md5 order. The cap runs as
+      // the map-side-combinable top-k aggregate, NOT a per-key sort
+      // window — each partition reduces a domain to ≤ 5 candidates
+      // before the wire, so the crawl's head-domain skew never
+      // concentrates on one reducer.
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+            .when(col("doc_id") % 3 === 1, lit("http://"))
+            .otherwise(lit("https://")),
+          lit("w"), (col("doc_id") % 40).cast("string"), lit("."),
+          col("source"),
+          when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")),
+          lit("/a/"), (col("doc_id") % 300).cast("string")).as("url"))
+      val d = urls.select(col("doc_id"),
+        graft.ops.UrlOps.registeredDomain(graft.ops.UrlOps.hostOf(
+          graft.ops.UrlOps.canonicalizeUrl(col("url")))).as("domain"))
+      graft.ops.Sampling.capPerKey(d, "domain", "doc_id", n = 5,
+        seed = 11)
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3075,6 +3100,44 @@ object SparkEntry {
         |WHERE bit_count(xor(a.h_hi, b.h_hi))
         |      + bit_count(xor(a.h_lo, b.h_lo)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q143: the q125 canonicalization chain (minus query/fragment
+    // variants — bare paths here), the 2-label domain, then the q124
+    // digit-walk replay of the 48-bit md5 prefix as the per-domain
+    // keep order. The top-k aggregate equals the window form under the
+    // total order (v ASC, doc_id ASC) — spec-pinned.
+    "q143_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+        |          WHEN doc_id % 3 = 1 THEN 'http://'
+        |          ELSE 'https://' END)
+        |    || 'w' || (doc_id % 40) || '.' || source
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+        |    || '/a/' || (doc_id % 300) AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(lower(url), '#.*$', ''),
+        |        '\?.*$', ''),
+        |        '^[a-z][a-z0-9+.-]*://', ''),
+        |        '^www\.', ''),
+        |      '/.*$', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u),
+        |k AS (
+        |  SELECT domain, doc_id,
+        |    list_sum(list_transform(range(0, 12), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR) || ':11'),
+        |                CAST(i + 1 AS INT), 1)) - 1)
+        |      * power(16.0, CAST(11 - i AS DOUBLE)))) AS v
+        |  FROM d)
+        |SELECT domain, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY v, doc_id) AS INT) AS rank
+        |FROM k QUALIFY rank <= 5 ORDER BY domain, doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

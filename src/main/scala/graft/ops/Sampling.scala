@@ -139,6 +139,37 @@ object Sampling {
     * top-k — no global sort materialization, no single-partition
     * window. Rows with non-positive or null weight are excluded (a
     * zero-weight row can never be sampled). */
+  /** Per-key document quota (the C4/Gopher per-host cap: no single
+    * domain may contribute more than `n` documents): keep each key's
+    * first `n` rows under the deterministic md5 order — a pure function
+    * of (id, seed), so the kept set survives re-runs, repartitioning,
+    * and engine changes.
+    *
+    * Shape: the per-key window form (`row_number() OVER (PARTITION BY
+    * key ORDER BY hash)`) shuffles AND SORTS every row of every key;
+    * this uses the map-side-combinable
+    * [[graft.expressions.TopKByScoreAgg]] instead, so each partition
+    * reduces a key to ≤ n candidates before the wire — the exchange
+    * carries ≤ partitions·keys·n rows however hot the hottest domain
+    * is (the crawl's head domains are exactly the skew case).
+    *
+    * Score is the NEGATED 48-bit md5 prefix (exact in a double), so
+    * (score DESC, id ASC) = (md5 ASC, id ASC) — replayable verbatim.
+    * Returns (keyCol, idCol, rank) with rank 1..n in kept order. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val v = conv(substring(md5Rank(col(idCol), seed), 1, 12), 16, 10)
+      .cast("double")
+    df.select(col(keyCol), col(idCol))
+      .groupBy(col(keyCol))
+      .agg(graft.expressions.AggregateFunctions
+        .topKByScore(-v, col(idCol).cast("long"), n).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__r", "__p")))
+      .select(col(keyCol), col("__p.id").as(idCol),
+        (col("__r") + 1).cast("int").as("rank"))
+  }
+
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long): DataFrame = {
     require(k > 0, s"k must be positive: $k")

@@ -101,4 +101,32 @@ class SamplingSpec extends SparkSpec {
     assert(c != a) // different permutation
     assert(c.values.toSeq.sorted == (0L until 500L))
   }
+
+  test("capPerKey: equals the window form, partition-invariant, " +
+      "under-full keys kept whole") {
+    val rows = (1L to 300L).map { i =>
+      (if (i <= 280) "hot" else if (i <= 295) "warm" else "cold", i)
+    }.toDF("dom", "id")
+    val got = Sampling.capPerKey(rows, "dom", "id", n = 5, seed = 3)
+      .select("dom", "id", "rank").as[(String, Long, Int)]
+      .collect().toSet
+    // window-form reference over the same md5 order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dom").orderBy(
+        conv(substring(Sampling.md5Rank(col("id"), 3L), 1, 12), 16, 10)
+          .cast("double").asc, col("id").asc)
+    val want = rows.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("dom", "id", "rank").as[(String, Long, Int)]
+      .collect().toSet
+    assert(got == want)
+    // every key capped at 5; the 5-row key survives in full
+    val byDom = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDom == Map("hot" -> 5, "warm" -> 5, "cold" -> 5))
+    // partition invariance (merge-order cannot change a total-order top-k)
+    val re = Sampling.capPerKey(rows.repartition(17), "dom", "id", 5, 3)
+      .select("dom", "id", "rank").as[(String, Long, Int)]
+      .collect().toSet
+    assert(re == got)
+  }
 }
