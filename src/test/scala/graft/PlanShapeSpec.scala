@@ -61,7 +61,23 @@ class PlanShapeSpec extends SparkSpec {
     // + the piece-keyed recount.
     "q138_unigram_em" -> 2,
     // Data card: one grouping-sets agg exchange.
-    "q139_datacard" -> 1
+    "q139_datacard" -> 1,
+    // k-means step: assignment is the narrow NearestCentroids
+    // projection; the ONE exchange is the partial-aggregatable
+    // (centroid_id, dim) lattice-sum reduction (≤ k·dim wire rows per
+    // partition).
+    "q140_kmeans_step" -> 1,
+    // WordPiece: ONE exchange (the distinct-word groupBy) — greedy
+    // segmentation itself is a pure narrow projection, the q137 shape.
+    "q141_wordpiece" -> 1,
+    // dHash near-dup: signatures are narrow per-image codec work; the
+    // band candidate join broadcasts one side at this sf, leaving the
+    // pair-distinct agg as the ONE exchange.
+    "q142_image_phash_dedup" -> 1,
+    // Per-domain cap: the ONE exchange is the domain-keyed top-k
+    // aggregate (map-side combined to ≤ n rows per domain per
+    // partition — never a per-key sort window).
+    "q143_domain_cap" -> 1
   )
 
   expected.foreach { case (name, want) =>
