@@ -1549,6 +1549,29 @@ object SparkEntry {
         seed = 11)
     }),
 
+    "q144_audio_fp_dedup" -> ((s, dir) => {
+      // Perceptual audio near-dup (energy-derivative fingerprint, the
+      // Haitsma–Kalker family reduced to its replayable core): three
+      // renditions per base clip — original chirp WAV (quadratic
+      // phase: the plain q86 ramp collapses every energy profile to
+      // the same V shape and the fingerprint loses discrimination), a
+      // hard-limited copy (dynamics compression), a 3-sample trim
+      // (shorter intro) — all through the REAL codec round trip,
+      // fingerprinted on 33 abs-energy frames, then band-blocked
+      // Hamming ≤ 3 pairs (pigeonhole-exact, the q142 discipline).
+      // Byte dedup q23 sees three unrelated files.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 40)
+      val orig = Multimodal.synthesizeChirps(ids, "doc_id")
+      val limited = Multimodal.limitAudio(orig, 1024)
+        .withColumn("media_id", col("media_id") + 1000)
+      val trimmed = Multimodal.trimAudio(orig, 3)
+        .withColumn("media_id", col("media_id") + 2000)
+      val corpus = orig.unionByName(limited).unionByName(trimmed)
+      Multimodal.fingerprintPairs(Multimodal.audioFingerprint(corpus),
+        maxDist = 3)
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3138,6 +3161,48 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY domain
         |    ORDER BY v, doc_id) AS INT) AS rank
         |FROM k QUALIFY rank <= 5 ORDER BY domain, doc_id""".stripMargin,
+
+    // q144: the PCM formula replays each rendition — the limiter is a
+    // clamp, the trim is an index offset over a shorter stream — then
+    // frame energies (exact integer sums over f·m÷33 boundaries), the
+    // 32 derivative bits, and all-pairs Hamming ≡ the banded join at
+    // maxDist ≤ 7.
+    "q144_audio_fp_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id < 40),
+        |auds AS (
+        |  SELECT id, id AS mid, 0 AS v, 256 + id % 64 AS m FROM ids
+        |  UNION ALL SELECT id, id + 1000, 1, 256 + id % 64 FROM ids
+        |  UNION ALL SELECT id, id + 2000, 2, 256 + id % 64 - 3 FROM ids),
+        |samples AS (
+        |  SELECT mid, f,
+        |    CASE WHEN v = 2 THEN
+        |           ((id * 7 + (j + 3) * 11 + (((j + 3) * (j + 3)) % 997)
+        |             * 5) % 4096) - 2048
+        |         WHEN v = 1 THEN greatest(-1024, least(1024,
+        |           ((id * 7 + j * 11 + ((j * j) % 997) * 5) % 4096)
+        |             - 2048))
+        |         ELSE ((id * 7 + j * 11 + ((j * j) % 997) * 5) % 4096)
+        |                - 2048 END AS s
+        |  FROM auds, range(0, 33) ff(f),
+        |    LATERAL unnest(range((f * m) // 33, ((f + 1) * m) // 33))
+        |      AS jj(j)),
+        |frames AS (
+        |  SELECT mid, f, sum(abs(s)) AS e FROM samples GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT a.mid,
+        |    CAST(coalesce(sum(CASE WHEN a.e < b.e
+        |      THEN CAST(1 AS BIGINT) << CAST(a.f AS INT) END), 0)
+        |      AS BIGINT) AS fp
+        |  FROM frames a JOIN frames b
+        |    ON a.mid = b.mid AND b.f = a.f + 1
+        |  WHERE a.f < 32
+        |  GROUP BY 1)
+        |SELECT a.mid AS id_a, b.mid AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
+        |FROM fps a JOIN fps b ON a.mid < b.mid
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

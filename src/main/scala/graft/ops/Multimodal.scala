@@ -623,7 +623,24 @@ object Multimodal {
 
   /** Synthesize a REAL mono 16-bit little-endian WAV per id (the JDK's
     * WAVE writer emits the RIFF container). */
-  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+  /** Chirp formula (quadratic phase term → the local frequency varies
+    * along the clip): richer per-id energy structure than the plain
+    * [[pcmSample]] ramp, whose abs-energy profile is a V shape that
+    * collapses every fingerprint to a near-unary step. Used by the
+    * fingerprint corpus (q144); [[pcmSample]] stays the q86 formula. */
+  @inline def pcmChirp(id: Long, i: Int): Int =
+    (((id * 7 + i.toLong * 11 + (i.toLong * i % 997) * 5) % 4096)
+      - 2048).toInt
+
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame =
+    synthesizePcm(df, idCol, pcmSample)
+
+  /** [[synthesizeAudio]] with the chirp formula. */
+  def synthesizeChirps(df: DataFrame, idCol: String): DataFrame =
+    synthesizePcm(df, idCol, pcmChirp)
+
+  private def synthesizePcm(df: DataFrame, idCol: String,
+      sample: (Long, Int) => Int): DataFrame = {
     implicit val enc = Encoders.row(mediaSchema)
     df.select(col(idCol).cast("long"))
       .mapPartitions { rows =>
@@ -636,7 +653,7 @@ object Multimodal {
           val raw = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
-            val s = pcmSample(id, i)
+            val s = sample(id, i)
             raw(2 * i) = (s & 0xff).toByte
             raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
             i += 1
@@ -704,6 +721,171 @@ object Multimodal {
         }
       }(enc)
       .toDF()
+  }
+
+  /** Decode → per-sample transform → re-encode WAV (the audio editing
+    * round trip; `xform` may change the sample count). Shared by the
+    * limiter and trim kernels below; real codec on both sides. */
+  private def transformPcm(media: DataFrame)(
+      xform: Array[Int] => Array[Int]): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        val readers = wavReaders()
+        val writer = wavWriter()
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1))
+            Row(id, null, Row("audio/wav",
+              null.asInstanceOf[java.lang.Integer],
+              null.asInstanceOf[java.lang.Integer],
+              null.asInstanceOf[java.lang.Long]))
+          else {
+            val in =
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+            val ais = readers.iterator.flatMap { rd =>
+              in.reset()
+              try Some(rd.getAudioInputStream(in))
+              catch {
+                case _: javax.sound.sampled
+                    .UnsupportedAudioFileException => None
+              }
+            }.nextOption().getOrElse(throw new javax.sound.sampled
+              .UnsupportedAudioFileException(s"no reader for media $id"))
+            val fmt = ais.getFormat
+            val n = ais.getFrameLength.toInt
+            val raw = ais.readAllBytes()
+            val s = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              s(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+              i += 1
+            }
+            val t = xform(s)
+            val out = new Array[Byte](t.length * 2)
+            i = 0
+            while (i < t.length) {
+              out(2 * i) = (t(i) & 0xff).toByte
+              out(2 * i + 1) = ((t(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            val outAis = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), fmt, t.length.toLong)
+            val baos = new java.io.ByteArrayOutputStream()
+            writer.write(outAis,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            Row(id, baos.toByteArray,
+              Row("audio/wav", null.asInstanceOf[java.lang.Integer],
+                null.asInstanceOf[java.lang.Integer],
+                (t.length * 1000L) / pcmRate.toLong))
+          }
+        }
+      }(enc)
+  }
+
+  /** Hard limiter (dynamics compression): clamp every sample to
+    * [−ceiling, ceiling]. */
+  def limitAudio(media: DataFrame, ceiling: Int): DataFrame = {
+    require(ceiling > 0, s"ceiling must be positive: $ceiling")
+    transformPcm(media)(s => s.map(v =>
+      math.max(-ceiling, math.min(ceiling, v))))
+  }
+
+  /** Trim the first `skip` samples (the re-uploaded-with-a-shorter-
+    * intro shape — the classic audio near-dup byte dedup misses). */
+  def trimAudio(media: DataFrame, skip: Int): DataFrame = {
+    require(skip >= 0, s"skip must be >= 0: $skip")
+    transformPcm(media)(s => s.drop(math.min(skip, s.length)))
+  }
+
+  final case class AudioFp(media_id: Long, fp: Long)
+
+  /** Perceptual audio fingerprint (the energy-derivative signature —
+    * the Haitsma–Kalker/Shazam family reduced to its replayable core):
+    * decode, split the PCM stream into `nFrames` equal frames (frame
+    * boundaries = f·n DIV nFrames, integer math), per-frame
+    * ABS-energy (exact integer sums), then bit f = 1 iff
+    * e(f) < e(f+1) — a 32-bit signature robust to gain changes,
+    * limiting, and small trims, where the byte fingerprint q23 sees
+    * unrelated files. Non-negative in a signed 64-bit long; empty/
+    * undecodable payloads drop. */
+  def audioFingerprint(media: DataFrame, nFrames: Int = 33): DataFrame = {
+    require(nFrames >= 2 && nFrames <= 33,
+      s"nFrames in [2, 33] (bits must fit 32): $nFrames")
+    implicit val enc = Encoders.product[AudioFp]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        val readers = wavReaders()
+        val e = new Array[Long](nFrames)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val in =
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+            val ais = readers.iterator.flatMap { rd =>
+              in.reset()
+              try Some(rd.getAudioInputStream(in))
+              catch {
+                case _: javax.sound.sampled
+                    .UnsupportedAudioFileException => None
+              }
+            }.nextOption().getOrElse(throw new javax.sound.sampled
+              .UnsupportedAudioFileException(s"no reader for media $id"))
+            val n = ais.getFrameLength.toInt
+            if (n < nFrames) Iterator.empty
+            else {
+              val raw = ais.readAllBytes()
+              java.util.Arrays.fill(e, 0L)
+              var f = 0
+              while (f < nFrames) {
+                var i = f * n / nFrames
+                val end = (f + 1) * n / nFrames
+                while (i < end) {
+                  val s = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+                  e(f) += math.abs(s)
+                  i += 1
+                }
+                f += 1
+              }
+              var fp = 0L
+              f = 0
+              while (f < nFrames - 1) {
+                if (e(f) < e(f + 1)) fp |= 1L << f
+                f += 1
+              }
+              Iterator.single(AudioFp(id, fp))
+            }
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Near-dup pairs over a single-word fingerprint column: Hamming ≤
+    * `maxDist` via `nBands` band blocking (pigeonhole-EXACT for
+    * maxDist ≤ nBands − 1, the [[perceptualDupPairs]] discipline).
+    * One (band, chunk) equi-join — never all-pairs. */
+  def fingerprintPairs(fps: DataFrame, bits: Int = 32, nBands: Int = 8,
+      maxDist: Int = 7): DataFrame = {
+    require(nBands >= 1 && bits % nBands == 0,
+      s"nBands must divide bits: $bits / $nBands")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val bw = bits / nBands
+    val mask = (1L << bw) - 1
+    val posed = fps.select(col("media_id"), col("fp"),
+      posexplode(array((0 until nBands).map(k =>
+        shiftright(col("fp"), k * bw).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "chunk")))
+    val a = posed.select(col("media_id").as("id_a"),
+      col("fp").as("fp_a"), col("band"), col("chunk"))
+    val b = posed.select(col("media_id").as("id_b"),
+      col("fp").as("fp_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("fp_a ^ fp_b")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
 }

@@ -343,6 +343,48 @@ class BatchBuilderSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("audio fingerprint: formula reference; limiter/trim are real " +
+    "codec round trips; banded pairs = brute-force Hamming") {
+    val ids = spark.range(0, 10).toDF("doc_id")
+    val wavs = Multimodal.synthesizeChirps(ids, "doc_id")
+    def ref(id: Long, xform: Array[Int] => Array[Int]): Long = {
+      val n = Multimodal.pcmN(id)
+      val s = xform((0 until n).map(i => Multimodal.pcmChirp(id, i)).toArray)
+      val m = s.length
+      val e = (0 until 33).map(f =>
+        (f * m / 33 until (f + 1) * m / 33).map(j => math.abs(s(j)).toLong).sum)
+      (0 until 32).foldLeft(0L)((acc, f) =>
+        if (e(f) < e(f + 1)) acc | (1L << f) else acc)
+    }
+    val got = Multimodal.audioFingerprint(wavs)
+      .as[Multimodal.AudioFp].collect().map(r => r.media_id -> r.fp).toMap
+    (0L until 10L).foreach(id => assert(got(id) == ref(id, identity)))
+    // limiter clamps, trim drops leading samples — both decode the
+    // edited WAV back to the expected PCM
+    val lim = Multimodal.audioFingerprint(Multimodal.limitAudio(wavs, 1024))
+      .as[Multimodal.AudioFp].collect().map(r => r.media_id -> r.fp).toMap
+    (0L until 10L).foreach(id => assert(lim(id) ==
+      ref(id, _.map(v => math.max(-1024, math.min(1024, v))))))
+    val trm = Multimodal.audioFingerprint(Multimodal.trimAudio(wavs, 3))
+      .as[Multimodal.AudioFp].collect().map(r => r.media_id -> r.fp).toMap
+    (0L until 10L).foreach(id => assert(trm(id) == ref(id, _.drop(3))))
+    // banded pairs == brute-force all-pairs Hamming for maxDist <= 7
+    val corpus = wavs.unionByName(
+      Multimodal.trimAudio(wavs, 3)
+        .withColumn("media_id", col("media_id") + 100))
+    val fps = Multimodal.audioFingerprint(corpus)
+    val banded = Multimodal.fingerprintPairs(fps, maxDist = 7)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val all = fps.as[Multimodal.AudioFp].collect()
+    val brute = (for {
+      a <- all; b <- all if a.media_id < b.media_id
+      d = java.lang.Long.bitCount(a.fp ^ b.fp)
+      if d <= 7
+    } yield (a.media_id, b.media_id, d)).toSet
+    assert(banded == brute)
+  }
+
   test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
     "string codes (reference :61-81)") {
     import graft.serve.TaskLabels

@@ -77,7 +77,11 @@ class PlanShapeSpec extends SparkSpec {
     // Per-domain cap: the ONE exchange is the domain-keyed top-k
     // aggregate (map-side combined to ≤ n rows per domain per
     // partition — never a per-key sort window).
-    "q143_domain_cap" -> 1
+    "q143_domain_cap" -> 1,
+    // Audio fingerprint near-dup: the q142 shape — codec work narrow,
+    // band join broadcasts one side at this sf, pair-distinct is the
+    // ONE exchange.
+    "q144_audio_fp_dedup" -> 1
   )
 
   expected.foreach { case (name, want) =>
