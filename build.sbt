@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 executor threads + 43 queries in one JVM GC-thrash at 8g (bench
   // run-to-run variance ±35%); the driver box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 144 queries' worth of whole-stage-codegen classes overflow the
+  // JDK17 default 240 MB code cache mid-run; once it fills, the JIT
+  // stops compiling and late queries run interpreted — measured as
+  // multi-second rep spikes with near-zero GC time. Size it for the
+  // full contract surface.
+  "-XX:ReservedCodeCacheSize=512m",
 )
