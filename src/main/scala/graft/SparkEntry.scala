@@ -1572,6 +1572,29 @@ object SparkEntry {
         maxDist = 3)
     }),
 
+    "q145_partitioned_sink" -> ((s, dir) => {
+      // Hive-partitioned sink + partition-pruned scan (the 100 TB
+      // output-layout contract: a reader filtering one lang must TOUCH
+      // only that lang's files — at corpus scale the difference
+      // between scanning 1/5th and scanning everything): write
+      // documents partitioned by lang to scratch, re-open COLD, filter
+      // one partition, aggregate. The oracle proves the round trip
+      // loses nothing; the PRUNING itself is spec-pinned
+      // (PlanShapeSpec: one selected partition, PartitionFilters in
+      // the scan, data filter absent from the row-level predicate).
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q145")
+        .toString
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          min("doc_id").as("min_doc"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3203,6 +3226,17 @@ object SparkEntry {
         |FROM fps a JOIN fps b ON a.mid < b.mid
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q145: the q24/q139 token-count twin over the one kept lang — the
+    // partitioned round trip must be lossless.
+    "q145_partitioned_sink" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT)) AS n_tokens,
+        |  min(doc_id) AS min_doc
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -177,6 +177,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q145 partitioned sink: the lang filter prunes to ONE selected " +
+    "partition (PartitionFilters, not a row-level predicate)") {
+    withStaticPlans {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-prune").toString
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("text"))
+        .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+      val df = spark.read.parquet(tmp)
+        .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      assert(scan.partitionFilters.nonEmpty,
+        "the lang predicate must become a PARTITION filter:\n" +
+          df.queryExecution.executedPlan.toString)
+      assert(scan.dataFilters.isEmpty,
+        "lang must not survive as a row-level data filter — that means" +
+          " every partition's files would still be opened:\n" +
+          df.queryExecution.executedPlan.toString)
+      // directory-level proof: exactly one of the five lang partitions
+      // is read
+      assert(scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).length == 1)
+    }
+  }
+
   test("q125 blocklist anti-join stays a broadcast join") {
     withStaticPlans {
       val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)
