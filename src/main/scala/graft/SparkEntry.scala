@@ -1595,6 +1595,22 @@ object SparkEntry {
           min("doc_id").as("min_doc"))
     }),
 
+    "q146_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL sink + source round trip (the LLM-corpus interchange
+      // format — every public dataset release ships it): write
+      // documents as line-delimited JSON to scratch, re-open COLD with
+      // an EXPLICIT schema (schema inference is a second full scan —
+      // never at 100 TB), and return every row verbatim. The oracle
+      // compares full text bytes, so any escaping/unicode loss in
+      // either codec direction breaks the hash.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q146")
+        .toString
+      t(s, dir, "documents").select("doc_id", "lang", "text")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, lang STRING, text STRING").json(tmp)
+        .select(col("doc_id"), col("lang"), col("text"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3237,6 +3253,12 @@ object SparkEntry {
         |  min(doc_id) AS min_doc
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q146: identity over the source table — the JSONL round trip must
+    // return every byte.
+    "q146_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,
