@@ -1611,6 +1611,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"))
     }),
 
+    "q147_video_neardup" -> ((s, dir) => {
+      // Video near-dup via shared frame signatures (the q116 directed-
+      // containment idea lifted to frames): per-frame dHash over REAL
+      // animated-GIF containers, videos sharing ≥ 2 distinct frame
+      // hashes pair. The gifV formula makes time-shifted copies
+      // naturally (frame content depends on (7f + id) mod 8, so
+      // same-dimension videos are shifted versions of each other) —
+      // shared content, zero shared container bytes. One equi-join on
+      // the frame hash, never all-pairs.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 30)
+      val gifs = Multimodal.synthesizeGifs(ids, "doc_id", nFrames = 6,
+        varyMod = 4)
+      Multimodal.videoDupPairs(Multimodal.gifFrameHashes(gifs),
+        minShared = 2)
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3259,6 +3276,47 @@ object SparkEntry {
     "q146_jsonl_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // q147: the 8-level gifV formula replays each frame's gray grid
+    // (GIF palettizes losslessly, and r=g=b=v makes gray = v exactly),
+    // then per-frame dHash bits, distinct signatures, and the shared-
+    // frame count join.
+    "q147_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS id, 16 + doc_id % 5 AS w,
+        |         12 + doc_id % 3 AS h, 6 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 30),
+        |grays AS (
+        |  SELECT id, f, r, c,
+        |    ((((c * w) // 9) + 3 * ((r * h) // 8) + 7 * f + id) % 8)
+        |      * 32 AS g
+        |  FROM vids, LATERAL unnest(range(0, nf)) AS ff(f),
+        |    range(0, 8) rr(r), range(0, 9) cc(c)),
+        |bits AS (
+        |  SELECT a.id, a.f, a.r * 8 + a.c AS j
+        |  FROM grays a JOIN grays b
+        |    ON a.id = b.id AND a.f = b.f AND a.r = b.r
+        |       AND b.c = a.c + 1
+        |  WHERE a.c < 8 AND a.g < b.g),
+        |hashes AS (
+        |  SELECT v.id, v.f,
+        |    CAST(coalesce(sum(CASE WHEN b.j >= 32
+        |      THEN CAST(1 AS BIGINT) << CAST(b.j - 32 AS INT) END), 0)
+        |      AS BIGINT) AS h_hi,
+        |    CAST(coalesce(sum(CASE WHEN b.j < 32
+        |      THEN CAST(1 AS BIGINT) << CAST(b.j AS INT) END), 0)
+        |      AS BIGINT) AS h_lo
+        |  FROM (SELECT id, f
+        |        FROM vids, LATERAL unnest(range(0, nf)) AS ff(f)) v
+        |  LEFT JOIN bits b ON b.id = v.id AND b.f = v.f
+        |  GROUP BY 1, 2),
+        |sigs AS (SELECT DISTINCT id, h_hi, h_lo FROM hashes)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sigs a JOIN sigs b
+        |  ON a.h_hi = b.h_hi AND a.h_lo = b.h_lo AND a.id < b.id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -568,6 +568,99 @@ object Multimodal {
       .toDF()
   }
 
+  final case class GifFrameHash(media_id: Long, frame_idx: Int,
+      h_hi: Long, h_lo: Long)
+
+  /** Per-frame [[dHash]] over a real multi-frame container: open the
+    * GIF, decode every `stride`-th frame, 9×8 difference hash per
+    * frame (gray = the decoded pixel's channel mean — for the 8-level
+    * grayscale palettes this IS the palette value). The per-frame hash
+    * SET is the video's signature: time-shifted or re-cut copies share
+    * frames even when no container byte matches. */
+  def gifFrameHashes(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    implicit val enc = Encoders.product[GifFrameHash]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val spi = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+          .getOriginatingProvider
+        var buf: Array[Int] = null
+        val g = new Array[Int](9 * 8)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val reader = spi.createReaderInstance()
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            val out = (0 until n by stride).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              buf = grabRgb(img, buf)
+              var rr = 0
+              while (rr < 8) {
+                val y = rr * h / 8
+                var cc = 0
+                while (cc < 9) {
+                  val p = buf(y * w + cc * w / 9)
+                  g(rr * 9 + cc) =
+                    (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                  cc += 1
+                }
+                rr += 1
+              }
+              var hi = 0L
+              var lo = 0L
+              var j = 0
+              rr = 0
+              while (rr < 8) {
+                var cc = 0
+                while (cc < 8) {
+                  if (g(rr * 9 + cc) < g(rr * 9 + cc + 1)) {
+                    if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+                  }
+                  j += 1
+                  cc += 1
+                }
+                rr += 1
+              }
+              GifFrameHash(id, f, hi, lo)
+            }
+            reader.dispose()
+            iis.close()
+            out.iterator
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Video near-dup pairs: videos sharing at least `minShared`
+    * DISTINCT frame hashes (the q116 directed-containment idea lifted
+    * to frames — a shifted or re-cut copy shares content frames while
+    * the container bytes share nothing). One equi-join on the frame
+    * hash — never all-pairs; a frame hash shared by many videos fans
+    * out quadratically ONLY within its bucket, the LSH-band cost
+    * profile. */
+  def videoDupPairs(frameHashes: DataFrame, minShared: Int = 2)
+      : DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val sigs = frameHashes.select("media_id", "h_hi", "h_lo").distinct()
+    val a = sigs.select(col("media_id").as("id_a"), col("h_hi"),
+      col("h_lo"))
+    val b = sigs.select(col("media_id").as("id_b"), col("h_hi"),
+      col("h_lo"))
+    a.join(b, Seq("h_hi", "h_lo"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ── REAL audio kernels (JDK javax.sound.sampled — WAV/PCM) ──────────
 
   /** Deterministic 16-bit PCM sample formula: pure integer function of

@@ -385,6 +385,43 @@ class BatchBuilderSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("video frame hashes: formula reference through the GIF codec; " +
+    "shared-frame pairs = brute force") {
+    val ids = spark.range(0, 12).toDF("doc_id")
+    val gifs = Multimodal.synthesizeGifs(ids, "doc_id", nFrames = 4,
+      varyMod = 3)
+    val got = Multimodal.gifFrameHashes(gifs)
+      .as[Multimodal.GifFrameHash].collect()
+      .map(r => (r.media_id, r.frame_idx) -> (r.h_hi, r.h_lo)).toMap
+    def ref(id: Long, f: Int): (Long, Long) = {
+      val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
+      var hi = 0L; var lo = 0L; var j = 0
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val y = r * h / 8
+        val ga = Multimodal.gifV(id, f, c * w / 9, y)
+        val gb = Multimodal.gifV(id, f, (c + 1) * w / 9, y)
+        if (ga < gb) { if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j }
+        j += 1
+      }
+      (hi, lo)
+    }
+    for (id <- 0L until 12L; f <- 0 until 4 + (id % 3).toInt)
+      assert(got((id, f)) == ref(id, f), s"id=$id f=$f")
+    // pair join == brute-force distinct-signature intersection count
+    val fh = Multimodal.gifFrameHashes(gifs)
+    val gotPairs = Multimodal.videoDupPairs(fh, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = (0L until 12L).map { id =>
+      id -> (0 until 4 + (id % 3).toInt).map(f => ref(id, f)).toSet
+    }.toMap
+    val brute = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      n = sigs(a).intersect(sigs(b)).size
+      if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(gotPairs == brute)
+  }
+
   test("TaskLabels.normalize: dtype-driven task typing + lexicographic " +
     "string codes (reference :61-81)") {
     import graft.serve.TaskLabels

@@ -81,7 +81,10 @@ class PlanShapeSpec extends SparkSpec {
     // Audio fingerprint near-dup: the q142 shape — codec work narrow,
     // band join broadcasts one side at this sf, pair-distinct is the
     // ONE exchange.
-    "q144_audio_fp_dedup" -> 1
+    "q144_audio_fp_dedup" -> 1,
+    // Video near-dup: frame-hash distinct + the shared-count agg; the
+    // frame-hash equi-join broadcasts one side at this sf.
+    "q147_video_neardup" -> 2
   )
 
   expected.foreach { case (name, want) =>
