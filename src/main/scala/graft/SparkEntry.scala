@@ -1628,6 +1628,33 @@ object SparkEntry {
         minShared = 2)
     }),
 
+    "q148_stage0_pipeline" -> ((s, dir) => {
+      // Composed crawl stage 0 in ONE declarative plan (the chain
+      // every web corpus runs before tokenization): HTML extract →
+      // canonical normalize → token-count quality gate → exact
+      // first-occurrence dedup. Catalyst fuses extract+normalize+gate
+      // into one codegen span over the scan; the only exchanges are
+      // the dedup's fingerprint agg + semi-join — composing operators
+      // does NOT stack their plan costs, which is the point of
+      // declaring them as columns instead of running staged jobs.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\"> p { color: #a0b1c2; } " +
+          "</style><script>if (a < b && c > 1) { emit(\"x&y\"); }" +
+          "</script><!-- hidden <b>comment</b> --></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"f\">footer &amp;amp; &lt;tag&gt; " +
+          "&#39;q&#39;&nbsp;end</div></body></html>"))
+      val cleaned = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalize(TextOps.extractHtmlText(html))
+            .as("clean_text"))
+        .filter(TextOps.tokenCount(col("clean_text")) >= 30)
+      Dedup.exact(cleaned, "doc_id", "clean_text")
+        .select(col("doc_id"), col("clean_text"),
+          TextOps.tokenCount(col("clean_text")).cast("long").as("n_tok"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3317,6 +3344,55 @@ object SparkEntry {
         |  ON a.h_hi = b.h_hi AND a.h_lo = b.h_lo AND a.id < b.id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q148: q133's extraction chain ∘ q117's normalize chain ∘ the q24
+    // token gate ∘ q23's min-id dedup — each stage replayed verbatim.
+    "q148_stage0_pipeline" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css"> p { color: #a0b1c2; } ' ||
+        |    '</style><script>if (a < b && c > 1) { emit("x&y"); }' ||
+        |    '</script><!-- hidden <b>comment</b> --></head><body><h1>' ||
+        |    lang || '</h1><p>' || text ||
+        |    '</p><div class="f">footer &amp;amp; &lt;tag&gt; ' ||
+        |    '&#39;q&#39;&nbsp;end</div></body></html>' AS html
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, regexp_replace(html,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |x2 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+        |x3 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+        |x4 AS (SELECT doc_id, regexp_replace(t,
+        |         '(?s)<[/!]?[A-Za-z][^>]*>', ' ', 'g') AS t FROM x3),
+        |x5 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |       FROM x4),
+        |x6 AS (SELECT doc_id,
+        |         trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |       FROM x5),
+        |n AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(extracted,
+        |          '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+        |        '[^\x20-\x7e\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS clean_text
+        |  FROM x6),
+        |g AS (SELECT doc_id, clean_text,
+        |    CAST(CASE WHEN trim(clean_text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(clean_text), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM n),
+        |f AS (SELECT * FROM g WHERE n_tok >= 30),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f
+        |      GROUP BY regexp_replace(lower(trim(clean_text)),
+        |                              '\s+', ' ', 'g'))
+        |SELECT f.doc_id, f.clean_text, f.n_tok
+        |FROM f JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

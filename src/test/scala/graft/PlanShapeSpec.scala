@@ -84,7 +84,12 @@ class PlanShapeSpec extends SparkSpec {
     "q144_audio_fp_dedup" -> 1,
     // Video near-dup: frame-hash distinct + the shared-count agg; the
     // frame-hash equi-join broadcasts one side at this sf.
-    "q147_video_neardup" -> 2
+    "q147_video_neardup" -> 2,
+    // Composed stage-0 chain: extract+normalize+gate fuse into ONE
+    // codegen span over the scan (composition does not stack plan
+    // costs); the one exchange is the dedup fingerprint agg, the
+    // semi-join broadcasting at this sf.
+    "q148_stage0_pipeline" -> 1
   )
 
   expected.foreach { case (name, want) =>
