@@ -1650,7 +1650,17 @@ object SparkEntry {
           TextOps.normalize(TextOps.extractHtmlText(html))
             .as("clean_text"))
         .filter(TextOps.tokenCount(col("clean_text")) >= 30)
-      Dedup.exact(cleaned, "doc_id", "clean_text")
+      // first-occurrence dedup as a per-fingerprint window, NOT
+      // Dedup.exact's agg+semi-join: the semi-join form evaluates the
+      // whole extract/normalize chain on BOTH join sides (measured 2×
+      // the narrow cost), while the window shuffles once and keeps the
+      // chain single-pass — the right dedup shape when the upstream is
+      // expensive and row-preserving output is wanted.
+      cleaned
+        .withColumn("__fp", TextOps.fingerprint(col("clean_text")))
+        .withColumn("__keep", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") === col("__keep"))
         .select(col("doc_id"), col("clean_text"),
           TextOps.tokenCount(col("clean_text")).cast("long").as("n_tok"))
     }),
