@@ -1665,6 +1665,52 @@ object SparkEntry {
           TextOps.tokenCount(col("clean_text")).cast("long").as("n_tok"))
     }),
 
+    "q149_rolling_dedup_stream" -> ((s, dir) => {
+      // The rolling-crawl loop run by the STREAMING engine (q136's
+      // operator driven by foreachBatch instead of an orchestrator):
+      // snapshot 0 seeds the persisted fingerprint store; snapshots 1
+      // and 2 arrive as two mtime-ordered files on a file-source
+      // stream (maxFilesPerTrigger=1 → one micro-batch per snapshot);
+      // each batch anti-joins the store, keeps first-occurrence within
+      // itself, and appends its survivors' fingerprints — so batch 2
+      // dedups against everything batch 1 kept. Determinism: the
+      // normalized-content key is arrival-order-free WITHIN a batch
+      // (min doc_id), and the batch ORDER is pinned by explicit file
+      // mtimes, so the kept set is argmin(snapshot, doc_id) per key —
+      // which is exactly what the oracle replays.
+      import java.nio.file.{Files, StandardCopyOption}
+      val root = Files.createTempDirectory("graft-q149")
+      val inDir = Files.createDirectory(root.resolve("in"))
+      val storePath = root.resolve("store").toString
+      val outPath = root.resolve("out").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("text"))
+      graft.ops.Dedup.fingerprintStore(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(storePath)
+      Seq(1, 2).foreach { snap =>
+        val stage = root.resolve(s"stage$snap")
+        docs.filter(col("doc_id") % 3 === snap).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage)
+          .filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = inDir.resolve(s"snap$snap.parquet")
+        Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + snap * 60000L))
+      }
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val sq = graft.streaming.StreamOps.incrementalDedupStream(
+          stream, "doc_id", "text", storePath, outPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.read.parquet(outPath).select(col("doc_id"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3403,6 +3449,26 @@ object SparkEntry {
         |                              '\s+', ' ', 'g'))
         |SELECT f.doc_id, f.clean_text, f.n_tok
         |FROM f JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q149: sequential-dedup replay on the normalized key (the q136
+    // injectivity discipline) — prior-snapshot keys kill every stream
+    // copy; otherwise the keeper is argmin(snapshot, doc_id), the
+    // mtime-pinned processing order.
+    "q149_rolling_dedup_stream" ->
+      """WITH n AS (
+        |  SELECT doc_id, doc_id % 3 AS snap,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents),
+        |prior AS (SELECT DISTINCT k FROM n WHERE snap = 0),
+        |s AS (SELECT doc_id, k, snap FROM n WHERE snap <> 0),
+        |fresh AS (
+        |  SELECT s.doc_id, s.k, s.snap FROM s
+        |  LEFT JOIN prior p ON s.k = p.k WHERE p.k IS NULL)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY snap, doc_id) AS rn
+        |  FROM fresh) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -81,6 +81,39 @@ object StreamOps {
     }
   }
 
+  /** The rolling-crawl loop, LIVE: each micro-batch (= one crawl
+    * snapshot under `maxFilesPerTrigger=1`) anti-joins the PERSISTED
+    * fingerprint store ([[graft.ops.Dedup.fingerprintStore]] parquet at
+    * `storePath`), keeps first-occurrence within itself, appends kept
+    * docs to `outPath` and their fingerprints to the store — so the
+    * next batch dedups against everything that survived before it.
+    *
+    * This is [[graft.ops.Dedup.incrementalExact]] driven by the
+    * streaming engine instead of an orchestrator. State is 16 B/doc
+    * parquet DATA, never executor memory — the state store holds
+    * nothing, so a 100 TB/day crawl rate costs two fp-keyed wide
+    * stages per snapshot and the store can be bucketed by fp
+    * ([[graft.ingest.Bucketing]]) to make the anti-join exchange-free.
+    * Caller seeds `storePath` (possibly with an empty (fp, id) table)
+    * before starting. */
+  def incrementalDedupStream(stream: DataFrame, idCol: String,
+      textCol: String, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val store = sp.read.parquet(storePath)
+        val kept = graft.ops.Dedup
+          .incrementalExact(batch, idCol, textCol, store)
+          .persist()
+        kept.write.mode("append").parquet(outPath)
+        graft.ops.Dedup.fingerprintStore(kept, idCol, textCol)
+          .write.mode("append").parquet(storePath)
+        kept.unpersist()
+        ()
+    }
+
   /** Per-subject session windows: events closer than `gap` merge into one
     * session (native session_window — state per open session, evicted at
     * watermark + gap). */

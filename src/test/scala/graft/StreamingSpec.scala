@@ -281,4 +281,36 @@ class StreamingSpec extends SparkSpec {
       kept.synchronized { assert(kept.toSet == Set(1L, 3L)) }
     } finally q.stop()
   }
+
+  test("incrementalDedupStream: store seeds kill stream copies, " +
+      "earlier batches kill later ones, store accumulates survivors") {
+    import org.apache.spark.sql.execution.streaming.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-incr")
+    val storePath = root.resolve("store").toString
+    val outPath = root.resolve("out").toString
+    // seed store with the prior snapshot {alpha}
+    graft.ops.Dedup.fingerprintStore(
+        Seq((0L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(storePath)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", storePath, outPath)
+      .start()
+    try {
+      // batch 1: alpha dies (store), beta keeps min id 2, gamma keeps
+      input.addData((1L, "alpha"), (2L, "beta"), (5L, "beta"),
+        (3L, "gamma"))
+      q.processAllAvailable()
+      // batch 2: beta dies (batch-1 survivor), delta keeps
+      input.addData((7L, "beta"), (8L, "delta"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L, 8L))
+      // store now holds alpha + the three survivors' fingerprints
+      assert(spark.read.parquet(storePath).count() == 4)
+    } finally q.stop()
+  }
 }
