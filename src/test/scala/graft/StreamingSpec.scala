@@ -284,7 +284,6 @@ class StreamingSpec extends SparkSpec {
 
   test("incrementalDedupStream: store seeds kill stream copies, " +
       "earlier batches kill later ones, store accumulates survivors") {
-    import org.apache.spark.sql.execution.streaming.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-incr")
     val storePath = root.resolve("store").toString
