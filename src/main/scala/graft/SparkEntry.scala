@@ -1711,6 +1711,25 @@ object SparkEntry {
       s.read.parquet(outPath).select(col("doc_id"))
     }),
 
+    "q150_char_entropy" -> ((s, dir) => {
+      // Character-entropy quality gate (the gibberish/base64 filter
+      // dimension — repeated-char spam scores low, binary blobs score
+      // high, prose sits in the middle): native one-pass stats, the
+      // keep decision on the ROUND-6 value so the comparison is
+      // engine-exact (the entropy sum's term order differs between
+      // engines at ~1e-14; the round-6 discipline absorbs it, q40's
+      // rule).
+      val st = TextOps.charStats(col("text"))
+      t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), st.as("cs"))
+        .select(col("doc_id"),
+          round(col("cs.entropy_bits"), 6).as("entropy_bits"),
+          col("cs.n_unique").cast("long").as("n_unique"),
+          col("cs.n_chars").cast("long").as("n_chars"))
+        .withColumn("keep",
+          col("entropy_bits") >= 3.0 && col("entropy_bits") <= 5.5)
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3469,6 +3488,28 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY k
         |      ORDER BY snap, doc_id) AS rn
         |  FROM fresh) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q150: per-char frequency replay; entropy in nats summed, one
+    // divide by ln 2, round-6 — the keep gate compares the rounded
+    // value so both engines decide identically.
+    "q150_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(n) AS tot, count(*) AS uniq
+        |      FROM f GROUP BY 1),
+        |e AS (
+        |  SELECT f.doc_id,
+        |    round(sum(-(f.n / t.tot) * ln(f.n / t.tot)) / ln(2.0), 6)
+        |      AS entropy_bits,
+        |    CAST(max(t.uniq) AS BIGINT) AS n_unique,
+        |    CAST(max(t.tot) AS BIGINT) AS n_chars
+        |  FROM f JOIN t USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, entropy_bits, n_unique, n_chars,
+        |  entropy_bits >= 3.0 AND entropy_bits <= 5.5 AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

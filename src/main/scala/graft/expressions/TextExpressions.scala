@@ -670,6 +670,57 @@ case class WordNgramStatsExpr(child: Expression, n: Int)
   *
   * Null for null/empty input and unsegmentable words (some codepoint
   * covered by no piece). Returns struct(score, pieces). */
+/** Per-document character-distribution statistics — the
+  * entropy/uniqueness quality signal (low char entropy flags repeated-
+  * character gibberish, high flags base64/binary blobs; the CCNet/
+  * Dolma-family filter dimension next to the word-level q69 signals).
+  * One narrow pass per row, zero exchanges at any corpus scale: counts
+  * accumulate in a codepoint-keyed map, and the entropy sum runs in
+  * CODEPOINT-ASCENDING order so the double is a deterministic function
+  * of the string (engines replaying with their own summation order
+  * agree after the round-6 discipline — the terms are ≤ few hundred,
+  * so order noise is ~1e-14). Returns struct(entropy_bits, n_unique,
+  * n_chars); null/empty input → null. */
+case class CharStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("entropy_bits",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_unique",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    if (n == 0) return null
+    java.util.Arrays.sort(cps)
+    var h = 0.0
+    var uniq = 0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && cps(j) == cps(i)) j += 1
+      val p = (j - i).toDouble / n
+      h -= p * math.log(p)
+      uniq += 1
+      i = j
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      h / math.log(2.0), uniq, n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharStatsExpr = copy(child = newChild)
+
+  override def prettyName: String = "char_stats"
+}
+
 /** WordPiece greedy longest-match-first segmentation (Wu et al. 2016,
   * the BERT tokenizer apply rule; reference framing: the third
   * tokenizer family next to BPE `ops/Bpe.scala` and unigram-LM
@@ -880,6 +931,11 @@ object TextExpressions {
       probs: Array[Double]): Column =
     Bridge.toColumn(UnigramViterbiExpr(Bridge.toExpression(word),
       pieces, probs))
+
+  /** struct(entropy_bits, n_unique, n_chars): per-document character
+    * distribution stats in one narrow pass. */
+  def charStats(text: Column): Column =
+    Bridge.toColumn(CharStatsExpr(Bridge.toExpression(text)))
 
   /** ARRAY<STRING>: WordPiece greedy longest-match-first segmentation
     * of a word under (word-start, continuation) piece vocabularies

@@ -225,6 +225,15 @@ object TextOps {
     graft.expressions.TextExpressions.charShingleHashes(
       regexp_replace(lower(trim(text)), "\\s+", " "), n)
 
+  /** Character-distribution quality signals: per-doc char entropy in
+    * bits + unique-char count (low entropy flags repeated-character
+    * gibberish, high flags base64/binary blobs — the char-level filter
+    * dimension next to [[repetitionSignals]]'s word-level ones). One
+    * narrow native pass ([[graft.expressions.CharStatsExpr]]), zero
+    * exchanges. */
+  def charStats(text: Column): Column =
+    graft.expressions.TextExpressions.charStats(text)
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     * top-bigram fraction (occurrence share of the most frequent word
     * bigram) and duplicate-trigram fraction (occurrence mass of trigrams

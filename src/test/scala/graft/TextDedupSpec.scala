@@ -801,4 +801,27 @@ class TextDedupSpec extends SparkSpec {
       .as[Option[String]].collect().head
     assert(nul.isEmpty)
   }
+
+  test("charStats: hand-computed entropy, uniques, unicode codepoints, " +
+      "empty/null -> null") {
+    val rows = Seq(Some("aaaa"), Some("abab"), Some("abcd"),
+      Some("日本語"), Some(""), None).toDF("t")
+      .select(TextOps.charStats(col("t")).as("cs"))
+      .select(col("cs.entropy_bits"), col("cs.n_unique"),
+        col("cs.n_chars"))
+      .as[(Option[Double], Option[Int], Option[Int])].collect()
+    // "aaaa": one symbol, entropy 0
+    assert(rows(0) == ((Some(0.0), Some(1), Some(4))))
+    // "abab": two equiprobable symbols, exactly 1 bit
+    assert(rows(1) == ((Some(1.0), Some(2), Some(4))))
+    // "abcd": four equiprobable symbols, exactly 2 bits
+    assert(rows(2) == ((Some(2.0), Some(4), Some(4))))
+    // unicode counts CODEPOINTS, not bytes
+    assert(rows(3)._2 == Some(3) && rows(3)._3 == Some(3))
+    assert(math.abs(rows(3)._1.get - math.log(3.0) / math.log(2.0))
+      < 1e-12)
+    // empty and null both yield null
+    assert(rows(4) == ((None, None, None)))
+    assert(rows(5) == ((None, None, None)))
+  }
 }
