@@ -1730,6 +1730,28 @@ object SparkEntry {
           col("entropy_bits") >= 3.0 && col("entropy_bits") <= 5.5)
     }),
 
+    "q151_bpe_apply" -> ((s, dir) => {
+      // BPE tokenizer APPLY against a LITERAL merge table (the q126
+      // literal-params twin discipline applied to the one BPE kernel
+      // without its own oracle row — q100/q101 replay the FIT; this
+      // replays the production tokenize path, greedy-leftmost islands
+      // and all, against 8 fixed English merges). The oracle runs the
+      // identical lock-step merge walk as a recursive CTE with
+      // window-function islands — the same algorithm the engine's
+      // mergeStep implements relationally.
+      val merges = s.createDataFrame(Seq(
+        (1, "t", "h"), (2, "th", "e"), (3, "i", "n"), (4, "a", "n"),
+        (5, "an", "d"), (6, "e", "r"), (7, "o", "n"), (8, "r", "e")))
+        .toDF("rank", "lhs", "rhs")
+      graft.ops.Bpe.applyMerges(t(s, dir, "documents"), "text", merges)
+        .groupBy("w", "freq")
+        .agg(expr("transform(array_sort(collect_list(struct(i, sym)))," +
+          " s -> s.sym)").as("__syms"))
+        .select(col("w").as("word"), col("freq"),
+          concat_ws("|", col("__syms")).as("seg"),
+          size(col("__syms")).as("n_sym"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3510,6 +3532,61 @@ object SparkEntry {
         |SELECT doc_id, entropy_bits, n_unique, n_chars,
         |  entropy_bits >= 3.0 AND entropy_bits <= 5.5 AS keep
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // q151: lock-step recursive merge walk — rank r+1 applies to every
+    // word simultaneously; greedy-leftmost via window islands (hit →
+    // island id i − rn → odd-rank starts → lag-consumed drop), the
+    // exact relational algorithm of the engine's mergeStep.
+    "q151_bpe_apply" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |merges(rank, lhs, rhs) AS (
+        |  VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'i', 'n'),
+        |         (4, 'a', 'n'), (5, 'an', 'd'), (6, 'e', 'r'),
+        |         (7, 'o', 'n'), (8, 'r', 'e')),
+        |walk AS (
+        |  SELECT w, freq, string_split(w, '') AS syms, 0 AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, freq,
+        |    list(CASE WHEN start THEN sym || nxt ELSE sym END
+        |         ORDER BY i) AS syms,
+        |    r + 1
+        |  FROM (
+        |    SELECT w, freq, r, i, sym, nxt, start,
+        |      coalesce(lag(start) OVER (PARTITION BY w ORDER BY i),
+        |               false) AS consumed
+        |    FROM (
+        |      SELECT w, freq, r, i, sym, nxt,
+        |        (hit AND (row_number() OVER (PARTITION BY w, hit, g
+        |           ORDER BY i) % 2 = 1)) AS start
+        |      FROM (
+        |        SELECT w, freq, r, i, sym, nxt, hit,
+        |          CASE WHEN hit THEN i - row_number()
+        |            OVER (PARTITION BY w, hit ORDER BY i) END AS g
+        |        FROM (
+        |          SELECT w, freq, r, i, sym,
+        |            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt,
+        |            (sym = lhs AND lead(sym)
+        |              OVER (PARTITION BY w ORDER BY i) = rhs) AS hit
+        |          FROM (
+        |            SELECT walk.w, walk.freq, walk.r, m.lhs, m.rhs,
+        |                   walk.syms[CAST(u.i AS INT)] AS sym, u.i AS i
+        |            FROM walk JOIN merges m ON m.rank = walk.r + 1,
+        |              LATERAL unnest(range(1,
+        |                CAST(len(walk.syms) AS BIGINT) + 1))
+        |                AS u(i))))))
+        |  WHERE NOT consumed
+        |  GROUP BY w, freq, r)
+        |SELECT w AS word, freq,
+        |  array_to_string(syms, '|') AS seg,
+        |  CAST(len(syms) AS INT) AS n_sym
+        |FROM walk WHERE r = 8 ORDER BY word""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,
