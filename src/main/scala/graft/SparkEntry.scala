@@ -1752,6 +1752,36 @@ object SparkEntry {
           size(col("__syms")).as("n_sym"))
     }),
 
+    "q152_tokenize_pack" -> ((s, dir) => {
+      // End-to-end tokenize → budget → pack (the last mile between a
+      // curated corpus and fixed-shape training sequences, with a REAL
+      // subword tokenizer in the loop instead of q91's whitespace
+      // proxy): the literal 8-merge BPE (q151) tokenizes the distinct-
+      // word table once, per-doc token counts come from one word join
+      // (corpus tokenization never re-runs the merge walk per
+      // occurrence — the distinct-word compression IS the apply-path
+      // scale story), then the q91 shard-cumsum packing lays the docs
+      // into 256-token windows.
+      val merges = s.createDataFrame(Seq(
+        (1, "t", "h"), (2, "th", "e"), (3, "i", "n"), (4, "a", "n"),
+        (5, "an", "d"), (6, "e", "r"), (7, "o", "n"), (8, "r", "e")))
+        .toDF("rank", "lhs", "rhs")
+      val docs = t(s, dir, "documents")
+      val wordSyms = graft.ops.Bpe.applyMerges(docs, "text", merges)
+        .groupBy("w").agg(count(lit(1)).as("n_sym"))
+      val occ = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("w"))
+        .filter(col("w") =!= "")
+      val perDoc = occ.join(wordSyms, Seq("w"))
+        .groupBy("doc_id").agg(sum("n_sym").as("n_tok"))
+        .withColumn("shard", col("doc_id") % 8)
+      graft.serve.Packing.packSequences(perDoc, "doc_id", "n_tok",
+          ctxLen = 256, shardCol = "shard")
+        .select(col("shard"), col("id").as("doc_id"), col("n_tok"),
+          col("off"), col("first_seq"), col("offset_in_seq"),
+          col("n_seqs"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3587,6 +3617,79 @@ object SparkEntry {
         |  array_to_string(syms, '|') AS seg,
         |  CAST(len(syms) AS INT) AS n_sym
         |FROM walk WHERE r = 8 ORDER BY word""".stripMargin,
+
+    // q152: q151's lock-step merge walk supplies per-word subword
+    // counts; one occurrence join + the q91 shard-cumsum window math.
+    "q152_tokenize_pack" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |merges(rank, lhs, rhs) AS (
+        |  VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'i', 'n'),
+        |         (4, 'a', 'n'), (5, 'an', 'd'), (6, 'e', 'r'),
+        |         (7, 'o', 'n'), (8, 'r', 'e')),
+        |walk AS (
+        |  SELECT w, freq, string_split(w, '') AS syms, 0 AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, freq,
+        |    list(CASE WHEN start THEN sym || nxt ELSE sym END
+        |         ORDER BY i) AS syms,
+        |    r + 1
+        |  FROM (
+        |    SELECT w, freq, r, i, sym, nxt, start,
+        |      coalesce(lag(start) OVER (PARTITION BY w ORDER BY i),
+        |               false) AS consumed
+        |    FROM (
+        |      SELECT w, freq, r, i, sym, nxt,
+        |        (hit AND (row_number() OVER (PARTITION BY w, hit, g
+        |           ORDER BY i) % 2 = 1)) AS start
+        |      FROM (
+        |        SELECT w, freq, r, i, sym, nxt, hit,
+        |          CASE WHEN hit THEN i - row_number()
+        |            OVER (PARTITION BY w, hit ORDER BY i) END AS g
+        |        FROM (
+        |          SELECT w, freq, r, i, sym,
+        |            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt,
+        |            (sym = lhs AND lead(sym)
+        |              OVER (PARTITION BY w ORDER BY i) = rhs) AS hit
+        |          FROM (
+        |            SELECT walk.w, walk.freq, walk.r, m.lhs, m.rhs,
+        |                   walk.syms[CAST(u.i AS INT)] AS sym, u.i AS i
+        |            FROM walk JOIN merges m ON m.rank = walk.r + 1,
+        |              LATERAL unnest(range(1,
+        |                CAST(len(walk.syms) AS BIGINT) + 1))
+        |                AS u(i))))))
+        |  WHERE NOT consumed
+        |  GROUP BY w, freq, r),
+        |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym
+        |        FROM walk WHERE r = 8),
+        |occ AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |perdoc AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(sum(f.n_sym) AS BIGINT) AS n_tok
+        |  FROM occ JOIN fin f USING (w) GROUP BY 1, 2),
+        |p AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM perdoc WHERE n_tok > 0)
+        |SELECT shard, doc_id, n_tok, off,
+        |  CAST(floor(off / 256) AS BIGINT) AS first_seq,
+        |  off % 256 AS offset_in_seq,
+        |  CAST(floor((off + n_tok - 1) / 256) - floor(off / 256) + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM p ORDER BY shard, doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,
