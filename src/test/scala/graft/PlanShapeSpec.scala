@@ -89,7 +89,13 @@ class PlanShapeSpec extends SparkSpec {
     // codegen span over the scan (composition does not stack plan
     // costs); the one exchange is the dedup fingerprint agg, the
     // semi-join broadcasting at this sf.
-    "q148_stage0_pipeline" -> 1
+    "q148_stage0_pipeline" -> 1,
+    // Char-entropy gate: one narrow native pass — ZERO exchanges.
+    "q150_char_entropy" -> 0,
+    // Tokenize-and-pack: the word-count join broadcasts the distinct-
+    // word side; the two exchanges are the per-doc agg and the shard
+    // cumsum window.
+    "q152_tokenize_pack" -> 2
   )
 
   expected.foreach { case (name, want) =>
