@@ -1782,6 +1782,18 @@ object SparkEntry {
           col("n_seqs"))
     }),
 
+    "q153_corpus_diff" -> ((s, dir) => {
+      // Corpus snapshot diff (the "changes since v1" audit every
+      // versioned dataset release reports): overlapping snapshots
+      // A = thirds {0,1}, B = thirds {1,2} of documents, diffed at the
+      // distinct-CONTENT level on 8-byte fingerprints — 100 TB
+      // snapshots diff by moving 16 B per distinct doc, never text.
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 < 2)
+      val b = docs.filter(col("doc_id") % 3 > 0)
+      Dedup.corpusDiff(a, b, "text")
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3690,6 +3702,28 @@ object SparkEntry {
         |  CAST(floor((off + n_tok - 1) / 256) - floor(off / 256) + 1
         |    AS BIGINT) AS n_seqs
         |FROM p ORDER BY shard, doc_id""".stripMargin,
+
+    // q153: the diff replayed on the normalized-content key (q136's
+    // fingerprint-injectivity discipline); per-content char volume is
+    // the min across copies, kept content reports side B's volume.
+    "q153_corpus_diff" ->
+      """WITH n AS (
+        |  SELECT doc_id % 3 AS third,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k,
+        |    CAST(length(text) AS BIGINT) AS nch
+        |  FROM documents),
+        |a AS (SELECT k, min(nch) AS nch_a FROM n WHERE third < 2
+        |      GROUP BY 1),
+        |b AS (SELECT k, min(nch) AS nch_b FROM n WHERE third > 0
+        |      GROUP BY 1)
+        |SELECT
+        |  CASE WHEN nch_b IS NULL THEN 'removed'
+        |       WHEN nch_a IS NULL THEN 'added'
+        |       ELSE 'kept' END AS status,
+        |  count(*) AS n_contents,
+        |  sum(coalesce(nch_b, nch_a)) AS n_chars
+        |FROM a FULL OUTER JOIN b USING (k)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

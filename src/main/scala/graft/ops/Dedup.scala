@@ -58,6 +58,34 @@ object Dedup {
     fresh.join(keep, Seq(idCol), "left_semi").drop("__fp")
   }
 
+  /** Corpus snapshot diff (the data-ops audit between two crawl/corpus
+    * versions — what a release's "changes since v1" data card reports):
+    * content-level added / removed / kept rollup via a FULL OUTER join
+    * of the two sides' distinct-content tables. Runs on normalized-
+    * content fingerprints (8-byte keys — the [[fingerprintStore]]
+    * state, so diffing 100 TB snapshots moves 16 B per distinct doc),
+    * with per-status distinct-content counts and char volumes (the
+    * char count of each distinct content = min across its copies, so
+    * the rollup is copy-multiplicity-free and deterministic).
+    * `n_chars` reports the CURRENT side's volume for kept content. */
+  def corpusDiff(a: DataFrame, b: DataFrame, textCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, fpName: String, nchName: String) =
+      df.select(TextOps.fingerprint(col(textCol)).as(fpName),
+          length(col(textCol)).cast("long").as(nchName))
+        .groupBy(fpName).agg(min(col(nchName)).as(nchName))
+    val fa = side(a, "fp", "nch_a")
+    val fb = side(b, "fp", "nch_b")
+    fa.join(fb, Seq("fp"), "full_outer")
+      .select(
+        when(col("nch_b").isNull, lit("removed"))
+          .when(col("nch_a").isNull, lit("added"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("nch_b"), col("nch_a")).as("nch"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_contents"), sum("nch").as("n_chars"))
+  }
+
   /** MinHash signature as an array column: k independent permutations
     * approximated by k seeded xxhash64 draws, min per shingle set. Pure
     * higher-order functions — one pass over the shingle array per hash.
