@@ -802,6 +802,23 @@ class TextDedupSpec extends SparkSpec {
     assert(nul.isEmpty)
   }
 
+  test("corpusDiff: added/removed/kept on content, multiplicity-free, " +
+      "whitespace variants collapse") {
+    import graft.ops.Dedup
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "ALPHA  "),
+      (4L, "gone")).toDF("doc_id", "text")
+    val b = Seq((10L, "alpha"), (11L, "beta two"), (12L, "beta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(a, b, "text")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // contents: A = {alpha(×2 incl. ws/case variant), beta, gone};
+    // B = {alpha, "beta two", beta}
+    assert(got("kept") == ((2L, 9L)))    // alpha(5) + beta(4), B volumes
+    assert(got("removed") == ((1L, 4L))) // gone
+    assert(got("added") == ((1L, 8L)))   // "beta two"
+  }
+
   test("charStats: hand-computed entropy, uniques, unicode codepoints, " +
       "empty/null -> null") {
     val rows = Seq(Some("aaaa"), Some("abab"), Some("abcd"),
