@@ -1794,6 +1794,18 @@ object SparkEntry {
       Dedup.corpusDiff(a, b, "text")
     }),
 
+    "q154_knn_graph" -> ((s, dir) => {
+      // k-NN graph over the whole embedding corpus (every vector's 3
+      // nearest in-bucket neighbors — the SemDeDup/cluster primitive,
+      // where q29/q82's shape was a small QUERY set): replayable
+      // hyperplane buckets (q82's family), bucket equi-join, top-k per
+      // source via the map-side-combinable aggregate. Never all-pairs.
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3,
+          bucketFn = Some(HyperplaneReplay.bucketCol))
+        .select(col("src_id"), col("dst_id"), col("rank"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3137,6 +3149,21 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    // q154: the q82 bucket CTEs drive a SELF-join; rank is cosine DESC
+    // with dst tie-break, self-pairs excluded.
+    "q154_knn_graph" ->
+      s"""WITH ${HyperplaneReplay.oracleBucketCtes},
+         |c AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id))
+         |SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |CAST(row_number() OVER (PARTITION BY a.vec_id
+         |  ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |             CAST(b.embedding AS DOUBLE[])) DESC,
+         |           b.vec_id) AS INT) AS rank
+         |FROM c a JOIN c b
+         |  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |QUALIFY rank <= 3 ORDER BY src_id, rank""".stripMargin,
 
     "q82_hyperplane_replay" ->
       s"""WITH ${HyperplaneReplay.oracleBucketCtes},

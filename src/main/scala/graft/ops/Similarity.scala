@@ -115,6 +115,35 @@ object Similarity {
     rankTopK(scored, qIdCol, idCol, k)
   }
 
+  /** k-NN GRAPH over a vector corpus (the SemDeDup / clustering /
+    * graph-dedup prerequisite — every vector's k nearest neighbors,
+    * not a query set's): bucket by hyperplane signs, cosine top-k
+    * INSIDE each bucket per source vector, self excluded. The
+    * self-join is an equi-join on the bucket key — never an all-pairs
+    * product — and the rank is the map-side-combinable top-k
+    * aggregate, so the one exchange carries ≤ partitions·|V|·k rows.
+    * Recall follows the LSH-band profile (cross-bucket neighbors are
+    * missed — [[recallAtK]] measures the trade); bucket population is
+    * corpus/2^nPlanes, the in-bucket quadratic cost lever. */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 7,
+      bucketFn: Option[Column => Column] = None): DataFrame = {
+    val bucket: Column => Column =
+      bucketFn.getOrElse(v => hyperplaneBucket(v, nPlanes, dim, seed))
+    val c = vecs.select(col(idCol), col(vecCol))
+      .withColumn("bucket", bucket(col(vecCol)))
+    val a = c.select(col("bucket"), col(idCol).as("src_id"),
+      col(vecCol).as("__sv"))
+    val b = c.select(col("bucket"), col(idCol).as("dst_id"),
+      col(vecCol).as("__dv"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        VectorFunctions.cosineSimilarity(col("__sv"), col("__dv"))
+          .as("cos"))
+    rankTopK(scored, "src_id", "dst_id", k)
+  }
+
   /** Fit IVF centroids — the coarse quantizer. The FAISS training idiom:
     * ONE distributed job draws a deterministic sample (xxhash64-ranked
     * TakeOrdered — no RNG, stable across runs/partitionings), then

@@ -407,6 +407,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: per-bucket brute-force agreement, self excluded") {
+    val r = new scala.util.Random(5)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(r.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.knnGraph(vecs, "vec_id", "embedding",
+        k = 3, nPlanes = 2, dim = 8, seed = 3)
+      .select("src_id", "dst_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    // reference: same bucket expression, per-bucket all-pairs ranking
+    import graft.expressions.VectorFunctions
+    val bk = vecs.select($"vec_id",
+        VectorFunctions.hyperplaneBucket($"embedding", 2, 8, 3).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val data = vecs.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val want = (for {
+      s <- 0L until 40L
+      ranked = (0L until 40L)
+        .filter(d => d != s && bk(d) == bk(s))
+        .map(d => (d, cos(data(s), data(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(3)
+      ((d, _), idx) <- ranked.zipWithIndex
+    } yield (s, d, idx + 1)).toSet
+    assert(got == want)
+    assert(!got.exists { case (s, d, _) => s == d })
+  }
+
   test("kmeansStep: matches driver-side reference, partition-invariant") {
     // 2-d toy corpus with an obvious 2-cluster structure under cosine
     val vecs = Seq(
