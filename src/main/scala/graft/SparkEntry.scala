@@ -1806,6 +1806,27 @@ object SparkEntry {
         .select(col("src_id"), col("dst_id"), col("rank"))
     }),
 
+    "q155_sentence_split" -> ((s, dir) => {
+      // Sentence segmentation (the unit stage under sentence-level
+      // dedup/filtering): the corpus has no punctuation, so a
+      // deterministic synthesis ends every 7th word with a period,
+      // then the RE2-portable marker split (no lookbehind — the
+      // q117/q133 portability rule) recovers the sentences. Narrow,
+      // zero exchanges.
+      val toks = filter(
+        split(trim(col("text")), "\\s+"), x => x =!= "")
+      val synth = concat_ws(" ", transform(toks, (w, i) =>
+        when((i + 1) % 7 === 0, concat(w, lit("."))).otherwise(w)))
+      t(s, dir, "documents").filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), TextOps.sentenceSplit(synth).as("ss"))
+        .select(col("doc_id"),
+          posexplode(col("ss")).as(Seq("idx", "raw")))
+        .select(col("doc_id"), col("idx"),
+          trim(col("raw")).as("sentence"),
+          length(trim(col("raw"))).cast("long").as("n_chars"))
+        .filter(col("sentence") =!= "")
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3751,6 +3772,31 @@ object SparkEntry {
         |  sum(coalesce(nch_b, nch_a)) AS n_chars
         |FROM a FULL OUTER JOIN b USING (k)
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // q155: every-7th-word terminator synthesis (DuckDB lambda index is
+    // 1-based where Spark's is 0-based — i % 7 ≡ (i0+1) % 7), then the
+    // same marker rewrite + split; kept sentences carry their ORIGINAL
+    // split position.
+    "q155_sentence_split" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      (w, i) -> CASE WHEN i % 7 = 0 THEN w || '.' ELSE w END),
+        |      ' ') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |sp AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(t, '([.!?])\s+',
+        |      '\1' || chr(1), 'g'), chr(1)) AS ss
+        |  FROM synth)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+        |  trim(ss[CAST(i AS INT)]) AS sentence,
+        |  CAST(length(trim(ss[CAST(i AS INT)])) AS BIGINT) AS n_chars
+        |FROM sp, LATERAL unnest(range(1, CAST(len(ss) AS BIGINT) + 1))
+        |  AS u(i)
+        |WHERE trim(ss[CAST(i AS INT)]) <> ''
+        |ORDER BY doc_id, idx""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -225,6 +225,17 @@ object TextOps {
     graft.expressions.TextExpressions.charShingleHashes(
       regexp_replace(lower(trim(text)), "\\s+", " "), n)
 
+  /** Sentence segmentation (the unit stage for sentence-level dedup /
+    * per-sentence filtering): a terminator `[.!?]` followed by
+    * whitespace ends a sentence. RE2 has no lookbehind, so the
+    * engine-portable form is the MARKER trick — rewrite
+    * `([.!?])\s+` → `$1`, split on the marker — which keeps the
+    * whole chain in codegen and replays verbatim in any RE2 engine
+    * (the q117/q133 portability rule). Returns the raw split array;
+    * callers trim/filter per their unit semantics. */
+  def sentenceSplit(text: Column): Column =
+    split(regexp_replace(text, "([.!?])\\s+", "$1"), "")
+
   /** Character-distribution quality signals: per-doc char entropy in
     * bits + unique-char count (low entropy flags repeated-character
     * gibberish, high flags base64/binary blobs — the char-level filter
