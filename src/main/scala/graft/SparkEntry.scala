@@ -1827,6 +1827,21 @@ object SparkEntry {
         .filter(col("sentence") =!= "")
     }),
 
+    "q156_bottomk_quantiles" -> ((s, dir) => {
+      // Mergeable quantile sketch via deterministic bottom-k hash
+      // sampling (the KMV idiom): per-lang doc-length deciles from the
+      // 64 smallest-md5-ranked docs per lang — k·16 B of state per
+      // group at ANY group size where q114's exact percentile buffers
+      // every value. Unlike t-digest/KLL the estimate is a pure
+      // function of (ids, seed) — partition-invariant and replayable.
+      graft.ops.Sketch.bottomKQuantiles(
+          t(s, dir, "documents")
+            .withColumn("n_chars", length(col("text"))),
+          "lang", "n_chars", "doc_id", k = 64,
+          probs = Seq(0.1, 0.5, 0.9), seed = 5)
+        .select(col("lang"), col("p"), col("est"), col("n_sample"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3797,6 +3812,38 @@ object SparkEntry {
         |  AS u(i)
         |WHERE trim(ss[CAST(i AS INT)]) <> ''
         |ORDER BY doc_id, idx""".stripMargin,
+
+    // q156: the q124 digit-walk md5 rank selects each lang's bottom-64
+    // sample (ties: rank ASC then value ASC — the aggregate's
+    // (score DESC, id ASC) order); nearest-rank index over the sorted
+    // sample.
+    "q156_bottomk_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS val,
+        |    list_sum(list_transform(range(0, 12), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
+        |                CAST(i + 1 AS INT), 1)) - 1)
+        |      * power(16.0, CAST(11 - i AS DOUBLE)))) AS v
+        |  FROM documents),
+        |samp AS (
+        |  SELECT lang, val FROM (
+        |    SELECT lang, val,
+        |      row_number() OVER (PARTITION BY lang ORDER BY v, val)
+        |        AS rn
+        |    FROM d) WHERE rn <= 64),
+        |srt AS (
+        |  SELECT lang, val,
+        |    row_number() OVER (PARTITION BY lang ORDER BY val) - 1
+        |      AS idx,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM samp)
+        |SELECT lang, p, est, n_sample FROM (
+        |  SELECT s.lang, pr.p, s.val AS est, CAST(s.n AS BIGINT)
+        |      AS n_sample, s.idx,
+        |    CAST(floor(pr.p * (s.n - 1)) AS BIGINT) AS want
+        |  FROM srt s, (VALUES (0.1), (0.5), (0.9)) pr(p))
+        |WHERE idx = want ORDER BY lang, p""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -203,4 +203,42 @@ object Sketch {
         p.getAs[Int]("width"),
         p.getAs[Int]("cap"), p.getAs[String]("family")))
   }
+
+  /** Per-group quantile ESTIMATES from a deterministic bottom-k hash
+    * sample (the KMV idiom applied to quantiles): the k rows with the
+    * smallest md5 rank are a uniform sample of the group, selected by
+    * the map-side-combinable
+    * [[graft.expressions.TopKByScoreAgg]] (bottom-k under a total
+    * order is associative — state is k pairs per group per partition,
+    * never the group), and the p-quantile estimate is the
+    * nearest-rank element of the sorted sample. Exact-percentile
+    * aggregation ([[graft.SparkEntry]] q114) buffers every value per
+    * group; this holds k·16 bytes per group at ANY group size, and —
+    * unlike rank-error sketches (t-digest/KLL) — the estimate is a
+    * pure function of (ids, seed): bit-replayable and
+    * partition-invariant. Sampling error is the classic order-
+    * statistic bound (~1/√k quantile deviation).
+    *
+    * Returns (keyCol, p, est, n_sample). */
+  def bottomKQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, k: Int, probs: Seq[Double], seed: Long)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1]: $probs")
+    val v = conv(substring(Sampling.md5Rank(col(idCol), seed), 1, 12),
+      16, 10).cast("double")
+    df.groupBy(col(keyCol))
+      .agg(graft.expressions.AggregateFunctions
+        .topKByScore(-v, col(valCol).cast("long"), k).as("__s"))
+      .select(col(keyCol),
+        expr("array_sort(transform(__s, x -> x.id))").as("__vals"))
+      .select(col(keyCol),
+        explode(typedLit(probs)).as("p"), col("__vals"))
+      .select(col(keyCol), col("p"),
+        element_at(col("__vals"),
+          (floor(col("p") * (size(col("__vals")) - 1)) + 1).cast("int"))
+          .as("est"),
+        size(col("__vals")).cast("long").as("n_sample"))
+  }
 }

@@ -180,4 +180,40 @@ class SketchSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("bottomKQuantiles: driver-side reference, partition-invariant, " +
+      "under-full groups use the whole group (= exact)") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 400L).map(i =>
+      (if (i <= 360) "big" else "small", i, (i * 7) % 1000))
+      .toDF("g", "id", "v")
+    val got = Sketch.bottomKQuantiles(rows, "g", "v", "id", k = 64,
+        probs = Seq(0.1, 0.5, 0.9), seed = 3)
+      .select("g", "p", "est", "n_sample")
+      .as[(String, Double, Long, Long)].collect().toSet
+    // driver-side reference: same md5 rank, bottom-64, nearest-rank
+    val ranked = rows.select(col("g"), col("v").cast("long"),
+        conv(substring(Sampling.md5Rank(col("id"), 3L), 1, 12), 16, 10)
+          .cast("double").as("rk"))
+      .as[(String, Long, Double)].collect()
+    val want = (for {
+      g <- Seq("big", "small")
+      sample = ranked.filter(_._1 == g)
+        .sortBy(r => (r._3, r._2)).take(64).map(_._2).sorted
+      p <- Seq(0.1, 0.5, 0.9)
+    } yield (g, p, sample(math.floor(p * (sample.length - 1)).toInt),
+      sample.length.toLong)).toSet
+    assert(got == want)
+    // the 40-row group is fully sampled → estimates are EXACT
+    // nearest-rank quantiles of the group
+    assert(got.filter(_._1 == "small").forall(_._4 == 40L))
+    // partition invariance (bottom-k under a total order is
+    // merge-order-free)
+    val re = Sketch.bottomKQuantiles(rows.repartition(13), "g", "v",
+        "id", 64, Seq(0.1, 0.5, 0.9), 3)
+      .select("g", "p", "est", "n_sample")
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }
