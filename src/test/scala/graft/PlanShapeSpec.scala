@@ -95,7 +95,18 @@ class PlanShapeSpec extends SparkSpec {
     // Tokenize-and-pack: the word-count join broadcasts the distinct-
     // word side; the two exchanges are the per-doc agg and the shard
     // cumsum window.
-    "q152_tokenize_pack" -> 2
+    "q152_tokenize_pack" -> 2,
+    // Corpus diff: two distinct-content aggs (partial-aggregatable)
+    // + the fp-keyed full-outer join; wire is 16 B/distinct doc.
+    "q153_corpus_diff" -> 3,
+    // k-NN graph: bucket join broadcasts one side at this sf; the ONE
+    // exchange is the k-bounded per-source rank.
+    "q154_knn_graph" -> 1,
+    // Sentence split: pure codegen regexp chain — ZERO exchanges.
+    "q155_sentence_split" -> 0,
+    // Bottom-k quantile sketch: the ONE exchange is the per-group
+    // bottom-k aggregate (k pairs per group per partition).
+    "q156_bottomk_quantiles" -> 1
   )
 
   expected.foreach { case (name, want) =>
