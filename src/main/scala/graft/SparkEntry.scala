@@ -1842,6 +1842,33 @@ object SparkEntry {
         .select(col("lang"), col("p"), col("est"), col("n_sample"))
     }),
 
+    "q157_sentence_dedup" -> ((s, dir) => {
+      // Sentence-level corpus dedup (the RefinedWeb/CCNet line-wise
+      // rule at SENTENCE granularity — boilerplate sentences in ≥ 3
+      // distinct docs vanish everywhere, docs reassemble from what
+      // survives): q155's terminator synthesis + marker split feeds
+      // q135's dropFrequentUnits + ordered reassembly. A real
+      // three-operator composition — unit extraction is narrow, the
+      // df count and reassembly are the only exchanges.
+      val toks = filter(
+        split(trim(col("text")), "\\s+"), x => x =!= "")
+      val synth = concat_ws(" ", transform(toks, (w, i) =>
+        when((i + 1) % 7 === 0, concat(w, lit("."))).otherwise(w)))
+      val units = t(s, dir, "documents")
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), TextOps.sentenceSplit(synth).as("ss"))
+        .select(col("doc_id"),
+          posexplode(col("ss")).as(Seq("idx", "raw")))
+        .select(col("doc_id"), col("idx"),
+          trim(col("raw")).as("sentence"))
+        .filter(col("sentence") =!= "")
+      Dedup.reassembleUnits(
+        Dedup.dropFrequentUnits(units, "doc_id", "sentence",
+          maxDocFreq = 3),
+        "doc_id", "idx", "sentence")
+        .select(col("doc_id"), col("text"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -3844,6 +3871,41 @@ object SparkEntry {
         |    CAST(floor(pr.p * (s.n - 1)) AS BIGINT) AS want
         |  FROM srt s, (VALUES (0.1), (0.5), (0.9)) pr(p))
         |WHERE idx = want ORDER BY lang, p""".stripMargin,
+
+    // q157: q155's synthesis/split CTEs ∘ the q135 doc-frequency anti
+    // join ∘ ordered string_agg reassembly (docs losing every sentence
+    // disappear — standard curation behavior).
+    "q157_sentence_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      (w, i) -> CASE WHEN i % 7 = 0 THEN w || '.' ELSE w END),
+        |      ' ') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |sp AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(t, '([.!?])\s+',
+        |      '\1' || chr(1), 'g'), chr(1)) AS ss
+        |  FROM synth),
+        |units AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+        |    trim(ss[CAST(i AS INT)]) AS sentence
+        |  FROM sp, LATERAL unnest(range(1, CAST(len(ss) AS BIGINT) + 1))
+        |    AS u(i)
+        |  WHERE trim(ss[CAST(i AS INT)]) <> ''),
+        |hot AS (
+        |  SELECT sentence FROM (
+        |    SELECT sentence, count(DISTINCT doc_id) AS df
+        |    FROM units GROUP BY 1)
+        |  WHERE df >= 3),
+        |kept AS (
+        |  SELECT u.* FROM units u
+        |  LEFT JOIN hot h ON u.sentence = h.sentence
+        |  WHERE h.sentence IS NULL)
+        |SELECT doc_id,
+        |  string_agg(sentence, ' ' ORDER BY idx) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q39_age_functor" ->
       """SELECT event_id,

@@ -106,7 +106,11 @@ class PlanShapeSpec extends SparkSpec {
     "q155_sentence_split" -> 0,
     // Bottom-k quantile sketch: the ONE exchange is the per-group
     // bottom-k aggregate (k pairs per group per partition).
-    "q156_bottomk_quantiles" -> 1
+    "q156_bottomk_quantiles" -> 1,
+    // Sentence-level corpus dedup: the q135 shape — (unit, doc)
+    // distinct + df count (both partial-aggregatable) + the
+    // reassembly agg; the hot-set anti-join broadcasts.
+    "q157_sentence_dedup" -> 3
   )
 
   expected.foreach { case (name, want) =>
