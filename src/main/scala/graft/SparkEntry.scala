@@ -1869,6 +1869,31 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q158_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog distinct-token audit per source: the register table
+      // IS the output (full sketch state hash-checked, not just the
+      // estimate), joined with the harmonic-mean estimate and the exact
+      // count for grading. Register build is the only token-width
+      // exchange — and map-side combine caps it at 64 rows per source
+      // per partition; at 100 TB the same plan ships kilobytes per
+      // group. Replayable q78 poly-hash family; the rank comes from the
+      // binary bit-length (bin()), exact on both engines.
+      val tok = t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(regexp_replace(col("text"),
+            "[^\\x20-\\x7e]", ""))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .localCheckpoint(true)
+      val regs = graft.ops.Sketch.hllRegisters(tok, "source", "term",
+        b = 6)
+      val est = graft.ops.Sketch.hllEstimate(regs, b = 6)
+      val ex = tok.groupBy("source")
+        .agg(countDistinct(col("term")).as("exact_distinct"))
+      regs.join(est.select(col("grp"), col("est_distinct")), Seq("grp"))
+        .join(ex, regs("grp") === ex("source"))
+        .select(col("source"), col("bucket"), col("reg"),
+          col("est_distinct"), col("exact_distinct"))
+    }),
+
     "q97_substring_dedup" -> ((s, dir) => {
       // Exact substring-span dedup (Lee et al., arXiv:2107.06499): every
       // 50-char span whose text occurred earlier in the corpus (global
@@ -2143,8 +2168,9 @@ object SparkEntry {
     "q107_linear_count" -> ((s, dir) => {
       // Linear-probabilistic distinct counting (Whang et al. 1990):
       // per-lang distinct-token estimates from m=1024 bucket occupancy,
-      // replayable poly-hash buckets (HLL registers would be
-      // engine-specific), exact distinct alongside for grading.
+      // replayable poly-hash buckets; exact distinct alongside for
+      // grading. q158 is the HLL sibling (register state, unbounded
+      // range).
       val docs = t(s, dir, "documents").select(col("lang"),
         lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
           .as("text"))
@@ -5523,6 +5549,58 @@ object SparkEntry {
          |  END AS est_distinct,
          |  exact_distinct
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    // q158: full HLL register replay — poly hash + the square-affine
+    // scramble (see Sketch.hllRegisters: the raw polynomial has no
+    // avalanche), bucket = low 6 bits, rank from bin() bit-length of
+    // the remaining 24 (W = bitlen((P-1)>>6)), harmonic sum as exact
+    // Σ2^(40-reg) BIGINTs, one FP division.
+    "q158_hll_distinct" -> {
+      val c = (0.709 * 64 * 64 * math.pow(2, 40)).toString.toLowerCase
+      s"""WITH d AS (
+         |  SELECT source,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT source, unnest(list_filter(string_split_regex(t, '\\s+'),
+         |                                    x -> x <> '')) AS term
+         |  FROM d),
+         |hp AS (
+         |  SELECT source, ${PolyHashSql.over("term", 257L, 16)} AS h0
+         |  FROM tok),
+         |hv AS (
+         |  SELECT source,
+         |    ((h0 * h0 + h0) % 1000000007 * 2654435761 + 40503)
+         |      % 1000000007 AS h
+         |  FROM hp),
+         |regs AS (
+         |  SELECT source, h % 64 AS bucket,
+         |    CAST(max(CASE WHEN h // 64 = 0 THEN 25
+         |             ELSE 25 - length(bin(h // 64)) END) AS BIGINT) AS reg
+         |  FROM hv GROUP BY 1, 2),
+         |gs AS (
+         |  SELECT source,
+         |    sum(CAST(1 AS BIGINT) << CAST(40 - reg AS INT))
+         |      + (64 - count(*)) * (CAST(1 AS BIGINT) << CAST(40 AS INT))
+         |      AS s,
+         |    64 - count(*) AS v
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT source,
+         |    CASE WHEN $c / s <= 160.0 AND v > 0
+         |         THEN round(64.0 * ln(64.0 / v), 6)
+         |         ELSE round($c / s, 6) END AS est_distinct
+         |  FROM gs),
+         |ex AS (
+         |  SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+         |    AS exact_distinct
+         |  FROM tok GROUP BY 1)
+         |SELECT r.source, r.bucket, r.reg, e.est_distinct,
+         |  x.exact_distinct
+         |FROM regs r JOIN est e USING (source)
+         |  JOIN ex x ON x.source = r.source
+         |ORDER BY r.source, r.bucket""".stripMargin
     },
 
     "q108_cdc_dedup" -> CdcReplay.oracle,

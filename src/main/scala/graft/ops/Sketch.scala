@@ -149,8 +149,10 @@ object Sketch {
     * form: per-group occupied-bucket count (one distinct-aggregate over
     * (group, bucket) — nothing wider than m rows per group survives the
     * shuffle), replayable poly-hash buckets so an external engine
-    * replays the estimate bit-for-bit — unlike HLL registers, which
-    * are engine-specific. Saturated groups (all m occupied) estimate
+    * replays the estimate bit-for-bit. Precision-per-byte favors
+    * [[hllRegisters]] (m·6-bit state, unbounded range) once group
+    * cardinality can exceed m; linear counting stays the more accurate
+    * estimator well below saturation. Saturated groups estimate
     * null (ln 0); size m above the expected cardinality.
     *
     * The hash reads only the first `cap` bytes of each value, so
@@ -173,6 +175,82 @@ object Sketch {
           round(-lit(m.toDouble) *
             log((lit(m.toDouble) - col("occupied")) / m), 6))
           .as("est_distinct"))
+
+  /** HyperLogLog registers (Flajolet et al., AofA 2007) in relational
+    * form: one row per (group, bucket) holding the max leading-zero rank
+    * observed — the mergeable distinct-count sketch for 100 TB corpus
+    * audits. The aggregation is two-level: `max(rho)` per (group,
+    * bucket) map-side-combines to ≤ 2^b rows per group per partition
+    * BEFORE the shuffle, so the exchange carries register state, never
+    * token rows — the same wire-bound argument as `cmsTable`.
+    *
+    * Unlike the usual engine-specific HLL blobs (and the stale claim
+    * `linearCountDistinct` used to make), these registers are
+    * bit-replayable by an external engine: the q78 poly family over
+    * Z_p scrambled by one square-and-affine step
+    * `g = ((h²+h) mod P · 2654435761 + 40503) mod P` — the raw
+    * polynomial has NO avalanche (inputs differing in trailing bytes
+    * land in a handful of residue clusters; measured: 5000 structured
+    * tokens estimated as 127), while the nonlinear square restores the
+    * geometric leading-zero tail HLL's estimator is built on. Both
+    * steps stay under 2^63 (P² ≈ 10^18), so any BIGINT engine replays
+    * them. Bucket = low `b` bits of g; the rank comes from the binary
+    * bit-length of the remaining `W = bitlen((P-1) >> b)` bits —
+    * `rho = W+1 - bitlen(w)` (W+1 for w = 0), exact integer/string
+    * ops. The narrower hash domain caps the max observable rank at
+    * W+1 (vs 64-bit HLL's 58): irrelevant below ~2^W ≈ 16M distinct
+    * per group; size `b`/`base` up for more.
+    *
+    * Same prefix-collision caveat as every `strPolyHash` consumer:
+    * values sharing a `cap`-byte prefix collapse before bucketing.
+    * Returns (grp, bucket, reg). */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int = 6, base: Long = 257L, cap: Int = 16): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16]: $b")
+    val P = 1000000007L
+    val m = 1 << b
+    val W = 64 - java.lang.Long.numberOfLeadingZeros((P - 1) >> b)
+    val h = TextExpressions.strPolyHash(col(valueCol), base, cap)
+    val hv = (((h * h + h) % P) * lit(2654435761L) + lit(40503L)) % P
+    df.select(col(groupCol).as("grp"),
+        hv.bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        shiftrightunsigned(hv, b).as("__w"))
+      .groupBy("grp", "bucket")
+      .agg(max(when(col("__w") === 0L, lit((W + 1).toLong))
+        .otherwise(lit((W + 1).toLong) - length(bin(col("__w")))))
+        .cast("long").as("reg"))
+  }
+
+  /** Distinct-count estimate from `hllRegisters` output: the textbook
+    * harmonic mean alpha_m·m²/Σ2^−reg with the small-range linear-
+    * counting correction (est ≤ 2.5m and empty buckets remain). The
+    * harmonic sum runs in EXACT integer arithmetic — Σ 2^(40−reg) as
+    * BIGINT (reg ≤ W+1 < 40; absent buckets contribute 2^40 each) — so
+    * the estimate is one deterministic FP division of two exact
+    * integers, order-insensitive under Spark's partial aggregation and
+    * bit-replayable externally. Returns (grp, occupied, est_distinct). */
+  def hllEstimate(registers: DataFrame, b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val c = alpha * m * m * math.pow(2, 40)
+    registers.groupBy("grp")
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - reg AS INT))"))
+          .as("__s_occ"))
+      .select(col("grp"), col("occupied"),
+        (col("__s_occ") + (lit(m.toLong) - col("occupied"))
+          * lit(1L << 40)).as("__s"),
+        (lit(m.toLong) - col("occupied")).as("__v"))
+      .select(col("grp"), col("occupied"),
+        when(lit(c) / col("__s") <= lit(2.5 * m) && col("__v") > 0L,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("__v")), 6))
+          .otherwise(round(lit(c) / col("__s"), 6)).as("est_distinct"))
+  }
 
   /** Hash-family parameters of a persisted grid. */
   case class GridParams(bases: Seq[Long], width: Int, cap: Int,

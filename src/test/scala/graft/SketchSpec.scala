@@ -216,4 +216,46 @@ class SketchSpec extends SparkSpec {
       .as[(String, Double, Long, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("hllRegisters: registers are the elementwise max of any split " +
+      "(merge correctness) and partition-layout invariant") {
+    val vals = (1L to 3000L).map(i => ("g", s"tok$i"))
+      .toDF("grp", "term")
+    val whole = Sketch.hllRegisters(vals, "grp", "term")
+      .as[(String, Long, Long)].collect().toSet
+    // duplicate-insensitive: re-inserting every value changes nothing
+    val dup = Sketch.hllRegisters(vals.unionByName(vals), "grp", "term")
+      .as[(String, Long, Long)].collect().toSet
+    assert(dup == whole)
+    // mergeable: max of the two halves' registers == whole registers
+    val h1 = Sketch.hllRegisters(vals.limit(1500), "grp", "term")
+      .as[(String, Long, Long)].collect()
+    val h2 = Sketch.hllRegisters(
+        vals.except(vals.limit(1500)), "grp", "term")
+      .as[(String, Long, Long)].collect()
+    val merged = (h1 ++ h2).groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => (k._1, k._2, rs.map(_._3).max) }.toSet
+    assert(merged == whole)
+    val re = Sketch.hllRegisters(vals.repartition(17), "grp", "term")
+      .as[(String, Long, Long)].collect().toSet
+    assert(re == whole)
+  }
+
+  test("hllEstimate: within the expected error envelope at m=64, " +
+      "linear-counting branch engages on small groups") {
+    val vals = ((1L to 5000L).map(i => ("big", s"value-$i")) ++
+        (1L to 30L).map(i => ("tiny", s"value-$i")))
+      .toDF("grp", "term")
+    val est = Sketch.hllEstimate(
+        Sketch.hllRegisters(vals, "grp", "term"))
+      .select("grp", "est_distinct").as[(String, Double)]
+      .collect().toMap
+    // 1.04/sqrt(64) ≈ 13% std error; allow 3 sigma
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.4,
+      s"big est ${est("big")}")
+    // 30 distinct ≪ 2.5m=160 → linear-counting correction branch;
+    // it is near-exact well below saturation
+    assert(math.abs(est("tiny") - 30.0) < 10.0,
+      s"tiny est ${est("tiny")}")
+  }
 }
