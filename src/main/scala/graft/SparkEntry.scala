@@ -1869,6 +1869,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q159_edit_verify" -> ((s, dir) => {
+      // Candidate → verify with EDIT DISTANCE as the precision stage:
+      // the q78 replayable MinHash bands recall candidate pairs, and
+      // the banded Levenshtein (threshold-bounded DP — the maxDist cap
+      // is what makes the stage affordable: O(d·n) per pair, length-
+      // mismatch pairs exit before any DP) passes only true near-copies
+      // ≤ 60 edits. Unlike the q78 Jaccard verify, this one sees token
+      // ORDER — shuffled-token twins fail here.
+      val (docs, _, cand) = minhashReplayCands(s, dir)
+      Dedup.editDistanceVerify(docs, "doc_id", "text", cand,
+        maxDist = 60)
+    }),
+
     "q158_hll_distinct" -> ((s, dir) => {
       // HyperLogLog distinct-token audit per source: the register table
       // IS the output (full sketch state hash-checked, not just the
@@ -1928,32 +1941,7 @@ object SparkEntry {
       // Jaccard verify ≥ 0.5. q27 stays the production xxhash64 path
       // (rows-only); THIS query hash-checks the signature math, banding
       // semantics, and verify threshold against DuckDB.
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
-          .as("text"))
-      // w=1 winnowing selects every rolling hash → the sorted-distinct
-      // 5-gram hash SET, shared by the signature and the verify join
-      val sets = docs.select(col("doc_id"),
-        TextOps.winnowFingerprints(col("text"), k = 5, w = 1).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .localCheckpoint(true)
-      val aggs = (0 until MinhashReplay.nPerm).map { j =>
-        min((col("h") * MinhashReplay.aj(j) + MinhashReplay.bj(j))
-          % MinhashReplay.P).as(s"m$j")
-      }
-      val sig = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-        .groupBy("doc_id")
-        .agg(aggs.head, aggs.tail: _*)
-      val cand = (0 until MinhashReplay.bands).map { bnd =>
-        val cs = (bnd * MinhashReplay.rows until
-          (bnd + 1) * MinhashReplay.rows).map(j => s"m$j")
-        sig.select(col("doc_id").as("id_a"),
-            struct(cs.map(col): _*).as("__bk"))
-          .join(sig.select(col("doc_id").as("id_b"),
-            struct(cs.map(col): _*).as("__bk")), Seq("__bk"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-      }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+      val (_, sets, cand) = minhashReplayCands(s, dir)
       cand
         .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
           Seq("id_a"))
@@ -2751,6 +2739,41 @@ object SparkEntry {
 
   /** q78's replayable permutation family — one definition drives both the
     * Spark query and the generated DuckDB oracle. */
+  /** Spark side of the q78 replayable MinHash band pipeline: ASCII-
+    * projected docs, their sorted-distinct 5-gram hash sets, and the
+    * band-bucket candidate pairs (id_a < id_b). Shared by q78
+    * (hash-set Jaccard verify) and q159 (edit-distance verify). */
+  private def minhashReplayCands(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+        .as("text"))
+    // w=1 winnowing selects every rolling hash → the sorted-distinct
+    // 5-gram hash SET, shared by the signature and the verify join
+    val sets = docs.select(col("doc_id"),
+      TextOps.winnowFingerprints(col("text"), k = 5, w = 1).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(true)
+    val aggs = (0 until MinhashReplay.nPerm).map { j =>
+      min((col("h") * MinhashReplay.aj(j) + MinhashReplay.bj(j))
+        % MinhashReplay.P).as(s"m$j")
+    }
+    val sig = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val cand = (0 until MinhashReplay.bands).map { bnd =>
+      val cs = (bnd * MinhashReplay.rows until
+        (bnd + 1) * MinhashReplay.rows).map(j => s"m$j")
+      sig.select(col("doc_id").as("id_a"),
+          struct(cs.map(col): _*).as("__bk"))
+        .join(sig.select(col("doc_id").as("id_b"),
+          struct(cs.map(col): _*).as("__bk")), Seq("__bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    (docs, sets, cand)
+  }
+
   private object MinhashReplay {
     val P = 1000000007L
     val nPerm = 16
@@ -2758,14 +2781,16 @@ object SparkEntry {
     val rows = 4
     def aj(j: Int): Long = (j * 2654435761L + 1L) % P
     def bj(j: Int): Long = (j * 40503L + 7L) % P
-    def oracle: String = {
+    /** The pipeline through band-bucket candidates, shared by the q78
+      * verify (hash-set Jaccard) and the q159 verify (edit distance). */
+    def candCtes: String = {
       val sigCols = (0 until nPerm).map(j =>
         s"min((hv * ${aj(j)} + ${bj(j)}) % $P) AS m$j").mkString(", ")
       val bandConds = (0 until bands).map { bnd =>
         (bnd * rows until (bnd + 1) * rows)
           .map(j => s"a.m$j = b.m$j").mkString("(", " AND ", ")")
       }.mkString(" OR ")
-      s"""WITH h AS (
+      s"""h AS (
          |  SELECT doc_id,
          |    list_transform(range(1, greatest(length(t) - 5 + 2, 1)),
          |      i -> list_sum(list_transform(range(0, 5), j ->
@@ -2784,7 +2809,10 @@ object SparkEntry {
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |   AND ($bandConds)),
+         |   AND ($bandConds))""".stripMargin
+    }
+    def oracle: String = {
+      s"""WITH ${candCtes},
          |jac AS (
          |  SELECT id_a, id_b,
          |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
@@ -5550,6 +5578,28 @@ object SparkEntry {
          |  exact_distinct
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // q159: the q78 candidate CTEs, then DuckDB's levenshtein as the
+    // verify — both engines compute plain unit-cost edit distance over
+    // the same ASCII-projected text (Spark's threshold arg only bounds
+    // the DP; values ≤ the bound are exact).
+    "q159_edit_verify" ->
+      s"""WITH ${MinhashReplay.candCtes},
+         |d AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |v AS (
+         |  SELECT id_a, id_b,
+         |    CAST(levenshtein(da.t, db.t) AS BIGINT) AS dist,
+         |    greatest(length(da.t), length(db.t)) AS mx
+         |  FROM cand
+         |    JOIN d da ON da.doc_id = id_a
+         |    JOIN d db ON db.doc_id = id_b)
+         |SELECT id_a, id_b, dist,
+         |  round(1.0 - CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+         |    AS sim
+         |FROM v WHERE dist <= 60 ORDER BY id_a, id_b""".stripMargin,
 
     // q158: full HLL register replay — poly hash + the square-affine
     // scramble (see Sketch.hllRegisters: the raw polynomial has no

@@ -900,4 +900,38 @@ object Dedup {
         VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Edit-distance verify stage for candidate pairs — the PRECISION half
+    * of a candidate→verify dedup pipeline (MinHash/SimHash bands recall
+    * near-dups cheaply; Levenshtein is the strict final judge a
+    * set-similarity verify can't be: it sees order and position, so
+    * shuffled-token twins that fool Jaccard fail here).
+    *
+    * The scale lever is the `maxDist` bound: Spark's 3-arg
+    * `levenshtein(l, r, threshold)` runs the banded DP — O(maxDist ·
+    * min(|a|,|b|)) and early-exit, not the O(|a|·|b|) full matrix — and
+    * pairs whose LENGTHS already differ by more than `maxDist` exit
+    * before any DP. Work is per-pair codegen'd compute on the join
+    * output; the only exchanges are the two id-keyed text joins, and the
+    * candidate generator has already bounded pair count (never
+    * all-pairs).
+    *
+    * Returns (idA, idB, dist, sim) for pairs with dist ≤ maxDist;
+    * sim = 1 − dist/max(|a|,|b|) (the normalized edit similarity). */
+  def editDistanceVerify(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxDist: Int, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    pairs.select(col(idA), col(idB))
+      .join(docs.select(col(idCol).as(idA), col(textCol).as("__ta")),
+        Seq(idA))
+      .join(docs.select(col(idCol).as(idB), col(textCol).as("__tb")),
+        Seq(idB))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col(idA), col(idB), col("dist").cast("long").as("dist"),
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")))
+            .cast("double"), 6).as("sim"))
+  }
 }

@@ -841,4 +841,51 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(4) == ((None, None, None)))
     assert(rows(5) == ((None, None, None)))
   }
+
+  test("editDistanceVerify: banded distance matches full Levenshtein, " +
+      "over-threshold and length-mismatch pairs drop, order-sensitivity") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fix"),   // dist 1 from doc 1
+      (3L, "fox brown quick the"),   // same token SET as 1, shuffled
+      (4L, "entirely different content that is long"),
+      (5L, "xy")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.editDistanceVerify(docs, "id", "text",
+        pairs, maxDist = 12)
+      .select("id_a", "id_b", "dist", "sim")
+      .as[(Long, Long, Long, Double)].collect().toMap2
+    // (1,2): one substitution; sim rounded to 6 dp
+    assert(got((1L, 2L)) ==
+      ((1L, math.rint((1.0 - 1.0 / 19) * 1e6) / 1e6)))
+    // (1,3) same Jaccard-1 token set but 12 edits away — kept at the
+    // bound, which is exactly what a set-similarity verify cannot see
+    assert(got.contains((1L, 3L)) == (reference("the quick brown fox",
+      "fox brown quick the") <= 12))
+    // (1,4) and (1,5): beyond the band (length gap alone > 12) — gone
+    assert(!got.contains((1L, 4L)) && !got.contains((1L, 5L)))
+    // banded result == full-DP reference for everything kept
+    got.foreach { case ((a, b), (d, _)) =>
+      val texts = docs.as[(Long, String)].collect().toMap
+      assert(d == reference(texts(a), texts(b)), s"pair ($a,$b)")
+    }
+  }
+
+  /** Textbook full-matrix Levenshtein, the oracle for the banded impl. */
+  private def reference(a: String, b: String): Long = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length).toLong
+  }
+
+  private implicit class Tup4Map(
+      rows: Array[(Long, Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), (Long, Double)] =
+      rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+  }
 }
