@@ -1869,6 +1869,28 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q160_pagerank" -> ((s, dir) => {
+      // Host-graph PageRank for crawl prioritization, on a deterministic
+      // synthetic web graph over doc ids (a ring edge for guaranteed
+      // connectivity + two multiplicative-hash links per node — the
+      // replayable analogue of a crawl's link table). 8 power
+      // iterations of Graph.pageRankFixedPoint: every rank is an exact
+      // BIGINT, so the oracle's recursive CTE reproduces all 8
+      // iterations bit-for-bit — no FP drift, no round-6 hedging.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(typedLit(Seq(0, 1, 2))).as("j"))
+        .select(col("src"),
+          when(col("j") === 0, (col("src") + 1) % n)
+            .otherwise(((col("src") * 2654435761L + col("j") * 40503L
+              + 7L) % 1000000007L) % n).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
+    }),
+
     "q159_edit_verify" -> ((s, dir) => {
       // Candidate → verify with EDIT DISTANCE as the precision stage:
       // the q78 replayable MinHash bands recall candidate pairs, and
@@ -5578,6 +5600,40 @@ object SparkEntry {
          |  exact_distinct
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // q160: all 8 power iterations replayed in a recursive CTE over
+    // exact BIGINT ranks — same ring+hash edge synthesis, same
+    // truncating-div update; integer sums are order-free, so the match
+    // is bit-exact with no rounding discipline needed.
+    "q160_pagerank" ->
+      """WITH RECURSIVE
+        |par AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src,
+        |    CASE WHEN j = 0 THEN (doc_id + 1) % n
+        |         ELSE ((doc_id * 2654435761 + j * 40503 + 7)
+        |               % 1000000007) % n
+        |    END AS dst
+        |  FROM documents, par, unnest([0, 1, 2]) AS t(j)),
+        |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+        |deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS d
+        |  FROM edges GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d
+        |       USING (src)),
+        |pr(iter, node, r) AS (
+        |  SELECT 0, doc_id, (SELECT 1000000000000 // n FROM par)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT it + 1, node,
+        |    (SELECT (3 * (1000000000000 // n)) // 20 FROM par)
+        |      + (17 * c) // 20
+        |  FROM (SELECT p.iter AS it, e.dst AS node,
+        |          sum(p.r // e.d) AS c
+        |        FROM pr p JOIN ed e ON e.src = p.node
+        |        WHERE p.iter < 8 GROUP BY 1, 2) s)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp
+        |FROM pr WHERE iter = 8 ORDER BY node""".stripMargin,
 
     // q159: the q78 candidate CTEs, then DuckDB's levenshtein as the
     // verify — both engines compute plain unit-cost edit distance over
