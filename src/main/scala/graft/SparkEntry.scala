@@ -1869,6 +1869,43 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q161_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink + source round trip (the q146 JSONL discipline for the
+      // other columnar interchange format Spark ships natively): write
+      // documents as ORC to scratch, re-open cold with an explicit
+      // schema, return every row verbatim. Distinct codec path from
+      // parquet — dictionary/RLE encoders, stripe metadata — so a
+      // byte-level loss in either direction breaks the oracle hash.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q161")
+        .toString
+      t(s, dir, "documents").select("doc_id", "lang", "text")
+        .write.mode("overwrite").orc(tmp)
+      s.read.schema("doc_id LONG, lang STRING, text STRING").orc(tmp)
+        .select(col("doc_id"), col("lang"), col("text"))
+    }),
+
+    "q162_csv_roundtrip" -> ((s, dir) => {
+      // CSV round trip under ADVERSARIAL content: every text gets a
+      // suffix holding the three characters that break naive CSV
+      // (comma, double-quote, newline), so the row only survives if
+      // quoting, RFC-4180 double-quote escaping, and multiLine reads
+      // all work. The oracle replays the same concatenation straight
+      // from parquet — the codec sits between the engines.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q162")
+        .toString
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(",\"\nx")).as("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp)
+      s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(tmp)
+        .select(col("doc_id"), col("lang"), col("text"))
+    }),
+
     "q160_pagerank" -> ((s, dir) => {
       // Host-graph PageRank for crawl prioritization, on a deterministic
       // synthetic web graph over doc ids (a ring edge for guaranteed
@@ -5600,6 +5637,18 @@ object SparkEntry {
          |  exact_distinct
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // q161: identity over the source table — the ORC round trip must
+    // return every byte.
+    "q161_orc_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // q162: the same adversarial suffix computed codec-free.
+    "q162_csv_roundtrip" ->
+      """SELECT doc_id, lang,
+        |  text || ',"' || chr(10) || 'x' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q160: all 8 power iterations replayed in a recursive CTE over
     // exact BIGINT ranks — same ring+hash edge synthesis, same
