@@ -1869,6 +1869,32 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q163_zorder_layout" -> ((s, dir) => {
+      // Z-order layout round trip + box query: documents land in a
+      // Morton-ordered partitioned layout over (n_chars, doc_id mod
+      // 2^16), then a rectangular box query reads back ONLY the
+      // z-prefix directories the box's corner-to-corner z-interval
+      // touches (both-tier pruning pinned in LayoutSpec via the
+      // numFiles scan metric; here the oracle checks the interleave
+      // arithmetic and that pruning lost no rows). At 100 TB this is
+      // the multi-column data-skipping story: one sort order serves
+      // predicates on BOTH dimensions.
+      import graft.ops.Layout
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q163")
+        .toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"), pmod(col("doc_id"), lit(65536L)).as("y"))
+      Layout.writeZOrdered(docs, "n_chars", "y", tmp, bits = 16,
+        prefixBits = 6)
+      val pLo = Layout.zOrderKey2(256L, 0L, 16) >>> 26
+      val pHi = Layout.zOrderKey2(383L, 1023L, 16) >>> 26
+      s.read.parquet(tmp)
+        .filter(col("z_prefix") >= pLo && col("z_prefix") <= pHi)
+        .filter(col("n_chars").between(256L, 383L) &&
+          col("y") <= 1023L)
+        .select(col("doc_id"), col("n_chars"), col("y"), col("zkey"))
+    }),
+
     "q161_orc_roundtrip" -> ((s, dir) => {
       // ORC sink + source round trip (the q146 JSONL discipline for the
       // other columnar interchange format Spark ships natively): write
@@ -5636,6 +5662,21 @@ object SparkEntry {
          |  END AS est_distinct,
          |  exact_distinct
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    // q163: the Morton interleave as explicit shift/mask arithmetic;
+    // the box predicate alone defines the row set (pruning must be
+    // lossless).
+    "q163_zorder_layout" -> {
+      def z(x: String, y: String) = (0 until 16).map(i =>
+        s"(($x >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString("(", " + ", ")")
+      s"""SELECT doc_id, n_chars, doc_id % 65536 AS y,
+         |  ${z("n_chars", "(doc_id % 65536)")} AS zkey
+         |FROM documents
+         |WHERE n_chars BETWEEN 256 AND 383 AND doc_id % 65536 <= 1023
+         |ORDER BY doc_id""".stripMargin
     },
 
     // q161: identity over the source table — the ORC round trip must
