@@ -1869,6 +1869,35 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q164_source_overlap" -> ((s, dir) => {
+      // Source-overlap audit: the 20×20 source Jaccard matrix from
+      // per-source UNION MinHash signatures (min composes under union,
+      // so a source's signature costs one 16-column min-agg — state is
+      // 16 longs per source at ANY corpus size, and the text never
+      // joins). The q78 replayable permutation family, hash-checked
+      // against DuckDB's full replay.
+      val elems = t(s, dir, "documents").select(col("source"),
+          TextOps.winnowFingerprints(
+            lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", "")),
+            k = 5, w = 1).as("hs"))
+        .select(col("source"), explode(col("hs")).as("h"))
+      val perms = (0 until MinhashReplay.nPerm).map(j =>
+        (MinhashReplay.aj(j), MinhashReplay.bj(j)))
+      Dedup.groupMinhashOverlap(elems, "source", "h", perms)
+    }),
+
+    "q165_length_buckets" -> ((s, dir) => {
+      // Length-bucketed batching plan: pow2 buckets over whitespace
+      // token counts, per-bucket batch counts at batchSize=32 and the
+      // padding-waste fraction — the loader-side sibling of q91's
+      // concat-and-chunk packing. Entirely map-side-combinable; the
+      // replayable bin() pow2 ceiling is the q158 discipline.
+      graft.serve.Packing.lengthBucketStats(
+        t(s, dir, "documents")
+          .select(TextOps.tokenCount(col("text")).as("n_tok")),
+        "n_tok", batchSize = 32)
+    }),
+
     "q163_zorder_layout" -> ((s, dir) => {
       // Z-order layout round trip + box query: documents land in a
       // Morton-ordered partitioned layout over (n_chars, doc_id mod
@@ -5663,6 +5692,55 @@ object SparkEntry {
          |  exact_distinct
          |FROM occ JOIN ex USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // q164: per-source union signatures with the q78 permutation
+    // family; match counts are integers, est = n/16 is exact binary FP.
+    "q164_source_overlap" -> {
+      import MinhashReplay.{P, aj, bj, nPerm}
+      val sigCols = (0 until nPerm).map(j =>
+        s"min((hv * ${aj(j)} + ${bj(j)}) % $P) AS m$j").mkString(", ")
+      val matchSum = (0 until nPerm).map(j =>
+        s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (
+         |  SELECT source,
+         |    list_transform(range(1, greatest(length(t) - 5 + 2, 1)),
+         |      i -> list_sum(list_transform(range(0, 5), j ->
+         |        CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT) *
+         |        [362470373, 16974593, 66049, 257, 1][CAST(j + 1 AS INT)]))
+         |        % $P) AS hs
+         |  FROM (SELECT source,
+         |          lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'))
+         |            AS t
+         |        FROM documents)),
+         |e AS (SELECT source, unnest(hs) AS hv FROM h WHERE len(hs) > 0),
+         |sig AS (SELECT source, $sigCols FROM e GROUP BY source)
+         |SELECT a.source AS grp_a, b.source AS grp_b,
+         |  CAST($matchSum AS BIGINT) AS n_match,
+         |  CAST($matchSum AS DOUBLE) / $nPerm AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY grp_a, grp_b""".stripMargin
+    },
+
+    // q165: pow2 ceiling via bin() bit-length, integer batch math,
+    // one deterministic FP division for the waste fraction.
+    "q165_length_buckets" ->
+      """WITH n AS (
+        |  SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN n <= 16 THEN CAST(16 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) << CAST(length(bin(n - 1)) AS INT)
+        |    END AS bucket, n
+        |  FROM n WHERE n > 0)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  (CAST(count(*) AS BIGINT) + 31) // 32 AS n_batches,
+        |  round(1.0 - CAST(sum(n) AS DOUBLE) /
+        |    CAST(count(*) * bucket AS DOUBLE), 6) AS waste_frac
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q163: the Morton interleave as explicit shift/mask arithmetic;
     // the box predicate alone defines the row set (pruning must be

@@ -901,6 +901,43 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Corpus-overlap audit: pairwise Jaccard ESTIMATES between groups
+    * (sources, snapshots, shards) from per-group UNION MinHash
+    * signatures — "how much does source A overlap source B" answered
+    * without ever joining text. MinHash composes under union
+    * (min of mins), so each group's signature is one k-column min-agg
+    * over its members' element hashes: group state is k longs
+    * regardless of corpus size, the pairwise stage compares
+    * |groups|² / 2 signature pairs (sources/snapshots number in the
+    * thousands — broadcast-joinable), and E[matches/k] = J(A,B) with
+    * the usual 1/√k error.
+    *
+    * `perms` are affine (a, b) permutations over Z_p — pass a
+    * replayable family (q78's) for oracle-checked runs or
+    * splitmix-derived constants in production; the operator is
+    * agnostic. Returns (grp_a, grp_b, n_match, est_jaccard) for
+    * grp_a < grp_b; est_jaccard = n_match/k is exact binary FP. */
+  def groupMinhashOverlap(elems: DataFrame, grpCol: String,
+      hashCol: String, perms: Seq[(Long, Long)],
+      p: Long = 1000000007L): DataFrame = {
+    require(perms.nonEmpty, "perms must be non-empty")
+    val k = perms.length
+    val aggs = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col(hashCol) * a + b) % p).as(s"m$j")
+    }
+    val sig = elems.groupBy(col(grpCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val matches = (0 until k).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    sig.as("a").join(broadcast(sig.as("b")),
+        col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        matches.cast("long").as("n_match"),
+        (matches.cast("double") / k).as("est_jaccard"))
+  }
+
   /** Edit-distance verify stage for candidate pairs — the PRECISION half
     * of a candidate→verify dedup pipeline (MinHash/SimHash bands recall
     * near-dups cheaply; Levenshtein is the strict final judge a

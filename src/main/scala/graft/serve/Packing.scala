@@ -92,4 +92,44 @@ object Packing {
       .agg(sum(col("n_tok")).as("total_tokens"))
       .withColumn("n_windows",
         floor((col("total_tokens") + ctxLen - 1) / ctxLen))
+
+  /** Length-bucketed batching plan (the dynamic-batching alternative to
+    * concat-and-chunk, standard for finetuning/eval loaders): each
+    * sequence goes to the smallest power-of-two bucket ≥ its token
+    * count (floor `minBucket`), batches form within a bucket, and
+    * every sequence pads only to its BUCKET length — the padding-waste
+    * accounting this produces is exactly what max-length padding
+    * destroys (pad-to-global-max wastes `1 − mean/max`, typically
+    * >50%; pow2 bucketing bounds per-row waste below 50% and in
+    * practice single digits).
+    *
+    * The pow2 ceiling is `1 << bitlen(n−1)` — computed via the binary
+    * bit-length (`bin()` string length), the q158 discipline, so an
+    * external engine replays the bucket boundaries exactly. One
+    * aggregation, map-side combinable; nothing wider than a bucket row
+    * survives the exchange.
+    *
+    * Returns one row per bucket: (bucket, n_docs, n_tokens, n_batches
+    * = ⌈n_docs/batchSize⌉, waste_frac = 1 − n_tokens/(n_docs·bucket),
+    * round-6). */
+  def lengthBucketStats(docs: DataFrame, tokCol: String,
+      batchSize: Int, minBucket: Int = 16): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    require(minBucket >= 1 && (minBucket & (minBucket - 1)) == 0,
+      s"minBucket must be a power of two: $minBucket")
+    docs.select(col(tokCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .select(when(col("__n") <= minBucket, lit(minBucket.toLong))
+        .otherwise(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(__n - 1)) AS INT))"))
+        .as("bucket"), col("__n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_docs + ${batchSize - 1}) DIV $batchSize")
+          .as("n_batches"),
+        round(lit(1.0) - col("n_tokens").cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"), 6)
+          .as("waste_frac"))
+  }
 }

@@ -73,4 +73,31 @@ class PackingSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(w == Map(0 -> ((12L, 3L)), 1 -> ((4L, 1L))))
   }
+
+  test("lengthBucketStats: pow2 ceilings, boundary values, batch " +
+      "ceil-div, waste accounting, zero-length drop") {
+    // 16 is the floor; 17 rounds to 32; exact powers stay put
+    val docs = Seq(1L, 16L, 17L, 32L, 33L, 100L, 128L, 129L, 0L)
+      .toDF("n_tok")
+    val got = Packing.lengthBucketStats(docs, "n_tok", batchSize = 2)
+      .select("bucket", "n_docs", "n_tokens", "n_batches", "waste_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(16L, 32L, 64L, 128L, 256L))
+    assert(got(16L) == ((2L, 17L, 1L,
+      math.rint((1.0 - 17.0 / 32) * 1e6) / 1e6)))
+    assert(got(32L) == ((2L, 49L, 1L,
+      math.rint((1.0 - 49.0 / 64) * 1e6) / 1e6)))
+    assert(got(64L) == ((1L, 33L, 1L,
+      math.rint((1.0 - 33.0 / 64) * 1e6) / 1e6)))
+    assert(got(128L) == ((2L, 228L, 1L,
+      math.rint((1.0 - 228.0 / 256) * 1e6) / 1e6)))
+    assert(got(256L) == ((1L, 129L, 1L,
+      math.rint((1.0 - 129.0 / 256) * 1e6) / 1e6)))
+    // batch ceil-div: 3 docs at batchSize 2 -> 2 batches
+    val b3 = Packing.lengthBucketStats(
+        Seq(5L, 6L, 7L).toDF("n_tok"), "n_tok", batchSize = 2)
+      .select("n_batches").as[Long].collect()
+    assert(b3.toSeq == Seq(2L))
+  }
 }

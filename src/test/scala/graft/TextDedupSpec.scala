@@ -872,6 +872,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("groupMinhashOverlap: identical groups match on every " +
+      "permutation, disjoint groups on few; union-composability") {
+    val perms = (0 until 16).map(j =>
+      ((j * 2654435761L + 1L) % 1000000007L,
+        (j * 40503L + 7L) % 1000000007L))
+    def elems(rows: (String, Long)*) = rows.toDF("grp", "h")
+    val a = (1L to 300L).map(i => ("a", i * 7919L % 1000000007L))
+    val b = a.map { case (_, h) => ("b", h) }           // identical
+    val c = (1L to 300L).map(i => ("c", (i * 7919L + 3L) % 1000000007L))
+    val got = graft.ops.Dedup.groupMinhashOverlap(
+        elems(a ++ b ++ c: _*), "grp", "h", perms)
+      .select("grp_a", "grp_b", "n_match", "est_jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) == ((16L, 1.0)))
+    assert(got(("a", "c"))._1 < 8L) // disjoint sets: chance matches only
+    // union composability: sig(a ∪ c) = elementwise min — overlap of
+    // (a∪c) with a must be ≥ a's share of the union (J ≈ 1/2)
+    val u = (a ++ c).map { case (_, h) => ("u", h) }
+    val got2 = graft.ops.Dedup.groupMinhashOverlap(
+        elems(a ++ u: _*), "grp", "h", perms)
+      .select("n_match").as[Long].collect()
+    assert(got2.head >= 4L && got2.head <= 14L) // J=1/2 ± sampling
+  }
+
   /** Textbook full-matrix Levenshtein, the oracle for the banded impl. */
   private def reference(a: String, b: String): Long = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
