@@ -2010,8 +2010,10 @@ object SparkEntry {
             "[^\\x20-\\x7e]", ""))), "\\s+")).as("term"))
         .filter(col("term") =!= "")
         .localCheckpoint(true)
+      // registers feed BOTH the output rows and the estimate — pin
+      // them once (≤ 64·sources rows) so the token scan runs once
       val regs = graft.ops.Sketch.hllRegisters(tok, "source", "term",
-        b = 6)
+        b = 6).localCheckpoint(true)
       val est = graft.ops.Sketch.hllEstimate(regs, b = 6)
       val ex = tok.groupBy("source")
         .agg(countDistinct(col("term")).as("exact_distinct"))

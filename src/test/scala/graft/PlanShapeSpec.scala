@@ -110,7 +110,19 @@ class PlanShapeSpec extends SparkSpec {
     // Sentence-level corpus dedup: the q135 shape — (unit, doc)
     // distinct + df count (both partial-aggregatable) + the
     // reassembly agg; the hot-set anti-join broadcasts.
-    "q157_sentence_dedup" -> 3
+    "q157_sentence_dedup" -> 3,
+    // HLL audit: registers are checkpointed (≤ 64·sources rows), so
+    // the final job is the estimate agg + the 2-exchange exact
+    // countDistinct (the grading column) + broadcast joins.
+    "q158_hll_distinct" -> 3,
+    // Union-signature overlap: the per-source 16-min agg (map-side
+    // combined to 16 longs per source per partition) runs behind the
+    // signature localCheckpoint; the FINAL job is the broadcast
+    // self-join — ZERO exchanges.
+    "q164_source_overlap" -> 0,
+    // Length buckets: ONE exchange — the per-bucket agg (map-side
+    // combined to one row per pow2 bucket per partition).
+    "q165_length_buckets" -> 1
   )
 
   expected.foreach { case (name, want) =>
