@@ -1869,6 +1869,20 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q166_canonical_dedup" -> ((s, dir) => {
+      // Quality-aware canonical selection: q77's replayable winnow
+      // cluster graph, but each near-dup cluster keeps its LONGEST
+      // member (ties to min id) — the curation rule that preserves the
+      // full variant when truncated copies cluster together, vs q77's
+      // min-id rule. One max_by aggregate, no per-cluster sort.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 8, w = 16, minShared = 5, maxPostingSize = 5)
+      Dedup.dedupByPairsBest(
+        docs.withColumn("score", length(col("text")).cast("long")),
+        "doc_id", pairs, "score")
+    }),
+
     "q164_source_overlap" -> ((s, dir) => {
       // Source-overlap audit: the 20×20 source Jaccard matrix from
       // per-source UNION MinHash signatures (min composes under union,
@@ -5620,42 +5634,28 @@ object SparkEntry {
     // connected components, then keep unpaired docs and each cluster's
     // min-id survivor (Dedup.dedupByPairs semantics).
     "q77_cluster_dedup" ->
-      """WITH RECURSIVE h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
-        |      i -> list_sum(list_transform(range(0, 8), j ->
-        |        CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) *
-        |        [13163680, 805498697, 154885210, 362470373, 16974593,
-        |         66049, 257, 1][CAST(j + 1 AS INT)])) % 1000000007)
-        |      AS hs
-        |  FROM documents),
-        |sel AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) = 0 THEN []
-        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
-        |         ELSE list_transform(range(1, len(hs) - 16 + 2),
-        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))
-        |    END AS fps
-        |  FROM h),
-        |fd AS (
-        |  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel),
-        |ok AS (SELECT fp FROM fd GROUP BY fp HAVING count(*) <= 5),
-        |pr AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM fd a JOIN fd b USING (fp) JOIN ok USING (fp)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
-        |e AS (SELECT id_a AS a, id_b AS b FROM pr
-        |      UNION SELECT id_b, id_a FROM pr),
-        |cc AS (
-        |  SELECT DISTINCT a AS node, a AS label FROM e
-        |  UNION
-        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON e.a = cc.node),
-        |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+      s"""${ClusterReplay.ctes}
         |SELECT d.doc_id FROM documents d
         |LEFT JOIN lab ON lab.node = d.doc_id
         |WHERE lab.node IS NULL OR lab.label = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // q166: the same cluster closure, then keep the longest member per
+    // cluster (ties to min id) — singletons label themselves.
+    "q166_canonical_dedup" ->
+      s"""${ClusterReplay.ctes},
+        |grp AS (
+        |  SELECT coalesce(lab.label, d.doc_id) AS label, d.doc_id,
+        |    length(d.text) AS ln
+        |  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+        |best AS (
+        |  SELECT label, doc_id,
+        |    count(*) OVER (PARTITION BY label) AS n_members,
+        |    row_number() OVER (PARTITION BY label
+        |                       ORDER BY ln DESC, doc_id) AS rn
+        |  FROM grp)
+        |SELECT doc_id, CAST(n_members AS BIGINT) AS n_members
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q78_minhash_replay" -> MinhashReplay.oracle,
 
@@ -6740,6 +6740,46 @@ object SparkEntry {
          |      * ${coeffs(base, cap)}
          |        [CAST($cap - least(length($v), $cap) + i + 1 AS INT)]))
          |      % $M""".stripMargin
+  }
+
+  /** The q77 winnow-pair → recursive min-label closure CTEs, shared by
+    * q77 (min-id canonical) and q166 (best-member canonical): `lab` is
+    * (node, label) for every clustered doc. */
+  private object ClusterReplay {
+    val ctes: String =
+      """WITH RECURSIVE h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+        |      i -> list_sum(list_transform(range(0, 8), j ->
+        |        CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) *
+        |        [13163680, 805498697, 154885210, 362470373, 16974593,
+        |         66049, 257, 1][CAST(j + 1 AS INT)])) % 1000000007)
+        |      AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 16 + 2),
+        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))
+        |    END AS fps
+        |  FROM h),
+        |fd AS (
+        |  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel),
+        |ok AS (SELECT fp FROM fd GROUP BY fp HAVING count(*) <= 5),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fd a JOIN fd b USING (fp) JOIN ok USING (fp)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pr
+        |      UNION SELECT id_b, id_a FROM pr),
+        |cc AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM e
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON e.a = cc.node),
+        |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)"""
+        .stripMargin
   }
 
   /** q102's DuckDB twin: rebuilds the Count-Min grid from per-term

@@ -349,6 +349,33 @@ object Dedup {
       .drop("__cc_id", "__cc_label")
   }
 
+  /** Quality-aware canonical dedup: like [[dedupByPairs]] but each
+    * near-dup cluster keeps its BEST member — max `scoreCol`, ties to
+    * the smallest id — instead of blindly the min id (the "keep the
+    * longest / highest-quality duplicate" rule real curation pipelines
+    * prefer: the min-id copy is often the truncated or boilerplate
+    * variant). Selection is one map-side-combinable `max_by` over the
+    * tie-free (score, −id) order — no per-cluster sort window — so the
+    * only cost over min-id dedup is the score column itself.
+    * Singletons keep themselves (cluster labels are member ids, so a
+    * singleton's own id can't collide with a cluster label).
+    *
+    * Returns one row per kept doc: (idCol, n_members). */
+  def dedupByPairsBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val labels = clusterPairs(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    docs.join(labels, docs(idCol) === col("__cc_id"), "left")
+      .withColumn("__lab", coalesce(col("__cc_label"), col(idCol)))
+      .groupBy("__lab")
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol), (col(idCol) * -1).as("__neg")))
+          .as("__keep"),
+        count(lit(1)).as("n_members"))
+      .select(col("__keep").as(idCol), col("n_members"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

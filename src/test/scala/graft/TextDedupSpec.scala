@@ -872,6 +872,18 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupByPairsBest: max score wins the cluster, ties to min id, " +
+      "singletons survive with n_members=1") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (5L, 7L))
+      .toDF("id", "score")
+    // cluster {1,2,3} (chain), cluster {4} via no pairs, 5 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dedupByPairsBest(docs, "id", pairs, "score")
+      .as[(Long, Long)].collect().toMap
+    // score 9 shared by 2 and 3 -> min id 2 wins; 4 and 5 keep selves
+    assert(got == Map(2L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("groupMinhashOverlap: identical groups match on every " +
       "permutation, disjoint groups on few; union-composability") {
     val perms = (0 until 16).map(j =>
