@@ -1869,6 +1869,56 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q168_vocab_growth" -> ((s, dir) => {
+      // Vocabulary growth curve across corpus snapshots (the Heaps-law
+      // novelty audit of a rolling crawl): q158's HLL registers per
+      // 100-doc snapshot over word BIGRAMS (the unigram vocabulary here
+      // saturates in snapshot 0 — bigrams give a real curve and push
+      // the estimator into its harmonic branch), then CUMULATIVE union
+      // per snapshot = max over earlier snapshots' registers — the
+      // mergeability property doing real work: each snapshot's sketch
+      // is built once, unions are register-table joins (≤ snaps·64
+      // rows), the corpus is never rescanned per prefix. Exact
+      // cumulative distinct alongside for grading.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("t"))
+      val tok = graft.ops.Sketch.wordNgrams(docs, "doc_id", "t", 2)
+        .select(expr("id DIV 100").as("snap"), col("gram").as("term"))
+        .localCheckpoint(true)
+      val regs = graft.ops.Sketch.hllRegisters(tok, "snap", "term",
+        b = 6).localCheckpoint(true)
+      val snaps = regs.select(col("grp").as("snap")).distinct()
+      val cum = snaps.join(regs, regs("grp") <= snaps("snap"))
+        .groupBy(col("snap").as("grp"), col("bucket"))
+        .agg(max("reg").as("reg"))
+      val est = graft.ops.Sketch.hllEstimate(cum)
+      val firsts = tok.groupBy("term").agg(min("snap").as("fs"))
+        .groupBy("fs").agg(count(lit(1)).as("n_new"))
+        .localCheckpoint(true)
+      val exact = snaps.join(firsts, firsts("fs") <= snaps("snap"))
+        .groupBy("snap").agg(sum("n_new").as("exact_cum"))
+      est.select(col("grp").as("snap"), col("occupied"),
+          col("est_distinct"))
+        .join(exact, Seq("snap"))
+    }),
+
+    "q167_mixture_plan" -> ((s, dir) => {
+      // Token-budget mixture plan: per-lang token inventories × an
+      // English-heavy integer weight table → proportional budget split
+      // and implied epochs at a 10M-token budget. The per-lang epochs
+      // > 1 rows are the repeat-data flags a data-constrained run
+      // tracks. All integer arithmetic except one round-6 division.
+      import s.implicits._
+      val counts = t(s, dir, "documents").groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("n_tok"))
+      val weights = Seq(("en", 4L), ("de", 2L), ("es", 1L),
+        ("fr", 1L), ("zh", 1L)).toDF("lang", "w")
+      graft.ops.Sampling.mixturePlan(counts, "lang", "n_tok",
+        weights, "lang", "w", budget = 10000000L)
+    }),
+
     "q166_canonical_dedup" -> ((s, dir) => {
       // Quality-aware canonical selection: q77's replayable winnow
       // cluster graph, but each near-dup cluster keeps its LONGEST
@@ -5723,6 +5773,91 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY grp_a, grp_b""".stripMargin
     },
+
+    // q168: q158's register replay per snapshot, cumulative max per
+    // prefix, the same harmonic-sum estimate, plus the exact
+    // first-snapshot histogram.
+    "q168_vocab_growth" -> {
+      val c = (0.709 * 64 * 64 * math.pow(2, 40)).toString.toLowerCase
+      s"""WITH d AS (
+         |  SELECT doc_id // 100 AS snap,
+         |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
+         |  FROM documents),
+         |ts AS (
+         |  SELECT snap, list_filter(string_split_regex(trim(t), '\\s+'),
+         |                           x -> x <> '') AS ts
+         |  FROM d),
+         |tok AS (
+         |  -- multiplicity differs from the engine's per-doc-distinct
+         |  -- grams; irrelevant: every consumer below is max/min/distinct
+         |  SELECT snap,
+         |    unnest(list_transform(range(1, len(ts)), i ->
+         |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]))
+         |      AS term
+         |  FROM ts),
+         |hp AS (
+         |  SELECT snap, ${PolyHashSql.over("term", 257L, 16)} AS h0
+         |  FROM tok),
+         |hv AS (
+         |  SELECT snap,
+         |    ((h0 * h0 + h0) % 1000000007 * 2654435761 + 40503)
+         |      % 1000000007 AS h
+         |  FROM hp),
+         |regs AS (
+         |  SELECT snap, h % 64 AS bucket,
+         |    CAST(max(CASE WHEN h // 64 = 0 THEN 25
+         |             ELSE 25 - length(bin(h // 64)) END) AS BIGINT) AS reg
+         |  FROM hv GROUP BY 1, 2),
+         |snaps AS (SELECT DISTINCT snap FROM regs),
+         |cum AS (
+         |  SELECT s.snap, r.bucket, max(r.reg) AS reg
+         |  FROM snaps s JOIN regs r ON r.snap <= s.snap GROUP BY 1, 2),
+         |gs AS (
+         |  SELECT snap, CAST(count(*) AS BIGINT) AS occupied,
+         |    sum(CAST(1 AS BIGINT) << CAST(40 - reg AS INT))
+         |      + (64 - count(*)) * (CAST(1 AS BIGINT) << CAST(40 AS INT))
+         |      AS s,
+         |    64 - count(*) AS v
+         |  FROM cum GROUP BY 1),
+         |est AS (
+         |  SELECT snap, occupied,
+         |    CASE WHEN $c / s <= 160.0 AND v > 0
+         |         THEN round(64.0 * ln(64.0 / v), 6)
+         |         ELSE round($c / s, 6) END AS est_distinct
+         |  FROM gs),
+         |firsts AS (SELECT term, min(snap) AS fs FROM tok GROUP BY 1),
+         |ex AS (
+         |  SELECT s.snap, CAST(count(*) AS BIGINT) AS exact_cum
+         |  FROM snaps s JOIN firsts f ON f.fs <= s.snap GROUP BY 1)
+         |SELECT e.snap, e.occupied, e.est_distinct, x.exact_cum
+         |FROM est e JOIN ex x USING (snap)
+         |ORDER BY e.snap""".stripMargin
+    },
+
+    // q167: integer budget split (div remainder dropped, never
+    // FP-redistributed) + one round-6 division for epochs.
+    "q167_mixture_plan" ->
+      """WITH n AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT * FROM (VALUES ('en', CAST(4 AS BIGINT)),
+        |    ('de', CAST(2 AS BIGINT)), ('es', CAST(1 AS BIGINT)),
+        |    ('fr', CAST(1 AS BIGINT)), ('zh', CAST(1 AS BIGINT)))
+        |    AS t(lang, weight)),
+        |j AS (
+        |  SELECT n.lang, n.n_tokens, w.weight,
+        |    (SELECT CAST(sum(weight) AS BIGINT) FROM w
+        |     WHERE lang IN (SELECT lang FROM n)) AS tw
+        |  FROM n JOIN w USING (lang))
+        |SELECT lang AS grp, n_tokens, weight,
+        |  CAST((10000000 * weight) // tw AS BIGINT) AS target_tokens,
+        |  round(CAST((10000000 * weight) // tw AS DOUBLE) /
+        |    CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM j ORDER BY grp""".stripMargin,
 
     // q165: pow2 ceiling via bin() bit-length, integer batch math,
     // one deterministic FP division for the waste fraction.

@@ -181,4 +181,39 @@ object Sampling {
       .orderBy(desc("__es_key"), col(idCol).asc)
       .limit(k)
   }
+
+  /** Token-budget mixture plan — the "epochs per source" table every
+    * pretraining paper publishes (Llama-style static mixtures; the
+    * planning half of [[temperatureSample]]/q92's row-level executor):
+    * given per-group token inventories and INTEGER mixture weights,
+    * split a total token budget proportionally and report how many
+    * passes (epochs) over each group that implies — epochs > 1 flags
+    * the groups that will repeat, the quantity data-constrained-scaling
+    * analyses care about.
+    *
+    * `target_tokens = budget·w div Σw` is exact integer arithmetic
+    * (the div remainder — < Σw tokens — is deliberately dropped, never
+    * FP-redistributed); `epochs` is one deterministic FP division,
+    * round-6. Inputs are post-aggregation group tables (one row per
+    * source/lang/domain) — everything here is broadcast-sized by
+    * construction.
+    *
+    * Returns (grp, n_tokens, weight, target_tokens, epochs). */
+  def mixturePlan(counts: DataFrame, grpCol: String, tokCol: String,
+      weights: DataFrame, wGrpCol: String, wCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0: $budget")
+    val joined = counts
+      .select(col(grpCol).as("grp"), col(tokCol).cast("long")
+        .as("n_tokens"))
+      .join(broadcast(weights.select(col(wGrpCol).as("grp"),
+        col(wCol).cast("long").as("weight"))), Seq("grp"))
+      .localCheckpoint(true)
+    joined
+      .crossJoin(broadcast(joined.agg(sum(col("weight")).as("__tw"))))
+      .select(col("grp"), col("n_tokens"), col("weight"),
+        expr(s"$budget * weight DIV __tw").as("target_tokens"),
+        round((expr(s"$budget * weight DIV __tw")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs"))
+  }
 }
