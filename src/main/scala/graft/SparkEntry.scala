@@ -1869,6 +1869,38 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q170_good_turing" -> ((s, dir) => {
+      // Good–Turing smoothing table over the corpus BIGRAM stream
+      // (multiplicity kept — these are token frequencies, not doc
+      // frequencies): frequency-of-frequencies N_r and adjusted counts
+      // r* = (r+1)·N_{r+1}/N_r, the Katz-backoff ingredient next to
+      // q110's Kneser–Ney discounts. High-r gaps stay null by design.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("t"))
+      val grams = graft.ops.Sketch.wordNgrams(docs, "doc_id", "t", 2,
+        distinct = false)
+      TextOps.goodTuringClasses(grams, "gram")
+    }),
+
+    "q169_dup_source_matrix" -> ((s, dir) => {
+      // Cross-source duplication matrix — WHICH sources copy from
+      // which: q78's verified near-dup pairs rolled up by unordered
+      // source pair. The audit that decides source-level dedup order
+      // and provenance disputes; output is ≤ |sources|² rows no matter
+      // the corpus size.
+      val src = t(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      minhashReplayVerified(s, dir)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "q168_vocab_growth" -> ((s, dir) => {
       // Vocabulary growth curve across corpus snapshots (the Heaps-law
       // novelty audit of a rolling crawl): q158's HLL registers per
@@ -2121,16 +2153,7 @@ object SparkEntry {
       // Jaccard verify ≥ 0.5. q27 stays the production xxhash64 path
       // (rows-only); THIS query hash-checks the signature math, banding
       // semantics, and verify threshold against DuckDB.
-      val (_, sets, cand) = minhashReplayCands(s, dir)
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
-          Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
-          Seq("id_b"))
-        .withColumn("jaccard",
-          graft.expressions.VectorFunctions.sortedLongJaccard(
-            col("hs_a"), col("hs_b")))
-        .filter(col("jaccard") >= 0.5)
+      minhashReplayVerified(s, dir)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -2954,6 +2977,23 @@ object SparkEntry {
     (docs, sets, cand)
   }
 
+  /** The q78 band candidates verified by exact hash-set Jaccard ≥ 0.5:
+    * (id_a, id_b, jaccard). Shared by q78 and the q169 source matrix. */
+  private def minhashReplayVerified(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (_, sets, cand) = minhashReplayCands(s, dir)
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        graft.expressions.VectorFunctions.sortedLongJaccard(
+          col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   private object MinhashReplay {
     val P = 1000000007L
     val nPerm = 16
@@ -2991,15 +3031,19 @@ object SparkEntry {
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |   AND ($bandConds))""".stripMargin
     }
-    def oracle: String = {
-      s"""WITH ${candCtes},
+    /** candCtes + the exact hash-set Jaccard verify: `jac` is
+      * (id_a, id_b, j). Shared by q78 and the q169 source matrix. */
+    def jacCtes: String =
+      s"""${candCtes},
          |jac AS (
          |  SELECT id_a, id_b,
          |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
          |    CAST(len(sa.hs) + len(sb.hs)
          |         - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS j
          |  FROM cand JOIN sets sa ON sa.doc_id = id_a
-         |            JOIN sets sb ON sb.doc_id = id_b)
+         |            JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
+    def oracle: String = {
+      s"""WITH ${jacCtes}
          |SELECT id_a, id_b, round(j, 6) AS jaccard
          |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
     }
@@ -5773,6 +5817,42 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY grp_a, grp_b""".stripMargin
     },
+
+    // q170: bigram token frequencies → frequency-of-frequencies →
+    // (r+1)·N_{r+1}/N_r with one round-6 division; gaps null.
+    "q170_good_turing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS t
+        |  FROM documents),
+        |ts AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(t), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM d),
+        |tok AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)), i ->
+        |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]))
+        |    AS gram
+        |  FROM ts),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS r
+        |      FROM tok GROUP BY 1),
+        |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        |       FROM c GROUP BY 1)
+        |SELECT a.r, a.n_r,
+        |  round(CAST(a.r + 1 AS DOUBLE) * b.n_r / a.n_r, 6) AS r_star
+        |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        |ORDER BY a.r""".stripMargin,
+
+    // q169: q78's verified pairs rolled up by unordered source pair.
+    "q169_dup_source_matrix" ->
+      s"""WITH ${MinhashReplay.jacCtes},
+         |v AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5)
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM v JOIN documents da ON da.doc_id = id_a
+         |       JOIN documents db ON db.doc_id = id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q168: q158's register replay per snapshot, cumulative max per
     // prefix, the same harmonic-sum estimate, plus the exact

@@ -60,11 +60,12 @@ object Sketch {
       .select("term", "exact", "est")
   }
 
-  /** Distinct word n-gram STRINGS per doc, built with one window of
-    * n−1 leads (codegen'd — no interpreted per-gram lambdas):
-    * (id, gram). */
+  /** Word n-gram STRINGS per doc (distinct per doc by default; pass
+    * distinct = false for the multiplicity-keeping token stream
+    * frequency statistics need), built with one window of n−1 leads
+    * (codegen'd — no interpreted per-gram lambdas): (id, gram). */
   def wordNgrams(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, distinct: Boolean = true): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"),
         posexplode(split(trim(col(textCol)), "\\s+"))
@@ -74,12 +75,12 @@ object Sketch {
     val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
       df.withColumn(s"__w$k", lead(col("w"), k).over(wn))
     }
-    withLeads
+    val grams = withLeads
       .filter((1 until n).map(k => col(s"__w$k").isNotNull)
         .foldLeft(lit(true))(_ && _))
       .select(col("id"), concat_ws(" ",
         col("w") +: (1 until n).map(k => col(s"__w$k")): _*).as("gram"))
-      .distinct()
+    if (distinct) grams.distinct() else grams
   }
 
   /** Two-stage decontamination with a Bloom prefilter: the eval suite's

@@ -587,4 +587,31 @@ object TextOps {
       .groupBy("id")
       .agg(count(lit(1)).as("n_matched")) // grams are distinct per doc
   }
+
+  /** Good–Turing frequency-class smoothing (Good 1953; the
+    * frequency-of-frequencies table behind Katz backoff and the
+    * held-out mass estimate N₁/N — the corpus-statistics complement to
+    * the q110 Kneser–Ney discounts): for each observed count r, the
+    * adjusted count r* = (r+1)·N_{r+1}/N_r, where N_r is how many
+    * distinct terms occur exactly r times.
+    *
+    * Two partial-aggregatable counts (term → r, then r → N_r; the
+    * second input is ≤ |vocab| rows) and ONE self-join on r+1 — the
+    * whole smoothing table costs less than the vocabulary count it
+    * starts from. r* is null where N_{r+1} = 0 (the high-r gaps the
+    * textbook method leaves to regression smoothing — Simple
+    * Good–Turing fits log N_r ~ log r there; deliberately not hidden).
+    *
+    * Returns (r, n_r, r_star), one row per occupied frequency class. */
+  def goodTuringClasses(tokens: DataFrame, termCol: String): DataFrame = {
+    val nr = tokens.groupBy(col(termCol))
+      .agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(true)
+    nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("__nn")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("__nn") / col("n_r"),
+          6).as("r_star"))
+  }
 }

@@ -872,6 +872,19 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("goodTuringClasses: textbook table on a hand-counted stream, " +
+      "high-r gap stays null") {
+    val toks = Seq("a", "a", "a", "b", "b", "c", "d", "e").toDF("t")
+    val got = graft.ops.TextOps.goodTuringClasses(toks, "t")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // counts: a=3 b=2 c,d,e=1 -> N_1=3, N_2=1, N_3=1
+    assert(got == Map(
+      1L -> ((3L, Some(math.rint(2.0 * 1 / 3 * 1e6) / 1e6))),
+      2L -> ((1L, Some(3.0))),
+      3L -> ((1L, None))))
+  }
+
   test("dedupByPairsBest: max score wins the cluster, ties to min id, " +
       "singletons survive with n_members=1") {
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (5L, 7L))
