@@ -39,6 +39,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JDK17 default 240 MB code cache mid-run; once it fills, the JIT
   // stops compiling and late queries run interpreted — measured as
   // multi-second rep spikes with near-zero GC time. Size it for the
-  // full contract surface.
-  "-XX:ReservedCodeCacheSize=512m",
+  // full contract surface (re-raised at 170 queries: the 512m cache
+  // re-saturated and the whole run measured a uniform 1.5×).
+  "-XX:ReservedCodeCacheSize=1g",
 )
