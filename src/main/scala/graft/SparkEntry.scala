@@ -1869,6 +1869,66 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q173_tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer fertility audit (chars per subword token by lang —
+      // the compression-rate table that decides whether a tokenizer
+      // under-serves a language): the q151 literal-merge BPE tokenizes
+      // the distinct-word table ONCE, per-lang totals come from one
+      // occurrence join. High chars/token = well-compressed; languages
+      // the merges never saw stay near 1 char/token — exactly the
+      // signal this audit exists to surface.
+      val merges = s.createDataFrame(Seq(
+        (1, "t", "h"), (2, "th", "e"), (3, "i", "n"), (4, "a", "n"),
+        (5, "an", "d"), (6, "e", "r"), (7, "o", "n"), (8, "r", "e")))
+        .toDF("rank", "lhs", "rhs")
+      val docs = t(s, dir, "documents")
+      val wordSyms = graft.ops.Bpe.applyMerges(docs, "text", merges)
+        .groupBy("w").agg(count(lit(1)).as("n_sym"))
+      docs.select(col("lang"),
+          explode(TextOps.tokens(lower(col("text")))).as("w"))
+        .join(wordSyms, Seq("w"))
+        .groupBy("lang")
+        .agg(sum(length(col("w")).cast("long")).as("n_chars"),
+          sum("n_sym").as("n_tokens"))
+        .select(col("lang"), col("n_chars"), col("n_tokens"),
+          round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6).as("chars_per_token"))
+    }),
+
+    "q172_png_sniff" -> ((s, dir) => {
+      // Container-metadata sniff WITHOUT decode: dimensions/bit-depth/
+      // color-type read straight from the PNG IHDR bytes as a codegen'd
+      // substring/hex projection — the audit that histograms a billion
+      // images while q84's decode path would still be initializing
+      // codecs. One deliberately corrupt payload proves the magic check
+      // flags instead of throwing. Real JDK-encoded PNGs (TYPE_INT_RGB
+      // → color type 2, 8-bit); the oracle replays dims from the
+      // synthesis formula.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+      val media = Multimodal.synthesizeImages(ids, "doc_id")
+        .select(col("media_id"), col("payload"))
+        .unionByName(ids.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"),
+            lit("not a png".getBytes("UTF-8")).as("payload")))
+      Multimodal.withPngMetadata(media, "payload")
+        .select(col("media_id"), col("png_valid"), col("png_width"),
+          col("png_height"), col("png_bit_depth"),
+          col("png_color_type"))
+    }),
+
+    "q171_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining over the labeled embedding corpus: each
+      // anchor's 3 most-similar OTHER-label vectors (the contrastive-
+      // training negatives that actually carry gradient). q154's
+      // bucket/rank shape, label predicate before the rank so
+      // same-label neighbors never eat slots; replayable hyperplane
+      // family.
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 3,
+          bucketFn = Some(HyperplaneReplay.bucketCol))
+    }),
+
     "q170_good_turing" -> ((s, dir) => {
       // Good–Turing smoothing table over the corpus BIGRAM stream
       // (multiplicity kept — these are token frequencies, not doc
@@ -3947,129 +4007,45 @@ object SparkEntry {
     // word simultaneously; greedy-leftmost via window islands (hit →
     // island id i − rn → odd-rank starts → lag-consumed drop), the
     // exact relational algorithm of the engine's mergeStep.
+    // q151: the shared BpeWalkSql lock-step walk, per-word final
+    // segmentation at r = 8.
     "q151_bpe_apply" ->
-      """WITH RECURSIVE
-        |words AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |      AS w
-        |    FROM documents)
-        |  WHERE w <> '' GROUP BY 1),
-        |merges(rank, lhs, rhs) AS (
-        |  VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'i', 'n'),
-        |         (4, 'a', 'n'), (5, 'an', 'd'), (6, 'e', 'r'),
-        |         (7, 'o', 'n'), (8, 'r', 'e')),
-        |walk AS (
-        |  SELECT w, freq, string_split(w, '') AS syms, 0 AS r
-        |  FROM words
-        |  UNION ALL
-        |  SELECT w, freq,
-        |    list(CASE WHEN start THEN sym || nxt ELSE sym END
-        |         ORDER BY i) AS syms,
-        |    r + 1
-        |  FROM (
-        |    SELECT w, freq, r, i, sym, nxt, start,
-        |      coalesce(lag(start) OVER (PARTITION BY w ORDER BY i),
-        |               false) AS consumed
-        |    FROM (
-        |      SELECT w, freq, r, i, sym, nxt,
-        |        (hit AND (row_number() OVER (PARTITION BY w, hit, g
-        |           ORDER BY i) % 2 = 1)) AS start
-        |      FROM (
-        |        SELECT w, freq, r, i, sym, nxt, hit,
-        |          CASE WHEN hit THEN i - row_number()
-        |            OVER (PARTITION BY w, hit ORDER BY i) END AS g
-        |        FROM (
-        |          SELECT w, freq, r, i, sym,
-        |            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt,
-        |            (sym = lhs AND lead(sym)
-        |              OVER (PARTITION BY w ORDER BY i) = rhs) AS hit
-        |          FROM (
-        |            SELECT walk.w, walk.freq, walk.r, m.lhs, m.rhs,
-        |                   walk.syms[CAST(u.i AS INT)] AS sym, u.i AS i
-        |            FROM walk JOIN merges m ON m.rank = walk.r + 1,
-        |              LATERAL unnest(range(1,
-        |                CAST(len(walk.syms) AS BIGINT) + 1))
-        |                AS u(i))))))
-        |  WHERE NOT consumed
-        |  GROUP BY w, freq, r)
-        |SELECT w AS word, freq,
-        |  array_to_string(syms, '|') AS seg,
-        |  CAST(len(syms) AS INT) AS n_sym
-        |FROM walk WHERE r = 8 ORDER BY word""".stripMargin,
+      s"""${BpeWalkSql.ctes}
+         |SELECT w AS word, freq,
+         |  array_to_string(syms, '|') AS seg,
+         |  CAST(len(syms) AS INT) AS n_sym
+         |FROM walk WHERE r = 8 ORDER BY word""".stripMargin,
 
     // q152: q151's lock-step merge walk supplies per-word subword
     // counts; one occurrence join + the q91 shard-cumsum window math.
+    // q152: the shared BpeWalkSql walk supplies per-word subword
+    // counts; one occurrence join + the q91 shard-cumsum window math.
     "q152_tokenize_pack" ->
-      """WITH RECURSIVE
-        |words AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |      AS w
-        |    FROM documents)
-        |  WHERE w <> '' GROUP BY 1),
-        |merges(rank, lhs, rhs) AS (
-        |  VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'i', 'n'),
-        |         (4, 'a', 'n'), (5, 'an', 'd'), (6, 'e', 'r'),
-        |         (7, 'o', 'n'), (8, 'r', 'e')),
-        |walk AS (
-        |  SELECT w, freq, string_split(w, '') AS syms, 0 AS r
-        |  FROM words
-        |  UNION ALL
-        |  SELECT w, freq,
-        |    list(CASE WHEN start THEN sym || nxt ELSE sym END
-        |         ORDER BY i) AS syms,
-        |    r + 1
-        |  FROM (
-        |    SELECT w, freq, r, i, sym, nxt, start,
-        |      coalesce(lag(start) OVER (PARTITION BY w ORDER BY i),
-        |               false) AS consumed
-        |    FROM (
-        |      SELECT w, freq, r, i, sym, nxt,
-        |        (hit AND (row_number() OVER (PARTITION BY w, hit, g
-        |           ORDER BY i) % 2 = 1)) AS start
-        |      FROM (
-        |        SELECT w, freq, r, i, sym, nxt, hit,
-        |          CASE WHEN hit THEN i - row_number()
-        |            OVER (PARTITION BY w, hit ORDER BY i) END AS g
-        |        FROM (
-        |          SELECT w, freq, r, i, sym,
-        |            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt,
-        |            (sym = lhs AND lead(sym)
-        |              OVER (PARTITION BY w ORDER BY i) = rhs) AS hit
-        |          FROM (
-        |            SELECT walk.w, walk.freq, walk.r, m.lhs, m.rhs,
-        |                   walk.syms[CAST(u.i AS INT)] AS sym, u.i AS i
-        |            FROM walk JOIN merges m ON m.rank = walk.r + 1,
-        |              LATERAL unnest(range(1,
-        |                CAST(len(walk.syms) AS BIGINT) + 1))
-        |                AS u(i))))))
-        |  WHERE NOT consumed
-        |  GROUP BY w, freq, r),
-        |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym
-        |        FROM walk WHERE r = 8),
-        |occ AS (
-        |  SELECT doc_id, w FROM (
-        |    SELECT doc_id,
-        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |    FROM documents)
-        |  WHERE w <> ''),
-        |perdoc AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(sum(f.n_sym) AS BIGINT) AS n_tok
-        |  FROM occ JOIN fin f USING (w) GROUP BY 1, 2),
-        |p AS (
-        |  SELECT shard, doc_id, n_tok,
-        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
-        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |      1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM perdoc WHERE n_tok > 0)
-        |SELECT shard, doc_id, n_tok, off,
-        |  CAST(floor(off / 256) AS BIGINT) AS first_seq,
-        |  off % 256 AS offset_in_seq,
-        |  CAST(floor((off + n_tok - 1) / 256) - floor(off / 256) + 1
-        |    AS BIGINT) AS n_seqs
-        |FROM p ORDER BY shard, doc_id""".stripMargin,
+      s"""${BpeWalkSql.ctes},
+         |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym
+         |        FROM walk WHERE r = 8),
+         |occ AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |perdoc AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(sum(f.n_sym) AS BIGINT) AS n_tok
+         |  FROM occ JOIN fin f USING (w) GROUP BY 1, 2),
+         |p AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM perdoc WHERE n_tok > 0)
+         |SELECT shard, doc_id, n_tok, off,
+         |  CAST(floor(off / 256) AS BIGINT) AS first_seq,
+         |  off % 256 AS offset_in_seq,
+         |  CAST(floor((off + n_tok - 1) / 256) - floor(off / 256) + 1
+         |    AS BIGINT) AS n_seqs
+         |FROM p ORDER BY shard, doc_id""".stripMargin,
 
     // q153: the diff replayed on the normalized-content key (q136's
     // fingerprint-injectivity discipline); per-content char volume is
@@ -5818,6 +5794,54 @@ object SparkEntry {
          |ORDER BY grp_a, grp_b""".stripMargin
     },
 
+    // q173: the shared BpeWalkSql walk + one occurrence join, rolled
+    // up by lang; fertility is one round-6 division of exact sums.
+    "q173_tokenizer_fertility" ->
+      s"""${BpeWalkSql.ctes},
+         |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym
+         |        FROM walk WHERE r = 8),
+         |occ AS (
+         |  SELECT lang, w FROM (
+         |    SELECT lang,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '')
+         |SELECT lang, CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(f.n_sym) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(length(w)) AS DOUBLE) /
+         |    CAST(sum(f.n_sym) AS DOUBLE), 6) AS chars_per_token
+         |FROM occ JOIN fin f USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q172: dims from the synthesis formula (16+id%13, 12+id%7), JDK
+    // TYPE_INT_RGB → PNG color type 2 at bit depth 8; the corrupt row
+    // nulls out.
+    "q172_png_sniff" ->
+      """SELECT doc_id AS media_id, true AS png_valid,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS png_width,
+        |  CAST(12 + doc_id % 7 AS BIGINT) AS png_height,
+        |  CAST(8 AS BIGINT) AS png_bit_depth,
+        |  CAST(2 AS BIGINT) AS png_color_type
+        |FROM documents WHERE doc_id < 60
+        |UNION ALL
+        |SELECT CAST(1000000 AS BIGINT), false, NULL, NULL, NULL, NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // q171: q154's bucket CTEs + the label-mismatch predicate before
+    // the rank window.
+    "q171_hard_negatives" ->
+      s"""WITH ${HyperplaneReplay.oracleBucketCtes},
+         |c AS (SELECT e.vec_id, e.embedding, e.label, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id))
+         |SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         |CAST(row_number() OVER (PARTITION BY a.vec_id
+         |  ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |             CAST(b.embedding AS DOUBLE[])) DESC,
+         |           b.vec_id) AS INT) AS rank
+         |FROM c a JOIN c b
+         |  ON a.bucket = b.bucket AND a.label <> b.label
+         |QUALIFY rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
     // q170: bigram token frequencies → frequency-of-frequencies →
     // (r+1)·N_{r+1}/N_r with one round-6 division; gaps null.
     "q170_good_turing" ->
@@ -6995,6 +7019,60 @@ object SparkEntry {
         |  SELECT e.b AS node, cc.label FROM cc JOIN e ON e.a = cc.node),
         |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)"""
         .stripMargin
+  }
+
+  /** The literal-8-merge BPE apply walk as recursive-CTE SQL (the
+    * engine's own lock-step relational algorithm re-derived in SQL):
+    * `walk` at r = 8 holds each distinct word's final symbol list.
+    * Shared by q151 (per-word segmentation), q152 (tokenize → pack)
+    * and q173 (fertility audit). */
+  private object BpeWalkSql {
+    val ctes: String =
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |merges(rank, lhs, rhs) AS (
+        |  VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'i', 'n'),
+        |         (4, 'a', 'n'), (5, 'an', 'd'), (6, 'e', 'r'),
+        |         (7, 'o', 'n'), (8, 'r', 'e')),
+        |walk AS (
+        |  SELECT w, freq, string_split(w, '') AS syms, 0 AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, freq,
+        |    list(CASE WHEN start THEN sym || nxt ELSE sym END
+        |         ORDER BY i) AS syms,
+        |    r + 1
+        |  FROM (
+        |    SELECT w, freq, r, i, sym, nxt, start,
+        |      coalesce(lag(start) OVER (PARTITION BY w ORDER BY i),
+        |               false) AS consumed
+        |    FROM (
+        |      SELECT w, freq, r, i, sym, nxt,
+        |        (hit AND (row_number() OVER (PARTITION BY w, hit, g
+        |           ORDER BY i) % 2 = 1)) AS start
+        |      FROM (
+        |        SELECT w, freq, r, i, sym, nxt, hit,
+        |          CASE WHEN hit THEN i - row_number()
+        |            OVER (PARTITION BY w, hit ORDER BY i) END AS g
+        |        FROM (
+        |          SELECT w, freq, r, i, sym,
+        |            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt,
+        |            (sym = lhs AND lead(sym)
+        |              OVER (PARTITION BY w ORDER BY i) = rhs) AS hit
+        |          FROM (
+        |            SELECT walk.w, walk.freq, walk.r, m.lhs, m.rhs,
+        |                   walk.syms[CAST(u.i AS INT)] AS sym, u.i AS i
+        |            FROM walk JOIN merges m ON m.rank = walk.r + 1,
+        |              LATERAL unnest(range(1,
+        |                CAST(len(walk.syms) AS BIGINT) + 1))
+        |                AS u(i))))))
+        |  WHERE NOT consumed
+        |  GROUP BY w, freq, r)""".stripMargin
   }
 
   /** q102's DuckDB twin: rebuilds the Count-Min grid from per-term

@@ -144,6 +144,36 @@ object Similarity {
     rankTopK(scored, "src_id", "dst_id", k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep stage): for each anchor, the k most-SIMILAR vectors
+    * carrying a DIFFERENT label — the negatives a contrastive loss
+    * learns most from, vs the uninformative random negatives uniform
+    * sampling yields. Exactly [[knnGraph]]'s never-all-pairs shape
+    * (bucket equi-join bounds candidates, map-side-combinable top-k
+    * bounds the rank exchange) with the label-mismatch predicate
+    * applied BEFORE ranking, so same-label neighbors never consume
+    * rank slots. Returns (anchor_id, neg_id, rank). */
+  def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 7, bucketFn: Option[Column => Column] = None)
+      : DataFrame = {
+    val bucket: Column => Column =
+      bucketFn.getOrElse(v => hyperplaneBucket(v, nPlanes, dim, seed))
+    val c = vecs.select(col(idCol), col(vecCol), col(labelCol))
+      .withColumn("bucket", bucket(col(vecCol)))
+    val a = c.select(col("bucket"), col(idCol).as("anchor_id"),
+      col(vecCol).as("__av"), col(labelCol).as("__al"))
+    val b = c.select(col("bucket"), col(idCol).as("neg_id"),
+      col(vecCol).as("__nv"), col(labelCol).as("__nl"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("__al") =!= col("__nl"))
+      .select(col("anchor_id"), col("neg_id"),
+        VectorFunctions.cosineSimilarity(col("__av"), col("__nv"))
+          .as("cos"))
+    rankTopK(scored, "anchor_id", "neg_id", k)
+      .select("anchor_id", "neg_id", "rank")
+  }
+
   /** Fit IVF centroids — the coarse quantizer. The FAISS training idiom:
     * ONE distributed job draws a deterministic sample (xxhash64-ranked
     * TakeOrdered — no RNG, stable across runs/partitionings), then

@@ -118,6 +118,27 @@ class BatchBuilderSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == Seq("EARLY_AM", "PM", "LATE_PM"))
   }
 
+  test("withPngMetadata: IHDR sniff matches the real encoder's dims " +
+    "without decoding; corrupt payload flags, never throws") {
+    val ids = Seq(Tuple1(3L), Tuple1(20L)).toDF("doc_id")
+    val media = Multimodal.synthesizeImages(ids, "doc_id")
+      .select(col("media_id"), col("payload"))
+      .unionByName(Seq((99L, "garbage".getBytes("UTF-8")))
+        .toDF("media_id", "payload"))
+    val got = Multimodal.withPngMetadata(media, "payload")
+      .select("media_id", "png_valid", "png_width", "png_height",
+        "png_bit_depth", "png_color_type")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(3L, 20L)) {
+      val r = got(id)
+      assert(r._2 && r._3 == Some(Multimodal.imgW(id).toLong) &&
+        r._4 == Some(Multimodal.imgH(id).toLong))
+      assert(r._5 == Some(8L) && r._6 == Some(2L)) // 8-bit truecolor
+    }
+    assert(got(99L) == ((99L, false, None, None, None, None)))
+  }
+
   test("multimodal REAL codec: red-channel histogram matches the pixel " +
     "formula, zeros kept") {
     val ids = Seq(Tuple1(5L), Tuple1(12L)).toDF("doc_id")

@@ -498,4 +498,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) == Seq(3.0, 0.0))
     assert(out(1L) == Seq(0.0, 2.0))
   }
+
+  test("hardNegatives: same-label neighbors never consume rank slots, " +
+      "ranks follow cosine within the other-label pool") {
+    // one bucket (constant bucketFn); anchor 0 is closest to 1 (same
+    // label — must NOT appear), then 2, then 3 (other label)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(0.99f, 0.1f), 7),   // nearest overall, same label
+      (2L, Seq(0.9f, 0.4f), 8),
+      (3L, Seq(0.0f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        "label", k = 2, bucketFn = Some(_ => lit(0L)))
+      .as[(Long, Long, Int)].collect()
+      .filter(_._1 == 0L).sortBy(_._3)
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((2L, 1), (3L, 2)))
+  }
 }
