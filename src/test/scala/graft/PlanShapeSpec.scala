@@ -122,7 +122,36 @@ class PlanShapeSpec extends SparkSpec {
     "q164_source_overlap" -> 0,
     // Length buckets: ONE exchange — the per-bucket agg (map-side
     // combined to one row per pow2 bucket per partition).
-    "q165_length_buckets" -> 1
+    "q165_length_buckets" -> 1,
+    // Canonical dedup: cluster labels sit behind clusterPairs'
+    // checkpoint and broadcast into the label join; the ONE exchange
+    // is the per-cluster max_by agg.
+    "q166_canonical_dedup" -> 1,
+    // Mixture plan: group tables are checkpointed; the ONE exchange
+    // is the 5-row weight-total global agg feeding the broadcast
+    // cross join.
+    "q167_mixture_plan" -> 1,
+    // Vocab growth: registers/firsts checkpointed; final job = snaps
+    // distinct + cumulative-max agg + estimate agg + exact rollup +
+    // the snap join — all over ≤ snaps·64-row state.
+    "q168_vocab_growth" -> 5,
+    // Dup source matrix: candidate pipeline behind the sets
+    // checkpoint; signature agg + band dedup + the two verify text
+    // joins + the source rollup.
+    "q169_dup_source_matrix" -> 5,
+    // Good-Turing: N_r is checkpointed; the final job is the
+    // broadcast r+1 self-join — ZERO exchanges.
+    "q170_good_turing" -> 0,
+    // Hard negatives: the q154 shape — bucket join broadcasts one
+    // side at this sf; the ONE exchange is the k-bounded rank.
+    "q171_hard_negatives" -> 1,
+    // PNG sniff: synthesis + header projection + union — narrow,
+    // ZERO exchanges.
+    "q172_png_sniff" -> 0,
+    // Fertility: the merge walk runs behind applyMerges' internal
+    // checkpoints and the word table broadcasts into the occurrence
+    // join; the ONE exchange is the lang rollup.
+    "q173_tokenizer_fertility" -> 1
   )
 
   expected.foreach { case (name, want) =>
