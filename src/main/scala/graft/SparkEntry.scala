@@ -1869,6 +1869,39 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q174_event_transitions" -> ((s, dir) => {
+      // Event-type transition matrix (order-1 Markov / process-mining
+      // table) over each subject's second-truncated timeline, ordered
+      // (ts, event_id) so same-timestamp events walk deterministically.
+      // One subject-keyed window — the shuffle bucketed storage
+      // removes.
+      graft.ops.EventAnalytics.typeTransitions(
+        t(s, dir, "events")
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        "user_id", "ts", "event_id", "event_type")
+    }),
+
+    "q175_retention" -> ((s, dir) => {
+      // Day-k retention curve: fraction of subjects with ANY activity
+      // exactly k days after their first event — the cohort table
+      // product analytics reads daily. Day arithmetic is DATE-level on
+      // both engines, so no sub-second discipline is needed.
+      graft.ops.EventAnalytics.retentionCurve(
+        t(s, dir, "events"), "user_id", "ts")
+    }),
+
+    "q176_funnel" -> ((s, dir) => {
+      // Strictly-ordered signup → click → purchase funnel, each stage
+      // anchored on the earliest qualifying time (standard
+      // product-analytics semantics). Second-truncated so the strict >
+      // comparisons are engine-identical.
+      graft.ops.EventAnalytics.funnel(
+        t(s, dir, "events")
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+    }),
+
     "q173_tokenizer_fertility" -> ((s, dir) => {
       // Tokenizer fertility audit (chars per subword token by lang —
       // the compression-rate table that decides whether a tokenizer
@@ -5793,6 +5826,65 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY grp_a, grp_b""".stripMargin
     },
+
+    // q174: the same lead window over (second-truncated ts, event_id).
+    "q174_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss, event_id,
+        |    event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS type_a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY tss, event_id) AS type_b
+        |  FROM e)
+        |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE type_b IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q175: DATE-level first-day offsets, per-(subject, day) distinct.
+    "q175_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id,
+        |    date_diff('day', d0, CAST(ts AS DATE)) AS day_k
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT day_k, CAST(count(*) AS BIGINT) AS n_subjects,
+        |  round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM f), 6)
+        |    AS retention
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q176: stage mins chained on strict > over second-truncated ts.
+    "q176_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(tss) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tss) AS t2 FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tss > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tss) AS t3 FROM e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tss > t2 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'signup' AS step,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_subjects,
+        |  round((SELECT count(*) FROM s1) /
+        |        (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6)
+        |    AS conversion
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2),
+        |  round((SELECT count(*) FROM s2) /
+        |        (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3),
+        |  round((SELECT count(*) FROM s3) /
+        |        (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6)
+        |ORDER BY stage""".stripMargin,
 
     // q173: the shared BpeWalkSql walk + one occurrence join, rolled
     // up by lang; fertility is one round-6 division of exact sums.

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Subject-timeline analytics over the event stream — the
+  * process-mining / product-analytics trio (transition mining,
+  * retention, funnels) every event-sourced store grows, built on the
+  * same subject-ordered shape as
+  * [[graft.ingest.EventDataset.eventsOrdered]] (reference:
+  * EventStreamData's subject-grouped, time-sorted frame).
+  *
+  * All three ops shuffle ONCE on the subject key (the window / groupBy
+  * partition key) and reduce to tiny outputs — transition matrices are
+  * |types|², curves are |days|, funnels are one row. At 100 TB the
+  * subject shuffle is the whole cost, so bucketed event storage
+  * ([[graft.ingest.Bucketing]]) removes it entirely.
+  */
+object EventAnalytics {
+
+  /** Event-type transition counts (the order-1 Markov / process-mining
+    * table): consecutive-event pairs within each subject's timeline,
+    * counted globally. Ordering is (ts, eventId) — the id tie-break
+    * makes the walk deterministic under same-timestamp events.
+    * Returns (type_a, type_b, n). */
+  def typeTransitions(events: DataFrame, subjCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(subjCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(subjCol), col(tsCol), col(idCol),
+        col(typeCol).as("type_a"),
+        lead(col(typeCol), 1).over(w).as("type_b"))
+      .filter(col("type_b").isNotNull)
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n"))
+  }
+
+  /** Day-k retention curve: of all subjects, what fraction has ANY
+    * activity exactly k days after their first event. The
+    * subject-first-day table is one agg; day offsets dedup per
+    * (subject, k) so a chatty subject counts once per day. Returns
+    * (day_k, n_subjects, retention round-6) for observed offsets. */
+  def retentionCurve(events: DataFrame, subjCol: String, tsCol: String)
+      : DataFrame = {
+    val firsts = events.groupBy(col(subjCol).as("__s"))
+      .agg(min(to_date(col(tsCol))).as("__d0"))
+    val active = events
+      .join(firsts, col(subjCol) === col("__s"))
+      .select(col(subjCol),
+        datediff(to_date(col(tsCol)), col("__d0")).cast("long")
+          .as("day_k"))
+      .distinct()
+      .localCheckpoint(true)
+    val total = firsts.count()
+    active.groupBy("day_k")
+      .agg(countDistinct(col(subjCol)).as("n_subjects"))
+      .select(col("day_k"), col("n_subjects"),
+        round(col("n_subjects").cast("double") / total.toDouble, 6)
+          .as("retention"))
+  }
+
+  /** Strictly-ordered funnel: subjects who did step 1, then step 2
+    * AFTER their first step 1, then step 3 after that first
+    * qualifying step 2 (each stage anchors on the EARLIEST qualifying
+    * time — the standard product-analytics semantics). One
+    * subject-keyed agg per stage, each feeding a broadcast-sized
+    * subject table into the next filter. Returns one row per stage:
+    * (stage, step, n_subjects, conversion round-6 vs stage 1). */
+  def funnel(events: DataFrame, subjCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
+    val stages = steps.zipWithIndex.foldLeft(
+      List.empty[(Int, String, DataFrame)]) {
+      case (acc, (step, i)) =>
+        val prev = acc.headOption.map(_._3)
+        val base = events.filter(col(typeCol) === step)
+        val qualified = prev match {
+          case None => base
+          case Some(p) =>
+            base.join(p.select(col("__s"), col("__t").as("__pt")),
+              col(subjCol) === col("__s"))
+              .filter(col(tsCol) > col("__pt"))
+              .drop("__s", "__pt")
+        }
+        val stage = qualified.groupBy(col(subjCol).as("__s"))
+          .agg(min(col(tsCol)).as("__t"))
+          .localCheckpoint(true)
+        (i + 1, step, stage) :: acc
+    }.reverse
+    val n1 = stages.head._3.count().toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    stages.map { case (i, step, df) =>
+      val n = df.count()
+      (i, step, n, math.rint(n / n1 * 1e6) / 1e6)
+    }.toDF("stage", "step", "n_subjects", "conversion")
+  }
+}

@@ -32,6 +32,38 @@ object SkewTools {
     * flatten per key — caps any single task's group size at ~1/factor of
     * the hot key. Ordering within the final array follows the struct sort
     * of `orderField` so results stay deterministic. */
+  /** Key-skew audit — the measurement that decides whether a join/agg
+    * key needs [[saltedJoin]] at all (guessing costs either a needless
+    * salt explode or a straggler reducer at 100 TB): per-key row
+    * counts reduced to the distribution numbers a skew decision reads —
+    * max/mean ratio (the straggler factor: how much longer the hottest
+    * reducer runs than the average) and the share of all rows owned by
+    * the hottest `topK` keys (whether salting a HANDFUL of keys
+    * suffices, the cheap fix, or the key is uniformly heavy). One
+    * partial-aggregatable count + one bounded top-k; the per-key count
+    * table never leaves the executors unsorted.
+    *
+    * Returns one row: (n_keys, n_rows, max_key_rows, max_mean_ratio
+    * round-6, topk_share round-6). */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("__c").as("n_rows"),
+        max("__c").as("max_key_rows"),
+        graft.expressions.AggregateFunctions
+          .topKByScore(col("__c").cast("double"), col("__c"), topK)
+          .as("__top"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        round(col("max_key_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys")), 6)
+          .as("max_mean_ratio"),
+        round(expr("aggregate(transform(__top, s -> s.id), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double") /
+          col("n_rows").cast("double"), 6).as("topk_share"))
+  }
+
   def saltedCollectList(df: DataFrame, key: String, orderField: String,
       payloadFields: Seq[String], factor: Int): DataFrame = {
     val salted = df.withColumn("__salt",
