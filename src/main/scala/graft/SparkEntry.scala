@@ -1869,6 +1869,40 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    "q177_skew_audit" -> ((s, dir) => {
+      // Key-skew audit of the subject key: the measurement that
+      // decides salting BEFORE a 100 TB join, not after the straggler.
+      // One partial-aggregatable count + one bounded top-k; output is
+      // a single row of distribution numbers.
+      graft.ops.SkewTools.skewReport(t(s, dir, "events"), "user_id",
+        topK = 10)
+    }),
+
+    "q178_binary_ingest" -> ((s, dir) => {
+      // Media-lake ingest: real PNGs land as LOOSE FILES (the layout
+      // crawlers hand over — executors write partitions in parallel),
+      // then Spark's binaryFile source reads them back with a glob
+      // filter, the id parses from the path, and q172's IHDR sniff
+      // audits every container without decoding. The oracle replays
+      // dims from the synthesis formula — bytes survive the file
+      // system round trip or the hash breaks.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q178")
+        .toString
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+      Multimodal.writeBinaryFiles(
+        Multimodal.synthesizeImages(ids, "doc_id"), "media_id",
+        "payload", tmp, ".png")
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(tmp)
+      Multimodal.withPngMetadata(
+          files.select(regexp_extract(col("path"), "/(\\d+)\\.png$", 1)
+            .cast("long").as("media_id"), col("content").as("payload")),
+          "payload")
+        .select(col("media_id"), col("png_width"), col("png_height"),
+          col("png_bit_depth"), col("png_color_type"))
+    }),
+
     "q174_event_transitions" -> ((s, dir) => {
       // Event-type transition matrix (order-1 Markov / process-mining
       // table) over each subject's second-truncated timeline, ordered
@@ -5826,6 +5860,34 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY grp_a, grp_b""".stripMargin
     },
+
+    // q177: distribution numbers over per-key counts; tied counts make
+    // any top-10 selection sum-identical.
+    "q177_skew_audit" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_keys,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM c) AS n_rows,
+        |  (SELECT max(c) FROM c) AS max_key_rows,
+        |  round((SELECT CAST(max(c) AS DOUBLE) FROM c) /
+        |        ((SELECT CAST(sum(c) AS DOUBLE) FROM c) /
+        |         (SELECT count(*) FROM c)), 6) AS max_mean_ratio,
+        |  round((SELECT CAST(sum(c) AS DOUBLE) FROM
+        |          (SELECT c FROM c ORDER BY c DESC LIMIT 10)) /
+        |        (SELECT CAST(sum(c) AS DOUBLE) FROM c), 6)
+        |    AS topk_share""".stripMargin,
+
+    // q178: the q172 formula through a loose-file round trip.
+    "q178_binary_ingest" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS png_width,
+        |  CAST(12 + doc_id % 7 AS BIGINT) AS png_height,
+        |  CAST(8 AS BIGINT) AS png_bit_depth,
+        |  CAST(2 AS BIGINT) AS png_color_type
+        |FROM documents WHERE doc_id < 60
+        |ORDER BY media_id""".stripMargin,
 
     // q174: the same lead window over (second-truncated ts, event_id).
     "q174_event_transitions" ->

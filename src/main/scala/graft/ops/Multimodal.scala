@@ -55,6 +55,23 @@ object Multimodal {
   @inline def imgW(id: Long): Int = (16 + id % 13).toInt
   @inline def imgH(id: Long): Int = (12 + id % 7).toInt
 
+  /** Loose-file media sink: each row's binary payload lands as its own
+    * `<id><ext>` file — the layout crawlers and annotation tools hand
+    * over, and the input [[https://spark.apache.org binaryFile]]
+    * ingest (q178) reads back. Executors write their partitions in
+    * parallel (works on any Hadoop-visible FS in local mode; a real
+    * cluster points `dir` at shared storage). */
+  def writeBinaryFiles(df: DataFrame, idCol: String, binCol: String,
+      dir: String, ext: String): Unit =
+    df.select(col(idCol).cast("long"), col(binCol))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}$ext"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+
   /** PNG container metadata WITHOUT decoding — the 100 TB corpus-audit
     * move: dimensions, bit depth and color type live at fixed offsets
     * in the IHDR chunk (8-byte signature, 4-byte length, "IHDR", then

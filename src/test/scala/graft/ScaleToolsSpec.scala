@@ -49,4 +49,24 @@ class ScaleToolsSpec extends SparkSpec {
     val e = enc(1.0)
     assert(math.abs(e(0)) > math.abs(e(6)))
   }
+
+  test("skewReport: hand-counted distribution, hot key dominates " +
+      "ratio and topk share") {
+    import spark.implicits._
+    import graft.ops.SkewTools
+    // key 0: 60 rows; keys 1..20: 2 rows each → 100 rows, 21 keys
+    val rows = ((1 to 60).map(_ => 0L) ++
+      (1L to 20L).flatMap(k => Seq(k, k))).toDF("k")
+    val got = SkewTools.skewReport(rows, "k", topK = 3)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val mean = 100.0 / 21
+    assert(got._1 == 21L && got._2 == 100L && got._3 == 60L)
+    assert(got._4 == math.rint(60.0 / mean * 1e6) / 1e6)
+    // top-3 = 60 + 2 + 2
+    assert(got._5 == math.rint(64.0 / 100 * 1e6) / 1e6)
+    // partition invariance
+    val re = SkewTools.skewReport(rows.repartition(7), "k", topK = 3)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(re == got)
+  }
 }
