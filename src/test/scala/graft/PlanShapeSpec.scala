@@ -151,7 +151,21 @@ class PlanShapeSpec extends SparkSpec {
     // Fertility: the merge walk runs behind applyMerges' internal
     // checkpoints and the word table broadcasts into the occurrence
     // join; the ONE exchange is the lang rollup.
-    "q173_tokenizer_fertility" -> 1
+    "q173_tokenizer_fertility" -> 1,
+    // Transition matrix: the subject window + the pair rollup — the
+    // subject exchange is the one bucketed storage would remove.
+    "q174_event_transitions" -> 2,
+    // Retention: active-day table checkpointed AND already distinct
+    // per (subject, day), so the day-k countDistinct plans as ONE
+    // partial-aggregated exchange.
+    "q175_retention" -> 1,
+    // Funnel: stage tables are checkpointed scalars; the final output
+    // is a driver-built 3-row frame — ZERO exchanges.
+    "q176_funnel" -> 0,
+    // Skew audit: per-key count + the 1-row global reduction.
+    "q177_skew_audit" -> 2,
+    // Binary ingest: file-source scan + narrow sniff — ZERO exchanges.
+    "q178_binary_ingest" -> 0
   )
 
   expected.foreach { case (name, want) =>
