@@ -2207,15 +2207,26 @@ object SparkEntry {
     }),
 
     "q159_edit_verify" -> ((s, dir) => {
-      // Candidate → verify with EDIT DISTANCE as the precision stage:
-      // the q78 replayable MinHash bands recall candidate pairs, and
-      // the banded Levenshtein (threshold-bounded DP — the maxDist cap
-      // is what makes the stage affordable: O(d·n) per pair, length-
-      // mismatch pairs exit before any DP) passes only true near-copies
-      // ≤ 60 edits. Unlike the q78 Jaccard verify, this one sees token
-      // ORDER — shuffled-token twins fail here.
-      val (docs, _, cand) = minhashReplayCands(s, dir)
-      Dedup.editDistanceVerify(docs, "doc_id", "text", cand,
+      // Cheap-to-expensive verify CASCADE, each stage ~100× the
+      // per-pair cost of the last: MinHash bands recall candidates →
+      // exact hash-set Jaccard at a loose 0.35 floor prunes the
+      // chance band collisions → the banded edit-distance DP is the
+      // final order-sensitive judge at ≤ 60 edits (unlike Jaccard,
+      // it sees token ORDER — shuffled-token twins die here).
+      // Measured at sf1: 383k candidates, Spark Levenshtein ~2 ms/
+      // pair → raw candidates cost 18.6 s; the cascade verifies 2.6k.
+      // The floor must clear the corpus's CHANCE-similarity baseline:
+      // this small-vocabulary corpus measures median J = 0.21 between
+      // unrelated docs (a 0.2 floor kept 244k pairs — worse than
+      // useless), while planted near-dups sit ≥ 0.5 — 0.35 splits
+      // the two modes with margin on both sides. The composite
+      // semantics (J ≥ 0.35 AND dist ≤ 60) are what the oracle
+      // replays.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+          .as("text"))
+      Dedup.editDistanceVerify(docs, "doc_id", "text",
+        minhashReplayVerified(s, dir, minJ = 0.35).localCheckpoint(true),
         maxDist = 60)
     }),
 
@@ -3104,10 +3115,12 @@ object SparkEntry {
     (docs, sets, cand)
   }
 
-  /** The q78 band candidates verified by exact hash-set Jaccard ≥ 0.5:
-    * (id_a, id_b, jaccard). Shared by q78 and the q169 source matrix. */
-  private def minhashReplayVerified(s: SparkSession, dir: String)
-      : DataFrame = {
+  /** The q78 band candidates verified by exact hash-set Jaccard ≥
+    * `minJ`: (id_a, id_b, jaccard). Shared by q78/q169 (0.5, the
+    * near-dup bar) and q159 (0.2, a loose recall-preserving floor
+    * ahead of the edit-distance judge). */
+  private def minhashReplayVerified(s: SparkSession, dir: String,
+      minJ: Double = 0.5): DataFrame = {
     val (_, sets, cand) = minhashReplayCands(s, dir)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
@@ -3117,7 +3130,7 @@ object SparkEntry {
       .withColumn("jaccard",
         graft.expressions.VectorFunctions.sortedLongJaccard(
           col("hs_a"), col("hs_b")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -6198,12 +6211,13 @@ object SparkEntry {
         |SELECT node, CAST(r AS BIGINT) AS rank_fp
         |FROM pr WHERE iter = 8 ORDER BY node""".stripMargin,
 
-    // q159: the q78 candidate CTEs, then DuckDB's levenshtein as the
-    // verify — both engines compute plain unit-cost edit distance over
-    // the same ASCII-projected text (Spark's threshold arg only bounds
-    // the DP; values ≤ the bound are exact).
+    // q159: the q78 candidate+Jaccard CTEs at the loose 0.35 floor,
+    // then DuckDB's levenshtein as the final judge — both engines
+    // compute plain unit-cost edit distance over the same
+    // ASCII-projected text (Spark's threshold arg only bounds the DP;
+    // values ≤ the bound are exact).
     "q159_edit_verify" ->
-      s"""WITH ${MinhashReplay.candCtes},
+      s"""WITH ${MinhashReplay.jacCtes},
          |d AS (
          |  SELECT doc_id,
          |    lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t
@@ -6212,7 +6226,7 @@ object SparkEntry {
          |  SELECT id_a, id_b,
          |    CAST(levenshtein(da.t, db.t) AS BIGINT) AS dist,
          |    greatest(length(da.t), length(db.t)) AS mx
-         |  FROM cand
+         |  FROM (SELECT id_a, id_b FROM jac WHERE j >= 0.35) c
          |    JOIN d da ON da.doc_id = id_a
          |    JOIN d db ON db.doc_id = id_b)
          |SELECT id_a, id_b, dist,
