@@ -42,11 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   // ExpressionInfo(className, db, name, usage, arguments, examples, note,
   //   group, since, deprecated, source) — db is the SECOND slot
-  private def info(name: String, usage: String) =
+  private[graft] def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  private def fns: Seq[(String, String, FunctionBuilder)] = Seq(
+  private[graft] def fns: Seq[(String, String, FunctionBuilder)] = Seq(
+    ("graft_nfc_normalize", "Unicode NFC canonical composition (UAX #15)",
+      (args: Seq[Expression]) => {
+        arity("graft_nfc_normalize", args, 1)
+        expressions.NfcNormalizeExpr(args(0))
+      }),
     ("graft_cosine", "cosine similarity of two numeric arrays",
       (args: Seq[Expression]) => {
         arity("graft_cosine", args, 2)
@@ -131,4 +136,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction(
         (FunctionIdentifier(name), info(name, usage), builder))
     }
+}
+
+object GraftExtensions {
+
+  /** Register the same function set into an ALREADY-BUILT session (the
+    * `spark.sql.extensions` conf only applies at build time; a session
+    * handed in by a host — notebook kernels, the driver contract —
+    * can't be rebuilt). Same builders, same names, idempotent:
+    * re-registration replaces the identical entry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val inst = new GraftExtensions
+    val reg = spark.sessionState.functionRegistry
+    inst.fns.foreach { case (name, usage, builder) =>
+      reg.registerFunction(FunctionIdentifier(name),
+        inst.info(name, usage), builder)
+    }
+  }
 }

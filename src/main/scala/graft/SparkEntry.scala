@@ -1903,6 +1903,103 @@ object SparkEntry {
           col("png_bit_depth"), col("png_color_type"))
     }),
 
+    "q179_sql_registry" -> ((s, dir) => {
+      // The SQL surface of the native-function registry — the last
+      // spec-only extension row promoted to the contract. The driver
+      // hands in a session built WITHOUT the extensions conf (exactly
+      // the notebook/JDBC reality), GraftExtensions.register injects
+      // the SAME Catalyst builders into its live FunctionRegistry, and
+      // the whole query is spark.sql TEXT: native cosine + replayable
+      // whole-string poly hash reached with zero Scala API. The oracle
+      // replays both functions' math in DuckDB — a registry defect
+      // (wrong builder, wrong arg wiring) breaks the hash.
+      GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("g_docs")
+      t(s, dir, "embeddings").createOrReplaceTempView("g_embs")
+      s.sql("""
+        SELECT d.doc_id,
+               graft_str_poly_hash(
+                 regexp_replace(d.text, '[^ -~]', ''),
+                 257, 40) AS text_hash,
+               round(graft_cosine(e.embedding, a.embedding), 6)
+                 AS cos_anchor
+        FROM g_docs d
+        JOIN g_embs e ON e.vec_id = d.doc_id
+        CROSS JOIN (SELECT embedding FROM g_embs WHERE vec_id = 0) a
+        WHERE d.doc_id < 200""")
+    }),
+
+    "q180_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC canonical composition (UAX #15) — the codepoint-
+      // level hygiene pass that makes decomposed `e`+U+0301 and
+      // composed U+00E9 the same bytes BEFORE any fingerprint. Planted
+      // decomposed sequences (é as e+combining-acute, Å as A+ring)
+      // spliced into every doc; the native expression must compose
+      // them exactly as DuckDB's nfc_normalize does, and the
+      // codepoint counts prove the composition actually shortened the
+      // string (2 codepoints → 1 per planted pair).
+      val raw = concat(substring(col("text"), 1, 40),
+        lit(" e\u0301 A\u030A "), substring(col("text"), 41, 20))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.nfcNormalize(raw).as("nfc_text"),
+          length(raw).as("n_cp_raw"),
+          length(TextOps.nfcNormalize(raw)).as("n_cp_nfc"))
+    }),
+
+    "q181_wav_sniff" -> ((s, dir) => {
+      // WAV/RIFF container sniff WITHOUT decode — the audio twin of
+      // q172's PNG IHDR projection: rate/channels/bits/duration for a
+      // billion-clip lake as pure codegen substring/hex arithmetic
+      // (RIFF is little-endian — bytes assemble as Σ byte·256^i), no
+      // codec init anywhere in the plan. Payloads are REAL JDK-encoded
+      // WAVs; the oracle replays every field from the PCM synthesis
+      // formula, so a header-layout defect breaks the hash.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+      Multimodal.withWavMetadata(
+          Multimodal.synthesizeAudio(ids, "doc_id")
+            .select(col("media_id"), col("payload")),
+          "payload")
+        .select(col("media_id"), col("wav_valid"), col("wav_channels"),
+          col("wav_sample_rate"), col("wav_bits"), col("wav_data_bytes"),
+          col("wav_duration_ms"))
+    }),
+
+    "q182_gif_scenes" -> ((s, dir) => {
+      // Shot-boundary detection over REAL animated GIFs (the classic
+      // pixel-difference cut measure): scene-structured synthesis
+      // (9 frames, scenes of 3 — intra-scene frames differ only by a
+      // sparse jitter lattice, cuts re-pattern the whole raster),
+      // sequential decode with one running prev-frame buffer, EXACT
+      // integer Σ|Δgray| per consecutive pair, and the cut rule is a
+      // relational filter (mean diff > 8) the oracle replays from the
+      // formula — through the real GIF codec both ways.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 40)
+      Multimodal.gifFrameDeltas(
+          Multimodal.synthesizeSceneGifs(ids, "doc_id"))
+        .select(col("media_id"), col("frame_idx"), col("n_pixels"),
+          col("sum_abs_gray_diff"),
+          (col("sum_abs_gray_diff") >
+            col("n_pixels").cast("long") * 8L).as("is_cut"))
+    }),
+
+    "q183_rank_langid" -> ((s, dir) => {
+      // TRAINED language ID (Cavnar–Trenkle rank-order profiles, the
+      // textcat family) — the fitted complement to q26's fixed-stopword
+      // heuristic: per-lang top-50 char-trigram document-frequency
+      // profiles fit from the corpus's own labels, docs classified by
+      // rank-sum distance with exact integer tie rules end to end
+      // (df desc/gram asc in the profile, score asc/lang asc at the
+      // argmin). Profiles are model-sized and broadcast; the apply is
+      // one narrow gram explode + two partial-aggregatable aggs.
+      val docs = t(s, dir, "documents")
+      val profiles = TextOps.fitLangProfiles(docs, "text", "lang")
+      TextOps.rankLangId(docs.filter(col("doc_id") < 150), "doc_id",
+          "text", profiles)
+        .select(col("doc_id"), col("pred_lang"), col("score"))
+    }),
+
     "q174_event_transitions" -> ((s, dir) => {
       // Event-type transition matrix (order-1 Markov / process-mining
       // table) over each subject's second-truncated timeline, ordered
@@ -5901,6 +5998,115 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS png_color_type
         |FROM documents WHERE doc_id < 60
         |ORDER BY media_id""".stripMargin,
+
+    // q179: the registered functions' math replayed natively — the
+    // poly-hash coefficient walk (shared PolyHashSql) + DuckDB's own
+    // list_cosine_similarity, q29/q80 precision discipline (round 6).
+    "q179_sql_registry" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT d.doc_id,
+         |  ${PolyHashSql.over("t", 257L, 40)} AS text_hash,
+         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |          CAST(a.embedding AS DOUBLE[])), 6) AS cos_anchor
+         |FROM d
+         |JOIN embeddings e ON e.vec_id = d.doc_id
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q180: DuckDB's nfc_normalize implements the same UAX #15
+    // canonical composition as java.text.Normalizer; both engines
+    // count length() in codepoints.
+    "q180_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' e' || chr(769) || ' A' ||
+        |      chr(778) || ' ' || substring(text, 41, 20) AS raw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |  CAST(length(raw) AS INT) AS n_cp_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS n_cp_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q181: every header field from the PCM synthesis formula —
+    // n = 256 + id % 64 16-bit mono samples at 8 kHz through the JDK's
+    // canonical 44-byte RIFF writer.
+    "q181_wav_sniff" ->
+      """SELECT doc_id AS media_id, TRUE AS wav_valid,
+        |  CAST(1 AS BIGINT) AS wav_channels,
+        |  CAST(8000 AS BIGINT) AS wav_sample_rate,
+        |  CAST(16 AS BIGINT) AS wav_bits,
+        |  CAST((256 + doc_id % 64) * 2 AS BIGINT) AS wav_data_bytes,
+        |  CAST(floor((256 + doc_id % 64) * 2 * 1000.0 / 16000.0)
+        |    AS BIGINT) AS wav_duration_ms
+        |FROM documents WHERE doc_id < 80
+        |ORDER BY media_id""".stripMargin,
+
+    // q182: the scene formula replayed pixel-for-pixel — base raster
+    // keyed on scene f//3, +16 jitter on the (x+y+f) % 16 lattice,
+    // gray = the palettized value itself; cut rule mean |Δ| > 8.
+    "q182_gif_scenes" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, CAST(16 + doc_id % 5 AS INT) AS w,
+        |         CAST(12 + doc_id % 3 AS INT) AS h
+        |  FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT id, w, h, f.f, x.x, y.y
+        |  FROM ids, range(1, 9) f(f), range(0, 21) x(x), range(0, 15) y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |v AS (
+        |  SELECT id, w, h, f,
+        |    (((x * (1 + (f // 3)) + 5 * y + 11 * (f // 3) + id) % 8) * 32
+        |      + CASE WHEN (x + y + f) % 16 = 0 THEN 16 ELSE 0 END) AS vc,
+        |    (((x * (1 + ((f - 1) // 3)) + 5 * y + 11 * ((f - 1) // 3)
+        |       + id) % 8) * 32
+        |      + CASE WHEN (x + y + f - 1) % 16 = 0 THEN 16 ELSE 0 END)
+        |      AS vp
+        |  FROM px)
+        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w * h AS INT) AS n_pixels,
+        |  CAST(sum(abs(vc - vp)) AS BIGINT) AS sum_abs_gray_diff,
+        |  (sum(abs(vc - vp)) > w * h * 8) AS is_cut
+        |FROM v GROUP BY id, f, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // q183: distinct trigrams per doc over the lowered 120-prefix
+    // (the native shingle expression's set semantics), df-ranked
+    // profiles with the (df desc, gram asc) tie rule, rank-sum
+    // scoring with absent grams at profileK + 1 = 51, argmin with
+    // the (score asc, lang asc) tie rule.
+    "q183_rank_langid" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS gram
+        |  FROM (SELECT doc_id, lang,
+        |          lower(substring(text, 1, 120)) AS t
+        |        FROM documents) d, range(1, 121) r(i)
+        |  WHERE i + 2 <= length(t)
+        |  GROUP BY 1, 2, 3),
+        |cnt AS (
+        |  SELECT lang, gram, CAST(count(*) AS BIGINT) AS df
+        |  FROM g GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang, gram, rank FROM (
+        |    SELECT lang, gram, CAST(row_number() OVER (
+        |        PARTITION BY lang ORDER BY df DESC, gram ASC) AS INT)
+        |      AS rank
+        |    FROM cnt)
+        |  WHERE rank <= 50),
+        |dg AS (SELECT doc_id, gram FROM g WHERE doc_id < 150),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |sc AS (
+        |  SELECT dg.doc_id, l.lang,
+        |    CAST(sum(coalesce(p.rank, 51)) AS BIGINT) AS score
+        |  FROM dg CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = dg.gram
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang AS pred_lang, score FROM (
+        |  SELECT doc_id, lang, score, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
+        |  FROM sc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // q174: the same lead window over (second-truncated ts, event_id).
     "q174_event_transitions" ->

@@ -721,6 +721,43 @@ case class CharStatsExpr(child: Expression)
   override def prettyName: String = "char_stats"
 }
 
+/** Unicode NFC normalization (canonical composition). The text-hygiene
+  * step ahead of every fingerprint/dedup stage: `é` typed as
+  * U+0065 U+0301 (decomposed) and U+00E9 (composed) are DIFFERENT byte
+  * strings, so without canonicalization every decomposed copy of a
+  * document hashes as a distinct file and survives exact dedup (q23),
+  * splits differently under the content-hash samplers, and double-counts
+  * in vocabulary fits. Wraps the JDK's `java.text.Normalizer` (Unicode
+  * UAX #15) as a pure narrow projection with REAL codegen — one static
+  * call, no UDF, stays inside the whole-stage span. Portable: DuckDB's
+  * `nfc_normalize` implements the same UAX #15 algorithm, so the full
+  * output string is hash-checkable (q180). NFC (not NFKC) on purpose —
+  * compatibility folding (① → 1, ﬁ → fi) is lossy and corpus-policy,
+  * canonical composition is identity-preserving and always safe. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(java.text.Normalizer.normalize(" +
+        s"$c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NfcNormalizeExpr = copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** WordPiece greedy longest-match-first segmentation (Wu et al. 2016,
   * the BERT tokenizer apply rule; reference framing: the third
   * tokenizer family next to BPE `ops/Bpe.scala` and unigram-LM
@@ -924,6 +961,10 @@ object TextExpressions {
   /** struct(total, max_cnt, dup_cnt) of word n-gram occurrences. */
   def wordNgramStats(s: Column, n: Int): Column =
     Bridge.toColumn(WordNgramStatsExpr(Bridge.toExpression(s), n))
+
+  /** Unicode NFC canonical composition (UAX #15); null-preserving. */
+  def nfcNormalize(s: Column): Column =
+    Bridge.toColumn(NfcNormalizeExpr(Bridge.toExpression(s)))
 
   /** struct(score, pieces): Viterbi segmentation of a word under a
     * unigram piece LM embedded in the expression. */

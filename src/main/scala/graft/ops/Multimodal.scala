@@ -96,6 +96,44 @@ object Multimodal {
       .withColumn("png_color_type", when(valid, be(26, 1)))
   }
 
+  /** WAV/RIFF container sniff WITHOUT decode — the audio twin of
+    * [[withPngMetadata]]: rate/channels/bit-depth/duration for a
+    * billion-clip lake as a pure codegen substring/hex projection, no
+    * codec init, no SPI lookup, zero exchanges. Parses the canonical
+    * 44-byte header (RIFF → WAVE → 16-byte `fmt ` → `data`), the layout
+    * the JDK writer and every standard PCM encoder emit; non-canonical
+    * containers (extra chunks, float PCM, compressed) set
+    * `wav_valid = false` and null fields instead of throwing — the
+    * audit surfaces them, the real reader ([[decodeAudioFeatures]])
+    * handles them. RIFF is little-endian, so multi-byte fields assemble
+    * as Σ byte·256^i (PNG's `be` reads the same substring big-endian).
+    * `wav_duration_ms` = data_bytes·1000 ÷ byte-rate, floored — exact
+    * integer arithmetic, externally replayable. */
+  def withWavMetadata(df: DataFrame, binCol: String): DataFrame = {
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map { i =>
+        conv(hex(substring(col(binCol), pos + i, 1)), 16, 10)
+          .cast("long") * lit(1L << (8 * i))
+      }.reduce(_ + _)
+    val valid =
+      hex(substring(col(binCol), 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(col(binCol), 9, 8)) === "57415645666D7420" && // "WAVEfmt "
+      le(17, 4) === 16L && // canonical 16-byte fmt chunk
+      le(21, 2) === 1L &&  // PCM (format tag 1)
+      hex(substring(col(binCol), 37, 4)) === "64617461" // "data"
+    val channels = le(23, 2)
+    val rate = le(25, 4)
+    val bits = le(35, 2)
+    val dataBytes = le(41, 4)
+    df.withColumn("wav_valid", valid)
+      .withColumn("wav_channels", when(valid, channels))
+      .withColumn("wav_sample_rate", when(valid, rate))
+      .withColumn("wav_bits", when(valid, bits))
+      .withColumn("wav_data_bytes", when(valid, dataBytes))
+      .withColumn("wav_duration_ms", when(valid,
+        floor(dataBytes * 1000L / (rate * channels * (bits / 8L)))))
+  }
+
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
@@ -516,7 +554,34 @@ object Multimodal {
     * variable-length containers. Writer SPI resolved once per
     * partition — the q86 per-partition-init lesson. */
   def synthesizeGifs(df: DataFrame, idCol: String, nFrames: Int = 6,
-      varyMod: Int = 1): DataFrame = {
+      varyMod: Int = 1): DataFrame =
+    synthesizeGifsWith(df, idCol, nFrames, varyMod, gifV)
+
+  /** Scene-structured frame formula: frames group into scenes of
+    * `sceneLen` (scene s = f / sceneLen); the base raster depends on
+    * the SCENE (the `x·(1+s)` term re-patterns every cut), plus a
+    * sparse per-FRAME jitter (+16 on the (x+y+f) % 16 == 0 lattice —
+    * camera noise, ~6% of pixels) so intra-scene frames are similar
+    * but not identical. ≤ 16 distinct gray levels → GIF palettizes
+    * losslessly, the q31/q113 replay argument. */
+  @inline def gifSceneV(id: Long, sceneLen: Int, f: Int, x: Int,
+      y: Int): Int = {
+    val s = f / sceneLen
+    val base = (((x.toLong * (1 + s) + 5L * y + 11L * s + id) % 8L)
+      .toInt) * 32
+    if ((x + y + f) % 16 == 0) base + 16 else base
+  }
+
+  /** [[synthesizeGifs]] with the scene-structured formula — the corpus
+    * for shot-boundary detection (q182). */
+  def synthesizeSceneGifs(df: DataFrame, idCol: String, nFrames: Int = 9,
+      sceneLen: Int = 3): DataFrame =
+    synthesizeGifsWith(df, idCol, nFrames, 1,
+      (id, f, x, y) => gifSceneV(id, sceneLen, f, x, y))
+
+  private def synthesizeGifsWith(df: DataFrame, idCol: String,
+      nFrames: Int, varyMod: Int,
+      formula: (Long, Int, Int, Int) => Int): DataFrame = {
     require(varyMod >= 1, s"varyMod must be >= 1: $varyMod")
     implicit val enc = Encoders.row(mediaSchema)
     df.select(col(idCol).cast("long"))
@@ -544,7 +609,7 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
-                val v = gifV(id, f, x, y)
+                val v = formula(id, f, x, y)
                 buf(y * w + x) = (v << 16) | (v << 8) | v
                 x += 1
               }
@@ -670,6 +735,76 @@ object Multimodal {
                 rr += 1
               }
               GifFrameHash(id, f, hi, lo)
+            }
+            reader.dispose()
+            iis.close()
+            out.iterator
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  final case class GifFrameDelta(media_id: Long, frame_idx: Int,
+      n_pixels: Int, sum_abs_gray_diff: Long)
+
+  /** Consecutive-frame pixel deltas over a REAL multi-frame container —
+    * the shot-boundary-detection kernel (the classic pixel-difference
+    * scene-cut measure: Σ |gray_f − gray_{f−1}| per frame pair; a cut
+    * is a pair whose mean difference jumps). Decode is sequential
+    * within the container (frame f−1's raster is the running state, one
+    * buffer swap per frame — no frame is decoded twice, nothing
+    * shuffles: the per-video walk is embarrassingly parallel exactly
+    * like the other codec kernels). Emits EXACT integer sums; the
+    * threshold that turns deltas into boundaries is a relational filter
+    * downstream, so the same deltas serve fast-cut and slow-fade
+    * policies without re-decoding. Gray = channel mean, as in
+    * [[gifFrameHashes]]. */
+  def gifFrameDeltas(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[GifFrameDelta]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val spi = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+          .getOriginatingProvider
+        var cur: Array[Int] = null
+        var prev: Array[Int] = null
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val reader = spi.createReaderInstance()
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            val out = new scala.collection.mutable.ArrayBuffer[
+              GifFrameDelta](math.max(0, n - 1))
+            var f = 0
+            var np = 0
+            while (f < n) {
+              val img = reader.read(f)
+              np = img.getWidth * img.getHeight
+              cur = grabRgb(img, cur)
+              if (f > 0) {
+                var s = 0L
+                var i = 0
+                while (i < np) {
+                  val p = cur(i)
+                  val q = prev(i)
+                  val gc = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+                    (p & 0xff)) / 3
+                  val gp = (((q >> 16) & 0xff) + ((q >> 8) & 0xff) +
+                    (q & 0xff)) / 3
+                  s += math.abs(gc - gp)
+                  i += 1
+                }
+                out += GifFrameDelta(id, f, np, s)
+              }
+              val tmp = prev; prev = cur
+              cur = if (tmp != null && tmp.length >= np) tmp else null
+              f += 1
             }
             reader.dispose()
             iis.close()

@@ -125,6 +125,24 @@ object Similarity {
     * Recall follows the LSH-band profile (cross-bucket neighbors are
     * missed — [[recallAtK]] measures the trade); bucket population is
     * corpus/2^nPlanes, the in-bucket quadratic cost lever. */
+  /** Size the in-bucket cost lever instead of guessing it: smallest
+    * nPlanes whose EXPECTED bucket population corpus/2^nPlanes is ≤
+    * `targetBucket`. The corpus-self shapes ([[knnGraph]],
+    * [[hardNegatives]]) pay |bucket|² per bucket, so holding the
+    * bucket population CONSTANT as the corpus grows keeps per-bucket
+    * work flat and total work linear — the measured sf0.1→sf1
+    * super-linear scaling of both queries is exactly a fixed nPlanes
+    * letting buckets grow 10×. Callers pass the corpus count (a
+    * 1-row agg they usually already have); recall shifts with nPlanes,
+    * so [[recallAtK]] re-measures after a re-size. */
+  def autoNPlanes(corpusSize: Long, targetBucket: Long = 256L): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1: $targetBucket")
+    var p = 0
+    var pop = math.max(0L, corpusSize)
+    while (pop > targetBucket && p < 30) { pop = (pop + 1) / 2; p += 1 }
+    p
+  }
+
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64, seed: Long = 7,
       bucketFn: Option[Column => Column] = None): DataFrame = {

@@ -84,6 +84,17 @@ object TextOps {
     if (lowercase) lower(collapsed) else collapsed
   }
 
+  /** Unicode NFC canonical composition (UAX #15) — the codepoint-level
+    * complement to [[normalize]]'s byte-level cleanup. Decomposed
+    * sequences (`e` + U+0301) and their composed forms (U+00E9) are
+    * different bytes but the same text; NFC makes them identical BEFORE
+    * any fingerprint, so exact dedup, content-hash splits and vocab
+    * fits stop treating encoding variants as distinct documents. Native
+    * codegen'd expression ([[graft.expressions.NfcNormalizeExpr]]),
+    * zero exchanges; replayable externally (DuckDB `nfc_normalize`). */
+  def nfcNormalize(text: Column): Column =
+    graft.expressions.TextExpressions.nfcNormalize(text)
+
   /** HTML → text extraction — the WET/boilerplate-strip stage that
     * precedes every other text operator when the corpus is a web crawl
     * (Common Crawl WARC→WET, C4 §2.1, RefinedWeb §3.1). A pure narrow
@@ -164,6 +175,66 @@ object TextOps {
     }
     val best = greatest(scored: _*)
     when(best("score") > 0.0, best("lang")).otherwise("und")
+  }
+
+  /** TRAINED character-n-gram language profiles (Cavnar–Trenkle 1994
+    * "N-Gram-Based Text Categorization" — the rank-order-profile family
+    * behind textcat/langdetect), the FITTED complement to the
+    * fixed-stopword heuristic [[langId]]: profiles come from the
+    * corpus's own labeled slice instead of a hand list, so scripts and
+    * domains the hand list never saw still classify. Per language: the
+    * `profileK` char n-grams with the highest DOCUMENT frequency
+    * (distinct grams per doc — the native shingle expression's set
+    * semantics; df-ranking is the dedup-robust variant of raw
+    * occurrence ranking), ranked 1..K with the (df desc, gram asc)
+    * exact-tie rule. Profiles are MODEL-sized (≤ langs·profileK rows):
+    * the per-lang rank window runs over vocab-bounded counts, never
+    * corpus-bounded rows, and the result broadcasts at apply time. */
+  def fitLangProfiles(corpus: DataFrame, textCol: String,
+      langCol: String, n: Int = 3, profileK: Int = 50,
+      prefix: Int = 120): DataFrame = {
+    val grams = corpus.select(col(langCol).as("lang"),
+      explode(graft.expressions.TextExpressions.charShingles(
+        lower(substring(col(textCol), 1, prefix)), n)).as("gram"))
+    val counts = grams.groupBy("lang", "gram")
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("df").desc, col("gram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= profileK)
+      .select("lang", "gram", "rank")
+  }
+
+  /** Classify by rank-profile distance against [[fitLangProfiles]]
+    * output: score(doc, lang) = Σ over the doc's distinct grams of the
+    * gram's profile rank, with absent grams costing `profileK + 1`
+    * (the rank-SUM form of Cavnar–Trenkle's out-of-place measure — the
+    * doc side needs only its gram SET, so the whole apply is one
+    * narrow gram explode, a broadcast profile join, and two
+    * partial-aggregatable aggs). Prediction = argmin score with the
+    * lang-asc exact-tie rule, computed as `min(struct(score, lang))` —
+    * map-side combinable, no window, no shuffle beyond the one
+    * (doc, lang) agg exchange. Returns (id, pred_lang, score). */
+  def rankLangId(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, n: Int = 3, profileK: Int = 50,
+      prefix: Int = 120): DataFrame = {
+    // Materialize the model-sized profile table ONCE (localCheckpoint,
+    // the operator-internal idiom — no CacheManager entry): both the
+    // lang list and the rank join broadcast from it, and without the
+    // checkpoint each broadcast would re-run the whole fit subtree.
+    val prof = profiles.localCheckpoint(true)
+    val docGrams = docs.select(col(idCol),
+      explode(graft.expressions.TextExpressions.charShingles(
+        lower(substring(col(textCol), 1, prefix)), n)).as("gram"))
+    val langs = prof.select("lang").distinct()
+    val scored = docGrams.crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(col("rank"), lit(profileK + 1))).as("score"))
+    scored.groupBy(col(idCol))
+      .agg(min(struct(col("score"), col("lang"))).as("best"))
+      .select(col(idCol), col("best.lang").as("pred_lang"),
+        col("best.score").as("score"))
   }
 
   /** PII redaction (the C4/Dolma corpus-scrub pass): emails, IPv4

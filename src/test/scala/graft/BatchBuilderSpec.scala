@@ -500,4 +500,47 @@ class BatchBuilderSpec extends SparkSpec {
     assert(out(2L)._1 == Seq(7L + 2L, 4L + 0L))
     assert(out(3L)._1 == Seq(7L + 0L, 4L + 2L))
   }
+
+  test("withWavMetadata: canonical RIFF header fields match the PCM " +
+    "formula without decoding; corrupt payload flags, never throws") {
+    val ids = Seq(Tuple1(3L), Tuple1(21L)).toDF("doc_id")
+    val media = Multimodal.synthesizeAudio(ids, "doc_id")
+      .select(col("media_id"), col("payload"))
+      .unionByName(Seq((99L, "garbage".getBytes("UTF-8")))
+        .toDF("media_id", "payload"))
+    val got = Multimodal.withWavMetadata(media, "payload")
+      .select("media_id", "wav_valid", "wav_channels", "wav_sample_rate",
+        "wav_bits", "wav_data_bytes", "wav_duration_ms")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(3L, 21L)) {
+      val n = Multimodal.pcmN(id)
+      val r = got(id)
+      assert(r._2 && r._3 == Some(1L) && r._4 == Some(8000L) &&
+        r._5 == Some(16L) && r._6 == Some(n * 2L), s"id=$id: $r")
+      assert(r._7 == Some((n * 2L * 1000L) / 16000L))
+    }
+    assert(got(99L) == ((99L, false, None, None, None, None, None)))
+  }
+
+  test("gifFrameDeltas: scene-structured GIFs give exact formula sums; " +
+    "cuts land only at scene boundaries, through the real codec") {
+    val ids = Seq(Tuple1(2L), Tuple1(7L)).toDF("doc_id")
+    val got = Multimodal.gifFrameDeltas(
+        Multimodal.synthesizeSceneGifs(ids, "doc_id"))
+      .select("media_id", "frame_idx", "n_pixels", "sum_abs_gray_diff")
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == 2 * 8) // 9 frames → 8 consecutive pairs per video
+    for (id <- Seq(2L, 7L); f <- 1 until 9) {
+      val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        s += math.abs(Multimodal.gifSceneV(id, 3, f, x, y) -
+          Multimodal.gifSceneV(id, 3, f - 1, x, y))
+      assert(got((id, f)) == ((w * h, s)), s"id=$id f=$f")
+      // cut rule (mean |Δ| > 8) fires exactly at scene starts (f = 3, 6)
+      assert((s > w.toLong * h * 8) == (f % 3 == 0), s"cut at id=$id f=$f")
+    }
+  }
 }

@@ -80,4 +80,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal") ||
       e.getMessage.contains("graft_winnow_fp"))
   }
+
+  test("runtime register() injects into a live FunctionRegistry, " +
+    "idempotently; graft_nfc_normalize composes from SQL") {
+    // The driver-contract reality: a session built WITHOUT the
+    // extensions conf gets the same functions post-hoc.
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // second call must not throw
+    Seq("éclair").toDF("t").createOrReplaceTempView("nfc_in")
+    val r = spark.sql(
+      "SELECT graft_nfc_normalize(t) AS n FROM nfc_in").as[String].head()
+    assert(r == "éclair")
+    // a pre-existing registration still resolves after re-register
+    assert(spark.sql("SELECT graft_str_poly_hash('hello', 257, 16) AS h")
+      .as[Long].head() ==
+      Seq("hello").toDF("t")
+        .select(graft.expressions.TextExpressions
+          .strPolyHash(col("t"), 257L, 16).as("h")).as[Long].head())
+  }
 }

@@ -165,7 +165,23 @@ class PlanShapeSpec extends SparkSpec {
     // Skew audit: per-key count + the 1-row global reduction.
     "q177_skew_audit" -> 2,
     // Binary ingest: file-source scan + narrow sniff — ZERO exchanges.
-    "q178_binary_ingest" -> 0
+    "q178_binary_ingest" -> 0,
+    // SQL registry: both joins broadcast (dims), no ORDER BY on the
+    // engine side — ZERO exchanges.
+    "q179_sql_registry" -> 0,
+    // NFC normalize: one narrow codegen projection — ZERO exchanges.
+    "q180_nfc_normalize" -> 0,
+    // WAV sniff: synthesis + header projection — narrow, ZERO
+    // exchanges (the q172/q178 container-sniff shape).
+    "q181_wav_sniff" -> 0,
+    // GIF scene deltas: per-container sequential decode is narrow —
+    // ZERO exchanges.
+    "q182_gif_scenes" -> 0,
+    // Rank langid: profiles are checkpointed and broadcast; the final
+    // job is the (doc, lang) score agg + the per-doc argmin agg, plus
+    // the lang-list distinct — an exchange over ≤ langs·profileK
+    // MODEL-sized checkpointed rows, corpus-size-independent.
+    "q183_rank_langid" -> 3
   )
 
   expected.foreach { case (name, want) =>

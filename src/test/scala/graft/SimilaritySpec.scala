@@ -515,4 +515,19 @@ class SimilaritySpec extends SparkSpec {
       .filter(_._1 == 0L).sortBy(_._3)
     assert(got.map(r => (r._2, r._3)).toSeq == Seq((2L, 1), (3L, 2)))
   }
+
+  test("autoNPlanes: smallest plane count holding expected bucket " +
+      "population at the target; capped at 30") {
+    assert(Similarity.autoNPlanes(0L) == 0)
+    assert(Similarity.autoNPlanes(256L, 256L) == 0)
+    assert(Similarity.autoNPlanes(257L, 256L) == 1)
+    assert(Similarity.autoNPlanes(1024L, 256L) == 2)
+    assert(Similarity.autoNPlanes(1L << 40, 256L) == 30) // cap
+    for (target <- Seq(64L, 256L, 1000L); corpus <- Seq(1000L, 123456L)) {
+      val p = Similarity.autoNPlanes(corpus, target)
+      assert((corpus >> p) <= target, s"corpus=$corpus target=$target p=$p")
+      if (p > 0) // minimality: one fewer plane would overflow the target
+        assert(math.ceil(corpus / math.pow(2, p - 1)).toLong > target)
+    }
+  }
 }

@@ -922,6 +922,48 @@ class TextDedupSpec extends SparkSpec {
     assert(got2.head >= 4L && got2.head <= 14L) // J=1/2 ± sampling
   }
 
+  test("nfcNormalize: composes decomposed sequences, ASCII identity, " +
+    "already-composed stable, null preserved; same as java.text.Normalizer") {
+    val rows = Seq("éclair Å", "plain ascii",
+      "é déjà composed", "mixed éé")
+    val got = rows.toDF("t")
+      .select(TextOps.nfcNormalize(col("t"))).as[String].collect().toSeq
+    val want = rows.map(java.text.Normalizer
+      .normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got == want)
+    assert(got(0) == "éclair Å") // e+U+0301 and A+U+030A compose
+    assert(got(1) == "plain ascii")
+    assert(got(2) == rows(2)) // NFC is idempotent on composed input
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(TextOps.nfcNormalize(col("t"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("fitLangProfiles/rankLangId: df-ranked profiles with the exact " +
+    "tie rules; rank-sum argmin classifies; absent grams cost K+1; " +
+    "score ties break lang-asc") {
+    val corpus = Seq(
+      (1L, "aaab", "xx"), (2L, "aaac", "xx"),
+      (3L, "zzzb", "yy"), (4L, "zzzc", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val prof = TextOps.fitLangProfiles(corpus, "text", "lang",
+      n = 3, profileK = 2, prefix = 10)
+    // xx doc grams: {aaa,aab}, {aaa,aac} → df aaa=2, aab=1, aac=1;
+    // top-2 by (df desc, gram asc) = aaa rank 1, aab rank 2
+    val px = prof.filter(col("lang") === "xx").orderBy("rank")
+      .select("gram", "rank").as[(String, Int)].collect().toSeq
+    assert(px == Seq(("aaa", 1), ("aab", 2)))
+    val pred = TextOps.rankLangId(
+        Seq((10L, "aaab"), (11L, "qqqq")).toDF("doc_id", "text"),
+        "doc_id", "text", prof, n = 3, profileK = 2, prefix = 10)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 10 grams {aaa,aab}: xx = 1+2 = 3; yy = (2+1)+(2+1) = 6 → xx
+    assert(pred(10L) == ((10L, "xx", 3L)))
+    // doc 11 grams {qqq} unknown everywhere: both langs score K+1 = 3;
+    // the (score asc, lang asc) tie rule picks xx
+    assert(pred(11L) == ((11L, "xx", 3L)))
+  }
+
   /** Textbook full-matrix Levenshtein, the oracle for the banded impl. */
   private def reference(a: String, b: String): Long = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
