@@ -2000,6 +2000,132 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_lang"), col("score"))
     }),
 
+    "q184_gzip_text" -> ((s, dir) => {
+      // Compressed text interchange — the .txt.gz/.jsonl.gz reality of
+      // crawl corpora: doc_id TAB text lines → gzip text sink → cold
+      // re-read (Spark's transparent codec detection) → parse back.
+      // Identity oracle: every byte must survive the gzip codec both
+      // ways AND the line framing. limit=2 on the splitter so a tab
+      // inside the text could never shear the row.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q184")
+        .toString
+      t(s, dir, "documents")
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+          col("text")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t", 2).getItem(0).cast("long")
+            .as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+    }),
+
+    "q185_pmi_collocations" -> ((s, dir) => {
+      // PMI collocation table (Church & Hanks association scores — the
+      // phrase-induction / collocation-audit pass): exact integer
+      // counts, vocab-bounded checkpointed count tables, one ln-ratio
+      // replayed verbatim. ASCII-projected lowered text, the corpus
+      // tokenization the other LM rows use.
+      TextOps.pmiCollocations(
+        t(s, dir, "documents").select(col("doc_id"),
+          lower(regexp_replace(col("text"), "[^ -~]", "")).as("t")),
+        "doc_id", "t", minCount = 30)
+    }),
+
+    "q186_code_fences" -> ((s, dir) => {
+      // Markdown fenced-code extraction (The Stack/StarCoder stage 0
+      // for code corpora): deterministic markdown synthesis — every
+      // doc gets a ```scala fence, every 3rd doc a second ```python
+      // fence — then (lang tag, body) extraction via the RE2-portable
+      // non-greedy pattern, parallel arrays zipped to one row per
+      // fence. The oracle rebuilds the same markdown and extracts
+      // with the same pattern.
+      val md = concat(
+        substring(col("text"), 1, 30), lit("\n```scala\nval x = "),
+        col("doc_id").cast("string"), lit("\n```\n"),
+        substring(col("text"), 31, 20),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\n```python\nprint("),
+            col("doc_id").cast("string"), lit(")\n```\n")))
+          .otherwise(lit("")),
+        lit("tail"))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.codeFenceLangs(md).as("ls"),
+          TextOps.codeFenceBodies(md).as("bs"))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("ls"), col("bs"))))
+        .select(col("doc_id"), col("pos").cast("int").as("fence_idx"),
+          col("col.ls").as("fence_lang"), col("col.bs").as("fence_body"))
+    }),
+
+    "q187_code_line_stats" -> ((s, dir) => {
+      // Code-likeness line stats (The Stack/StarCoder file filters:
+      // max/mean line length, alphanumeric fraction, indented-line
+      // count): deterministic 4-line synthesis with one indented line,
+      // split on newline, one doc-keyed partial-aggregatable agg. The
+      // filters that decide whether a "code" file is minified junk,
+      // data blobs, or real source.
+      val doc = concat(
+        substring(col("text"), 1, 25), lit("\n  indented "),
+        substring(col("text"), 26, 15), lit("\nx = "),
+        col("doc_id").cast("string"), lit("\n"),
+        substring(col("text"), 41, 30))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(split(doc, "\n")).as(Seq("idx", "line")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_lines"),
+          max(length(col("line"))).as("max_line_len"),
+          round(avg(length(col("line"))), 6).as("mean_line_len"),
+          sum(when(col("line").rlike("^[ \\t]"), 1L).otherwise(0L))
+            .as("n_indented"),
+          round(sum(length(regexp_replace(col("line"),
+              "[^A-Za-z0-9]", ""))).cast("double") /
+            sum(length(col("line"))).cast("double"), 6)
+            .as("alnum_frac"))
+    }),
+
+    "q188_audio_resample" -> ((s, dir) => {
+      // Integer-factor decimation through the REAL codec chain
+      // (training-data resample to a model's expected rate): 8 kHz
+      // synthesis → decode → keep every 2nd sample, container rate
+      // halved → re-encode → re-decode → features. The oracle
+      // enumerates the even-index samples straight from the PCM
+      // formula, so decode, decimation indexing, the re-encoded
+      // header's rate AND the second decode are all sample-exact.
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+      Multimodal.decodeAudioFeatures(
+          Multimodal.decimateAudio(
+            Multimodal.synthesizeAudio(ids, "doc_id"), 2))
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          round(col("rms"), 6).as("rms"), col("zero_crossings"),
+          round(col("mean_amp"), 6).as("mean_amp"))
+    }),
+
+    "q189_jsonl_quarantine" -> ((s, dir) => {
+      // Permissive JSONL field extraction with corrupt-record
+      // quarantine — real feeds are never 100% well-formed, and
+      // FAILFAST at 100 TB means one truncated line kills the job
+      // while silent-drop loses data unaudited. Synthesized lines
+      // (every 7th loses its closing brace), from_json extraction,
+      // corrupt flag = parse failure; the oracle branches on
+      // json_valid and extracts the same typed fields.
+      val line = when(col("doc_id") % 7 === 0,
+        concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \""), col("lang"), lit("\"")))
+        .otherwise(concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \""), col("lang"), lit("\", \"n\": "),
+          col("n_chars").cast("string"), lit("}")))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, lang STRING, n BIGINT")
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), from_json(line, schema).as("p"))
+        .select(col("doc_id"),
+          col("p.id").isNull.as("is_corrupt"),
+          col("p.id").as("parsed_id"), col("p.lang").as("parsed_lang"),
+          col("p.n").as("parsed_n"))
+    }),
+
     "q174_event_transitions" -> ((s, dir) => {
       // Event-type transition matrix (order-1 Markov / process-mining
       // table) over each subject's second-truncated timeline, ordered
@@ -6107,6 +6233,144 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q184: identity — the gzip codec + line framing must be lossless.
+    "q184_gzip_text" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    // q185: exact integer counts; the single ln-ratio written in the
+    // same association order as the engine, round-6.
+    "q185_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t
+        |  FROM documents),
+        |ts AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(t), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM d),
+        |tok AS (SELECT unnest(ts) AS w FROM ts),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)), i ->
+        |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]))
+        |    AS gram
+        |  FROM ts),
+        |cab AS (SELECT gram, CAST(count(*) AS BIGINT) AS c_ab
+        |        FROM big GROUP BY 1),
+        |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+        |       FROM tok GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(sum(c_ab) AS BIGINT) FROM cab) AS n_big,
+        |  (SELECT CAST(sum(c_w) AS BIGINT) FROM cw) AS n_tok)
+        |SELECT split_part(c.gram, ' ', 1) AS w_a,
+        |  split_part(c.gram, ' ', 2) AS w_b,
+        |  c.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        |  round(ln((c.c_ab / CAST(t.n_big AS DOUBLE)) /
+        |    ((a.c_w / CAST(t.n_tok AS DOUBLE)) *
+        |     (b.c_w / CAST(t.n_tok AS DOUBLE)))) / ln(2), 6) AS pmi
+        |FROM cab c
+        |CROSS JOIN tot t
+        |JOIN cw a ON a.w = split_part(c.gram, ' ', 1)
+        |JOIN cw b ON b.w = split_part(c.gram, ' ', 2)
+        |WHERE c.c_ab >= 30
+        |ORDER BY w_a, w_b""".stripMargin,
+
+    // q186: same markdown synthesis, same RE2 pattern, group 1 and 2.
+    "q186_code_fences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 30) || chr(10) || '```scala' || chr(10)
+        |    || 'val x = ' || CAST(doc_id AS VARCHAR) || chr(10) || '```'
+        |    || chr(10) || substring(text, 31, 20)
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || '```python' || chr(10) || 'print('
+        |           || CAST(doc_id AS VARCHAR) || ')' || chr(10)
+        |           || '```' || chr(10)
+        |         ELSE '' END
+        |    || 'tail' AS md
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(md, '(?s)```([a-zA-Z0-9]*)\n(.*?)```', 1)
+        |      AS ls,
+        |    regexp_extract_all(md, '(?s)```([a-zA-Z0-9]*)\n(.*?)```', 2)
+        |      AS bs
+        |  FROM d)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS fence_idx,
+        |  ls[CAST(i AS INT)] AS fence_lang,
+        |  bs[CAST(i AS INT)] AS fence_body
+        |FROM e, range(1, 3) r(i) WHERE i <= len(ls)
+        |ORDER BY doc_id, fence_idx""".stripMargin,
+
+    // q187: same 4-line synthesis; integer counts + two round-6
+    // divisions.
+    "q187_code_line_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 25) || chr(10) || '  indented '
+        |    || substring(text, 26, 15) || chr(10) || 'x = '
+        |    || CAST(doc_id AS VARCHAR) || chr(10)
+        |    || substring(text, 41, 30) AS doc
+        |  FROM documents WHERE doc_id < 200),
+        |l AS (
+        |  SELECT doc_id, unnest(string_split(doc, chr(10))) AS line
+        |  FROM d)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+        |  CAST(max(length(line)) AS INT) AS max_line_len,
+        |  round(avg(length(line)), 6) AS mean_line_len,
+        |  CAST(sum(CASE WHEN line LIKE ' %' OR line LIKE chr(9) || '%'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_indented,
+        |  round(CAST(sum(length(regexp_replace(line, '[^A-Za-z0-9]',
+        |      '', 'g'))) AS DOUBLE) /
+        |    CAST(sum(length(line)) AS DOUBLE), 6) AS alnum_frac
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q188: the q86 feature replay over the EVEN-index samples at the
+    // halved rate — m = ceil(n/2) samples, sample i = formula(2i).
+    "q188_audio_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, 256 + doc_id % 64 AS n,
+        |         (256 + doc_id % 64 + 1) // 2 AS m
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (
+        |  SELECT d.doc_id, d.m, i.g AS i,
+        |         ((d.doc_id*7 + (2*i.g)*11) % 4096) - 2048 AS smp
+        |  FROM d, generate_series(0, 159) i(g) WHERE i.g < d.m),
+        |z AS (
+        |  SELECT doc_id, m, smp,
+        |         lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(m AS INT) AS n_samples,
+        |       CAST(4000 AS INT) AS sample_rate,
+        |       round(sqrt(sum(smp*smp) / (m*1.0)), 6) AS rms,
+        |       CAST(sum(CASE WHEN prev*smp < 0 THEN 1 ELSE 0 END) AS INT)
+        |         AS zero_crossings,
+        |       round(sum(abs(smp)) / (m*1.0), 6) AS mean_amp
+        |FROM z GROUP BY doc_id, m ORDER BY 1""".stripMargin,
+
+    // q189: same line synthesis; corrupt = NOT json_valid, typed
+    // extraction on the good branch, nulls on the bad one.
+    "q189_jsonl_quarantine" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '{"id": ' || CAST(doc_id AS VARCHAR)
+        |        || ', "lang": "' || lang || '"'
+        |      ELSE '{"id": ' || CAST(doc_id AS VARCHAR)
+        |        || ', "lang": "' || lang || '", "n": '
+        |        || CAST(n_chars AS VARCHAR) || '}'
+        |    END AS line
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, NOT json_valid(line) AS is_corrupt,
+        |  CASE WHEN json_valid(line)
+        |    THEN CAST(json_extract_string(line, '$.id') AS BIGINT) END
+        |    AS parsed_id,
+        |  CASE WHEN json_valid(line)
+        |    THEN json_extract_string(line, '$.lang') END AS parsed_lang,
+        |  CASE WHEN json_valid(line)
+        |    THEN CAST(json_extract_string(line, '$.n') AS BIGINT) END
+        |    AS parsed_n
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // q174: the same lead window over (second-truncated ts, event_id).
     "q174_event_transitions" ->

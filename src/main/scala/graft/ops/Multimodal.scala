@@ -995,7 +995,7 @@ object Multimodal {
   /** Decode → per-sample transform → re-encode WAV (the audio editing
     * round trip; `xform` may change the sample count). Shared by the
     * limiter and trim kernels below; real codec on both sides. */
-  private def transformPcm(media: DataFrame)(
+  private def transformPcm(media: DataFrame, rateDiv: Int = 1)(
       xform: Array[Int] => Array[Int]): DataFrame = {
     implicit val enc = Encoders.row(mediaSchema)
     media.select("media_id", "payload")
@@ -1038,15 +1038,20 @@ object Multimodal {
               out(2 * i + 1) = ((t(i) >> 8) & 0xff).toByte
               i += 1
             }
+            val outFmt =
+              if (rateDiv == 1) fmt
+              else new javax.sound.sampled.AudioFormat(
+                fmt.getSampleRate / rateDiv, 16, 1, true, false)
             val outAis = new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(out), fmt, t.length.toLong)
+              new java.io.ByteArrayInputStream(out), outFmt,
+              t.length.toLong)
             val baos = new java.io.ByteArrayOutputStream()
             writer.write(outAis,
               javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
             Row(id, baos.toByteArray,
               Row("audio/wav", null.asInstanceOf[java.lang.Integer],
                 null.asInstanceOf[java.lang.Integer],
-                (t.length * 1000L) / pcmRate.toLong))
+                (t.length * 1000L * rateDiv) / pcmRate.toLong))
           }
         }
       }(enc)
@@ -1065,6 +1070,24 @@ object Multimodal {
   def trimAudio(media: DataFrame, skip: Int): DataFrame = {
     require(skip >= 0, s"skip must be >= 0: $skip")
     transformPcm(media)(s => s.drop(math.min(skip, s.length)))
+  }
+
+  /** Integer-factor downsample (decimation, the training-data resample
+    * to a model's expected rate — e.g. 16 kHz mics → an 8 kHz ASR
+    * corpus): keep every `factor`-th sample AND divide the container
+    * rate, so playback speed is preserved. Real codec on both sides
+    * via [[transformPcm]]; kept samples are the ORIGINAL values
+    * (no interpolation — the replayable choice: output sample i is
+    * exactly input sample i·factor, so an external engine enumerates
+    * them from the synthesis formula). No anti-alias filter by design:
+    * a filter would FP-smear every sample and the formula corpus has
+    * no spectral content to protect; the scaladoc is the contract. */
+  def decimateAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    transformPcm(media, rateDiv = factor) { s =>
+      val m = (s.length + factor - 1) / factor
+      Array.tabulate(m)(i => s(i * factor))
+    }
   }
 
   final case class AudioFp(media_id: Long, fp: Long)

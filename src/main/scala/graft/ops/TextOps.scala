@@ -177,6 +177,66 @@ object TextOps {
     when(best("score") > 0.0, best("lang")).otherwise("und")
   }
 
+  /** PMI collocation mining (Church & Hanks 1990 pointwise mutual
+    * information — the classic "strong collocations" corpus-analysis
+    * table, and the association score behind phrase-vocab induction à
+    * la word2vec's phrase pass): for every bigram with occurrence
+    * count ≥ `minCount`,
+    * `pmi = log2( (c_ab/N_bigrams) / ((c_a/N_tokens)·(c_b/N_tokens)) )`.
+    * Token and bigram counts are exact integers from two
+    * partial-aggregatable aggs; both count tables are VOCAB-bounded and
+    * localCheckpointed, so the corpus-total scalars derive from the
+    * checkpointed counts (no extra corpus scans) and broadcast. The
+    * only FP steps are two divisions and one ln-ratio, written as
+    * ln(x)/ln(2) IDENTICALLY in the oracle with the round-6
+    * discipline (the q96 bigram-LM precedent). */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3): DataFrame = {
+    val big = graft.ops.Sketch.wordNgrams(docs, idCol, textCol, 2,
+      distinct = false)
+    val uni = graft.ops.Sketch.wordNgrams(docs, idCol, textCol, 1,
+      distinct = false)
+    val cab = big.groupBy("gram").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val cw = uni.groupBy(col("gram").as("w"))
+      .agg(count(lit(1)).as("c_w")).localCheckpoint(true)
+    val totals = cab.agg(sum(col("c_ab")).as("n_big"))
+      .crossJoin(cw.agg(sum(col("c_w")).as("n_tok")))
+    val pairs = cab.filter(col("c_ab") >= minCount)
+      .withColumn("w_a", split(col("gram"), " ").getItem(0))
+      .withColumn("w_b", split(col("gram"), " ").getItem(1))
+    pairs
+      .join(cw.select(col("w").as("w_a"), col("c_w").as("c_a")),
+        Seq("w_a"))
+      .join(cw.select(col("w").as("w_b"), col("c_w").as("c_b")),
+        Seq("w_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        round(
+          log((col("c_ab").cast("double") / col("n_big")) /
+            ((col("c_a").cast("double") / col("n_tok")) *
+              (col("c_b").cast("double") / col("n_tok")))) /
+            log(lit(2.0)), 6).as("pmi"))
+  }
+
+  /** Markdown fenced-code extraction (The Stack / StarCoder data-prep
+    * stage 0 for code corpora): ```lang … ``` blocks → (language tag,
+    * body) via two passes of the SAME RE2-portable pattern —
+    * `(?s)` dot-matches-newline + a non-greedy body, no lookaround —
+    * so Spark's codegen'd regexp and an external engine extract
+    * identical spans. Group 1 = the (possibly empty) info tag, group
+    * 2 = the body up to the closing fence. Pure narrow projections;
+    * zip + posexplode downstream turns the parallel arrays into one
+    * row per fence. */
+  val FenceRe = "(?s)```([a-zA-Z0-9]*)\\n(.*?)```"
+
+  def codeFenceLangs(md: Column): Column =
+    regexp_extract_all(md, lit(FenceRe), lit(1))
+
+  def codeFenceBodies(md: Column): Column =
+    regexp_extract_all(md, lit(FenceRe), lit(2))
+
   /** TRAINED character-n-gram language profiles (Cavnar–Trenkle 1994
     * "N-Gram-Based Text Categorization" — the rank-order-profile family
     * behind textcat/langdetect), the FITTED complement to the

@@ -523,6 +523,35 @@ class BatchBuilderSpec extends SparkSpec {
     assert(got(99L) == ((99L, false, None, None, None, None, None)))
   }
 
+  test("decimateAudio: every factor-th sample survives the codec round " +
+    "trip sample-exact; container rate divides; factor 1 is identity") {
+    val ids = Seq(Tuple1(5L), Tuple1(33L)).toDF("doc_id")
+    val wavs = Multimodal.synthesizeAudio(ids, "doc_id")
+    val got = Multimodal.decodeAudioFeatures(
+        Multimodal.decimateAudio(wavs, 3))
+      .select("media_id", "n_samples", "sample_rate", "rms")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(5L, 33L)) {
+      val n = Multimodal.pcmN(id)
+      val m = (n + 2) / 3
+      val kept = (0 until m).map(i => Multimodal.pcmSample(id, 3 * i))
+      val rms = math.sqrt(
+        kept.map(s => s.toLong * s).sum.toDouble / m)
+      val r = got(id)
+      assert(r._2 == m && r._3 == 8000 / 3, s"id=$id: $r")
+      assert(math.abs(r._4 - rms) < 1e-9, s"id=$id rms")
+    }
+    // factor 1: byte-identical features to the source
+    val src = Multimodal.decodeAudioFeatures(wavs)
+      .select("media_id", "n_samples", "sample_rate", "rms")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    val idn = Multimodal.decodeAudioFeatures(
+        Multimodal.decimateAudio(wavs, 1))
+      .select("media_id", "n_samples", "sample_rate", "rms")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(src == idn)
+  }
+
   test("gifFrameDeltas: scene-structured GIFs give exact formula sums; " +
     "cuts land only at scene boundaries, through the real codec") {
     val ids = Seq(Tuple1(2L), Tuple1(7L)).toDF("doc_id")

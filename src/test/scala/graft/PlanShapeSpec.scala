@@ -181,7 +181,24 @@ class PlanShapeSpec extends SparkSpec {
     // job is the (doc, lang) score agg + the per-doc argmin agg, plus
     // the lang-list distinct — an exchange over ≤ langs·profileK
     // MODEL-sized checkpointed rows, corpus-size-independent.
-    "q183_rank_langid" -> 3
+    "q183_rank_langid" -> 3,
+    // Gzip text round trip: line scan + narrow split — ZERO exchanges.
+    "q184_gzip_text" -> 0,
+    // PMI: count tables are vocab-bounded and checkpointed; the final
+    // job's two exchanges are the two 1-row corpus-total sums over
+    // those CHECKPOINTED tables (corpus-size-independent); all three
+    // joins broadcast.
+    "q185_pmi_collocations" -> 2,
+    // Code fences: narrow regexp extraction + zip/posexplode — ZERO
+    // exchanges.
+    "q186_code_fences" -> 0,
+    // Line stats: posexplode + ONE doc-keyed partial-aggregatable agg.
+    "q187_code_line_stats" -> 1,
+    // Audio resample: three chained per-clip codec kernels — narrow,
+    // ZERO exchanges.
+    "q188_audio_resample" -> 0,
+    // JSONL quarantine: narrow from_json projection — ZERO exchanges.
+    "q189_jsonl_quarantine" -> 0
   )
 
   expected.foreach { case (name, want) =>

@@ -964,6 +964,44 @@ class TextDedupSpec extends SparkSpec {
     assert(pred(11L) == ((11L, "xx", 3L)))
   }
 
+  test("pmiCollocations: hand-counted counts and the exact PMI formula; " +
+    "minCount gates") {
+    // corpus: "a b a b" + "a c" → bigrams: (a b)×2, (b a)×1, (a c)×1;
+    // tokens: a×3, b×2, c×1; N_big = 4, N_tok = 6
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "t")
+    val got = TextOps.pmiCollocations(docs, "doc_id", "t", minCount = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1) // only (a, b) reaches count 2
+    val (wa, wb, cab, ca, cb, pmi) = got.head
+    assert((wa, wb, cab, ca, cb) == (("a", "b", 2L, 3L, 2L)))
+    val want = math.log((2.0 / 4.0) / ((3.0 / 6.0) * (2.0 / 6.0))) /
+      math.log(2.0)
+    assert(math.abs(pmi - (math.rint(want * 1e6) / 1e6)) < 1e-12)
+    // lowering the gate admits the count-1 pairs
+    assert(TextOps.pmiCollocations(docs, "doc_id", "t", minCount = 1)
+      .count() == 3)
+  }
+
+  test("code fences: tag + body extraction, multi-fence docs, empty " +
+    "tag, unterminated fence yields nothing, prose backticks survive") {
+    val md = Seq(
+      (1L, "intro\n```scala\nval x = 1\n```\nmid\n```python\nprint(1)\n```\nend"),
+      (2L, "no fences, just `inline code` here"),
+      (3L, "open\n```rust\nfn broken() {"), // never closed
+      (4L, "```\nplain block\n```")) // empty info tag
+      .toDF("doc_id", "md")
+    val got = md.select(col("doc_id"),
+        TextOps.codeFenceLangs(col("md")).as("ls"),
+        TextOps.codeFenceBodies(col("md")).as("bs"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Seq("scala", "python"),
+      Seq("val x = 1\n", "print(1)\n"))))
+    assert(got(2L) == ((Seq(), Seq())))
+    assert(got(3L) == ((Seq(), Seq())))
+    assert(got(4L) == ((Seq(""), Seq("plain block\n"))))
+  }
+
   /** Textbook full-matrix Levenshtein, the oracle for the banded impl. */
   private def reference(a: String, b: String): Long = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
