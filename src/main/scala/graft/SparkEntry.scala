@@ -2102,6 +2102,55 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q191_word_blocklist" -> ((s, dir) => {
+      // C4-style bad-word page gate (Raffel et al. §2.2: a page with
+      // ANY blocklisted token is removed whole): planted hits on the
+      // %11 and %13 lattices (one uppercase — the case-fold must
+      // catch it), native set-probe count, keep = zero hits. The probe
+      // is one hash-set lookup per token, narrow, list-size-independent.
+      val salted = concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" frak")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" smeg gorram SMEG"))
+          .otherwise(lit("")))
+      val n = TextOps.blockedWordCount(salted,
+        Seq("frak", "smeg", "gorram"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_blocked"), (n === 0).as("keep"))
+    }),
+
+    "q192_mixture_materialize" -> ((s, dir) => {
+      // EXECUTE q167's mixture plan: per-lang integer base copies
+      // (target DIV group-tokens) + one extra copy for the
+      // deterministic md5-uniform fraction matching the remainder —
+      // expected materialized tokens hit the target with no FP epoch
+      // arithmetic deciding row counts. Output-sized sequence explode,
+      // plan broadcasts, nothing shuffles beyond the plan's own aggs.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("n_tok"))
+      val weights = Seq(("en", 4L), ("de", 2L), ("es", 1L),
+        ("fr", 1L), ("zh", 1L)).toDF("lang", "w")
+      val plan = graft.ops.Sampling.mixturePlan(counts, "lang", "n_tok",
+        weights, "lang", "w", budget = 20000L)
+      graft.ops.Sampling.materializeMixture(docs, "doc_id", "lang",
+        plan, seed = 11L)
+    }),
+
+    "q190_kn_trigram" -> ((s, dir) => {
+      // Interpolated Kneser-Ney TRIGRAM scoring (Chen & Goodman §3.3,
+      // the order-3 KenLM form — q110 is order 2; real perplexity
+      // filters run 3-5): absolute discounting at both upper levels,
+      // continuation-type lower orders (the KN correction applied all
+      // the way down), add-γ-floored unigram continuation so OOV keeps
+      // finite mass. Self-scoring fit, as q96/q110.
+      val docs = t(s, dir, "documents")
+      TextOps.knTrigramLogProb(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_transitions"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+    }),
+
     "q189_jsonl_quarantine" -> ((s, dir) => {
       // Permissive JSONL field extraction with corrupt-record
       // quarantine — real feeds are never 100% well-formed, and
@@ -6234,6 +6283,66 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // q191: same salting, token split, case-folded membership count.
+    "q191_word_blocklist" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ' frak' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN ' smeg gorram SMEG'
+        |        ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(t), '\s+'),
+        |    x -> lower(x) IN ('frak', 'smeg', 'gorram'))) AS INT)
+        |    AS n_blocked,
+        |  (len(list_filter(string_split_regex(trim(t), '\s+'),
+        |    x -> lower(x) IN ('frak', 'smeg', 'gorram'))) = 0) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q192: q167's integer plan + the q124 digit-walk uniform for the
+    // remainder fraction; LATERAL range materializes the copies.
+    "q192_mixture_materialize" ->
+      """WITH counts AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('es', 1),
+        |                       ('fr', 1), ('zh', 1)),
+        |j AS (
+        |  SELECT c.lang, c.n_tok, CAST(wt AS BIGINT) AS wt
+        |  FROM counts c JOIN w ON w.lang = c.lang),
+        |tw AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM j),
+        |plan AS (
+        |  SELECT lang, n_tok, (20000 * wt) // total AS target
+        |  FROM j, tw),
+        |d AS (
+        |  SELECT doc_id, d.lang, n_tok, target,
+        |    target // n_tok AS base,
+        |    (list_sum(list_transform(range(0, 12), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR) || ':11'),
+        |                  CAST(i + 1 AS INT), 1)) - 1)
+        |        * power(16.0, CAST(11 - i AS DOUBLE)))) + 1)
+        |      / 281474976710656.0 AS u
+        |  FROM documents d JOIN plan ON plan.lang = d.lang),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    base + (CASE WHEN u < (target % n_tok)
+        |      / CAST(n_tok AS DOUBLE) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM d)
+        |SELECT lang AS grp, doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+        |FROM n WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // q190: Kn3Replay — the q110 discipline at order 3.
+    "q190_kn_trigram" ->
+      s"""WITH ${Kn3Replay.ctes}
+         |${Kn3Replay.scoreSelect}
+         |ORDER BY doc_id""".stripMargin,
+
     // q184: identity — the gzip codec + line framing must be lossless.
     "q184_gzip_text" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
@@ -7849,6 +7958,97 @@ object SparkEntry {
         |LEFT JOIN uc USING (w1)
         |LEFT JOIN rc USING (w2), tot
         |GROUP BY tr.doc_id""".stripMargin
+  }
+
+  /** q190's DuckDB twin: the KnReplay discipline at order 3 — trigram
+    * type tables from the same lead() windows, continuation-type lower
+    * orders, every probability chain written in the engine's exact
+    * association order so round-6 only ever bridges FP-sum jitter. */
+  private object Kn3Replay {
+    val ctes: String =
+      """toks3 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tok
+        |  FROM documents
+        |  WHERE (CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |        >= 3),
+        |flat3 AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    tok[CAST(i AS INT)] AS w1
+        |  FROM toks3, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |tr3 AS (
+        |  SELECT doc_id, w1, w2, w3 FROM (
+        |    SELECT doc_id, w1,
+        |      lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2,
+        |      lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS w3
+        |    FROM flat3)
+        |  WHERE w3 IS NOT NULL),
+        |tc3 AS (
+        |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c_tg
+        |  FROM tr3 GROUP BY 1, 2, 3),
+        |cc3 AS (
+        |  SELECT w1, w2, CAST(sum(c_tg) AS BIGINT) AS c_ctx,
+        |    CAST(count(*) AS BIGINT) AS n1p_ctx
+        |  FROM tc3 GROUP BY 1, 2),
+        |mid3 AS (
+        |  SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1p_mr
+        |  FROM tc3 GROUP BY 1, 2),
+        |mids3 AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS nw3_after,
+        |    CAST(sum(n1p_mr) AS BIGINT) AS n1p_mid
+        |  FROM mid3 GROUP BY 1),
+        |toksB AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tok
+        |  FROM documents
+        |  WHERE (CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |        >= 2),
+        |flatB AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    tok[CAST(i AS INT)] AS w1
+        |  FROM toksB, LATERAL unnest(range(1, len(tok) + 1)) AS r(i)),
+        |trB AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w1,
+        |      lead(w1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+        |    FROM flatB)
+        |  WHERE w2 IS NOT NULL),
+        |bcB AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM trB GROUP BY 1, 2),
+        |rcB AS (
+        |  SELECT w2 AS w3r, CAST(count(*) AS BIGINT) AS n1p_r
+        |  FROM bcB GROUP BY 1),
+        |totB AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bcB) AS n1p_tot,
+        |         (SELECT CAST(count(DISTINCT w1) AS DOUBLE) FROM bcB)
+        |           AS v)""".stripMargin
+    private val pcont =
+      """((coalesce(rcB.n1p_r, 0) + 0.5) /
+        |       (totB.n1p_tot + 0.5 * (totB.v + 1.0)))""".stripMargin
+    private val p2 =
+      s"""(CASE WHEN mids3.n1p_mid IS NULL THEN $pcont
+         |     ELSE greatest(coalesce(mid3.n1p_mr, 0) - 0.75, 0.0)
+         |            / mids3.n1p_mid +
+         |          0.75 * mids3.nw3_after / mids3.n1p_mid * $pcont
+         |     END)""".stripMargin
+    val scoreSelect: String =
+      s"""SELECT tr3.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  round(avg(ln(
+         |    CASE WHEN cc3.c_ctx IS NULL THEN $p2
+         |    ELSE greatest(coalesce(tc3.c_tg, 0) - 0.75, 0.0)
+         |           / cc3.c_ctx +
+         |         0.75 * cc3.n1p_ctx / cc3.c_ctx * $p2
+         |    END)), 6) AS avg_logprob
+         |FROM tr3
+         |LEFT JOIN tc3 USING (w1, w2, w3)
+         |LEFT JOIN cc3 USING (w1, w2)
+         |LEFT JOIN mid3 USING (w2, w3)
+         |LEFT JOIN mids3 USING (w2)
+         |LEFT JOIN rcB ON rcB.w3r = tr3.w3, totB
+         |GROUP BY tr3.doc_id""".stripMargin
   }
 
   /** q108's DuckDB twin: per-position 8-gram hashes via the q77

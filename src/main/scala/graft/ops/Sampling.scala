@@ -199,6 +199,39 @@ object Sampling {
     * construction.
     *
     * Returns (grp, n_tokens, weight, target_tokens, epochs). */
+  /** EXECUTE a [[mixturePlan]]: repeat each document `epochs` times —
+    * the materialization step between the planning table and the
+    * training-order writer. Per group, every doc gets
+    * `target_tokens DIV n_tokens` base copies (exact integer floor of
+    * the group's epochs), plus ONE extra copy for the deterministic
+    * md5-uniform fraction of docs matching the remainder
+    * `(target MOD n_tokens)/n_tokens` — so expected materialized
+    * tokens per group hit the target without any FP epoch arithmetic
+    * deciding row counts (the only FP is the remainder comparison,
+    * one division per side, replayable bit-for-bit). Output one row
+    * per (doc, copy_idx) via an output-sized sequence explode — the
+    * plan broadcasts, nothing shuffles at any corpus size. Docs in
+    * groups with zero copies drop (a group can be down-weighted to
+    * extinction; the plan table records it). */
+  def materializeMixture(docs: DataFrame, idCol: String, grpCol: String,
+      plan: DataFrame, seed: Long): DataFrame = {
+    val p = broadcast(plan.select(col("grp"), col("n_tokens"),
+      col("target_tokens")))
+    val v = conv(substring(md5Rank(col(idCol), seed), 1, 12), 16, 10)
+      .cast("double")
+    val u = (v + lit(1.0)) / lit(281474976710656.0) // 2^48
+    val frac = (col("target_tokens") % col("n_tokens")).cast("double") /
+      col("n_tokens").cast("double")
+    docs.select(col(idCol), col(grpCol).as("grp"))
+      .join(p, Seq("grp"))
+      .withColumn("n_copies",
+        expr("target_tokens DIV n_tokens") +
+          when(u < frac, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("grp"), col(idCol), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+  }
+
   def mixturePlan(counts: DataFrame, grpCol: String, tokCol: String,
       weights: DataFrame, wGrpCol: String, wCol: String,
       budget: Long): DataFrame = {

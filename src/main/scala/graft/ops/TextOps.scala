@@ -297,6 +297,17 @@ object TextOps {
         col("best.score").as("score"))
   }
 
+  /** C4-style bad-word page gate (Raffel et al. 2020 §2.2 — any page
+    * containing a blocklisted token is removed whole): count of
+    * blocklisted tokens, case-folded, duplicates counted, via the
+    * native set-probe expression (one hash-set lookup per token —
+    * never a |blocklist|-long Or-chain per element). Keep rule
+    * downstream: `blockedWordCount(...) === 0`. The real C4 list is
+    * ~400 words; the probe cost is independent of list size. */
+  def blockedWordCount(text: Column, blocklist: Seq[String]): Column =
+    graft.expressions.TextExpressions.countInSet(tokens(text),
+      blocklist, lowercase = true)
+
   /** PII redaction (the C4/Dolma corpus-scrub pass): emails, IPv4
     * addresses and international-format phone numbers are replaced with
     * typed placeholder tokens. A chain of three `regexp_replace`s — pure
@@ -597,6 +608,97 @@ object TextOps {
       .join(rc, Seq("w2"), "left")
       .crossJoin(broadcast(tot))
       .select(col(idCol), log(p).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        avg(col("lp")).as("avg_logprob"))
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM scoring (Chen & Goodman 1999
+    * §3.3, the order-3 KenLM form — [[knBigramLogProb]] is the order-2
+    * row; real perplexity filters run 3–5):
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−δ3,0)/c(w1w2)
+    *              + δ3·N1+(w1w2·)/c(w1w2) · P_KN(w3|w2)
+    *
+    * with the LOWER order built from CONTINUATION types, not raw
+    * counts (the Kneser–Ney correction applied at every level):
+    *
+    *   P_KN(w3|w2) = max(N1+(·w2w3)−δ2,0)/N1+(·w2·)
+    *               + δ2·N1+(w2·)/N1+(·w2·) · P_cont(w3)
+    *
+    * where N1+(·w2w3) = distinct left-contexts of the (w2,w3) pair,
+    * N1+(·w2·) = trigram types with middle w2 (their sum), and
+    * N1+(w2·) = distinct continuations of w2 — ALL read off the
+    * trigram TYPE table with two vocab-bounded aggregations. P_cont is
+    * [[knBigramLogProb]]'s add-γ-floored bigram-type continuation
+    * (OOV keeps finite mass). Unseen (w1,w2) context backs off to
+    * P_KN(w3|w2); unseen w2 middle backs off to P_cont alone.
+    *
+    * Everything above the two ln-free probability chains is exact
+    * integer counting; the count tables are vocab-bounded and
+    * localCheckpointed (each feeds several aggregations + the score
+    * joins), and the scoring pass is one narrow transition window +
+    * five broadcast-or-vocab-sized joins + one doc-keyed agg. */
+  def knTrigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, delta3: Double = 0.75, delta2: Double = 0.75,
+      gamma: Double = 0.5): DataFrame = {
+    def transitions3(df: DataFrame): DataFrame = {
+      val toksOf = df.filter(tokenCount(col(textCol)) >= 3)
+        .select(col(idCol), posexplode(tokens(lower(col(textCol))))
+          .as(Seq("idx", "w1")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("idx"))
+      toksOf.withColumn("w2", lead(col("w1"), 1).over(w))
+        .withColumn("w3", lead(col("w1"), 2).over(w))
+        .filter(col("w3").isNotNull)
+    }
+    def transitions2(df: DataFrame): DataFrame = {
+      val toksOf = df.filter(tokenCount(col(textCol)) >= 2)
+        .select(col(idCol), posexplode(tokens(lower(col(textCol))))
+          .as(Seq("idx", "w1")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("idx"))
+      toksOf.withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+    }
+    val tc = transitions3(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c_tg"))
+      .localCheckpoint(true) // feeds 3 aggs + the score join
+    val cc = tc.groupBy("w1", "w2")
+      .agg(sum("c_tg").as("c_ctx"), count(lit(1)).as("n1p_ctx"))
+    val mid = tc.groupBy("w2", "w3").agg(count(lit(1)).as("n1p_mr"))
+      .localCheckpoint(true) // feeds the per-middle stats + score join
+    val midStats = mid.groupBy("w2")
+      .agg(count(lit(1)).as("nw3_after"), sum("n1p_mr").as("n1p_mid"))
+    val bg = transitions2(train).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint(true) // bigram types: P_cont + V
+    val rc = bg.groupBy("w2").agg(count(lit(1)).as("n1p_r"))
+    val tot = bg.agg(count(lit(1)).cast("double").as("__n1p_tot"))
+      .crossJoin(
+        bg.select("w1").distinct()
+          .agg(count(lit(1)).cast("double").as("__v")))
+    val pcont = (coalesce(col("n1p_r"), lit(0L)) + lit(gamma)) /
+      (col("__n1p_tot") + lit(gamma) * (col("__v") + lit(1.0)))
+    val p2 = when(col("n1p_mid").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("n1p_mr"), lit(0L)) - lit(delta2),
+          lit(0.0)) / col("n1p_mid") +
+          lit(delta2) * col("nw3_after") / col("n1p_mid") * pcont)
+    val p3 = when(col("c_ctx").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("c_tg"), lit(0L)) - lit(delta3),
+          lit(0.0)) / col("c_ctx") +
+          lit(delta3) * col("n1p_ctx") / col("c_ctx") * p2)
+    transitions3(score)
+      .join(tc, Seq("w1", "w2", "w3"), "left")
+      .join(cc, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(midStats, Seq("w2"), "left")
+      .join(rc.select(col("w2").as("w3"), col("n1p_r")), Seq("w3"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), log(p3).as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_transitions"),
         avg(col("lp")).as("avg_logprob"))

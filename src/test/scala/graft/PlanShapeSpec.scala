@@ -198,7 +198,19 @@ class PlanShapeSpec extends SparkSpec {
     // ZERO exchanges.
     "q188_audio_resample" -> 0,
     // JSONL quarantine: narrow from_json projection — ZERO exchanges.
-    "q189_jsonl_quarantine" -> 0
+    "q189_jsonl_quarantine" -> 0,
+    // KN trigram: the corpus-scale exchanges are the score-side
+    // transition window and the final doc-keyed agg; the other five
+    // are vocab-bounded aggregations over CHECKPOINTED count tables
+    // (context stats, middle stats, continuation stats, the two 1-row
+    // totals) — corpus-size-independent, every join broadcasts.
+    "q190_kn_trigram" -> 7,
+    // Word blocklist: one narrow native set-probe — ZERO exchanges.
+    "q191_word_blocklist" -> 0,
+    // Mixture materialize: the ONE exchange is the per-lang token
+    // inventory agg (partial-aggregatable); the plan broadcasts and
+    // the copy explode is output-sized and narrow.
+    "q192_mixture_materialize" -> 1
   )
 
   expected.foreach { case (name, want) =>

@@ -129,4 +129,34 @@ class SamplingSpec extends SparkSpec {
       .collect().toSet
     assert(re == got)
   }
+
+  test("materializeMixture: integer base copies + remainder fraction " +
+    "via the md5 uniform; zero-copy groups drop; deterministic " +
+    "across partitionings") {
+    val docs = (1L to 20L).map(i => (i, if (i <= 10) "x" else "y"))
+      .toDF("doc_id", "grp")
+    // grp x: 2.5 epochs (base 2, half the docs get a 3rd copy);
+    // grp y: target 0 → every doc drops
+    val plan = Seq(("x", 10L, 25L), ("y", 10L, 0L))
+      .toDF("grp", "n_tokens", "target_tokens")
+    val got = Sampling.materializeMixture(docs, "doc_id", "grp", plan,
+      seed = 5L)
+      .select("grp", "doc_id", "n_copies", "copy_idx")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.forall(_._1 == "x"))
+    val byDoc = got.groupBy(_._2).view
+      .mapValues(rs => (rs.head._3, rs.map(_._4).sorted.toSeq)).toMap
+    assert(byDoc.keySet == (1L to 10L).toSet)
+    byDoc.foreach { case (id, (n, idxs)) =>
+      assert(n == 2L || n == 3L, s"doc $id copies $n")
+      assert(idxs == (0L until n), s"doc $id idxs $idxs")
+    }
+    // remainder fraction ≈ 1/2 of docs get the extra copy — exact set
+    // is deterministic, so just re-run on a different partitioning
+    val re = Sampling.materializeMixture(docs.repartition(13), "doc_id",
+        "grp", plan, seed = 5L)
+      .select("grp", "doc_id", "n_copies", "copy_idx")
+      .as[(String, Long, Long, Long)].collect()
+    assert(re.toSet == got.toSet)
+  }
 }

@@ -964,6 +964,42 @@ class TextDedupSpec extends SparkSpec {
     assert(pred(11L) == ((11L, "xx", 3L)))
   }
 
+  test("blockedWordCount: case-folded set probe, duplicates counted, " +
+    "clean and empty text score zero") {
+    val got = Seq(
+      (1L, "clean words only here"),
+      (2L, "FRAK mid frak end"),
+      (3L, "smeg"),
+      (4L, ""),
+      (5L, "fraktal is not frak alone")) // substring must NOT match
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), TextOps.blockedWordCount(col("t"),
+        Seq("frak", "smeg")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 1))
+  }
+
+  test("knTrigramLogProb: hand-computed order-3 interpolated KN; " +
+    "unseen-context and unseen-middle backoff chains") {
+    // train "a b c a b d": trigram types each ×1; c(a b)=2, N1+(ab·)=2;
+    // mids(b) = {c, d} → nw3_after=2, n1p_mid=2; bigram types
+    // {(a,b),(b,c),(c,a),(b,d)} → N1+(··)=4, V={a,b,c}=3,
+    // N1+(·c)=1 → pcont(c) = 1.5/6 = 0.25
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "z b c"), (12L, "a z q"))
+      .toDF("doc_id", "text")
+    val got = TextOps.knTrigramLogProb(train, score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // p2(c|b) = (1−.75)/2 + .75·(2/2)·0.25 = 0.3125
+    // p3(c|a,b) = (1−.75)/2 + .75·(2/2)·0.3125 = 0.359375
+    assert(got(10L)._2 == 1L)
+    assert(math.abs(got(10L)._3 - math.log(0.359375)) < 1e-12)
+    // unseen context (z,b) → backs off to p2(c|b)
+    assert(math.abs(got(11L)._3 - math.log(0.3125)) < 1e-12)
+    // unseen middle z → backs off to pcont(q) = 0.5/6
+    assert(math.abs(got(12L)._3 - math.log(0.5 / 6.0)) < 1e-12)
+  }
+
   test("pmiCollocations: hand-counted counts and the exact PMI formula; " +
     "minCount gates") {
     // corpus: "a b a b" + "a c" → bigrams: (a b)×2, (b a)×1, (a c)×1;
