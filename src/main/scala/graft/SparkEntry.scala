@@ -2102,6 +2102,48 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q193_next_event_pairs" -> ((s, dir) => {
+      // Next-event-prediction training pairs — the data-prep form of
+      // the reference's generative objective over event streams: per
+      // subject, every position ≥ 2 emits (previous ≤5 event types,
+      // next type). One subject shuffle; second-truncated ts with the
+      // event_id tie-break so the walk is engine-deterministic.
+      graft.ops.EventAnalytics.nextEventPairs(
+        t(s, dir, "events")
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        "user_id", "ts", "event_id", "event_type", ctxLen = 5)
+    }),
+
+    "q194_rank_auc" -> ((s, dir) => {
+      // ROC AUC of the stopword-ratio quality score against the
+      // lang == 'en' label (tie-AVERAGED Mann–Whitney ranks — the
+      // textbook estimator): does the score actually separate English?
+      // The score is one exact division (identical double both
+      // engines → identical grouping keys); every rank term is a
+      // dyadic rational, so the only round-6 is the final division.
+      val toks = TextOps.tokens(col("text"))
+      val score = graft.expressions.TextExpressions
+        .countInSet(toks, TextOps.Stopwords, lowercase = true)
+        .cast("double") / size(toks).cast("double")
+      graft.ops.Eval.rankAuc(
+        t(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(score.as("s"), (col("lang") === "en").as("y")),
+        "s", "y")
+    }),
+
+    "q195_grouped_split" -> ((s, dir) => {
+      // LEAKAGE-safe grouped split: the split is a pure function of
+      // the SOURCE key, so templated near-duplicates within a source
+      // can never straddle train/test — the doc-level split that
+      // quietly inflates held-out scores. Pure hash-threshold (md5
+      // digit-walk uniform), zero coordination: no distinct, no
+      // count, no rank anywhere in the plan.
+      graft.ingest.Splits.groupedSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", Seq(0.8, 0.1), Seq("train", "val", "test"), seed = 9L)
+    }),
+
     "q191_word_blocklist" -> ((s, dir) => {
       // C4-style bad-word page gate (Raffel et al. §2.2: a page with
       // ANY blocklisted token is removed whole): planted hits on the
@@ -6282,6 +6324,82 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q193: per-subject ordered event lists, inclusive list slicing —
+    // types[max(1, i−5) : i−1] IS Spark's slice(types, max(1, i−5),
+    // min(i−1, 5)).
+    "q193_next_event_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss, event_id,
+        |    event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    list(event_type ORDER BY tss, event_id) AS types
+        |  FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT user_id, CAST(i AS BIGINT) AS idx, types
+        |  FROM s, LATERAL unnest(range(1, len(types) + 1)) AS r(i)
+        |  WHERE i >= 2)
+        |SELECT user_id AS subject_id, idx,
+        |  types[CAST(greatest(1, idx - 5) AS INT):CAST(idx - 1 AS INT)]
+        |    AS context,
+        |  types[CAST(idx AS INT)] AS label
+        |FROM x ORDER BY subject_id, idx""".stripMargin,
+
+    // q194: identical score (one exact division → identical grouping
+    // keys), tie-averaged ranks over the distinct-score table; every
+    // term dyadic-exact, one round-6 division at the end.
+    "q194_rank_auc" ->
+      """WITH sc AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','on',
+        |         'for','with','as','at','by','be','this','that','are',
+        |         'was'], lower(x)))) AS DOUBLE) /
+        |      CAST(len(string_split_regex(trim(text), '\s+'))
+        |        AS DOUBLE) AS s,
+        |    (lang = 'en') AS y
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1),
+        |r AS (
+        |  SELECT s, n, np,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM g)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |  round((sum(CAST(np AS DOUBLE) *
+        |      (CAST(cb AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0))
+        |    - CAST(sum(np) AS DOUBLE)
+        |      * (CAST(sum(np) AS DOUBLE) + 1.0) / 2.0)
+        |    / (CAST(sum(np) AS DOUBLE) * CAST(sum(n - np) AS DOUBLE)),
+        |    6) AS auc
+        |FROM r""".stripMargin,
+
+    // q195: the q124 digit-walk uniform of "source:9"; the val
+    // threshold is written 0.8 + 0.1 so both engines compare against
+    // the same double.
+    "q195_grouped_split" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    (list_sum(list_transform(range(0, 12), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(source || ':9'), CAST(i + 1 AS INT), 1))
+        |         - 1)
+        |        * power(16.0, CAST(11 - i AS DOUBLE)))) + 1)
+        |      / 281474976710656.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN u <= 0.8 THEN 'train'
+        |       WHEN u <= 0.8 + 0.1 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // q191: same salting, token split, case-folded membership count.
     "q191_word_blocklist" ->

@@ -75,4 +75,35 @@ object Splits {
     df.join(
       broadcast(splits.filter(col("split") === split).select("subject_id")),
       Seq("subject_id"), "left_semi")
+
+  /** LEAKAGE-safe grouped split: the split is a pure function of the
+    * GROUP key (URL domain, crawl source, subject), so the
+    * near-duplicates and templated pages that cluster within a group
+    * can never straddle train/test — the doc-level split that inflates
+    * held-out scores. Pure hash-threshold on the md5 uniform of
+    * "group:seed" (the q124 digit-walk construction, engine-replayable):
+    * fractions are EXPECTED, not exact counts — the zero-coordination
+    * trade. [[subjectSplits]] is the exact-size rank-and-cut variant
+    * when counts must match to the row; this one is a narrow
+    * projection with no distinct, no count, no rank — it composes
+    * under any join/filter at any scale. */
+  def groupedSplit(df: DataFrame, grpCol: String, fracs: Seq[Double],
+      splitNames: Seq[String], seed: Long): DataFrame = {
+    require(splitNames.length == fracs.length ||
+      splitNames.length == fracs.length + 1,
+      "need one split name per fraction (+1 for the remainder)")
+    val f = if (splitNames.length == fracs.length) fracs
+            else fracs :+ (1.0 - fracs.sum)
+    require(math.abs(f.sum - 1.0) < 1e-9, s"fractions must sum to 1: $f")
+    val cum = f.scanLeft(0.0)(_ + _).tail
+    val v = conv(substring(
+      md5(concat(col(grpCol).cast("string"), lit(":" + seed))
+        .cast("binary")), 1, 12), 16, 10).cast("double")
+    val u = (v + lit(1.0)) / lit(281474976710656.0) // 2^48
+    val splitExpr = splitNames.zip(cum).reverse
+      .foldLeft(lit(splitNames.last)) { case (acc, (name, c)) =>
+        when(u <= c, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", splitExpr)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based evaluation metrics for the in-engine classifiers and
+  * quality scores (the q99 Naive Bayes, q25's quality heuristics,
+  * q96/q110/q190's LM scores) — a filter pipeline that can't measure
+  * its own filters against labels is flying blind.
+  */
+object Eval {
+
+  /** ROC AUC via the Mann–Whitney U statistic with tie-AVERAGED ranks
+    * (the textbook estimator: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)).
+    *
+    * No global sort of the corpus and no corpus-wide window: rows
+    * collapse to a DISTINCT-score table first (one
+    * partial-aggregatable exchange; cardinality = distinct scores,
+    * which for quality-style scores is tiny and for any score is
+    * ≤ corpus), the cumulative rank walk runs over THAT bounded,
+    * localCheckpointed table in one small window, and the final
+    * reduction is a 1-row agg. Every intermediate term is a dyadic
+    * rational represented exactly in doubles (counts and half-integer
+    * average ranks), so the rank sums are order-invariant and
+    * bit-replayable; the ONLY inexact steps are the final division,
+    * round-6.
+    *
+    * Returns one row: (n_pos, n_neg, auc). Null scores/labels are
+    * dropped. Degenerate inputs (no positives or no negatives) yield
+    * a null auc rather than a division error. */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val g = df
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+      .localCheckpoint(true) // distinct-score cardinality, not corpus
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g
+      .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("avg_rank",
+        col("cb").cast("double") + (col("n").cast("double") + 1.0) / 2.0)
+    ranked
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np").cast("double") * col("avg_rank"))
+          .as("rank_sum_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("rank_sum_pos") -
+            col("n_pos").cast("double") *
+              (col("n_pos").cast("double") + 1.0) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("auc"))
+  }
+}

@@ -95,4 +95,38 @@ object EventAnalytics {
       (i, step, n, math.rint(n / n1 * 1e6) / 1e6)
     }.toDF("stage", "step", "n_subjects", "conversion")
   }
+
+  /** Next-event training pairs — the (context window, label) rows a
+    * next-event-prediction model trains on (the generative-pretraining
+    * objective over event streams, which is the reference's whole
+    * model-side reason to exist; this is its data-prep form). Per
+    * subject, events order by (ts, eventId); every position i ≥ 2
+    * (1-based) emits the previous `ctxLen` event types as the context
+    * and type_i as the label. One subject-keyed shuffle (the one
+    * bucketed storage removes); the context/label carve-out is
+    * array-slice math over the per-subject sequence — `slice` and the
+    * per-event `transform` are interpreted per ELEMENT, which is fine
+    * at per-event granularity (sequences are maxSeqLen-bounded; the
+    * per-character ban does not apply). Returns
+    * (subject_id, idx, context, label). */
+  def nextEventPairs(events: DataFrame, subjCol: String, tsCol: String,
+      idCol: String, typeCol: String, ctxLen: Int): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1: $ctxLen")
+    val seqs = events
+      .groupBy(col(subjCol).as("subject_id"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
+        col(idCol).as("i"), col(typeCol).as("y")))).as("s"))
+      .select(col("subject_id"),
+        expr("transform(s, e -> e.y)").as("types"))
+    seqs
+      .select(col("subject_id"),
+        posexplode(col("types")).as(Seq("pos0", "label")),
+        col("types"))
+      .withColumn("idx", col("pos0") + 1) // 1-based position
+      .filter(col("idx") >= 2)
+      .select(col("subject_id"), col("idx").cast("long").as("idx"),
+        slice(col("types"), greatest(lit(1), col("idx") - ctxLen),
+          least(col("idx") - 1, lit(ctxLen))).as("context"),
+        col("label"))
+  }
 }

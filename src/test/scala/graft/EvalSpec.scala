@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Eval
+import org.apache.spark.sql.functions._
+
+/** Rank-based evaluation metrics (ops/Eval.scala). */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Option[Double]) =
+    Eval.rankAuc(rows.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+
+  test("rankAuc: perfect separation 1.0, inverted 0.0, ties average") {
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      == ((2L, 2L, Some(1.0))))
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)))
+      == ((2L, 2L, Some(0.0))))
+    // all scores identical → AUC = 0.5 exactly (tie-averaged ranks)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false)))
+      == ((2L, 2L, Some(0.5))))
+  }
+
+  test("rankAuc: textbook hand computation with a partial tie") {
+    // scores: pos {0.8, 0.5}, neg {0.5, 0.2}
+    // ranks: 0.2→1, 0.5→avg(2,3)=2.5, 0.8→4
+    // R+ = 4 + 2.5 = 6.5 → AUC = (6.5 − 3)/4 = 0.875
+    assert(auc(Seq((0.8, true), (0.5, true), (0.5, false), (0.2, false)))
+      == ((2L, 2L, Some(0.875))))
+  }
+
+  test("rankAuc: degenerate single-class input yields null auc; " +
+    "null scores and labels drop") {
+    assert(auc(Seq((0.9, true), (0.1, true))) == ((2L, 0L, None)))
+    val got = Eval.rankAuc(
+      Seq((Some(0.9), Some(true)), (None, Some(false)),
+        (Some(0.1), None), (Some(0.2), Some(false)))
+        .toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((1L, 1L, Some(1.0))))
+  }
+
+  test("rankAuc: partition-invariant (dyadic-exact rank sums)") {
+    val rows = (1 to 200).map(i =>
+      ((i % 13).toDouble / 7.0, i % 3 == 0))
+    val a = auc(rows)
+    val b = Eval.rankAuc(rows.toDF("s", "y").repartition(17), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(a == b)
+  }
+}

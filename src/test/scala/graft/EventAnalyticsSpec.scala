@@ -46,6 +46,26 @@ class EventAnalyticsSpec extends SparkSpec {
       2L -> ((1L, math.rint(1.0 / 3 * 1e6) / 1e6))))
   }
 
+  test("nextEventPairs: context windows trail the label by up to " +
+      "ctxLen; first event emits nothing; id tie-break orders " +
+      "same-timestamp events") {
+    val ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, ts0, 10L, "A"), (1L, ts0, 11L, "B"), // same ts → id order
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 12L, "C"),
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 13L, "D"),
+      (2L, ts0, 20L, "X")) // single event → no pairs
+      .toDF("subj", "ts", "event_id", "etype")
+    val got = EventAnalytics.nextEventPairs(ev, "subj", "ts",
+        "event_id", "etype", ctxLen = 2)
+      .as[(Long, Long, Seq[String], String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((Seq("A"), "B")),
+      (1L, 3L) -> ((Seq("A", "B"), "C")),
+      (1L, 4L) -> ((Seq("B", "C"), "D")))) // window slides, len = 2
+  }
+
   test("funnel: strict ordering — steps before the anchor don't " +
       "qualify") {
     val got = EventAnalytics.funnel(events, "subj", "ts", "etype",

@@ -117,4 +117,26 @@ class IngestSpec extends SparkSpec {
     assert(trainEv.count() ==
       ev.join(s1.filter($"split" === "train"), "subject_id").count())
   }
+
+  test("groupedSplit: every row of a group lands in the SAME split " +
+    "(leakage-safe); expected fractions roughly hold; deterministic") {
+    val rows = (1L to 2000L).map(i => (i, s"dom${i % 100}"))
+      .toDF("id", "dom")
+    val s1 = Splits.groupedSplit(rows, "dom", Seq(0.8, 0.1),
+      Seq("train", "val", "test"), seed = 3)
+    // leakage guard: one split per group, always
+    val perGroup = s1.groupBy("dom")
+      .agg(countDistinct("split").as("k"))
+      .agg(max("k")).as[Long].head()
+    assert(perGroup == 1L)
+    // fractions are expected, not exact — 100 groups at 80/10/10
+    val byGroup = s1.select("dom", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byGroup("train") > 60 && byGroup("train") < 95)
+    assert(byGroup.values.sum == 100L)
+    // pure function of (group, seed): stable across partitionings
+    val s2 = Splits.groupedSplit(rows.repartition(13), "dom",
+      Seq(0.8, 0.1), Seq("train", "val", "test"), seed = 3)
+    assert(s2.collect().toSet == s1.collect().toSet)
+  }
 }

@@ -210,7 +210,18 @@ class PlanShapeSpec extends SparkSpec {
     // Mixture materialize: the ONE exchange is the per-lang token
     // inventory agg (partial-aggregatable); the plan broadcasts and
     // the copy explode is output-sized and narrow.
-    "q192_mixture_materialize" -> 1
+    "q192_mixture_materialize" -> 1,
+    // Next-event pairs: the ONE subject-keyed collect agg (the
+    // exchange bucketed storage removes); the slice carve-out is
+    // narrow array math.
+    "q193_next_event_pairs" -> 1,
+    // Rank AUC: the ONE corpus exchange is the distinct-score agg;
+    // the rank window + final reduction run over the CHECKPOINTED
+    // score-cardinality table.
+    "q194_rank_auc" -> 1,
+    // Grouped split: a pure narrow hash-threshold projection — ZERO
+    // exchanges, nothing to coordinate.
+    "q195_grouped_split" -> 0
   )
 
   expected.foreach { case (name, want) =>
