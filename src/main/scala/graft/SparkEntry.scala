@@ -2102,6 +2102,114 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q196_stream_enrich" -> ((s, dir) => {
+      // REAL streaming run of the stream-static enrichment join (the
+      // dimension-lookup shape: event feed ⋈ broadcast user-tier dim;
+      // state store holds NOTHING — no watermark bookkeeping, the
+      // whole point of stream-static over stream-stream): stage
+      // events, re-read as a file-source stream, enrich, drain
+      // AvailableNow into a memory sink. The dim derives from
+      // subject_id so the oracle replays it as arithmetic.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q196")
+        .toString
+      ev.write.mode("overwrite").parquet(tmp)
+      val dim = ev.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          concat(lit("t"), (col("user_id") % 3).cast("string"))
+            .as("tier"))
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val sink = "q196_sink_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "")
+      val sq = graft.streaming.StreamOps
+        .enrichStream(stream, dim, "user_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink)
+        .select(col("event_id"), col("user_id"), col("tier"),
+          col("event_type"))
+    }),
+
+    "q197_rag_retrieval" -> ((s, dir) => {
+      // RAG passage retrieval end to end: docs → overlapping 32-token
+      // passages (stride 16 — the chunkDocs window math applied to
+      // TEXT via slice/array_join), BM25 index over the passages with
+      // the query-term filter pushed below the weight joins (the q115
+      // plan), top-10 passages. The retrieval shape a RAG corpus
+      // actually serves — chunking changes avg_dl and df, so scoring
+      // over passages is NOT q115 over docs.
+      val toks = TextOps.tokens(lower(col("text")))
+      val base = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("tk"),
+          size(toks).cast("long").as("n"))
+      val nWin = ceil(greatest(col("n") - 32L, lit(0L)).cast("double") /
+        16.0).cast("long") + 1L
+      val passages = base
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), nWin - 1)).as("w"))
+        .select((col("doc_id") * 1000L + col("w")).as("pid"),
+          array_join(slice(col("tk"),
+            (col("w") * 16L + 1L).cast("int"), lit(32)), " ")
+            .as("passage"))
+        .filter(length(trim(col("passage"))) > 0)
+      TextOps.bm25Search(passages, "pid", "passage",
+        "merge window sort", k = 10)
+    }),
+
+    "q198_decontam_removal" -> ((s, dir) => {
+      // The REMOVAL half of decontamination (q90 finds, this row acts
+      // and AUDITS): broadcast anti-join drops every matched train
+      // doc, then the matcher re-runs on the clean corpus and must
+      // find ZERO residual matches — the audit row a release note
+      // records, with the volume deltas. All four scalars are
+      // 1-row aggs cross-joined (broadcast).
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      val matched = TextOps.contaminationMatches(train, evalSet,
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"))
+      val clean = train.join(broadcast(matched), Seq("doc_id"),
+        "left_anti")
+      val residual = TextOps.contaminationMatches(clean, evalSet,
+        "doc_id", "text", n = 5)
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(matched.agg(count(lit(1))
+          .as("n_removed"))))
+        .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_clean"))))
+        .crossJoin(broadcast(residual.agg(
+          coalesce(sum(col("n_matched")), lit(0L))
+            .as("n_residual_matches"))))
+    }),
+
+    "q199_output_sharding" -> ((s, dir) => {
+      // File-size control at the sink — the small-files/giant-files
+      // problem that decides whether the NEXT job's scan has 1e3 or
+      // 1e7 tasks: partitionBy(lang) + repartition on the partition
+      // key (each lang's rows reach ONE task) + maxRecordsPerFile=64
+      // makes the per-directory file count EXACTLY ceil(rows/64) —
+      // layout as a deterministic function of volume, which is what
+      // lets the oracle check a filesystem property as arithmetic.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q199")
+        .toString
+      val docs = t(s, dir, "documents")
+      docs.repartition(col("lang"))
+        .write.partitionBy("lang").option("maxRecordsPerFile", 64)
+        .mode("overwrite").parquet(tmp)
+      val back = s.read.parquet(tmp)
+        .select(col("lang"), input_file_name().as("f"))
+      back.groupBy("lang", "f").agg(count(lit(1)).as("fr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("fr")).as("n_rows"),
+          max(col("fr")).as("max_file_rows"))
+    }),
+
     "q193_next_event_pairs" -> ((s, dir) => {
       // Next-event-prediction training pairs — the data-prep form of
       // the reference's generative objective over event streams: per
@@ -6324,6 +6432,111 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q196: the enrichment is pure subject arithmetic — the streaming
+    // machinery must be a no-op on the VALUES.
+    "q196_stream_enrich" ->
+      """SELECT event_id, user_id,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tier, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q197: passage construction (windowed list slices) + the q115
+    // BM25 CTEs over PASSAGES — chunking changes dl/df/avg_dl, so
+    // this is a different index than q115's. avg(dl) is exact (integer
+    // token counts sum exactly in doubles), so scores replay.
+    "q197_rag_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |win AS (
+        |  SELECT doc_id, tk,
+        |    CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS BIGINT) + 1
+        |      AS nw
+        |  FROM base),
+        |p AS (
+        |  SELECT doc_id * 1000 + r.w AS pid,
+        |    array_to_string(
+        |      tk[CAST(r.w * 16 + 1 AS INT):CAST(r.w * 16 + 32 AS INT)],
+        |      ' ') AS passage
+        |  FROM win, LATERAL unnest(range(0, nw)) AS r(w)),
+        |d AS (
+        |  SELECT pid, passage FROM p
+        |  WHERE length(trim(passage)) > 0),
+        |lens AS (
+        |  SELECT pid,
+        |    CAST(len(string_split_regex(trim(passage), '\s+'))
+        |      AS DOUBLE) AS dl
+        |  FROM d),
+        |t AS (
+        |  SELECT pid,
+        |    unnest(string_split_regex(trim(lower(passage)), '\s+'))
+        |      AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT pid, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+        |  FROM lens),
+        |w AS (
+        |  SELECT tf.pid,
+        |    ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl))
+        |      AS bm25
+        |  FROM tf JOIN df USING (term) JOIN lens USING (pid), c
+        |  WHERE term IN ('merge', 'window', 'sort'))
+        |SELECT pid, CAST(count(*) AS BIGINT) AS n_hit,
+        |  round(sum(bm25), 6) AS score
+        |FROM w GROUP BY pid
+        |ORDER BY score DESC, pid LIMIT 10""".stripMargin,
+
+    // q198: q90's string-gram CTEs + the removal arithmetic; the
+    // residual count over the cleaned corpus must be zero in BOTH
+    // engines.
+    "q198_decontam_removal" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 3),
+        |      i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1] ||
+        |           ' ' || tok[CAST(i AS INT)+2] || ' ' ||
+        |           tok[CAST(i AS INT)+3] || ' ' ||
+        |           tok[CAST(i AS INT)+4])) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS tok
+        |        FROM documents) t),
+        |ev AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 7 = 0),
+        |tr AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 7 <> 0),
+        |m AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (gram))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 7 <> 0) AS n_train,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_removed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 7 <> 0)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_clean,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tr
+        |   JOIN ev USING (gram)
+        |   WHERE tr.doc_id NOT IN (SELECT doc_id FROM m))
+        |    AS n_residual_matches""".stripMargin,
+
+    // q199: layout as arithmetic — one task per lang +
+    // maxRecordsPerFile=64 ⇒ ceil(rows/64) files, largest file
+    // min(rows, 64).
+    "q199_output_sharding" ->
+      """SELECT lang,
+        |  CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(least(count(*), 64) AS BIGINT) AS max_file_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q193: per-subject ordered event lists, inclusive list slicing —
     // types[max(1, i−5) : i−1] IS Spark's slice(types, max(1, i−5),

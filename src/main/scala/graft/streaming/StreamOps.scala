@@ -71,6 +71,22 @@ object StreamOps {
     * Usage: `stream.writeStream.foreachBatch { (b, _) =>
     *   decontaminateBatch(evalStatic, "doc_id", "text")(b).write....}`
     */
+  /** Stream-static enrichment join — the dimension-lookup pattern
+    * every event feed needs (user tier, device class, geo): each
+    * micro-batch joins the STATIC side, which Spark re-resolves per
+    * batch (a dim-table refresh between batches is picked up without
+    * restarting the query). Broadcast by hint: the stream side never
+    * shuffles and the state store holds NOTHING — unlike a
+    * stream-stream join there is no watermark bookkeeping, which is
+    * exactly why the static form is the right shape whenever the
+    * dimension fits an executor (the 100 TB/day feed joins a MB-scale
+    * dim). Left join: events with no dim row survive with nulls —
+    * dropping a feed row because a dimension is late is a data-loss
+    * bug, not a join semantic. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   def decontaminateBatch(evalStatic: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame => DataFrame = {
     batch => {

@@ -221,7 +221,21 @@ class PlanShapeSpec extends SparkSpec {
     "q194_rank_auc" -> 1,
     // Grouped split: a pure narrow hash-threshold projection — ZERO
     // exchanges, nothing to coordinate.
-    "q195_grouped_split" -> 0
+    "q195_grouped_split" -> 0,
+    // (q196 is a REAL streaming run — no static plan to ratchet; the
+    // q129/q149 precedent.)
+    // RAG retrieval: passage tf agg, df agg, the dl join's exchange,
+    // the per-passage score agg, and the 1-row corpus-stats agg — the
+    // q115 profile over the passage table.
+    "q197_rag_retrieval" -> 5,
+    // Decontam removal runs the MATCHER TWICE by design (find, then
+    // re-verify the cleaned corpus) plus four 1-row audit aggs — an
+    // audit row, not a hot-path shape; every join broadcasts.
+    "q198_decontam_removal" -> 7,
+    // Output sharding (the audit read-back; the writer job with its
+    // repartition-by-key ran before this plan): per-(lang, file) agg +
+    // the per-lang rollup.
+    "q199_output_sharding" -> 2
   )
 
   expected.foreach { case (name, want) =>

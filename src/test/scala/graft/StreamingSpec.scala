@@ -126,6 +126,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static broadcast join enriches per " +
+    "micro-batch; missing dim keys keep the event with nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("event_id", "user_id", "etype")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = StreamOps.enrichStream(df, dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((10L, 1L, "click"), (11L, 3L, "view"))
+      q.processAllAvailable()
+      input.addData((12L, 2L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream")
+        .select("event_id", "tier").as[(Long, Option[String])]
+        .collect().toMap
+      // user 3 has no dim row → survives with a null tier
+      assert(got == Map(10L -> Some("gold"), 11L -> None,
+        12L -> Some("basic")))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based session windows per subject") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
