@@ -2102,6 +2102,81 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q200_jaccard_calibration" -> ((s, dir) => {
+      // Dedup-threshold CALIBRATION: the Jaccard distribution of the
+      // MinHash band candidates (q78's replayable pipeline with the
+      // verify floor dropped to 0) — the histogram that says where to
+      // put the threshold BEFORE deduping 100 TB. Buckets are
+      // floor(10·J) on identically-computed doubles; exact counts.
+      minhashReplayVerified(s, dir, minJ = 0.0)
+        .select(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .select(col("bucket"),
+          round(col("bucket").cast("double") / 10.0, 1).as("j_lo"),
+          col("n_pairs"))
+    }),
+
+    "q201_release_manifest" -> ((s, dir) => {
+      // Release manifest: per-source doc/char volumes, distinct-content
+      // count and an ORDER-INVARIANT content checksum — the sum of
+      // per-doc poly hashes mod 1e9+7, accumulated in DECIMAL(38,0)
+      // so no corpus size wraps it — plus the grand-total rollup row.
+      // q153 diffs releases at content level; this is the O(1)
+      // fingerprint a release note pins.
+      val h = graft.expressions.TextExpressions.strPolyHash(
+        regexp_replace(col("text"), "[^ -~]", ""), 257L, 64)
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), h.as("h"))
+        .rollup("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("h")).as("n_distinct"),
+          (sum(col("h").cast("decimal(38,0)")) % lit(1000000007L))
+            .cast("long").as("checksum"))
+        .select(coalesce(col("source"), lit("__TOTAL__")).as("source"),
+          col("n_docs"), col("n_chars"), col("n_distinct"),
+          col("checksum"))
+    }),
+
+    "q202_embed_centering" -> ((s, dir) => {
+      // Embedding mean-centering audit: per-dim corpus means on the
+      // exact integer lattice (order-invariant — the kmeansStep M-step
+      // idiom), then every vector's CENTERED L2 norm. The "how strong
+      // is the common direction" table that decides whether the ANN
+      // stack needs centering/whitening before bucketing.
+      val emb = t(s, dir, "embeddings")
+      val means = broadcast(
+        Similarity.dimMeansLattice(emb, "vec_id", "embedding"))
+      val d = col("x").cast("double") - col("mean")
+      emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .join(means, Seq("dim"))
+        .groupBy("vec_id")
+        .agg(round(sqrt(sum(d * d)), 6).as("centered_norm"))
+    }),
+
+    "q203_zipf_audit" -> ((s, dir) => {
+      // Zipf rank-frequency audit: top-50 token ranks with the
+      // log-Zipf constant ln(rank) + ln(count) — flat under a healthy
+      // Zipfian corpus; bumps flag boilerplate flooding or vocabulary
+      // collapse. Counts are vocab-bounded and checkpointed; the rank
+      // window runs over THAT table, never the corpus.
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(
+          regexp_replace(col("text"), "[^ -~]", "")))).as("w"))
+        .filter(col("w") =!= "")
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val wn = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w").asc)
+      counts.withColumn("rank", row_number().over(wn))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("w"), col("cnt"),
+          round(log(col("rank").cast("double")) +
+            log(col("cnt").cast("double")), 6).as("zipf_logc"))
+    }),
+
     "q196_stream_enrich" -> ((s, dir) => {
       // REAL streaming run of the stream-static enrichment join (the
       // dimension-lookup shape: event feed ⋈ broadcast user-tier dim;
@@ -6432,6 +6507,83 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q200: q78's candidate+Jaccard CTEs, no verify floor, bucketed
+    // by floor(10·J) on identically-computed doubles.
+    "q200_jaccard_calibration" -> {
+      s"""WITH ${MinhashReplay.jacCtes}
+         |SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS bucket,
+         |  round(CAST(least(floor(j * 10), 9) AS DOUBLE) / 10.0, 1)
+         |    AS j_lo,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jac GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
+
+    // q201: the shared poly-hash walk at cap 64; HUGEINT sum % P on
+    // the DuckDB side mirrors the DECIMAL(38,0) accumulation.
+    "q201_release_manifest" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |    regexp_replace(text, '[^ -~]', '', 'g') AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT source, n_chars,
+         |    ${PolyHashSql.over("t", 257L, 64)} AS h
+         |  FROM d)
+         |SELECT coalesce(source, '__TOTAL__') AS source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         |  CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+         |FROM h GROUP BY ROLLUP(source)
+         |ORDER BY source""".stripMargin,
+
+    // q202: 0-based dims, the same floor(x·1e6 + 0.5) lattice sums,
+    // the same mean division; the per-vector square sum carries the
+    // q80 round-6 FP discipline.
+    "q202_embed_centering" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)),
+        |m AS (
+        |  SELECT dim,
+        |    CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS qsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1),
+        |mm AS (
+        |  SELECT dim,
+        |    CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |      AS mean
+        |  FROM m)
+        |SELECT vec_id,
+        |  round(sqrt(sum((x - mean) * (x - mean))), 6)
+        |    AS centered_norm
+        |FROM x JOIN mm USING (dim)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // q203: vocab counts, the (cnt desc, token asc) rank rule,
+    // ln(rank) + ln(cnt) round-6.
+    "q203_zipf_audit" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(
+        |      regexp_replace(text, '[^ -~]', '', 'g'))), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT w, cnt, CAST(row_number() OVER (
+        |      ORDER BY cnt DESC, w ASC) AS INT) AS rank
+        |  FROM c)
+        |SELECT rank, w, cnt,
+        |  round(ln(CAST(rank AS DOUBLE)) + ln(CAST(cnt AS DOUBLE)), 6)
+        |    AS zipf_logc
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // q196: the enrichment is pure subject arithmetic — the streaming
     // machinery must be a no-op on the VALUES.

@@ -125,6 +125,26 @@ object Similarity {
     * Recall follows the LSH-band profile (cross-bucket neighbors are
     * missed — [[recallAtK]] measures the trade); bucket population is
     * corpus/2^nPlanes, the in-bucket quadratic cost lever. */
+  /** Per-dimension corpus means on the integer lattice (the
+    * [[kmeansStep]] M-step idiom applied to the whole corpus): each
+    * component quantizes to floor(x·scale + 0.5) and sums as exact
+    * integers — order-invariant across any partitioning, so the means
+    * are bit-replayable where a naive FP sum drifts with merge order.
+    * ONE partial-aggregatable (dim) exchange, ≤ dim rows out; the
+    * result broadcasts into centering/whitening transforms (mean
+    * subtraction is the standard ANN-quality fix for embedding
+    * corpora with a dominant common direction). */
+  def dimMeansLattice(vecs: DataFrame, idCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame =
+    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(floor(col("x").cast("double") * scale + 0.5)
+          .cast("long")).as("qsum"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        (col("qsum").cast("double") / (col("n").cast("double") * scale))
+          .as("mean"))
+
   /** Size the in-bucket cost lever instead of guessing it: smallest
     * nPlanes whose EXPECTED bucket population corpus/2^nPlanes is ≤
     * `targetBucket`. The corpus-self shapes ([[knnGraph]],

@@ -235,7 +235,22 @@ class PlanShapeSpec extends SparkSpec {
     // Output sharding (the audit read-back; the writer job with its
     // repartition-by-key ran before this plan): per-(lang, file) agg +
     // the per-lang rollup.
-    "q199_output_sharding" -> 2
+    "q199_output_sharding" -> 2,
+    // Calibration histogram: q78's candidate pipeline (sets are
+    // checkpointed; signature agg + band self-join + pair dedup) +
+    // the bucket rollup.
+    "q200_jaccard_calibration" -> 5,
+    // Release manifest: ONE rollup agg (count-distinct expands it to
+    // two passes) over the narrow hash projection.
+    "q201_release_manifest" -> 2,
+    // Embedding centering: the (dim) lattice-mean agg (broadcast back)
+    // + the per-vector square-sum agg.
+    "q202_embed_centering" -> 2,
+    // Zipf audit: the count agg runs behind the localCheckpoint; the
+    // FINAL job is the rank window + projection over the vocab-bounded
+    // checkpointed table — ZERO exchanges (the single-partition window
+    // is over model-sized rows by construction).
+    "q203_zipf_audit" -> 0
   )
 
   expected.foreach { case (name, want) =>

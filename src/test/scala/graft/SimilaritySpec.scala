@@ -516,6 +516,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)).toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("dimMeansLattice: exact integer-lattice means, hand values, " +
+      "negative components, partition invariance to the bit") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (2L, Seq(2.0f, 4.0f)),
+      (3L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimMeansLattice(vecs, "vec_id", "embedding")
+      .as[(Int, Double)].collect().toMap
+    // dim 0: (1 + 2 + 0.5)/3; dim 1: (−2 + 4 − 0.25)/3 — exact on the
+    // 1e6 lattice
+    assert(got(0) == 3.5e6 / (3 * 1e6))
+    assert(got(1) == 1.75e6 / (3 * 1e6))
+    val re = Similarity.dimMeansLattice(vecs.repartition(7), "vec_id",
+      "embedding").as[(Int, Double)].collect().toMap
+    assert(re == got) // integer sums are order-free
+  }
+
   test("autoNPlanes: smallest plane count holding expected bucket " +
       "population at the target; capped at 30") {
     assert(Similarity.autoNPlanes(0L) == 0)
