@@ -2102,6 +2102,100 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q204_event_motifs" -> ((s, dir) => {
+      // Top-20 3-event sequence motifs (frequent paths — the order-2
+      // extension of q174's transition matrix): one subject window +
+      // one partial-aggregatable count; the rank runs over the
+      // checkpointed |types|³-bounded motif table. Second-truncated
+      // ts with the event_id tie-break, as every timeline row.
+      graft.ops.EventAnalytics.eventMotifs(
+        t(s, dir, "events")
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        "user_id", "ts", "event_id", "event_type", k = 20)
+    }),
+
+    "q205_code_switch" -> ((s, dir) => {
+      // Code-switching audit: per-SENTENCE heuristic language ID over
+      // the q155 sentence synthesis, rolled up per doc — sentence
+      // count, distinct predicted langs, and the number of adjacent
+      // sentence pairs that switch language. The doc-level q26 call
+      // hides exactly this mixture; multilingual pipelines route
+      // code-switched docs differently (or drop them).
+      val toks = filter(split(trim(col("text")), "\\s+"),
+        x => x =!= "")
+      val synth = concat_ws(" ", transform(toks, (w, i) =>
+        when((i + 1) % 7 === 0, concat(w, lit("."))).otherwise(w)))
+      val sents = t(s, dir, "documents")
+        .filter(trim(col("text")) =!= "" && col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.sentenceSplit(synth).as("ss"))
+        .select(col("doc_id"), posexplode(col("ss"))
+          .as(Seq("idx", "raw")))
+        .select(col("doc_id"), col("idx"),
+          trim(col("raw")).as("sentence"))
+        .filter(col("sentence") =!= "")
+      val preds = sents.select(col("doc_id"), col("idx"),
+        TextOps.langId(col("sentence")).as("pred"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("idx")
+      preds.withColumn("prev", lag(col("pred"), 1).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_sentences"),
+          countDistinct(col("pred")).as("n_langs"),
+          sum(when(col("prev").isNotNull &&
+            col("prev") =!= col("pred"), 1L).otherwise(0L))
+            .as("n_switches"))
+    }),
+
+    "q206_session_stats" -> ((s, dir) => {
+      // Session-duration distribution (the product-analytics table
+      // next to q45's per-session rows): 30-minute-gap sessions, exact
+      // integer durations from event times, one global row — count,
+      // mean, max, and exact interpolated p50/p90 (the q13
+      // percentile ↔ quantile_cont parity).
+      val sess = t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+        .groupBy(session_window(col("ts2"), "30 minutes").as("sess"),
+          col("user_id"))
+        .agg(min(col("ts2")).as("t0"), max(col("ts2")).as("t1"))
+        .select((unix_timestamp(col("t1")) -
+          unix_timestamp(col("t0"))).as("dur"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("dur")), 6).as("mean_dur_sec"),
+          max(col("dur")).as("max_dur_sec"),
+          expr("percentile(dur, 0.5)").as("__p50"),
+          expr("percentile(dur, 0.9)").as("__p90"))
+        .select(col("n_sessions"), col("mean_dur_sec"),
+          col("max_dur_sec"), round(col("__p50"), 6).as("p50_sec"),
+          round(col("__p90"), 6).as("p90_sec"))
+    }),
+
+    "q207_rolling_anomaly" -> ((s, dir) => {
+      // Rolling anomaly detection over the event feed: per-(type, day)
+      // counts (one partial-aggregatable rollup — the only
+      // corpus-scale work), then each day's z-score against its
+      // TRAILING 7-day window over the tiny (types × days) table.
+      // The anomaly gate compares the ROUNDED z (the q150 discipline)
+      // so both engines decide identically; days with fewer than 2
+      // trailing points or zero variance yield null z.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val mu = avg(col("n")).over(w)
+      val sd = stddev_samp(col("n")).over(w)
+      val cnt = count(col("n")).over(w)
+      val z = when(cnt >= 2 && sd > 0,
+        round((col("n") - mu) / sd, 6))
+      daily.select(col("event_type"), col("day"), col("n"),
+          z.as("z"),
+          coalesce(when(z.isNotNull, abs(z) > 2.0), lit(false))
+            .as("is_anomaly"))
+    }),
+
     "q200_jaccard_calibration" -> ((s, dir) => {
       // Dedup-threshold CALIBRATION: the Jaccard distribution of the
       // MinHash band candidates (q78's replayable pipeline with the
@@ -6507,6 +6601,142 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q204: the q174 lead-window discipline extended to triples; rank
+    // over the bounded motif table with the (n desc, types asc) rule.
+    "q204_event_motifs" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss, event_id,
+        |    event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY tss, event_id)),
+        |c AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |  FROM m WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT rank, t1, t2, t3, n FROM (
+        |  SELECT CAST(row_number() OVER (
+        |      ORDER BY n DESC, t1, t2, t3) AS INT) AS rank,
+        |    t1, t2, t3, n
+        |  FROM c)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q205: q155's sentence synthesis/split ∘ q26's per-sentence
+    // stopword scores with the (score desc, lang desc) argmax ∘ the
+    // adjacent-switch lag rollup.
+    "q205_code_switch" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      (w, i) -> CASE WHEN i % 7 = 0 THEN w || '.' ELSE w END),
+        |      ' ') AS t
+        |  FROM documents WHERE trim(text) <> '' AND doc_id < 200),
+        |sp AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(t, '([.!?])\s+',
+        |      '\1' || chr(1), 'g'), chr(1)) AS ss
+        |  FROM synth),
+        |sents AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+        |    string_split_regex(trim(lower(trim(ss[CAST(i AS INT)]))),
+        |      '\s+') AS tk
+        |  FROM sp, LATERAL unnest(range(1, CAST(len(ss) AS BIGINT) + 1))
+        |    AS u(i)
+        |  WHERE trim(ss[CAST(i AS INT)]) <> ''),
+        |s AS (
+        |  SELECT doc_id, idx, 'de' AS lang, CAST(len(list_filter(tk,
+        |    x -> list_contains(['der','die','und','das','ist','von','den',
+        |      'mit'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) AS score FROM sents
+        |  UNION ALL
+        |  SELECT doc_id, idx, 'en', CAST(len(list_filter(tk,
+        |    x -> list_contains(['the','and','of','to','in','is','you',
+        |      'that','it'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM sents
+        |  UNION ALL
+        |  SELECT doc_id, idx, 'es', CAST(len(list_filter(tk,
+        |    x -> list_contains(['el','la','de','que','y','en','un','los',
+        |      'se'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM sents
+        |  UNION ALL
+        |  SELECT doc_id, idx, 'fr', CAST(len(list_filter(tk,
+        |    x -> list_contains(['le','la','de','et','les','des','est','un',
+        |      'une'], x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM sents
+        |  UNION ALL
+        |  SELECT doc_id, idx, 'zh', CAST(len(list_filter(tk,
+        |    x -> list_contains(['的','了','是','我','不','在','有','他'],
+        |      x))) AS DOUBLE) /
+        |    greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM sents),
+        |pred AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN score > 0.0 THEN lang ELSE 'und' END AS pred
+        |  FROM (SELECT doc_id, idx, lang, score, row_number() OVER (
+        |          PARTITION BY doc_id, idx
+        |          ORDER BY score DESC, lang DESC) AS rk
+        |        FROM s)
+        |  WHERE rk = 1),
+        |lg AS (
+        |  SELECT doc_id, pred,
+        |    lag(pred) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+        |  FROM pred)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(count(DISTINCT pred) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> pred
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+        |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q206: q45's gap-walk sessions → integer durations → one global
+    // row; quantile_cont ↔ percentile is the q13 parity.
+    "q206_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t FROM events),
+        |d AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL THEN 1
+        |         WHEN t - lag(t) OVER w > INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sx AS (
+        |  SELECT user_id, t,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d),
+        |dur AS (
+        |  SELECT CAST(epoch(max(t)) - epoch(min(t)) AS BIGINT) AS dur
+        |  FROM sx GROUP BY user_id, sid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(avg(dur), 6) AS mean_dur_sec,
+        |  CAST(max(dur) AS BIGINT) AS max_dur_sec,
+        |  round(quantile_cont(dur, 0.5), 6) AS p50_sec,
+        |  round(quantile_cont(dur, 0.9), 6) AS p90_sec
+        |FROM dur""".stripMargin,
+
+    // q207: per-(type, day) counts, trailing-7 avg/stddev_samp, the
+    // gate on the ROUNDED z (the q150 discipline).
+    "q207_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd,
+        |    count(n) OVER w AS c
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n,
+        |  CASE WHEN c >= 2 AND sd > 0 THEN round((n - mu) / sd, 6) END
+        |    AS z,
+        |  coalesce(CASE WHEN c >= 2 AND sd > 0 THEN
+        |    abs(round((n - mu) / sd, 6)) > 2.0 END, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
 
     // q200: q78's candidate+Jaccard CTEs, no verify floor, bucketed
     // by floor(10·J) on identically-computed doubles.

@@ -96,6 +96,32 @@ object EventAnalytics {
     }.toDF("stage", "step", "n_subjects", "conversion")
   }
 
+  /** Top-k event-sequence motifs (order-2 extension of
+    * [[typeTransitions]] — the 3-event patterns process mining calls
+    * frequent paths): consecutive type triples within each subject's
+    * (ts, eventId)-ordered timeline, counted globally, ranked with the
+    * (n desc, types asc) exact-tie rule. The motif table is bounded by
+    * |types|³ regardless of corpus size, so the rank window runs over
+    * a checkpointed model-sized table — the corpus pays one subject
+    * window + one partial-aggregatable count. */
+  def eventMotifs(events: DataFrame, subjCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(subjCol).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(subjCol), col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rw = Window.orderBy(col("n").desc, col("t1").asc,
+      col("t2").asc, col("t3").asc)
+    counts.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n"))
+  }
+
   /** Next-event training pairs — the (context window, label) rows a
     * next-event-prediction model trains on (the generative-pretraining
     * objective over event streams, which is the reference's whole

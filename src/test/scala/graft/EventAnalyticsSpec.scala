@@ -46,6 +46,25 @@ class EventAnalyticsSpec extends SparkSpec {
       2L -> ((1L, math.rint(1.0 / 3 * 1e6) / 1e6))))
   }
 
+  test("eventMotifs: triples count across subjects; rank ties break " +
+      "types-asc; k gates") {
+    val ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, at(0), 10L, "A"), (1L, at(1), 11L, "B"),
+      (1L, at(2), 12L, "C"), (1L, at(3), 13L, "A"),
+      (2L, at(0), 20L, "A"), (2L, at(1), 21L, "B"),
+      (2L, at(2), 22L, "C"))
+      .toDF("subj", "ts", "event_id", "etype")
+    val got = EventAnalytics.eventMotifs(ev, "subj", "ts", "event_id",
+        "etype", k = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    // ABC twice (both subjects); BCA once — ties under it break asc
+    assert(got == Seq((1, "A", "B", "C", 2L), (2, "B", "C", "A", 1L)))
+    val _ = ts0
+  }
+
   test("nextEventPairs: context windows trail the label by up to " +
       "ctxLen; first event emits nothing; id tie-break orders " +
       "same-timestamp events") {

@@ -250,7 +250,23 @@ class PlanShapeSpec extends SparkSpec {
     // FINAL job is the rank window + projection over the vocab-bounded
     // checkpointed table — ZERO exchanges (the single-partition window
     // is over model-sized rows by construction).
-    "q203_zipf_audit" -> 0
+    "q203_zipf_audit" -> 0,
+    // Event motifs: subject window + count run behind the checkpoint;
+    // the final rank window is over the |types|³-bounded motif table —
+    // ZERO exchanges, the q203 shape.
+    "q204_event_motifs" -> 0,
+    // Code-switch: sentence explode + per-sentence langid are narrow;
+    // the ONE exchange is the doc-keyed switch rollup (the lag window
+    // shares its partitioning).
+    "q205_code_switch" -> 1,
+    // Session stats: the session_window agg + the 1-row global
+    // reduction.
+    "q206_session_stats" -> 2,
+    // Rolling anomaly: the (type, day) rollup runs behind the
+    // checkpoint; the final job is the trailing window over the tiny
+    // (types × days) table — its type-keyed exchange is
+    // calendar-bounded, not corpus-bounded.
+    "q207_rolling_anomaly" -> 1
   )
 
   expected.foreach { case (name, want) =>
