@@ -2102,6 +2102,59 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q208_feature_pivot" -> ((s, dir) => {
+      // Per-subject feature table (the feature-store materialization a
+      // tabular model trains on): per-type counts widened with a
+      // PINNED type list, recency, exact DECIMAL value sum — ALL from
+      // ONE partial-aggregatable subject rollup (the conditional-sum
+      // form of `groupBy().pivot(col, values).agg(...)`; an UNPINNED
+      // pivot runs a distinct pre-scan and makes the schema
+      // data-dependent, and a pivot + second-scan join would read the
+      // corpus twice — both are 100 TB anti-patterns this row's shape
+      // avoids).
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val typeCounts = types.map(tp =>
+        sum(when(col("event_type") === tp, 1L).otherwise(0L))
+          .as(s"n_$tp"))
+      val rest = Seq(count(lit(1)).as("n_events"),
+        max(unix_timestamp(date_trunc("second", col("ts"))))
+          .as("last_seen"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      val aggs = typeCounts ++ rest
+      t(s, dir, "events")
+        .groupBy(col("user_id").as("subject_id"))
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
+    "q209_drift_chi2" -> ((s, dir) => {
+      // Distribution-drift monitor: χ² statistic between two snapshot
+      // halves' language histograms (doc_id parity stands in for
+      // release N vs N+1) — the corpus-health gate that catches a
+      // crawler or filter change shifting the language mix. Counts
+      // exact; expected counts and the χ² sum are the only FP steps,
+      // round-6. Output: one row per lang with its contribution plus
+      // the totals, so the drifting language is visible, not just the
+      // statistic.
+      val d = t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_a"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+            .as("n_b"))
+        .localCheckpoint(true)
+      val tot = d.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      val withTot = d.crossJoin(broadcast(tot))
+      val ea = (col("n_a") + col("n_b")).cast("double") * col("ta") /
+        (col("ta") + col("tb"))
+      val eb = (col("n_a") + col("n_b")).cast("double") * col("tb") /
+        (col("ta") + col("tb"))
+      withTot.select(col("lang"), col("n_a"), col("n_b"),
+        round((col("n_a") - ea) * (col("n_a") - ea) / ea +
+          (col("n_b") - eb) * (col("n_b") - eb) / eb, 6)
+          .as("chi2_term"))
+    }),
+
     "q204_event_motifs" -> ((s, dir) => {
       // Top-20 3-event sequence motifs (frequent paths — the order-2
       // extension of q174's transition matrix): one subject window +
@@ -6601,6 +6654,52 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q208: the conditional-sum feature rollup; DECIMAL sum with the
+    // q45 money discipline.
+    "q208_feature_pivot" ->
+      """SELECT user_id AS subject_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch(max(date_trunc('second', ts))) AS BIGINT)
+        |    AS last_seen,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q209: exact counts, one expected-count formula each side,
+    // round-6 on the per-lang χ² contribution.
+    "q209_drift_chi2" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |         CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM d)
+        |SELECT lang, n_a, n_b,
+        |  round(
+        |    (n_a - CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb))
+        |    * (n_a - CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb))
+        |    / (CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb)) +
+        |    (n_b - CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb))
+        |    * (n_b - CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb))
+        |    / (CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb)), 6)
+        |    AS chi2_term
+        |FROM d, t ORDER BY lang""".stripMargin,
 
     // q204: the q174 lead-window discipline extended to triples; rank
     // over the bounded motif table with the (n desc, types asc) rule.

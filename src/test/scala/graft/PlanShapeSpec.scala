@@ -266,7 +266,14 @@ class PlanShapeSpec extends SparkSpec {
     // checkpoint; the final job is the trailing window over the tiny
     // (types × days) table — its type-keyed exchange is
     // calendar-bounded, not corpus-bounded.
-    "q207_rolling_anomaly" -> 1
+    "q207_rolling_anomaly" -> 1,
+    // Feature table: ONE partial-aggregatable subject rollup — the
+    // conditional-sum pivot shape, single corpus scan.
+    "q208_feature_pivot" -> 1,
+    // Drift χ²: the lang histogram runs behind the checkpoint; the
+    // final job is the 1-row totals agg over 5 checkpointed rows +
+    // the broadcast cross join.
+    "q209_drift_chi2" -> 1
   )
 
   expected.foreach { case (name, want) =>
