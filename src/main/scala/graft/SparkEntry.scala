@@ -2102,6 +2102,27 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q210_grouped_auc" -> ((s, dir) => {
+      // Per-LANGUAGE rank AUC of the stopword-ratio score (the
+      // fairness/segment audit next to q194's global number: a score
+      // that separates well globally can still be blind for one
+      // language, and that language's corpus gets filtered blind).
+      // Same tie-averaged estimator, group key carried through every
+      // stage; even-doc_id parity stands in for the label.
+      val toks = TextOps.tokens(col("text"))
+      val score = graft.expressions.TextExpressions
+        .countInSet(toks, TextOps.Stopwords, lowercase = true)
+        .cast("double") / size(toks).cast("double")
+      graft.ops.Eval.rankAucBy(
+        t(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("lang"), score.as("s"),
+            (col("doc_id") % 2 === 0).as("y")),
+        "lang", "s", "y")
+        .select(col("grp").as("lang"), col("n_pos"), col("n_neg"),
+          col("auc"))
+    }),
+
     "q208_feature_pivot" -> ((s, dir) => {
       // Per-subject feature table (the feature-store materialization a
       // tabular model trains on): per-type counts widened with a
@@ -6654,6 +6675,41 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q210: the q194 rank replay with the lang key carried through
+    // every CTE.
+    "q210_grouped_auc" ->
+      """WITH sc AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','on',
+        |         'for','with','as','at','by','be','this','that','are',
+        |         'was'], lower(x)))) AS DOUBLE) /
+        |      CAST(len(string_split_regex(trim(text), '\s+'))
+        |        AS DOUBLE) AS s,
+        |    (doc_id % 2 = 0) AS y
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT lang, s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, s, n, np,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM g)
+        |SELECT lang, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
+        |    round((sum(CAST(np AS DOUBLE) *
+        |        (CAST(cb AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0))
+        |      - CAST(sum(np) AS DOUBLE)
+        |        * (CAST(sum(np) AS DOUBLE) + 1.0) / 2.0)
+        |      / (CAST(sum(np) AS DOUBLE) * CAST(sum(n - np) AS DOUBLE)),
+        |      6) END AS auc
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q208: the conditional-sum feature rollup; DECIMAL sum with the
     // q45 money discipline.

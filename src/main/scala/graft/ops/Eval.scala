@@ -29,6 +29,46 @@ object Eval {
     * Returns one row: (n_pos, n_neg, auc). Null scores/labels are
     * dropped. Degenerate inputs (no positives or no negatives) yield
     * a null auc rather than a division error. */
+  /** [[rankAuc]] per group — the fairness/segment audit ("is the
+    * quality score as discriminative for Swahili as for English?"):
+    * the same tie-averaged Mann–Whitney estimator with the group key
+    * carried through every stage, so each group gets its own exact
+    * rank walk. Same scale shape: one partial-aggregatable
+    * (group, score) collapse, the rank window partitioned BY GROUP
+    * over the checkpointed distinct-score table (per-partition rows =
+    * that group's score cardinality, never its row count), one
+    * group-keyed reduction. Degenerate groups yield null auc. */
+  def rankAucBy(df: DataFrame, grpCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = df
+      .select(col(grpCol).as("grp"),
+        col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("grp", "s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g
+      .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("avg_rank",
+        col("cb").cast("double") + (col("n").cast("double") + 1.0) / 2.0)
+    ranked.groupBy("grp")
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np").cast("double") * col("avg_rank"))
+          .as("rank_sum_pos"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("rank_sum_pos") -
+            col("n_pos").cast("double") *
+              (col("n_pos").cast("double") + 1.0) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("auc"))
+  }
+
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
     val g = df

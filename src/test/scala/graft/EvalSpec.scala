@@ -40,6 +40,26 @@ class EvalSpec extends SparkSpec {
     assert(got == ((1L, 1L, Some(1.0))))
   }
 
+  test("rankAucBy: per-group walks are independent; one degenerate " +
+    "group nulls without touching the others") {
+    val rows = Seq(
+      ("a", 0.9, true), ("a", 0.8, true), ("a", 0.2, false),
+      ("a", 0.1, false), // perfect within a
+      ("b", 0.1, true), ("b", 0.9, false), // inverted within b
+      ("c", 0.5, true), ("c", 0.6, true)) // single-class
+      .toDF("g", "s", "y")
+    val got = Eval.rankAucBy(rows, "g", "s", "y")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 2L, Some(1.0))))
+    assert(got("b") == (("b", 1L, 1L, Some(0.0))))
+    assert(got("c") == (("c", 2L, 0L, None)))
+    // grouped result ≡ running rankAuc per slice
+    val solo = Eval.rankAuc(rows.filter($"g" === "a"), "s", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert((got("a")._2, got("a")._3, got("a")._4) == solo)
+  }
+
   test("rankAuc: partition-invariant (dyadic-exact rank sums)") {
     val rows = (1 to 200).map(i =>
       ((i % 13).toDouble / 7.0, i % 3 == 0))

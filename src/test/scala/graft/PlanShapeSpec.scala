@@ -273,7 +273,12 @@ class PlanShapeSpec extends SparkSpec {
     // Drift χ²: the lang histogram runs behind the checkpoint; the
     // final job is the 1-row totals agg over 5 checkpointed rows +
     // the broadcast cross join.
-    "q209_drift_chi2" -> 1
+    "q209_drift_chi2" -> 1,
+    // Grouped AUC: the ONE corpus exchange is the (group, score)
+    // collapse; the per-group rank window + reduction run over the
+    // checkpointed score-cardinality table (the q194 shape with the
+    // group key carried through).
+    "q210_grouped_auc" -> 1
   )
 
   expected.foreach { case (name, want) =>
