@@ -1048,10 +1048,12 @@ object Multimodal {
             val baos = new java.io.ByteArrayOutputStream()
             writer.write(outAis,
               javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            // duration from the OUTPUT stream's actual rate (not the
+            // synth constant) so chained transforms stay correct
             Row(id, baos.toByteArray,
               Row("audio/wav", null.asInstanceOf[java.lang.Integer],
                 null.asInstanceOf[java.lang.Integer],
-                (t.length * 1000L * rateDiv) / pcmRate.toLong))
+                (t.length * 1000L) / outFmt.getSampleRate.toLong))
           }
         }
       }(enc)
