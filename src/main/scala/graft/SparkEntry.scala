@@ -2102,6 +2102,50 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q211_sketch_accuracy" -> ((s, dir) => {
+      // Sketch-accuracy audit: q156's bottom-k median estimate
+      // side-by-side with the EXACT per-lang median (the q13
+      // percentile parity) and the absolute error — the validation
+      // table you publish BEFORE letting a k·16 B sketch replace an
+      // exact percentile at 100 TB. Two group aggs + one
+      // 5-row join.
+      val docs = t(s, dir, "documents")
+        .withColumn("nc", length(col("text")))
+      val est = graft.ops.Sketch.bottomKQuantiles(docs, "lang", "nc",
+          "doc_id", k = 64, probs = Seq(0.5), seed = 5)
+        .filter(col("p") === 0.5)
+      val exact = docs.groupBy("lang")
+        .agg(expr("percentile(nc, 0.5)").as("exact_p50"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("est").as("est_p50"),
+          round(col("exact_p50"), 6).as("exact_p50"),
+          round(abs(col("est").cast("double") - col("exact_p50")), 6)
+            .as("abs_err"),
+          col("n_sample"))
+    }),
+
+    "q212_residual_pii" -> ((s, dir) => {
+      // Residual-PII audit AFTER redaction — the privacy gate a
+      // release runs on the SCRUBBED corpus: q87's PII-salted docs
+      // through the same redact chain, then count documents still
+      // carrying long digit runs or @-signs (the signal that a
+      // pattern missed its quarry). One narrow pass, one 1-row
+      // reduction; both counts must be zero on this corpus and the
+      // oracle agrees from the raw text.
+      val salted = concat(col("text"), lit(" user"),
+        col("doc_id").cast("string"), lit("@example.com 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 +1 555 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val red = TextOps.redactPii(salted)
+      t(s, dir, "documents")
+        .select(red.as("redacted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("redacted").rlike("[0-9]{6,}"), 1L)
+            .otherwise(0L)).as("n_digit_runs"),
+          sum(when(col("redacted").contains("@"), 1L).otherwise(0L))
+            .as("n_at_signs"))
+    }),
+
     "q210_grouped_auc" -> ((s, dir) => {
       // Per-LANGUAGE rank AUC of the stopword-ratio score (the
       // fairness/segment audit next to q194's global number: a score
@@ -6675,6 +6719,64 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q211: q156's digit-walk sample + nearest-rank median, joined to
+    // quantile_cont's exact median (the q13 parity), error round-6.
+    "q211_sketch_accuracy" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS val,
+        |    list_sum(list_transform(range(0, 12), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR) || ':5'),
+        |                CAST(i + 1 AS INT), 1)) - 1)
+        |      * power(16.0, CAST(11 - i AS DOUBLE)))) AS v
+        |  FROM documents),
+        |samp AS (
+        |  SELECT lang, val FROM (
+        |    SELECT lang, val,
+        |      row_number() OVER (PARTITION BY lang ORDER BY v, val)
+        |        AS rn
+        |    FROM d) WHERE rn <= 64),
+        |srt AS (
+        |  SELECT lang, val,
+        |    row_number() OVER (PARTITION BY lang ORDER BY val) - 1
+        |      AS idx,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM samp),
+        |est AS (
+        |  SELECT lang, val AS est_p50, CAST(n AS BIGINT) AS n_sample
+        |  FROM srt WHERE idx = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+        |ex AS (
+        |  SELECT lang, quantile_cont(CAST(length(text) AS DOUBLE), 0.5)
+        |    AS exact_p50
+        |  FROM documents GROUP BY 1)
+        |SELECT e.lang, est_p50, round(ex.exact_p50, 6) AS exact_p50,
+        |  round(abs(CAST(est_p50 AS DOUBLE) - ex.exact_p50), 6)
+        |    AS abs_err,
+        |  n_sample
+        |FROM est e JOIN ex ON ex.lang = e.lang
+        |ORDER BY e.lang""".stripMargin,
+
+    // q212: the q87 salt + redact chain, then the residual flags from
+    // the same redacted strings.
+    "q212_residual_pii" ->
+      """WITH r AS (
+        |  SELECT regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' user' || doc_id || '@example.com 10.0.' ||
+        |      (doc_id % 256) || '.7 +1 555 ' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g'),
+        |    '\+[0-9](?:[ -]?[0-9]){6,14}', '<PHONE>', 'g') AS redacted
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(redacted, '[0-9]{6,}')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_runs,
+        |  CAST(sum(CASE WHEN contains(redacted, '@')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_at_signs
+        |FROM r""".stripMargin,
 
     // q210: the q194 rank replay with the lang key carried through
     // every CTE.

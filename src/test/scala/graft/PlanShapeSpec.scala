@@ -278,7 +278,13 @@ class PlanShapeSpec extends SparkSpec {
     // collapse; the per-group rank window + reduction run over the
     // checkpointed score-cardinality table (the q194 shape with the
     // group key carried through).
-    "q210_grouped_auc" -> 1
+    "q210_grouped_auc" -> 1,
+    // Sketch accuracy: the bottom-k agg (map-side combined to k pairs
+    // per group per partition) + the exact-percentile agg; the 5-row
+    // join broadcasts.
+    "q211_sketch_accuracy" -> 2,
+    // Residual PII: one narrow redact chain + the 1-row reduction.
+    "q212_residual_pii" -> 1
   )
 
   expected.foreach { case (name, want) =>
