@@ -2102,6 +2102,25 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q213_time_split" -> ((s, dir) => {
+      // Temporal train/eval split hygiene (the time-travel rule every
+      // forecasting/causal eval needs: train strictly before the
+      // cutoff, eval at-or-after): per-subject event counts on each
+      // side of 2024-01-22 plus the straddle flag — subjects with
+      // data on BOTH sides are exactly where point-in-time-incorrect
+      // feature joins leak the future (the as-of join q61/q88 is the
+      // correct join for them). One partial-aggregatable rollup.
+      val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+      t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+        .groupBy(col("user_id").as("subject_id"))
+        .agg(sum(when(col("ts2") < cut, 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("ts2") >= cut, 1L).otherwise(0L)).as("n_eval"))
+        .withColumn("straddles",
+          col("n_train") > 0 && col("n_eval") > 0)
+    }),
+
     "q211_sketch_accuracy" -> ((s, dir) => {
       // Sketch-accuracy audit: q156's bottom-k median estimate
       // side-by-side with the EXACT per-lang median (the q13
@@ -6719,6 +6738,23 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q213: second-truncated cutoff comparison, exact counts.
+    "q213_time_split" ->
+      """SELECT user_id AS subject_id,
+        |  CAST(sum(CASE WHEN date_trunc('second', ts)
+        |    < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN date_trunc('second', ts)
+        |    >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_eval,
+        |  (sum(CASE WHEN date_trunc('second', ts)
+        |     < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) > 0
+        |   AND
+        |   sum(CASE WHEN date_trunc('second', ts)
+        |     >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) > 0)
+        |    AS straddles
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q211: q156's digit-walk sample + nearest-rank median, joined to
     // quantile_cont's exact median (the q13 parity), error round-6.

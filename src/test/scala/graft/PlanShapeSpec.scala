@@ -284,7 +284,9 @@ class PlanShapeSpec extends SparkSpec {
     // join broadcasts.
     "q211_sketch_accuracy" -> 2,
     // Residual PII: one narrow redact chain + the 1-row reduction.
-    "q212_residual_pii" -> 1
+    "q212_residual_pii" -> 1,
+    // Time split: ONE partial-aggregatable subject rollup.
+    "q213_time_split" -> 1
   )
 
   expected.foreach { case (name, want) =>
