@@ -2102,6 +2102,25 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q214_source_dup_rate" -> ((s, dir) => {
+      // Per-source duplication-rate audit (which feed uploads copies —
+      // the ops dashboard behind dedup-ordering and provenance
+      // decisions; q169 maps CROSS-source copying, this row measures
+      // WITHIN-source): exact content fingerprints, per-source
+      // distinct-vs-total with the dup fraction. Two
+      // partial-aggregatable aggs over 16 B keys.
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      t(s, dir, "documents")
+        .select(col("source"), fp.as("fp"))
+        .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          round((sum(col("c")) - count(lit(1))).cast("double") /
+            sum(col("c")).cast("double"), 6).as("dup_rate"))
+    }),
+
     "q213_time_split" -> ((s, dir) => {
       // Temporal train/eval split hygiene (the time-travel rule every
       // forecasting/causal eval needs: train strictly before the
@@ -6738,6 +6757,23 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q214: the q23/q42 normalized-content key, per-source
+    // distinct-vs-total arithmetic.
+    "q214_source_dup_rate" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, fp, CAST(count(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round((CAST(sum(c) AS DOUBLE) - count(*)) /
+        |    CAST(sum(c) AS DOUBLE), 6) AS dup_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // q213: second-truncated cutoff comparison, exact counts.
     "q213_time_split" ->

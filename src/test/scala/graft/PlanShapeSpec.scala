@@ -286,7 +286,10 @@ class PlanShapeSpec extends SparkSpec {
     // Residual PII: one narrow redact chain + the 1-row reduction.
     "q212_residual_pii" -> 1,
     // Time split: ONE partial-aggregatable subject rollup.
-    "q213_time_split" -> 1
+    "q213_time_split" -> 1,
+    // Source dup rate: the (source, fp) collapse + the source rollup,
+    // both partial-aggregatable, 16 B keys on the wire.
+    "q214_source_dup_rate" -> 2
   )
 
   expected.foreach { case (name, want) =>
