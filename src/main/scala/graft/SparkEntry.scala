@@ -2102,6 +2102,33 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q215_compaction" -> ((s, dir) => {
+      // Small-files compaction (the nightly repair job every
+      // long-lived lake runs; q199 PREVENTS the problem at write
+      // time, this row FIXES an already-fragmented table): a
+      // deliberately shattered write (round-robin repartition(50) →
+      // exactly 50 files), then compact by rewriting through
+      // coalesce(4), audited on both sides — file counts are
+      // deterministic functions of the partitioning, row counts must
+      // be lossless.
+      val tmpA = java.nio.file.Files.createTempDirectory("graft-q215a")
+        .toString
+      val tmpB = java.nio.file.Files.createTempDirectory("graft-q215b")
+        .toString
+      t(s, dir, "documents").select("doc_id", "text")
+        .repartition(50).write.mode("overwrite").parquet(tmpA)
+      val frag = s.read.parquet(tmpA)
+      frag.coalesce(4).write.mode("overwrite").parquet(tmpB)
+      val compacted = s.read.parquet(tmpB)
+      frag.select(input_file_name().as("f"))
+        .agg(countDistinct(col("f")).as("files_before"),
+          count(lit(1)).as("rows_before"))
+        .crossJoin(broadcast(
+          compacted.select(input_file_name().as("f"))
+            .agg(countDistinct(col("f")).as("files_after"),
+              count(lit(1)).as("rows_after"))))
+    }),
+
     "q214_source_dup_rate" -> ((s, dir) => {
       // Per-source duplication-rate audit (which feed uploads copies —
       // the ops dashboard behind dedup-ordering and provenance
@@ -6757,6 +6784,16 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q215: layout arithmetic — 50 round-robin files in, 4 out,
+    // row counts lossless.
+    "q215_compaction" ->
+      """SELECT CAST(50 AS BIGINT) AS files_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |    AS rows_before,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |    AS rows_after""".stripMargin,
 
     // q214: the q23/q42 normalized-content key, per-source
     // distinct-vs-total arithmetic.

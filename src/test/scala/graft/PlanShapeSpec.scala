@@ -289,7 +289,11 @@ class PlanShapeSpec extends SparkSpec {
     "q213_time_split" -> 1,
     // Source dup rate: the (source, fp) collapse + the source rollup,
     // both partial-aggregatable, 16 B keys on the wire.
-    "q214_source_dup_rate" -> 2
+    "q214_source_dup_rate" -> 2,
+    // Compaction audit read-back: two count-distinct file aggs (each
+    // expands to 2 exchanges under count-distinct planning) over the
+    // two layouts; the rewrite jobs ran before this plan.
+    "q215_compaction" -> 4
   )
 
   expected.foreach { case (name, want) =>
