@@ -2102,6 +2102,33 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q216_incremental_stats" -> ((s, dir) => {
+      // Incremental aggregate maintenance (the nightly-stats pattern:
+      // history is NEVER rescanned — yesterday's persisted stats merge
+      // with today's delta because counts and DECIMAL sums are
+      // additive): stats(< cutoff) persist to parquet as STATE-AS-DATA,
+      // stats(≥ cutoff) compute from the delta alone, and the merge is
+      // a union + re-agg over |types| rows. The oracle computes the
+      // full-scan answer — the merged state must equal it exactly,
+      // which is the whole point of keeping sums in DECIMAL.
+      val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+      val ev = t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+      def statsOf(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q216")
+        .toString
+      statsOf(ev.filter(col("ts2") < cut))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .unionByName(statsOf(ev.filter(col("ts2") >= cut)))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"))
+    }),
+
     "q215_compaction" -> ((s, dir) => {
       // Small-files compaction (the nightly repair job every
       // long-lived lake runs; q199 PREVENTS the problem at write
@@ -6784,6 +6811,13 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q216: the full-scan answer the merged state must equal exactly.
+    "q216_incremental_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q215: layout arithmetic — 50 round-robin files in, 4 out,
     // row counts lossless.

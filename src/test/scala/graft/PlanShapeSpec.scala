@@ -293,7 +293,11 @@ class PlanShapeSpec extends SparkSpec {
     // Compaction audit read-back: two count-distinct file aggs (each
     // expands to 2 exchanges under count-distinct planning) over the
     // two layouts; the rewrite jobs ran before this plan.
-    "q215_compaction" -> 4
+    "q215_compaction" -> 4,
+    // Incremental stats: the DELTA agg (the only corpus-side work —
+    // history reads from the persisted |types|-row state) + the
+    // |types|-row merge re-agg.
+    "q216_incremental_stats" -> 2
   )
 
   expected.foreach { case (name, want) =>
