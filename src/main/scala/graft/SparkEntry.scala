@@ -2102,6 +2102,40 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q217_weekly_autocorr" -> ((s, dir) => {
+      // Weekly seasonality monitor (the complement to q207's anomaly
+      // gate: BEFORE flagging a spike, know whether the series has a
+      // 7-day rhythm): per-type Pearson correlation between each
+      // day's count and the count 7 days earlier, written as the
+      // explicit sums formula over EXACT integers (Σx, Σy, Σxy, Σx²,
+      // Σy² are all integer sums — order-free), one sqrt + one
+      // division, round-6. The corpus pays one daily rollup; the
+      // correlation runs over the calendar-bounded pair table.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val pairs = daily.alias("a")
+        .join(daily.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            datediff(col("a.day"), col("b.day")) === 7)
+        .select(col("a.event_type").as("event_type"),
+          col("a.n").as("x"), col("b.n").as("y"))
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("autocorr_7d"))
+    }),
+
     "q216_incremental_stats" -> ((s, dir) => {
       // Incremental aggregate maintenance (the nightly-stats pattern:
       // history is NEVER rescanned — yesterday's persisted stats merge
@@ -6811,6 +6845,31 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q217: same pair join, the Pearson sums formula term-for-term.
+    "q217_weekly_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, a.n AS x, b.n AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type
+        |   AND date_diff('day', b.day, a.day) = 7),
+        |sums AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, np AS n_pairs,
+        |  round(CAST(np * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(np * sxx - sx * sx AS DOUBLE) *
+        |         CAST(np * syy - sy * sy AS DOUBLE)), 6)
+        |    AS autocorr_7d
+        |FROM sums ORDER BY event_type""".stripMargin,
 
     // q216: the full-scan answer the merged state must equal exactly.
     "q216_incremental_stats" ->

@@ -297,7 +297,11 @@ class PlanShapeSpec extends SparkSpec {
     // Incremental stats: the DELTA agg (the only corpus-side work —
     // history reads from the persisted |types|-row state) + the
     // |types|-row merge re-agg.
-    "q216_incremental_stats" -> 2
+    "q216_incremental_stats" -> 2,
+    // Weekly autocorr: the daily rollup runs behind the checkpoint;
+    // the final job is the calendar-bounded self-join (broadcast) +
+    // ONE per-type sums agg.
+    "q217_weekly_autocorr" -> 1
   )
 
   expected.foreach { case (name, want) =>
