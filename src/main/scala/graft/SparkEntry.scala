@@ -2102,6 +2102,39 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q218_cooccurrence_lift" -> ((s, dir) => {
+      // Event co-occurrence lift (market-basket association over
+      // subject-day baskets — the UNORDERED complement to q174's
+      // transitions): lift(A,B) = P(A∧B)/(P(A)·P(B)) over distinct
+      // (subject, day) baskets. Basket table and per-type counts are
+      // checkpointed; the pair join keys on the basket, the lift
+      // arithmetic is exact-integer ratios with one round-6 division.
+      val basket = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"))
+        .distinct()
+        .localCheckpoint(true)
+      val nBaskets = basket.select("user_id", "day").distinct().count()
+      val na = basket.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val pairs = basket.alias("a")
+        .join(basket.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(na.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), Seq("type_a"))
+        .join(broadcast(na.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          round((col("n_ab") * lit(nBaskets)).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+    }),
+
     "q217_weekly_autocorr" -> ((s, dir) => {
       // Weekly seasonality monitor (the complement to q207's anomaly
       // gate: BEFORE flagging a spike, know whether the series has a
@@ -6845,6 +6878,33 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q218: distinct baskets, within-basket pair join, the same lift
+    // ratio.
+    "q218_cooccurrence_lift" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |nb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |    (SELECT DISTINCT user_id, day FROM basket)),
+        |na AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM basket GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  round(CAST(n_ab * nb.n AS DOUBLE) /
+        |    CAST(x.n_t * y.n_t AS DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN na x ON x.event_type = type_a
+        |JOIN na y ON y.event_type = type_b, nb
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // q217: same pair join, the Pearson sums formula term-for-term.
     "q217_weekly_autocorr" ->
