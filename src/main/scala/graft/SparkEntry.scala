@@ -2102,6 +2102,33 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q219_dau_wau" -> ((s, dir) => {
+      // DAU / WAU / stickiness (the product-analytics daily-health
+      // table next to q175's retention curve): per observed day, the
+      // distinct users active THAT day, the distinct users active in
+      // the trailing 7-day window, and their ratio. The only
+      // corpus-scale work is ONE distinct collapse to (user, day)
+      // (checkpointed); the rolling window is a calendar-bounded 7×
+      // explode over that collapsed table + a distinct agg — never a
+      // nested-loop range join, so the shape survives any corpus size
+      // (the expanded table is ≤ 7·|users×days|). Days with no events
+      // drop out of both sides identically (inner join on the day).
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true)
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("d"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"),
+            6).as("stickiness"))
+    }),
+
     "q218_cooccurrence_lift" -> ((s, dir) => {
       // Event co-occurrence lift (market-basket association over
       // subject-day baskets — the UNORDERED complement to q174's
@@ -6878,6 +6905,26 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q219: the trailing window as a day-range join over the same
+    // distinct (user, day) collapse; count(DISTINCT) per window end.
+    "q219_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT d.day AS day,
+        |    CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        |  FROM (SELECT DISTINCT day FROM ud) d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
 
     // q218: distinct baskets, within-basket pair join, the same lift
     // ratio.

@@ -301,7 +301,19 @@ class PlanShapeSpec extends SparkSpec {
     // Weekly autocorr: the daily rollup runs behind the checkpoint;
     // the final job is the calendar-bounded self-join (broadcast) +
     // ONE per-type sums agg.
-    "q217_weekly_autocorr" -> 1
+    "q217_weekly_autocorr" -> 1,
+    // Co-occurrence lift: the basket collapse runs behind the
+    // checkpoint; the final job is the within-basket self-join
+    // (2 exchanges — both sides key on (user, day)) + the pair agg;
+    // the two broadcast-marginal subtrees REUSE one agg exchange
+    // (ReusedExchange), so they add nothing.
+    "q218_cooccurrence_lift" -> 3,
+    // DAU/WAU: the (user, day) collapse runs behind the checkpoint;
+    // dau is one partial-aggregatable agg, wau is the 7×-explode
+    // count-distinct (2 exchanges under count-distinct planning), and
+    // the day join REUSES both aggs' hash(day) output partitioning —
+    // zero join exchanges.
+    "q219_dau_wau" -> 3
   )
 
   expected.foreach { case (name, want) =>
