@@ -2102,6 +2102,28 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q220_dup_cluster_histogram" -> ((s, dir) => {
+      // Duplicate-cluster-size histogram (the release-note table next
+      // to q214's per-source rate: how many content clusters have
+      // exactly k members, how many docs that is, and how many a
+      // keep-one dedup would remove — the number that decides whether
+      // exact dedup is worth a corpus pass at all). Same normalized
+      // 16 B fingerprint as q214/q23; two partial-aggregatable aggs
+      // (fp collapse, then the |distinct k|-sized histogram) — no
+      // joins, no windows, nothing driver-side.
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      t(s, dir, "documents")
+        .select(fp.as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("k"))
+        .groupBy(col("k").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - lit(1)) * col("n_clusters"))
+            .as("n_removable"))
+    }),
+
     "q219_dau_wau" -> ((s, dir) => {
       // DAU / WAU / stickiness (the product-analytics daily-health
       // table next to q175's retention curve): per observed day, the
@@ -6905,6 +6927,20 @@ object SparkEntry {
         |      PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rn
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q220: the same q214 fingerprint walk, then the size histogram
+    // with the exact-integer mass columns.
+    "q220_dup_cluster_histogram" ->
+      """WITH f AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT fp, CAST(count(*) AS BIGINT) AS k FROM f GROUP BY 1)
+        |SELECT k AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(k * count(*) AS BIGINT) AS n_docs,
+        |  CAST((k - 1) * count(*) AS BIGINT) AS n_removable
+        |FROM c GROUP BY k ORDER BY k""".stripMargin,
 
     // q219: the trailing window as a day-range join over the same
     // distinct (user, day) collapse; count(DISTINCT) per window end.

@@ -313,7 +313,10 @@ class PlanShapeSpec extends SparkSpec {
     // count-distinct (2 exchanges under count-distinct planning), and
     // the day join REUSES both aggs' hash(day) output partitioning —
     // zero join exchanges.
-    "q219_dau_wau" -> 3
+    "q219_dau_wau" -> 3,
+    // Dup-cluster histogram: the fp collapse + the |distinct k|-sized
+    // histogram agg, both partial-aggregatable, 16 B keys on the wire.
+    "q220_dup_cluster_histogram" -> 2
   )
 
   expected.foreach { case (name, want) =>
