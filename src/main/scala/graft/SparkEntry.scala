@@ -2102,6 +2102,28 @@ object SparkEntry {
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
 
+    "q221_bloom_prod_verified" -> ((s, dir) => {
+      // The q105 production-family (full-gram xxhash64) Bloom path,
+      // graded on its HASH-FREE invariants — the q126 literal-twin
+      // discipline applied to the last rows-only family. Engine-seeded
+      // xxhash64 buckets aren't externally replayable, but two exact
+      // contracts are: (1) a Bloom filter has NO false negatives, so
+      // the verified-match count per doc is EXACTLY |distinct train
+      // 5-grams ∩ eval gram set| — pure set algebra DuckDB computes
+      // directly; (2) n_bloom ≥ n_matched always (FPs only add). The
+      // n_matched > 0 row set is also hash-free (every true match
+      // survives the prefilter), so rows/schema/hash all replay while
+      // the production grid/probe/verify stages run for real.
+      val docs = t(s, dir, "documents")
+      graft.ops.Sketch.bloomDecontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 5, replayable = false)
+        .filter(col("n_matched") > 0)
+        .select(col("id").as("doc_id"), col("n_matched"),
+          (col("n_bloom") >= col("n_matched")).as("bloom_sound"))
+    }),
+
     "q220_dup_cluster_histogram" -> ((s, dir) => {
       // Duplicate-cluster-size histogram (the release-note table next
       // to q214's per-source rate: how many content clusters have
@@ -2210,12 +2232,19 @@ object SparkEntry {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
         .select(col("event_type"), col("n_pairs"),
-          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-              .cast("double") *
-              (col("n_pairs") * col("syy") - col("sy") * col("sy"))
-                .cast("double")), 6).as("autocorr_7d"))
+          // Zero-variance guard: a type with constant daily counts at
+          // lag 7 makes either centered sum-of-squares 0 and the ratio
+          // undefined — emit null instead of DIVIDE_BY_ZERO (mirrors
+          // the CASE in the oracle; q207 has the same sd > 0 guard).
+          when(
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6)).as("autocorr_7d"))
     }),
 
     "q216_incremental_stats" -> ((s, dir) => {
@@ -2715,6 +2744,10 @@ object SparkEntry {
         t(s, dir, "events")
           .withColumn("ts", date_trunc("second", col("ts"))),
         "user_id", "ts", "event_id", "event_type", ctxLen = 5)
+        // Harness convention: scalarize array outputs (the driver's
+        // pandas sorter can't hash raw ndarray cells) — the operator
+        // itself keeps the typed ARRAY<STRING> context column.
+        .withColumn("context", concat_ws("|", col("context")))
     }),
 
     "q194_rank_auc" -> ((s, dir) => {
@@ -4660,7 +4693,8 @@ object SparkEntry {
         |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
         |               * 1000000.0 + 0.5) AS BIGINT) AS qv
         |  FROM a, LATERAL unnest(range(0, 64)) AS r(d))
-        |SELECT centroid_id, dim, count(*) AS n, sum(qv) AS qsum,
+        |SELECT centroid_id, dim, count(*) AS n,
+        |  CAST(sum(qv) AS BIGINT) AS qsum,
         |  CAST(sum(qv) AS DOUBLE) / (1000000.0 * count(*)) AS mean
         |FROM q GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
 
@@ -4855,9 +4889,9 @@ object SparkEntry {
     // partitioned round trip must be lossless.
     "q145_partitioned_sink" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(CAST(CASE WHEN trim(text) = '' THEN 0
+        |  CAST(sum(CAST(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END
-        |      AS BIGINT)) AS n_tokens,
+        |      AS BIGINT)) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_doc
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -5062,7 +5096,7 @@ object SparkEntry {
         |       WHEN nch_a IS NULL THEN 'added'
         |       ELSE 'kept' END AS status,
         |  count(*) AS n_contents,
-        |  sum(coalesce(nch_b, nch_a)) AS n_chars
+        |  CAST(sum(coalesce(nch_b, nch_a)) AS BIGINT) AS n_chars
         |FROM a FULL OUTER JOIN b USING (k)
         |GROUP BY 1 ORDER BY status""".stripMargin,
 
@@ -6635,7 +6669,8 @@ object SparkEntry {
         |    CAST(length(text) AS BIGINT) AS nch
         |  FROM documents)
         |SELECT lang, source, count(*) AS n_docs,
-        |  sum(ntok) AS n_tokens, sum(nch) AS n_chars,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nch) AS BIGINT) AS n_chars,
         |  CAST(sum(nch) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS mean_chars
         |FROM d GROUP BY ROLLUP(lang, source)
@@ -6827,7 +6862,8 @@ object SparkEntry {
          |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
          |  FROM documents WHERE doc_id < 200)
          |SELECT d.doc_id,
-         |  ${PolyHashSql.over("t", 257L, 40)} AS text_hash,
+         |  CAST(${PolyHashSql.over("t", 257L, 40)} AS BIGINT)
+         |    AS text_hash,
          |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
          |          CAST(a.embedding AS DOUBLE[])), 6) AS cos_anchor
          |FROM d
@@ -6928,6 +6964,32 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // q221: no hash replay at all — the exact train∩eval distinct-gram
+    // counts the no-false-negative contract forces n_matched to equal;
+    // bloom_sound is the invariant n_bloom ≥ n_matched, constant TRUE.
+    "q221_bloom_prod_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 3),
+        |      i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
+        |        || ' ' || tok[CAST(i AS INT)+2] || ' '
+        |        || tok[CAST(i AS INT)+3] || ' '
+        |        || tok[CAST(i AS INT)+4])) AS grams
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |       WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+        |       WHERE doc_id % 7 <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |  TRUE AS bloom_sound
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
     // q220: the same q214 fingerprint walk, then the size histogram
     // with the exact-integer mass columns.
     "q220_dup_cluster_histogram" ->
@@ -7008,10 +7070,11 @@ object SparkEntry {
         |    CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM p GROUP BY 1)
         |SELECT event_type, np AS n_pairs,
-        |  round(CAST(np * sxy - sx * sy AS DOUBLE) /
+        |  CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+        |  THEN round(CAST(np * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(np * sxx - sx * sx AS DOUBLE) *
         |         CAST(np * syy - sy * sy AS DOUBLE)), 6)
-        |    AS autocorr_7d
+        |  END AS autocorr_7d
         |FROM sums ORDER BY event_type""".stripMargin,
 
     // q216: the full-scan answer the merged state must equal exactly.
@@ -7539,8 +7602,9 @@ object SparkEntry {
         |  FROM s, LATERAL unnest(range(1, len(types) + 1)) AS r(i)
         |  WHERE i >= 2)
         |SELECT user_id AS subject_id, idx,
-        |  types[CAST(greatest(1, idx - 5) AS INT):CAST(idx - 1 AS INT)]
-        |    AS context,
+        |  array_to_string(
+        |    types[CAST(greatest(1, idx - 5) AS INT):CAST(idx - 1 AS INT)],
+        |    '|') AS context,
         |  types[CAST(idx AS INT)] AS label
         |FROM x ORDER BY subject_id, idx""".stripMargin,
 
@@ -8152,7 +8216,7 @@ object SparkEntry {
          |      % 1000000007 AS h
          |  FROM hp),
          |regs AS (
-         |  SELECT source, h % 64 AS bucket,
+         |  SELECT source, CAST(h % 64 AS BIGINT) AS bucket,
          |    CAST(max(CASE WHEN h // 64 = 0 THEN 25
          |             ELSE 25 - length(bin(h // 64)) END) AS BIGINT) AS reg
          |  FROM hv GROUP BY 1, 2),

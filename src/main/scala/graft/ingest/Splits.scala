@@ -104,6 +104,12 @@ object Splits {
       .foldLeft(lit(splitNames.last)) { case (acc, (name, c)) =>
         when(u <= c, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", splitExpr)
+    // A NULL group key yields a NULL md5 uniform, which would fall
+    // through every `when` into the LAST split unaudited — for a
+    // leakage-safety primitive that silent clustering is a trap. Emit
+    // a NULL split instead: null-keyed rows are visibly unassigned and
+    // the caller decides (filter, quarantine split, or require()).
+    df.withColumn("split",
+      when(col(grpCol).isNotNull, splitExpr))
   }
 }

@@ -115,15 +115,18 @@ object Multimodal {
         conv(hex(substring(col(binCol), pos + i, 1)), 16, 10)
           .cast("long") * lit(1L << (8 * i))
       }.reduce(_ + _)
+    val channels = le(23, 2)
+    val rate = le(25, 4)
+    val bits = le(35, 2)
     val valid =
       hex(substring(col(binCol), 1, 4)) === "52494646" && // "RIFF"
       hex(substring(col(binCol), 9, 8)) === "57415645666D7420" && // "WAVEfmt "
       le(17, 4) === 16L && // canonical 16-byte fmt chunk
       le(21, 2) === 1L &&  // PCM (format tag 1)
-      hex(substring(col(binCol), 37, 4)) === "64617461" // "data"
-    val channels = le(23, 2)
-    val rate = le(25, 4)
-    val bits = le(35, 2)
+      hex(substring(col(binCol), 37, 4)) === "64617461" && // "data"
+      // a zero byte-rate (0 channels/rate/bits — structurally parseable
+      // but degenerate) must flag, not DIVIDE_BY_ZERO in the duration
+      channels > 0L && rate > 0L && bits >= 8L
     val dataBytes = le(41, 4)
     df.withColumn("wav_valid", valid)
       .withColumn("wav_channels", when(valid, channels))
@@ -783,11 +786,17 @@ object Multimodal {
               GifFrameDelta](math.max(0, n - 1))
             var f = 0
             var np = 0
+            var prevW = -1
+            var prevH = -1
             while (f < n) {
               val img = reader.read(f)
               np = img.getWidth * img.getHeight
               cur = grabRgb(img, cur)
-              if (f > 0) {
+              // GIF frames may be sub-rectangle partial updates; a
+              // pixel-wise delta is only defined between full same-size
+              // rasters — skip mismatched pairs instead of diffing
+              // misaligned (or out-of-bounds) buffers.
+              if (f > 0 && img.getWidth == prevW && img.getHeight == prevH) {
                 var s = 0L
                 var i = 0
                 while (i < np) {
@@ -802,6 +811,8 @@ object Multimodal {
                 }
                 out += GifFrameDelta(id, f, np, s)
               }
+              prevW = img.getWidth
+              prevH = img.getHeight
               val tmp = prev; prev = cur
               cur = if (tmp != null && tmp.length >= np) tmp else null
               f += 1

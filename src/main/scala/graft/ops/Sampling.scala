@@ -215,8 +215,12 @@ object Sampling {
     * extinction; the plan table records it). */
   def materializeMixture(docs: DataFrame, idCol: String, grpCol: String,
       plan: DataFrame, seed: Long): DataFrame = {
+    // A zero-token plan group can't be materialized (its DIV would be
+    // an ANSI DIVIDE_BY_ZERO) — filter it out of the broadcast side so
+    // such groups' docs drop through the inner join, the same graceful
+    // drop the scaladoc promises for groups missing from the plan.
     val p = broadcast(plan.select(col("grp"), col("n_tokens"),
-      col("target_tokens")))
+      col("target_tokens")).filter(col("n_tokens") > 0))
     val v = conv(substring(md5Rank(col(idCol), seed), 1, 12), 16, 10)
       .cast("double")
     val u = (v + lit(1.0)) / lit(281474976710656.0) // 2^48

@@ -316,7 +316,14 @@ class PlanShapeSpec extends SparkSpec {
     "q219_dau_wau" -> 3,
     // Dup-cluster histogram: the fp collapse + the |distinct k|-sized
     // histogram agg, both partial-aggregatable, 16 B keys on the wire.
-    "q220_dup_cluster_histogram" -> 2
+    "q220_dup_cluster_histogram" -> 2,
+    // Production-bloom verified twin: the bloom survivors are
+    // checkpointed (q104's shape) into a SinglePartition RDD at this
+    // sf, which satisfies every downstream hash requirement — the
+    // final job (per-doc aggs + id join + eval semi-join) plans ZERO
+    // exchanges; at corpus scale the same aggs partial-aggregate over
+    // survivor-sized (not corpus-sized) rows.
+    "q221_bloom_prod_verified" -> 0
   )
 
   expected.foreach { case (name, want) =>

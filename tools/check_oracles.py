@@ -28,7 +28,55 @@ for name in sorted(oracles):
                 if df[c].dtype == object:
                     df[c] = df[c].apply(lambda x: tuple(x) if hasattr(x, '__len__') and not isinstance(x, str) else x)
             return df.sort_values(list(df.columns)).reset_index(drop=True)
+        # The driver's pandas sorter crashes on raw array cells (it
+        # never tuple-izes like norm() below) — any non-string sequence
+        # cell is an automatic driver 'err'. House rule: scalarize.
+        for c in m.columns:
+            if m[c].dtype == object and len(m) > 0:
+                v = m[c].iloc[0]
+                if hasattr(v, '__len__') and not isinstance(v, (str, bytes)):
+                    ok = False
+                    print(name, c, 'ARRAY CELL (driver harness crashes) — scalarize with concat_ws')
         on, mn = norm(o), norm(m)
+        # Driver-faithful strictness: the driver hashes dtype-bearing
+        # values after a column-sorted row-sort, so an int64-vs-float64
+        # mismatch (e.g. DuckDB HUGEINT sums → pandas float64) flags
+        # even when values compare == equal. Empirically (r07) the
+        # driver is width-insensitive for ints and normalizes dates
+        # (q32/q207/q219 were green with int32/date-object outputs), so
+        # canonicalize those the same way before the strict compare.
+        import datetime
+        def widen(df):
+            df = df.copy()
+            for c in df.columns:
+                k = df[c].dtype.kind
+                if k in 'iu':
+                    df[c] = df[c].astype('int64')
+                elif k == 'f':
+                    df[c] = df[c].astype('float64')
+                elif k == 'M':
+                    df[c] = df[c].astype('datetime64[us]')
+                elif df[c].dtype == object and len(df) > 0 and isinstance(
+                        df[c].dropna().iloc[0] if df[c].notna().any()
+                        else None, datetime.date):
+                    df[c] = pd.to_datetime(df[c]).astype('datetime64[us]')
+            return df
+        on, mn = widen(on), widen(mn)
+        for c in on.columns:
+            if str(on[c].dtype) != str(mn[c].dtype):
+                ok = False
+                print(name, c, 'DTYPE', on[c].dtype, 'vs', mn[c].dtype)
+        try:
+            import hashlib
+            def dhash(df):
+                return hashlib.md5(pd.util.hash_pandas_object(
+                    df, index=False).values.tobytes()).hexdigest()
+            if ok and dhash(on) != dhash(mn):
+                ok = False
+                print(name, 'STRICT-HASH DIFF (values may still == match; check -0.0/dtype/ordering)')
+        except TypeError as e:
+            ok = False
+            print(name, 'STRICT-HASH ERR (unhashable cell — scalarize arrays):', e)
         for c in on.columns:
             a, b = on[c], mn[c]
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
