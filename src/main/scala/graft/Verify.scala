@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-variant tables land in scratch, never the repo cwd
+      // (mirrors Bench.scala — a verify run otherwise drops ev_bkt/ms_bkt
+      // under ./spark-warehouse)
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -14,17 +14,24 @@ object Eval {
   /** ROC AUC via the Mann–Whitney U statistic with tie-AVERAGED ranks
     * (the textbook estimator: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)).
     *
-    * No global sort of the corpus and no corpus-wide window: rows
-    * collapse to a DISTINCT-score table first (one
-    * partial-aggregatable exchange; cardinality = distinct scores,
-    * which for quality-style scores is tiny and for any score is
-    * ≤ corpus), the cumulative rank walk runs over THAT bounded,
-    * localCheckpointed table in one small window, and the final
-    * reduction is a 1-row agg. Every intermediate term is a dyadic
-    * rational represented exactly in doubles (counts and half-integer
-    * average ranks), so the rank sums are order-invariant and
-    * bit-replayable; the ONLY inexact steps are the final division,
-    * round-6.
+    * No global sort of the corpus and NO single-partition stage at any
+    * cardinality: rows collapse to a DISTINCT-score table first (one
+    * partial-aggregatable exchange), and because a CONTINUOUS score
+    * makes that table corpus-sized (distinct ≈ rows), the cumulative
+    * rank walk itself is distributed — a two-pass range ranking. Pass
+    * 1 range-partitions the distinct scores (partition p's scores all
+    * precede partition p+1's) and freezes the layout with an eager
+    * localCheckpoint; per-partition row totals (≤
+    * `spark.sql.shuffle.partitions` rows — config-bounded, never
+    * data-bounded) collect to the driver and prefix-sum into per-
+    * partition base offsets. Pass 2 runs the rank window WITHIN each
+    * range partition and adds the broadcast base offset, so global
+    * ranks emerge with every partition working in parallel. Every
+    * intermediate term is a dyadic rational represented exactly in
+    * doubles (counts and half-integer average ranks), so the rank sums
+    * are order-invariant and bit-replayable regardless of the range
+    * partitioner's sampling; the ONLY inexact step is the final
+    * division, round-6.
     *
     * Returns one row: (n_pos, n_neg, auc). Null scores/labels are
     * dropped. Degenerate inputs (no positives or no negatives) yield
@@ -71,6 +78,8 @@ object Eval {
 
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val g = df
       .select(col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("boolean").as("y"))
@@ -78,11 +87,25 @@ object Eval {
       .groupBy("s")
       .agg(count(lit(1)).as("n"),
         sum(when(col("y"), 1L).otherwise(0L)).as("np"))
-      .localCheckpoint(true) // distinct-score cardinality, not corpus
-    val w = Window.orderBy("s")
+      // range layout for the distributed rank walk; eager checkpoint
+      // freezes partition ids so the offsets below stay consistent
+      .repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // per-range-partition totals → global prefix offsets; the collect
+    // is ≤ shuffle-partitions rows by construction (config-bounded)
+    val totals = g.groupBy("pid").agg(sum("n").as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, pn) =>
+      val base = acc; acc += pn; (pid, base)
+    }.toSeq.toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = g
-      .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("cb_local", coalesce(sum("n").over(w), lit(0L)))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cb", col("cb_local") + col("base"))
       .withColumn("avg_rank",
         col("cb").cast("double") + (col("n").cast("double") + 1.0) / 2.0)
     ranked

@@ -124,8 +124,10 @@ object Multimodal {
       le(17, 4) === 16L && // canonical 16-byte fmt chunk
       le(21, 2) === 1L &&  // PCM (format tag 1)
       hex(substring(col(binCol), 37, 4)) === "64617461" && // "data"
-      // a zero byte-rate (0 channels/rate/bits — structurally parseable
-      // but degenerate) must flag, not DIVIDE_BY_ZERO in the duration
+      // zero channels/rate (structurally parseable but degenerate) must
+      // flag, not divide-by-zero in the duration; bit depths 1-7 are
+      // rejected as non-canonical PCM (format tag 1 is whole-byte
+      // samples — the duration's bits/8 term would silently floor)
       channels > 0L && rate > 0L && bits >= 8L
     val dataBytes = le(41, 4)
     df.withColumn("wav_valid", valid)

@@ -215,10 +215,13 @@ class PlanShapeSpec extends SparkSpec {
     // exchange bucketed storage removes); the slice carve-out is
     // narrow array math.
     "q193_next_event_pairs" -> 1,
-    // Rank AUC: the ONE corpus exchange is the distinct-score agg;
-    // the rank window + final reduction run over the CHECKPOINTED
-    // score-cardinality table.
-    "q194_rank_auc" -> 1,
+    // Rank AUC: the distinct-score collapse + range layout run behind
+    // the checkpoint; the final job is the DISTRIBUTED two-pass rank —
+    // the hash(pid) window exchange (every range partition walks its
+    // own scores in parallel; offsets broadcast) + the partial-
+    // aggregated 1-row reduction. NO SinglePartition window at any
+    // score cardinality (the r08 continuous-score fix).
+    "q194_rank_auc" -> 2,
     // Grouped split: a pure narrow hash-threshold projection — ZERO
     // exchanges, nothing to coordinate.
     "q195_grouped_split" -> 0,

@@ -11,6 +11,9 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // bucketed test tables land in scratch, never the repo cwd
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse")
     .withExtensions(new graft.GraftExtensions)
     .getOrCreate()
 }

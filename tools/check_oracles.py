@@ -33,7 +33,11 @@ for name in sorted(oracles):
         # cell is an automatic driver 'err'. House rule: scalarize.
         for c in m.columns:
             if m[c].dtype == object and len(m) > 0:
-                v = m[c].iloc[0]
+                # first NON-NULL value: a leading null/NaN cell would
+                # otherwise hide arrays in later rows from this warning
+                # and crash the strict hasher downstream instead
+                s = m[c].dropna()
+                v = s.iloc[0] if len(s) else None
                 if hasattr(v, '__len__') and not isinstance(v, (str, bytes)):
                     ok = False
                     print(name, c, 'ARRAY CELL (driver harness crashes) — scalarize with concat_ws')
@@ -55,6 +59,10 @@ for name in sorted(oracles):
                 elif k == 'f':
                     df[c] = df[c].astype('float64')
                 elif k == 'M':
+                    # tz-aware datetimes (also kind 'M') raise on a bare
+                    # astype — strip the tz to UTC-naive first
+                    if getattr(df[c].dtype, 'tz', None) is not None:
+                        df[c] = df[c].dt.tz_convert('UTC').dt.tz_localize(None)
                     df[c] = df[c].astype('datetime64[us]')
                 elif df[c].dtype == object and len(df) > 0 and isinstance(
                         df[c].dropna().iloc[0] if df[c].notna().any()

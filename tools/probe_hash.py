@@ -38,11 +38,13 @@ for name in sorted(names or oracles):
             return hashlib.md5(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()
         except Exception as e:
             return f'HASH_ERR {e}'
-    print('   hash_pandas:', h(o), h(m), 'MATCH' if h(o) == h(m) else 'DIFF')
+    ho, hm = h(o), h(m)
+    print('   hash_pandas:', ho, hm, 'MATCH' if ho == hm else 'DIFF')
     # csv-style hash
     def hcsv(df):
         return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
-    print('   csv hash  :', hcsv(o), hcsv(m), 'MATCH' if hcsv(o) == hcsv(m) else 'DIFF')
+    co, cm = hcsv(o), hcsv(m)
+    print('   csv hash  :', co, cm, 'MATCH' if co == cm else 'DIFF')
     # per-column forensics
     for c in o.columns:
         a, b = o[c], m[c]
