@@ -42,4 +42,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full contract surface (re-raised at 170 queries: the 512m cache
   // re-saturated and the whole run measured a uniform 1.5×).
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // ad-hoc JVM flags for GC experiments (space-separated), e.g.
+  // SPARK_GRAFT_JVM="-XX:+UseParallelGC -Xmn16g"
+  sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split("\\s+").toSeq)
