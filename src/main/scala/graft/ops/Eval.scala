@@ -44,7 +44,14 @@ object Eval {
     * (group, score) collapse, the rank window partitioned BY GROUP
     * over the checkpointed distinct-score table (per-partition rows =
     * that group's score cardinality, never its row count), one
-    * group-keyed reduction. Degenerate groups yield null auc. */
+    * group-keyed reduction. Degenerate groups yield null auc.
+    *
+    * Skew note: the per-group window is the right shape when groups
+    * are numerous (the audit's usual regime — work self-distributes
+    * across groups). If ONE group dominates AND its scores are
+    * continuous (its distinct-score table ≈ its rows), filter to that
+    * group and use [[rankAuc]] — its two-pass range ranking
+    * distributes a single group's walk. */
   def rankAucBy(df: DataFrame, grpCol: String, scoreCol: String,
       labelCol: String): DataFrame = {
     val g = df

@@ -68,4 +68,46 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().head
     assert(a == b)
   }
+
+  /** Brute-force Mann–Whitney oracle: mean over all (pos, neg) pairs of
+    * [s⁺ > s⁻] + ½[s⁺ = s⁻] — the definition the rank form must equal. */
+  private def bruteAuc(rows: Seq[(Double, Boolean)])
+      : (Long, Long, Option[Double]) = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val aucOpt =
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val wins = (for (p <- pos; n <- neg)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        Some(math.rint(wins / (pos.size.toDouble * neg.size) * 1e6) / 1e6)
+      }
+    (pos.size.toLong, neg.size.toLong, aucOpt)
+  }
+
+  test("rankAuc: distributed two-pass ranking == brute-force pairwise " +
+    "AUC on seeded random corpora (continuous + heavily-tied + skewed " +
+    "partitionings)") {
+    val rnd = new scala.util.Random(20260814L)
+    val cases = Seq(
+      // continuous scores: distinct ≈ rows — the shape that motivated
+      // the range-ranking (every row its own rank-walk entry)
+      (1 to 300).map(_ => (rnd.nextDouble(), rnd.nextBoolean())),
+      // heavy ties: 5 distinct scores over 300 rows
+      (1 to 300).map(_ => ((rnd.nextInt(5) * 10).toDouble,
+        rnd.nextInt(3) == 0)),
+      // adversarial: all positives share one score inside the negs' range
+      (1 to 100).map(i => if (i % 4 == 0) (0.5, true)
+        else (rnd.nextDouble(), false)),
+      // tiny input across many partitions (empty range partitions)
+      Seq((1.0, true), (0.0, false), (0.5, true)))
+    for ((rows, i) <- cases.zipWithIndex;
+         nPart <- Seq(1, 7)) {
+      val df = rows.toDF("s", "y").repartition(nPart)
+      val got = Eval.rankAuc(df, "s", "y")
+        .as[(Long, Long, Option[Double])].collect().head
+      assert(got == bruteAuc(rows),
+        s"case $i nPart=$nPart: got $got want ${bruteAuc(rows)}")
+    }
+  }
 }
