@@ -3,7 +3,7 @@ package graft
 import graft.core.Vocabulary
 import graft.functors.TimeOfDayFunctor
 import graft.ingest.{EventDataset, Splits}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps, Unigram, WordPiece}
+import graft.ops.{Dedup, Linalg, Multimodal, Similarity, TextOps, Unigram, WordPiece}
 import graft.preprocess.{NumericKernel, Preprocessor, Viod}
 import graft.serve.{BatchBuilder, EmbeddingGather}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2124,6 +2124,59 @@ object SparkEntry {
           (col("n_bloom") >= col("n_matched")).as("bloom_sound"))
     }),
 
+    "q222_embed_decontam" -> ((s, dir) => {
+      // Embedding-space decontamination audit: every corpus vector's
+      // nearest EVAL vector by cosine plus a contamination flag — the
+      // semantic twin of the q90/q104 n-gram decontam (a paraphrase
+      // shares no 8-gram but sits next to its source in embedding
+      // space). Eval suites are small by construction, so the eval
+      // side broadcasts and the corpus never shuffles; the only
+      // exchange is the per-corpus-row max. 0.3 on the driver's
+      // near-orthogonal vectors (max pairwise cos ≈ 0.51, see q30)
+      // yields a non-trivial contaminated/clean mix; production
+      // paraphrase detection would use ~0.9.
+      val emb = t(s, dir, "embeddings")
+      Similarity.decontaminateByEmbedding(
+        emb.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding")),
+        emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("eval_id"),
+            col("embedding").as("eval_emb")),
+        "vec_id", "embedding", "eval_id", "eval_emb", threshold = 0.3)
+    }),
+
+    "q223_embed_covariance" -> ((s, dir) =>
+      // Corpus covariance of the embedding column as an EAV relation
+      // (i, j, cov), upper triangle — the fit side of whitening/PCA.
+      // ONE corpus pass through the gram_moments aggregate: each task
+      // folds rows into a constant 1+d+d(d+1)/2-double buffer (d=64 →
+      // 17 KB) and only those buffers cross the exchange, so the
+      // shuffle is O(partitions) regardless of corpus size.
+      Linalg.covarianceEav(s, t(s, dir, "embeddings"), "embedding")),
+
+    "q224_pca_project" -> ((s, dir) =>
+      // PC1 projection: fit via the same one-pass moments, dominant
+      // eigenvector by 15 FIXED driver-side power iterations over the
+      // 9dp-rounded covariance (params-as-data, replayed verbatim by
+      // the oracle's recursive CTE), apply as a broadcast-literal dot
+      // product — no second corpus shuffle anywhere.
+      Linalg.pcaProjectTop1(s, t(s, dir, "embeddings"), "vec_id",
+        "embedding", iters = 15)),
+
+    "q225_ridge_probe" -> ((s, dir) => {
+      // Ridge-regression quality probe (the fastText/classifier-filter
+      // shape): fit y = (label==0) on the embeddings by 50 FIXED
+      // gradient-descent steps over the 9dp-rounded n-normalized
+      // normal equations — G=XᵀX and b=Σy·x collected in ONE corpus
+      // pass (gram_moments + weighted vec sum side by side) — then
+      // score every row with the 9dp-rounded β and keep at 0.0 (the
+      // corpus median sits at 0.0026; scores span ±0.043).
+      val emb = t(s, dir, "embeddings")
+        .withColumn("y", (col("label") === 0).cast("double"))
+      Linalg.ridgeScore(emb, "vec_id", "embedding", "y",
+        lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.0)
+    }),
+
     "q220_dup_cluster_histogram" -> ((s, dir) => {
       // Duplicate-cluster-size histogram (the release-note table next
       // to q214's per-source rate: how many content clusters have
@@ -4201,6 +4254,128 @@ object SparkEntry {
     * the driver's weaker rows-only check (seeded-hash ops:
     * q16/q27/q28/q30/q41). */
   def oracleSql: Map[String, String] = Map(
+    // q222: brute-force the broadcast cross product; max-over-struct
+    // (cos, eval_id) replays as row_number ORDER BY cos DESC, eid DESC.
+    "q222_embed_decontam" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 10 <> 0),
+        |e AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
+        |      WHERE vec_id % 10 = 0),
+        |p AS (SELECT c.vec_id, e.eval_id,
+        |        list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(e.ev AS DOUBLE[])) AS cos
+        |      FROM c, e)
+        |SELECT vec_id, eval_id AS near_eval_id, ROUND(cos, 6) AS max_cos,
+        |  cos >= 0.3 AS contaminated
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY cos DESC, eval_id DESC) = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // q223: the raw-moment covariance formula verbatim —
+    // (Σxy − ΣxΣy/n)/(n−1) — NOT COVAR_SAMP, so the arithmetic shape
+    // matches the one-pass gram_moments fold exactly.
+    "q223_embed_covariance" ->
+      """WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL)
+        |SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+        |  ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |        / (COUNT(*) - 1), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q224: full power-iteration replay — covariance rounded to 9 dp on
+    // both sides, then 15 fixed normalize-each-step iterations as a
+    // recursive CTE over a row-major flat matrix list, sign pinned by
+    // Σv ≥ 0, component re-rounded to 9 dp before the final dot.
+    "q224_pca_project" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+        |cv AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |          / (COUNT(*) - 1), 9) AS c
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT list(c ORDER BY ri, ci) AS cl FROM cv),
+        |pi(t, v) AS (
+        |  SELECT 0, list_transform(range(0, 64),
+        |            i -> CAST(0.125 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    list_transform(
+        |      list_transform(range(0, 64), i -> list_sum(list_transform(
+        |        range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                           * v[CAST(j + 1 AS INT)]))),
+        |      y -> y / sqrt(list_sum(list_transform(
+        |        list_transform(range(0, 64), i -> list_sum(list_transform(
+        |          range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                             * v[CAST(j + 1 AS INT)]))),
+        |        z -> z * z))))
+        |  FROM pi, cm WHERE t < 15),
+        |v9 AS (
+        |  SELECT list_transform(
+        |    CASE WHEN list_sum(v) < 0
+        |         THEN list_transform(v, x -> -x) ELSE v END,
+        |    x -> ROUND(x, 9)) AS v
+        |  FROM pi WHERE t = 15)
+        |SELECT e.vec_id,
+        |  ROUND(list_sum(list_transform(range(0, 64),
+        |    i -> v9.v[CAST(i + 1 AS INT)]
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
+        |    AS pc1
+        |FROM embeddings e, v9 ORDER BY vec_id""".stripMargin,
+
+    // q225: gradient-descent replay — G/n and b/n rounded to 9 dp on
+    // both sides, 50 fixed steps β ← β − 0.5·((G/n)β − b/n + 0.1β)
+    // from β₀=0, β re-rounded to 9 dp before the scoring dot.
+    "q225_ridge_probe" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x,
+        |        CAST(label = 0 AS DOUBLE) AS y
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings
+        |       WHERE embedding IS NOT NULL),
+        |g AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    ROUND(SUM(a.x * b.x) / (SELECT n FROM nn), 9) AS gv
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |gm AS (SELECT list(gv ORDER BY ri, ci) AS gl FROM g),
+        |bv AS (
+        |  SELECT i, ROUND(SUM(y * x) / (SELECT n FROM nn), 9) AS bb
+        |  FROM x GROUP BY i),
+        |bm AS (SELECT list(bb ORDER BY i) AS bl FROM bv),
+        |gd(t, beta) AS (
+        |  SELECT 0, list_transform(range(0, 64),
+        |            i -> CAST(0.0 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    list_transform(range(0, 64), i ->
+        |      beta[CAST(i + 1 AS INT)] - 0.5 * (
+        |        list_sum(list_transform(range(0, 64),
+        |          j -> gl[CAST(i*64 + j + 1 AS INT)]
+        |               * beta[CAST(j + 1 AS INT)]))
+        |        - bl[CAST(i + 1 AS INT)]
+        |        + 0.1 * beta[CAST(i + 1 AS INT)]))
+        |  FROM gd, gm, bm WHERE t < 50),
+        |b9 AS (
+        |  SELECT list_transform(beta, x -> ROUND(x, 9)) AS b
+        |  FROM gd WHERE t = 50)
+        |SELECT e.vec_id,
+        |  ROUND(list_sum(list_transform(range(0, 64),
+        |    i -> b9.b[CAST(i + 1 AS INT)]
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
+        |    AS score,
+        |  list_sum(list_transform(range(0, 64),
+        |    i -> b9.b[CAST(i + 1 AS INT)]
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)))
+        |    >= 0.0 AS keep
+        |FROM embeddings e, b9 ORDER BY vec_id""".stripMargin,
+
     "q15_splits" ->
       """WITH keyed AS (
         |  SELECT DISTINCT user_id AS subject_id,

@@ -425,6 +425,129 @@ case class TopKByScoreAgg(
   override def prettyName: String = "top_k_by_score"
 }
 
+/** One-pass raw second moments of a vector column: the buffer holds
+  * `[n, Σx(d), Σ x_i·x_j (upper triangle, row-major)]` — the Gramian
+  * shape Spark MLlib's `RowMatrix.computeGramianMatrix` tree-aggregates
+  * (spark/mllib/linalg/distributed/RowMatrix.scala, public source).
+  *
+  * This is the 100 TB design for covariance/PCA/least-squares: the
+  * corpus is read ONCE, each task folds its rows into a constant
+  * `1+d+d(d+1)/2`-double buffer (d=64 → 17 KB), and only those buffers
+  * cross the exchange — the shuffle is O(partitions), independent of
+  * row count. Everything downstream (covariance, eigenvector, ridge
+  * normal equations) is driver-side arithmetic on the collected
+  * moments, i.e. model-sized params-as-data.
+  *
+  * Null vectors contribute nothing; an all-null group evaluates to
+  * null; a length mismatch inside a group throws (mixed-dimension
+  * embedding tables are a data bug, not a fold case). */
+case class GramMomentsAgg(
+    vec: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] with Serializable {
+
+  override def children: Seq[Expression] = Seq(vec)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"gram_moments needs array<float|double>, got ${t.sql}")
+    }
+
+  @transient private lazy val vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow)
+      : Array[Double] = {
+    val v = vec.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val len = 1 + d + d * (d + 1) / 2
+    val buf =
+      if (buffer.length == 0) new Array[Double](len)
+      else if (buffer.length != len)
+        throw new IllegalArgumentException(
+          s"gram_moments: vector of length $d in a group whose previous " +
+            s"vectors implied buffer length ${buffer.length}, not $len")
+      else buffer
+    val f = vecIsFloat
+    // one local copy so the triangle loop reads primitives, not ArrayData
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      x(i) = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    buf(0) += 1.0
+    var k = 1 + d
+    i = 0
+    while (i < d) {
+      buf(1 + i) += x(i)
+      val xi = x(i)
+      var j = i
+      while (j < d) { buf(k) += xi * x(j); j += 1; k += 1 }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.length == 0) b
+    else if (b.length == 0) a
+    else if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"gram_moments: merging buffers of lengths ${a.length} and " +
+          s"${b.length}")
+    else {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putDouble(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : GramMomentsAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : GramMomentsAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramMomentsAgg =
+    copy(vec = newChildren(0))
+
+  override def prettyName: String = "gram_moments"
+}
+
 object AggregateFunctions {
   /** Column-level API: per-group weighted vector sum `Σ w·vec`. */
   def weightedVecSum(w: Column, v: Column): Column =
@@ -448,4 +571,10 @@ object AggregateFunctions {
     Bridge.toColumn(
       CmsSketchAgg(Bridge.toExpression(text), bases, width, split, cap,
         family).toAggregateExpression())
+
+  /** Column-level API: one-pass raw moments `[n, Σx, Σ x_i·x_j]` of a
+    * vector column (upper-triangle Gramian — see [[GramMomentsAgg]]). */
+  def gramMoments(v: Column): Column =
+    Bridge.toColumn(
+      GramMomentsAgg(Bridge.toExpression(v)).toAggregateExpression())
 }

@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.expressions.AggregateFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed second-moment linear algebra over an embedding column
+  * (north-star extension): covariance/PCA and a ridge-regression
+  * "quality probe" — the linear classifier a training-data pipeline
+  * fits on embeddings to score and filter a corpus (the fastText /
+  * FineWeb-Edu quality-filter shape, re-expressed Spark-first).
+  *
+  * The 100 TB design point: every operator here reads the corpus in ONE
+  * pass through [[graft.expressions.GramMomentsAgg]] — a constant
+  * `1+d+d(d+1)/2`-double buffer per task (d=64 → 17 KB) whose partial
+  * buffers are the ONLY thing on the exchange wire. The d×d solve
+  * (power iteration / gradient descent) is driver-side arithmetic on
+  * the collected moments (model-sized params-as-data), and the apply
+  * stage is a broadcast dot product — no second corpus shuffle anywhere.
+  *
+  * Determinism discipline (the q40 round-9dp-both-sides rule): the
+  * collected moments are rounded to 9 dp before any iterative solve so
+  * an external engine (the DuckDB oracle) replaying the SAME fixed
+  * iteration count over the SAME rounded inputs reproduces the result
+  * to well inside the 6-dp output rounding. Both solvers run a FIXED
+  * number of iterations — no convergence test — so the replay needs no
+  * fixpoint semantics, just unrolled arithmetic.
+  */
+object Linalg {
+
+  /** Raw moments of `vecCol`, collected to the driver:
+    * `(n, Σx (length d), upper-triangle Σ x_i·x_j (row-major))`.
+    * One corpus pass, one O(partitions) exchange. */
+  def collectMoments(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Double]) = {
+    val row = df
+      .agg(AggregateFunctions.gramMoments(col(vecCol)).as("m"))
+      .head()
+    require(!row.isNullAt(0), s"gram moments: no non-null $vecCol rows")
+    val m = row.getSeq[Double](0).toArray
+    // invert len = 1 + d + d(d+1)/2  →  d = (-3 + sqrt(9 + 8(len-1))) / 2
+    val d = ((math.sqrt(9.0 + 8.0 * (m.length - 1)) - 3.0) / 2.0).round.toInt
+    require(1 + d + d * (d + 1) / 2 == m.length,
+      s"gram moments: buffer length ${m.length} is not triangular")
+    (m(0).toLong, m.slice(1, 1 + d), m.drop(1 + d))
+  }
+
+  private def round9(v: Double): Double = math.rint(v * 1e9) / 1e9
+
+  /** Sample covariance from raw moments:
+    * `cov(i,j) = (Σ x_i x_j − Σx_i·Σx_j/n) / (n−1)`, full d×d. */
+  def covarianceFromMoments(n: Long, sums: Array[Double],
+      prods: Array[Double]): Array[Array[Double]] = {
+    val d = sums.length
+    require(n >= 2, s"covariance needs n >= 2 rows, got $n")
+    val c = Array.ofDim[Double](d, d)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = (prods(k) - sums(i) * sums(j) / n) / (n - 1.0)
+        c(i)(j) = v
+        c(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Upper-triangle sample covariance of `vecCol` as an EAV relation
+    * `(i, j, cov)`, i <= j, 6-dp — the distributed fit's params-as-data
+    * surface (d(d+1)/2 rows; d=64 → 2,080). */
+  def covarianceEav(spark: SparkSession, df: DataFrame, vecCol: String)
+      : DataFrame = {
+    val (n, sums, prods) = collectMoments(df, vecCol)
+    val c = covarianceFromMoments(n, sums, prods)
+    val rows = for {
+      i <- 0 until sums.length
+      j <- i until sums.length
+    } yield (i.toLong, j.toLong, math.rint(c(i)(j) * 1e6) / 1e6)
+    import spark.implicits._
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** Dominant eigenvector of `cov` by `iters` FIXED power iterations
+    * from the uniform start `1/√d`, inputs rounded to 9 dp, vector
+    * normalized each step, sign canonicalized so `Σv ≥ 0`. Index-order
+    * arithmetic throughout — replayable verbatim in SQL. */
+  def powerIterate(cov: Array[Array[Double]], iters: Int): Array[Double] = {
+    val d = cov.length
+    val c = Array.tabulate(d, d)((i, j) => round9(cov(i)(j)))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var t = 0
+    while (t < iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var nrm = 0.0
+      i = 0
+      while (i < d) { nrm += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 0.0, "power iteration collapsed to the zero vector")
+      i = 0
+      while (i < d) { w(i) /= nrm; i += 1 }
+      v = w
+      t += 1
+    }
+    // canonical sign: the eigenvector is defined up to ±; pin the sum
+    // non-negative (data-dependent but far from 0 on the test corpora,
+    // and replayed by the oracle with the same rule)
+    if (v.sum < 0) v.map(-_) else v
+  }
+
+  /** Projection of `vecCol` onto the dominant principal component of
+    * the corpus (fit distributed via moments, solved on the driver,
+    * applied as a broadcast-literal dot product): `(idCol, pc1)` 6-dp.
+    * The component is rounded to 9 dp before the dot product so the
+    * apply stage is replayable too. */
+  def pcaProjectTop1(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, iters: Int = 15): DataFrame = {
+    val (n, sums, prods) = collectMoments(df, vecCol)
+    val v = powerIterate(covarianceFromMoments(n, sums, prods), iters)
+      .map(round9)
+    df.select(col(idCol),
+      round(dot(col(vecCol), v), 6).as("pc1"))
+  }
+
+  /** Index-order dot product of a vector column with a literal vector —
+    * `zip_with` + `aggregate` stay inside codegen and sum in element
+    * order, matching both the driver loop and the SQL replay. */
+  def dot(vec: Column, w: Array[Double]): Column =
+    aggregate(
+      zip_with(vec.cast("array<double>"),
+        lit(w).cast("array<double>"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Ridge-regression fit of `yCol ~ vecCol` (no intercept) by `iters`
+    * FIXED gradient-descent steps on the n-normalized normal equations:
+    * one corpus pass for `G = XᵀX` (gram moments) and `b = Σ y·x`
+    * (weighted vector sum) TOGETHER, then driver-side
+    * `β ← β − η((G/n)β − b/n + λβ)` from β₀ = 0 over 9-dp-rounded
+    * `G/n`, `b/n`. For unit-norm rows λmax(G/n) ≤ 1, so η < 2/(1+λ)
+    * converges; the FIXED count makes the answer a closed arithmetic
+    * form either way. Returns (n, β). */
+  def ridgeFit(df: DataFrame, vecCol: String, yCol: String,
+      lambda: Double, eta: Double, iters: Int)
+      : (Long, Array[Double]) = {
+    val row = df.agg(
+      AggregateFunctions.gramMoments(col(vecCol)).as("m"),
+      AggregateFunctions.weightedVecSum(col(yCol).cast("double"),
+        col(vecCol)).as("b")).head()
+    require(!row.isNullAt(0), s"ridge fit: no non-null $vecCol rows")
+    val m = row.getSeq[Double](0).toArray
+    val bRaw = row.getSeq[Double](1).toArray
+    val d = bRaw.length
+    require(m.length == 1 + d + d * (d + 1) / 2,
+      s"ridge fit: moments length ${m.length} inconsistent with d=$d")
+    val n = m(0)
+    val g = Array.ofDim[Double](d, d)
+    var k = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = round9(m(k) / n)
+        g(i)(j) = v; g(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val b = bRaw.map(x => round9(x / n))
+    val beta = new Array[Double](d)
+    var t = 0
+    while (t < iters) {
+      val grad = new Array[Double](d)
+      i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += g(i)(j) * beta(j); j += 1 }
+        grad(i) = s - b(i) + lambda * beta(i)
+        i += 1
+      }
+      i = 0
+      while (i < d) { beta(i) -= eta * grad(i); i += 1 }
+      t += 1
+    }
+    (n.toLong, beta)
+  }
+
+  /** Ridge coefficients as an EAV relation `(j, beta)`, 6-dp. */
+  def ridgeFitEav(spark: SparkSession, df: DataFrame, vecCol: String,
+      yCol: String, lambda: Double, eta: Double, iters: Int): DataFrame = {
+    val (_, beta) = ridgeFit(df, vecCol, yCol, lambda, eta, iters)
+    import spark.implicits._
+    beta.zipWithIndex
+      .map { case (v, j) => (j.toLong, math.rint(v * 1e6) / 1e6) }
+      .toSeq.toDF("j", "beta")
+  }
+
+  /** Score the corpus with a fitted ridge probe: fit (one pass), round
+    * β to 9 dp, then a broadcast-literal dot product per row — the
+    * quality-classifier filter stage. `(idCol, score, keep)`. */
+  def ridgeScore(df: DataFrame, idCol: String, vecCol: String,
+      yCol: String, lambda: Double, eta: Double, iters: Int,
+      threshold: Double): DataFrame = {
+    val (_, beta) = ridgeFit(df, vecCol, yCol, lambda, eta, iters)
+    val b9 = beta.map(round9)
+    val s = dot(col(vecCol), b9)
+    df.select(col(idCol), round(s, 6).as("score"),
+      (s >= threshold).as("keep"))
+  }
+}

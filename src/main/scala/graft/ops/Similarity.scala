@@ -76,6 +76,36 @@ object Similarity {
       .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / k)
         .as("recall"))
 
+  /** Embedding-space eval-set decontamination: for every corpus row,
+    * the nearest eval vector by cosine and a contamination flag at
+    * `threshold` — the semantic companion to n-gram/Bloom decontam
+    * (a paraphrased benchmark item shares no 8-gram but sits next to
+    * its source in embedding space).
+    *
+    * 100 TB shape: eval suites are SMALL by construction (benchmark
+    * items, not corpora), so the eval side broadcasts and the corpus
+    * never moves — `crossJoin(broadcast(...))` scans each corpus
+    * partition in place; the only exchange is the final per-corpus-row
+    * max (one compact row per corpus row, hash-combined map-side). The
+    * result is EXACT (no LSH recall loss), which is what a removal
+    * audit needs. Ties on cosine break toward the larger eval id via
+    * the max-over-struct total order. */
+  def decontaminateByEmbedding(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, evalIdCol: String,
+      evalVecCol: String, threshold: Double): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(evalSet))
+      .select(col(idCol),
+        struct(
+          VectorFunctions.cosineSimilarity(col(vecCol), col(evalVecCol))
+            .as("cos"),
+          col(evalIdCol).as("eid")).as("p"))
+    scored.groupBy(idCol)
+      .agg(max(col("p")).as("m"))
+      .select(col(idCol), col("m.eid").as("near_eval_id"),
+        round(col("m.cos"), 6).as("max_cos"),
+        (col("m.cos") >= threshold).as("contaminated"))
+  }
+
   /** Sign-bucket of `nPlanes` pseudo-random hyperplane dot products.
     * Hyperplane components are seeded xxhash64 draws mapped to ±1 — fully
     * deterministic, no stored model, identical on every executor. Native
