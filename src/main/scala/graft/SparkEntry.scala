@@ -4255,17 +4255,22 @@ object SparkEntry {
     * q16/q27/q28/q30/q41). */
   def oracleSql: Map[String, String] = Map(
     // q222: brute-force the broadcast cross product; max-over-struct
-    // (cos, eval_id) replays as row_number ORDER BY cos DESC, eid DESC.
+    // (round(cos,6), eval_id) replays as row_number ORDER BY rounded
+    // cos DESC, eid DESC. The 6-dp rounding happens BEFORE the argmax
+    // and the threshold compare on BOTH sides, so ulp-level
+    // accumulation differences between the engines' cosine folds
+    // can't flip near_eval_id or contaminated.
     "q222_embed_decontam" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings
         |           WHERE vec_id % 10 <> 0),
         |e AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
         |      WHERE vec_id % 10 = 0),
         |p AS (SELECT c.vec_id, e.eval_id,
-        |        list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-        |                               CAST(e.ev AS DOUBLE[])) AS cos
+        |        ROUND(list_cosine_similarity(
+        |          CAST(c.embedding AS DOUBLE[]),
+        |          CAST(e.ev AS DOUBLE[])), 6) AS cos
         |      FROM c, e)
-        |SELECT vec_id, eval_id AS near_eval_id, ROUND(cos, 6) AS max_cos,
+        |SELECT vec_id, eval_id AS near_eval_id, cos AS max_cos,
         |  cos >= 0.3 AS contaminated
         |FROM p
         |QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -4274,13 +4279,15 @@ object SparkEntry {
 
     // q223: the raw-moment covariance formula verbatim —
     // (Σxy − ΣxΣy/n)/(n−1) — NOT COVAR_SAMP, so the arithmetic shape
-    // matches the one-pass gram_moments fold exactly.
+    // matches the one-pass gram_moments fold exactly. round_even (not
+    // ROUND) because the Scala side rounds with math.rint = half-even
+    // — the repo's banker's-rounding parity rule.
     "q223_embed_covariance" ->
       """WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
         |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
         |      FROM embeddings, idx WHERE embedding IS NOT NULL)
         |SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
-        |  ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |  round_even((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
         |        / (COUNT(*) - 1), 6) AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -4296,7 +4303,7 @@ object SparkEntry {
         |      FROM embeddings, idx WHERE embedding IS NOT NULL),
         |cv AS (
         |  SELECT a.i AS ri, b.i AS ci,
-        |    ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |    round_even((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
         |          / (COUNT(*) - 1), 9) AS c
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id
         |  GROUP BY 1, 2),
@@ -4320,7 +4327,7 @@ object SparkEntry {
         |  SELECT list_transform(
         |    CASE WHEN list_sum(v) < 0
         |         THEN list_transform(v, x -> -x) ELSE v END,
-        |    x -> ROUND(x, 9)) AS v
+        |    x -> round_even(x, 9)) AS v
         |  FROM pi WHERE t = 15)
         |SELECT e.vec_id,
         |  ROUND(list_sum(list_transform(range(0, 64),
@@ -4342,11 +4349,11 @@ object SparkEntry {
         |       WHERE embedding IS NOT NULL),
         |g AS (
         |  SELECT a.i AS ri, b.i AS ci,
-        |    ROUND(SUM(a.x * b.x) / (SELECT n FROM nn), 9) AS gv
+        |    round_even(SUM(a.x * b.x) / (SELECT n FROM nn), 9) AS gv
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
         |gm AS (SELECT list(gv ORDER BY ri, ci) AS gl FROM g),
         |bv AS (
-        |  SELECT i, ROUND(SUM(y * x) / (SELECT n FROM nn), 9) AS bb
+        |  SELECT i, round_even(SUM(y * x) / (SELECT n FROM nn), 9) AS bb
         |  FROM x GROUP BY i),
         |bm AS (SELECT list(bb ORDER BY i) AS bl FROM bv),
         |gd(t, beta) AS (
@@ -4363,16 +4370,16 @@ object SparkEntry {
         |        + 0.1 * beta[CAST(i + 1 AS INT)]))
         |  FROM gd, gm, bm WHERE t < 50),
         |b9 AS (
-        |  SELECT list_transform(beta, x -> ROUND(x, 9)) AS b
+        |  SELECT list_transform(beta, x -> round_even(x, 9)) AS b
         |  FROM gd WHERE t = 50)
         |SELECT e.vec_id,
         |  ROUND(list_sum(list_transform(range(0, 64),
         |    i -> b9.b[CAST(i + 1 AS INT)]
         |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
         |    AS score,
-        |  list_sum(list_transform(range(0, 64),
+        |  ROUND(list_sum(list_transform(range(0, 64),
         |    i -> b9.b[CAST(i + 1 AS INT)]
-        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)))
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
         |    >= 0.0 AS keep
         |FROM embeddings e, b9 ORDER BY vec_id""".stripMargin,
 

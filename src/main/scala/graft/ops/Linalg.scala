@@ -158,6 +158,7 @@ object Linalg {
       AggregateFunctions.weightedVecSum(col(yCol).cast("double"),
         col(vecCol)).as("b")).head()
     require(!row.isNullAt(0), s"ridge fit: no non-null $vecCol rows")
+    require(!row.isNullAt(1), s"ridge fit: no non-null $yCol rows")
     val m = row.getSeq[Double](0).toArray
     val bRaw = row.getSeq[Double](1).toArray
     val d = bRaw.length
@@ -208,14 +209,17 @@ object Linalg {
 
   /** Score the corpus with a fitted ridge probe: fit (one pass), round
     * β to 9 dp, then a broadcast-literal dot product per row — the
-    * quality-classifier filter stage. `(idCol, score, keep)`. */
+    * quality-classifier filter stage. `(idCol, score, keep)`. `keep`
+    * is derived from the 6-dp ROUNDED score (the same value the row
+    * reports), so an ulp-level fold-order difference between engines
+    * can't flip the flag at the threshold. */
   def ridgeScore(df: DataFrame, idCol: String, vecCol: String,
       yCol: String, lambda: Double, eta: Double, iters: Int,
       threshold: Double): DataFrame = {
     val (_, beta) = ridgeFit(df, vecCol, yCol, lambda, eta, iters)
     val b9 = beta.map(round9)
-    val s = dot(col(vecCol), b9)
-    df.select(col(idCol), round(s, 6).as("score"),
+    val s = round(dot(col(vecCol), b9), 6)
+    df.select(col(idCol), s.as("score"),
       (s >= threshold).as("keep"))
   }
 }

@@ -89,20 +89,28 @@ object Similarity {
     * max (one compact row per corpus row, hash-combined map-side). The
     * result is EXACT (no LSH recall loss), which is what a removal
     * audit needs. Ties on cosine break toward the larger eval id via
-    * the max-over-struct total order. */
+    * the max-over-struct total order.
+    *
+    * Engine-portability: the cosine is rounded to 6 dp INSIDE the
+    * max struct, so the argmax, the reported max_cos, and the
+    * threshold compare all see the same rounded value — an ulp-level
+    * accumulation difference between engines (index-order fold here
+    * vs another engine's vectorized sum) can no longer flip
+    * `near_eval_id` or `contaminated` near the threshold; ties at
+    * equal rounded cosine break deterministically via eval id. */
   def decontaminateByEmbedding(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, evalIdCol: String,
       evalVecCol: String, threshold: Double): DataFrame = {
     val scored = corpus.crossJoin(broadcast(evalSet))
       .select(col(idCol),
         struct(
-          VectorFunctions.cosineSimilarity(col(vecCol), col(evalVecCol))
-            .as("cos"),
+          round(VectorFunctions.cosineSimilarity(col(vecCol),
+            col(evalVecCol)), 6).as("cos"),
           col(evalIdCol).as("eid")).as("p"))
     scored.groupBy(idCol)
       .agg(max(col("p")).as("m"))
       .select(col(idCol), col("m.eid").as("near_eval_id"),
-        round(col("m.cos"), 6).as("max_cos"),
+        col("m.cos").as("max_cos"),
         (col("m.cos") >= threshold).as("contaminated"))
   }
 
