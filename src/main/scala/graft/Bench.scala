@@ -46,13 +46,19 @@ object Bench {
     // Local-iteration filter (the driver never sets this): run only the
     // queries whose name matches the regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    // Steady-state timing: each query runs `reps` times, report the MIN.
-    // A single cold pass charges whichever queries JIT/codegen-compile
-    // their operators first with multi-second one-time costs (measured
-    // swings of 0.5 s ↔ 8 s on identical plans); min-of-2 measures the
-    // recurring cost of the PLAN, which is what a 100 TB projection
-    // scales from.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Steady-state timing: each query runs until its best two reps AGREE
+    // (ratio ≤ SPARK_GRAFT_REP_AGREE, default 1.3), min 2 reps, capped at
+    // SPARK_GRAFT_REPS (default 5); report the MIN. A single cold pass
+    // charges whichever queries JIT/codegen-compile their operators first
+    // with multi-second one-time costs (measured swings of 0.5 s ↔ 8 s on
+    // identical plans), and a CONTENDED BOX makes any fixed rep count a
+    // lottery (r8/r9 driver artifacts: min-of-2 swings up to 19× on
+    // code-unchanged queries). Adaptive agreement makes the artifact
+    // defend itself: a query that can't produce two agreeing reps within
+    // the cap is emitted with contended=true and its spread, so a dirty
+    // run is self-labeling instead of silently poisoning the trend.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(2)
+    val agree = sys.env.getOrElse("SPARK_GRAFT_REP_AGREE", "1.3").toDouble
     // Contention/GC attribution (the r6 driver-vs-idle divergence lesson):
     // record the 1-minute loadavg per query and the JVM GC-time delta per
     // rep, and force a full collection BETWEEN queries so garbage left by
@@ -76,15 +82,33 @@ object Bench {
     // collections; gc_total_sec = the whole-run delta (their sum plus
     // warmup).
     var forcedGcMs = 0L
+    // Per-query record: (rep times, headline sec, per-rep gc ms,
+    // per-rep 1-min loadavg, best-two spread, contended flag).
+    case class QRec(times: Seq[Double], sec: Double, gcs: Seq[Long],
+      loads: Seq[Double], spread: Double, contended: Boolean)
+    def bestTwoSpread(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length < 2 || s.head <= 0) Double.PositiveInfinity
+      else s(1) / s.head
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map {
       case (name, fn) =>
-        val load = osBean.getSystemLoadAverage
-        val timed = (1 to reps).map { i =>
+        var times = Vector.empty[Double]
+        var gcs = Vector.empty[Long]
+        var loads = Vector.empty[Double]
+        var failed = false
+        // adaptive loop: stop as soon as the best two reps agree, or a
+        // rep fails (plans are deterministic — a pass/fail flicker
+        // would mean nondeterminism worth surfacing), or the cap hits
+        while (!failed && times.length < maxReps &&
+            (times.length < 2 || bestTwoSpread(times) > agree)) {
+          val i = times.length + 1
           // stderr marker so session-level WARNs (large task binaries,
           // capped-candidate audits) are attributable to a query
           System.err.println(s"[bench] $name rep $i")
+          loads :+= osBean.getSystemLoadAverage
           val g0 = gcMs
           val t0 = System.nanoTime()
           val ok =
@@ -93,28 +117,36 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
             }
-          (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, gcMs - g0)
+          if (!ok) { failed = true; times :+= -1.0 }
+          else times :+= (System.nanoTime() - t0) / 1e9
+          gcs :+= gcMs - g0
         }
         val fg0 = gcMs
         System.gc()
         forcedGcMs += gcMs - fg0
-        val times = timed.map(_._1)
-        // any failed rep fails the query (plans are deterministic — a
-        // pass/fail flicker would mean nondeterminism worth surfacing)
-        name -> (times, if (times.exists(_ < 0)) -1.0 else times.min,
-          timed.map(_._2), load)
+        val spread = bestTwoSpread(times)
+        val contended = !failed && spread > agree
+        if (contended) System.err.println(
+          s"[bench] $name CONTENDED: best-two spread ${spread} after " +
+            s"${times.length} reps (times ${times.mkString(",")})")
+        name -> QRec(times, if (failed) -1.0 else times.min, gcs, loads,
+          spread, contended)
     }
-    // -1.0 failure sentinels must not reduce the total
-    val total = results.map(_._2._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2._2 < 0)
+    // -1.0 failure sentinels must not reduce the total. The headline is
+    // the sum of per-query MINs — for every agreeing query that min is
+    // one of the agreeing pair by construction; contended queries are
+    // counted separately so a dirty run impeaches itself up front.
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
+    val nFailed = results.count(_._2.sec < 0)
+    val nContended = results.count(_._2.contended)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // The driver retains only the last 2000 chars of stdout, so the ONE
     // JSON line must fit that window: query keys are abbreviated to their
     // unique qNN prefix (the contract's own example uses "q1") and times
     // carry 3 decimals. Full names + per-rep times go to the companion
     // file below.
-    val qs = results.map { case (k, (_, v, _, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    val qs = results.map { case (k, r) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(r.sec)
     }.mkString("{", ",", "}")
     // Full-fidelity record (full query names, every rep's time): immune to
     // the stdout tail window. Path overridable for local iteration.
@@ -137,7 +169,7 @@ object Bench {
                 .ShuffleExchangeExec => 1
             }.sum
             spark.conf.set("spark.sql.adaptive.enabled", "true")
-            val ts = (1 to reps).map { i =>
+            val ts = (1 to 2).map { i =>
               System.err.println(s"[bench] $name rep $i")
               val s0 = System.nanoTime()
               run(fn(spark))
@@ -152,16 +184,21 @@ object Bench {
           entries.mkString("", ",", "}"))
       }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val fullQs = results.map { case (k, (reps, v, gcs, load)) =>
-      s""""$k":{"sec":$v,"reps":[${reps.mkString(",")}],""" +
-        s""""gc_ms":[${gcs.mkString(",")}],"load":${r3(load)}}"""
+    val fullQs = results.map { case (k, r) =>
+      val sp = if (r.spread.isInfinity) "null" else r3(r.spread).toString
+      s""""$k":{"sec":${r.sec},"reps":[${r.times.mkString(",")}],""" +
+        s""""gc_ms":[${r.gcs.mkString(",")}],""" +
+        s""""loads":[${r.loads.map(r3).mkString(",")}],""" +
+        s""""spread":$sp,"contended":${r.contended}}"""
     }.mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
-    val gcSec = r3(results.map(_._2._3.sum).sum / 1e3)
+    val gcSec = r3(results.map(_._2.gcs.sum).sum / 1e3)
     val gcForcedSec = r3(forcedGcMs / 1e3)
     val gcTotalSec = r3((gcMs - gcStart) / 1e3)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""max_reps":$maxReps,"rep_agree":$agree,""" +
+        s""""n_contended":$nContended,""" +
         s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
         s""""gc_sec":$gcSec,"gc_forced_sec":$gcForcedSec,""" +
         s""""gc_total_sec":$gcTotalSec,""" +
@@ -174,7 +211,7 @@ object Bench {
     }
     // Compact load/GC note in the one-liner too (the driver keeps only the
     // stdout tail): enough to attribute a slow run to box contention.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"gc_forced_sec":$gcForcedSec,"gc_total_sec":$gcTotalSec,"queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","max_reps":$maxReps,"n_contended":$nContended,"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"gc_forced_sec":$gcForcedSec,"gc_total_sec":$gcTotalSec,"queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
