@@ -110,4 +110,53 @@ class EvalSpec extends SparkSpec {
         s"case $i nPart=$nPart: got $got want ${bruteAuc(rows)}")
     }
   }
+
+  test("rankAucBy: dominant group with 10^6 distinct scores auto-routes " +
+    "to the two-pass range walk; answer identical to the window path " +
+    "and to the closed form; no single task gets the full walk") {
+    val n = 1000000L
+    // big group: strictly increasing scores, alternating labels →
+    // closed-form AUC = (n/2 − 1) / (2·(n/2)) · 2 … computed exactly:
+    // R⁺ = (n/2)², AUC = ((n/2)² − (n/2)(n/2+1)/2) / (n/2)² = 0.499999
+    val big = spark.range(n)
+      .select(lit("big").as("g"), col("id").cast("double").as("s"),
+        (col("id") % 2 === 0).as("y"))
+    val small = Seq(
+      ("a", 0.9, true), ("a", 0.8, true), ("a", 0.2, false),
+      ("a", 0.1, false),
+      ("b", 0.1, true), ("b", 0.9, false)).toDF("g", "s", "y")
+    val rows = big.unionByName(small)
+    val routed = Eval.rankAucBy(rows, "g", "s", "y",
+        bigGroupThreshold = 100000L)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(routed("big") == (("big", 500000L, 500000L, Some(0.499999))))
+    assert(routed("a")._4.contains(1.0))
+    assert(routed("b")._4.contains(0.0))
+    // routing never changes the answer: forced window path agrees
+    val windowed = Eval.rankAucBy(rows, "g", "s", "y",
+        bigGroupThreshold = Long.MaxValue)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(routed == windowed)
+    // structural guarantee: the big-group rank window is partitioned by
+    // (pid, grp) — each task ranks only its own contiguous range slice,
+    // never the group's full walk
+    val g = rows.filter($"g" === "big")
+      .groupBy(col("g").as("grp"), col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    // AQE off so the executed-plan walk can't vacuously pass (the
+    // WindowCapacitySpec rule)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows =
+      try Eval.rankedByGroupRange(g).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.size == 2,
+      s"big-group rank window must partition by (pid, grp), got " +
+        s"${w.partitionSpec}"))
+  }
 }
