@@ -2177,6 +2177,44 @@ object SparkEntry {
         lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.0)
     }),
 
+    "q226_pca_components" -> ((s, dir) =>
+      // Top-4 principal components of the embedding corpus as an EAV
+      // relation (comp, j, loading, eigval) — the whitening/
+      // decorrelation FIT surface. Same one-pass gram-moments fold as
+      // q223; the deflated power iteration (15 fixed steps per
+      // component, every data-dependent intermediate 9dp-rounded
+      // before reuse) is driver-side arithmetic the oracle replays
+      // verbatim as a (comp, iter) recursive CTE. Component 0 is
+      // exactly q224's eigenvector.
+      Linalg.pcaComponentsEav(s, t(s, dir, "embeddings"), "embedding",
+        k = 4, iters = 15)),
+
+    "q227_whiten" -> ((s, dir) =>
+      // Whitening apply: every embedding's coordinates in the top-4
+      // eigenbasis scaled to unit variance — (vec_id, comp, w) with
+      // w = (x·v_c)/√λ_c. Fit is the same one moments pass; apply is
+      // 4 broadcast-literal dot products inside one corpus scan —
+      // ZERO additional shuffles at any corpus size.
+      Linalg.whitenTopK(s, t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 15)),
+
+    "q228_ridge_std" -> ((s, dir) => {
+      // The practical quality-filter recipe (fastText/FineWeb-Edu
+      // shape): ridge probe on STANDARDIZED features with an
+      // unregularized intercept. Means/variances come out of the same
+      // single gram-moments pass as q225 (no second scan); the
+      // standardized normal equations and GD run driver-side on
+      // 9dp-rounded reductions; the apply folds standardization into
+      // one broadcast dot product plus a constant. Keep at 0.1 = ȳ
+      // (labels are uniform 0-9, so P(label=0) = 0.1): the intercept
+      // centers scores there, making the flag a balanced above-/
+      // below-average split.
+      val emb = t(s, dir, "embeddings")
+        .withColumn("y", (col("label") === 0).cast("double"))
+      Linalg.ridgeScoreStd(emb, "vec_id", "embedding", "y",
+        lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.1)
+    }),
+
     "q220_dup_cluster_histogram" -> ((s, dir) => {
       // Duplicate-cluster-size histogram (the release-note table next
       // to q214's per-source rate: how many content clusters have
@@ -4382,6 +4420,243 @@ object SparkEntry {
         |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
         |    >= 0.0 AS keep
         |FROM embeddings e, b9 ORDER BY vec_id""".stripMargin,
+
+    // q226: full deflated-power-iteration replay as ONE recursive CTE
+    // over state (comp, iter, matrix, v): t<15 steps the iteration
+    // (normalize each step), t=15 pins the sign, rounds the component
+    // to 9 dp, takes the 9dp Rayleigh quotient, deflates the matrix
+    // (9dp per entry) and restarts at the uniform vector for the next
+    // component — byte-matching the Scala driver loop. round_even
+    // everywhere the Scala side uses math.rint.
+    "q226_pca_components" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+        |cv AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    round_even((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |          / (COUNT(*) - 1), 9) AS c
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT list(c ORDER BY ri, ci) AS cl FROM cv),
+        |pi(comp, t, cl, v) AS (
+        |  SELECT 0, 0, cl,
+        |    list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE))
+        |  FROM cm
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN t < 15 THEN comp ELSE comp + 1 END,
+        |    CASE WHEN t < 15 THEN t + 1 ELSE 0 END,
+        |    CASE WHEN t < 15 THEN cl
+        |         ELSE list_transform(range(0, 4096), ij -> round_even(
+        |           cl[CAST(ij + 1 AS INT)] - lam
+        |             * vv[CAST(ij // 64 + 1 AS INT)]
+        |             * vv[CAST(ij % 64 + 1 AS INT)], 9)) END,
+        |    CASE WHEN t < 15 THEN
+        |      list_transform(
+        |        list_transform(range(0, 64), i -> list_sum(list_transform(
+        |          range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                             * v[CAST(j + 1 AS INT)]))),
+        |        y -> y / sqrt(list_sum(list_transform(
+        |          list_transform(range(0, 64), i -> list_sum(list_transform(
+        |            range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                               * v[CAST(j + 1 AS INT)]))),
+        |          z -> z * z))))
+        |    ELSE list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE)) END
+        |  FROM (
+        |    SELECT comp, t, cl, v, vv,
+        |      CASE WHEN t = 15 THEN round_even(list_sum(list_transform(
+        |        range(0, 64), i -> vv[CAST(i + 1 AS INT)]
+        |          * list_sum(list_transform(range(0, 64),
+        |              j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                   * vv[CAST(j + 1 AS INT)])))), 9) END AS lam
+        |    FROM (
+        |      SELECT comp, t, cl, v,
+        |        CASE WHEN t = 15 THEN list_transform(
+        |          CASE WHEN list_sum(v) < 0
+        |               THEN list_transform(v, x -> -x) ELSE v END,
+        |          x -> round_even(x, 9)) END AS vv
+        |      FROM pi WHERE comp < 3 OR t < 15))),
+        |fin AS (
+        |  SELECT comp,
+        |    list_transform(
+        |      CASE WHEN list_sum(v) < 0
+        |           THEN list_transform(v, x -> -x) ELSE v END,
+        |      x -> round_even(x, 9)) AS vv, cl
+        |  FROM pi WHERE t = 15),
+        |wl AS (
+        |  SELECT comp, vv,
+        |    round_even(list_sum(list_transform(range(0, 64),
+        |      i -> vv[CAST(i + 1 AS INT)] * list_sum(list_transform(
+        |        range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                           * vv[CAST(j + 1 AS INT)])))), 9) AS lam
+        |  FROM fin)
+        |SELECT CAST(comp AS BIGINT) AS comp, CAST(j AS BIGINT) AS j,
+        |  round_even(vv[CAST(j + 1 AS INT)], 6) AS loading,
+        |  round_even(lam, 6) AS eigval
+        |FROM wl, range(0, 64) r(j)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q227: same deflation CTE as q226, then the whitening apply per
+    // row — (x·v_c) · round_even(1/√λ_c, 9), output ROUND 6 (Spark
+    // round = HALF_UP = DuckDB ROUND).
+    "q227_whiten" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+        |cv AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    round_even((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |          / (COUNT(*) - 1), 9) AS c
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT list(c ORDER BY ri, ci) AS cl FROM cv),
+        |pi(comp, t, cl, v) AS (
+        |  SELECT 0, 0, cl,
+        |    list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE))
+        |  FROM cm
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN t < 15 THEN comp ELSE comp + 1 END,
+        |    CASE WHEN t < 15 THEN t + 1 ELSE 0 END,
+        |    CASE WHEN t < 15 THEN cl
+        |         ELSE list_transform(range(0, 4096), ij -> round_even(
+        |           cl[CAST(ij + 1 AS INT)] - lam
+        |             * vv[CAST(ij // 64 + 1 AS INT)]
+        |             * vv[CAST(ij % 64 + 1 AS INT)], 9)) END,
+        |    CASE WHEN t < 15 THEN
+        |      list_transform(
+        |        list_transform(range(0, 64), i -> list_sum(list_transform(
+        |          range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                             * v[CAST(j + 1 AS INT)]))),
+        |        y -> y / sqrt(list_sum(list_transform(
+        |          list_transform(range(0, 64), i -> list_sum(list_transform(
+        |            range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                               * v[CAST(j + 1 AS INT)]))),
+        |          z -> z * z))))
+        |    ELSE list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE)) END
+        |  FROM (
+        |    SELECT comp, t, cl, v, vv,
+        |      CASE WHEN t = 15 THEN round_even(list_sum(list_transform(
+        |        range(0, 64), i -> vv[CAST(i + 1 AS INT)]
+        |          * list_sum(list_transform(range(0, 64),
+        |              j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                   * vv[CAST(j + 1 AS INT)])))), 9) END AS lam
+        |    FROM (
+        |      SELECT comp, t, cl, v,
+        |        CASE WHEN t = 15 THEN list_transform(
+        |          CASE WHEN list_sum(v) < 0
+        |               THEN list_transform(v, x -> -x) ELSE v END,
+        |          x -> round_even(x, 9)) END AS vv
+        |      FROM pi WHERE comp < 3 OR t < 15))),
+        |fin AS (
+        |  SELECT comp,
+        |    list_transform(
+        |      CASE WHEN list_sum(v) < 0
+        |           THEN list_transform(v, x -> -x) ELSE v END,
+        |      x -> round_even(x, 9)) AS vv, cl
+        |  FROM pi WHERE t = 15),
+        |wl AS (
+        |  SELECT comp, vv,
+        |    round_even(list_sum(list_transform(range(0, 64),
+        |      i -> vv[CAST(i + 1 AS INT)] * list_sum(list_transform(
+        |        range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                           * vv[CAST(j + 1 AS INT)])))), 9) AS lam
+        |  FROM fin)
+        |SELECT e.vec_id, CAST(c.comp AS BIGINT) AS comp,
+        |  ROUND(list_sum(list_transform(range(0, 64),
+        |    i -> c.vv[CAST(i + 1 AS INT)]
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)))
+        |    * round_even(1.0 / sqrt(c.lam), 9), 6) AS w
+        |FROM embeddings e, wl c
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q228: standardized-ridge replay — the four data-dependent
+    // reductions (P/n, S/n, B/n, ȳ) rounded to 9 dp, then μ/σ/Gz/bz
+    // derived in closed-form IEEE arithmetic, 50 fixed GD steps with
+    // the decoupled intercept, standardization folded into (a, c0)
+    // exactly as the Scala driver does.
+    "q228_ridge_std" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x,
+        |        CAST(label = 0 AS DOUBLE) AS y
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings
+        |       WHERE embedding IS NOT NULL),
+        |p AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    round_even(SUM(a.x * b.x) / (SELECT n FROM nn), 9) AS pv
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |pm AS (SELECT list(pv ORDER BY ri, ci) AS pl FROM p),
+        |sv AS (
+        |  SELECT i, round_even(SUM(x) / COUNT(*), 9) AS s
+        |  FROM x GROUP BY i),
+        |sm AS (SELECT list(s ORDER BY i) AS sl FROM sv),
+        |bv AS (
+        |  SELECT i, round_even(SUM(y * x) / (SELECT n FROM nn), 9) AS bb
+        |  FROM x GROUP BY i),
+        |bm AS (SELECT list(bb ORDER BY i) AS bl FROM bv),
+        |yb AS (SELECT round_even(SUM(CAST(label = 0 AS DOUBLE))
+        |         / COUNT(*), 9) AS ybar
+        |       FROM embeddings WHERE embedding IS NOT NULL),
+        |sg AS (SELECT list_transform(range(0, 64), i -> round_even(sqrt(
+        |         pl[CAST(i*64 + i + 1 AS INT)]
+        |         - sl[CAST(i + 1 AS INT)] * sl[CAST(i + 1 AS INT)]), 9))
+        |         AS sigl
+        |       FROM pm, sm),
+        |gz AS (SELECT list_transform(range(0, 4096), ij ->
+        |         (pl[CAST(ij + 1 AS INT)]
+        |          - sl[CAST(ij // 64 + 1 AS INT)]
+        |            * sl[CAST(ij % 64 + 1 AS INT)])
+        |         / (sigl[CAST(ij // 64 + 1 AS INT)]
+        |            * sigl[CAST(ij % 64 + 1 AS INT)])) AS gl
+        |       FROM pm, sm, sg),
+        |bz AS (SELECT list_transform(range(0, 64), i ->
+        |         (bl[CAST(i + 1 AS INT)] - ybar * sl[CAST(i + 1 AS INT)])
+        |         / sigl[CAST(i + 1 AS INT)]) AS zl
+        |       FROM bm, sm, sg, yb),
+        |gd(t, b0, beta) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE),
+        |    list_transform(range(0, 64), i -> CAST(0.0 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    b0 - 0.5 * (b0 - (SELECT ybar FROM yb)),
+        |    list_transform(range(0, 64), i ->
+        |      beta[CAST(i + 1 AS INT)] - 0.5 * (
+        |        list_sum(list_transform(range(0, 64),
+        |          j -> gl[CAST(i*64 + j + 1 AS INT)]
+        |               * beta[CAST(j + 1 AS INT)]))
+        |        - zl[CAST(i + 1 AS INT)]
+        |        + 0.1 * beta[CAST(i + 1 AS INT)]))
+        |  FROM gd, gz, bz WHERE t < 50),
+        |fit AS (
+        |  SELECT round_even(b0, 9) AS b0r,
+        |    list_transform(beta, x -> round_even(x, 9)) AS br
+        |  FROM gd WHERE t = 50),
+        |ac AS (
+        |  SELECT list_transform(range(0, 64), j -> round_even(
+        |           br[CAST(j + 1 AS INT)] / sigl[CAST(j + 1 AS INT)], 9))
+        |           AS al,
+        |         b0r
+        |  FROM fit, sg),
+        |cz AS (
+        |  SELECT al, round_even(b0r - list_sum(list_transform(range(0, 64),
+        |           j -> al[CAST(j + 1 AS INT)] * sl[CAST(j + 1 AS INT)])),
+        |           9) AS c0
+        |  FROM ac, sm)
+        |SELECT e.vec_id,
+        |  ROUND(c0 + list_sum(list_transform(range(0, 64),
+        |    i -> al[CAST(i + 1 AS INT)]
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
+        |    AS score,
+        |  ROUND(c0 + list_sum(list_transform(range(0, 64),
+        |    i -> al[CAST(i + 1 AS INT)]
+        |         * CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
+        |    >= 0.1 AS keep
+        |FROM embeddings e, cz ORDER BY vec_id""".stripMargin,
 
     "q15_splits" ->
       """WITH keyed AS (

@@ -133,6 +133,86 @@ object Linalg {
       round(dot(col(vecCol), v), 6).as("pc1"))
   }
 
+  /** Top-k eigenpairs of `cov` by power iteration with DEFLATION: run
+    * [[powerIterate]] (`iters` fixed steps, sign pinned), round the
+    * component to 9 dp, take the Rayleigh quotient λ = vᵀCv (index
+    * order, rounded 9 dp), deflate C ← round9(C − λ·vvᵀ), repeat.
+    * Every data-dependent intermediate is 9-dp-rounded before reuse,
+    * so an external engine replaying the same unrolled arithmetic
+    * reproduces all k components bit-for-bit (the q224 discipline,
+    * iterated). Component 0 is exactly [[powerIterate]]'s answer.
+    * Returns (components (k×d, 9 dp), eigenvalues (k, 9 dp)). */
+  def pcaTopK(cov: Array[Array[Double]], k: Int, iters: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    val d = cov.length
+    var c = Array.tabulate(d, d)((i, j) => round9(cov(i)(j)))
+    val comps = Array.ofDim[Double](k, d)
+    val lams = new Array[Double](k)
+    var comp = 0
+    while (comp < k) {
+      val vv = powerIterate(c, iters).map(round9)
+      // Rayleigh quotient in index order: Σᵢ vvᵢ · (Σⱼ cᵢⱼ vvⱼ)
+      var lam = 0.0
+      var i = 0
+      while (i < d) {
+        var inner = 0.0
+        var j = 0
+        while (j < d) { inner += c(i)(j) * vv(j); j += 1 }
+        lam += vv(i) * inner
+        i += 1
+      }
+      val lamR = round9(lam)
+      comps(comp) = vv
+      lams(comp) = lamR
+      c = Array.tabulate(d, d)((i, j) =>
+        round9(c(i)(j) - lamR * vv(i) * vv(j)))
+      comp += 1
+    }
+    (comps, lams)
+  }
+
+  /** Top-k principal components of `vecCol` as an EAV relation
+    * `(comp, j, loading, eigval)` (k·d rows; 6-dp outputs) — the FIT
+    * surface of whitening/decorrelation, distributed as one moments
+    * pass + a driver-side deflated power iteration. */
+  def pcaComponentsEav(spark: SparkSession, df: DataFrame,
+      vecCol: String, k: Int = 4, iters: Int = 15): DataFrame = {
+    val (n, sums, prods) = collectMoments(df, vecCol)
+    val (comps, lams) = pcaTopK(covarianceFromMoments(n, sums, prods),
+      k, iters)
+    val rows = for {
+      c <- 0 until k
+      j <- comps(c).indices
+    } yield (c.toLong, j.toLong,
+      math.rint(comps(c)(j) * 1e6) / 1e6,
+      math.rint(lams(c) * 1e6) / 1e6)
+    import spark.implicits._
+    rows.toDF("comp", "j", "loading", "eigval")
+  }
+
+  /** Whitening transform onto the top-k principal components:
+    * `w_c = (x · v_c) / √λ_c` as an EAV relation `(idCol, comp, w)`
+    * — decorrelated unit-variance embedding features. Fit is the one
+    * moments pass + driver deflation above; apply is k broadcast-
+    * literal dot products per row (each scaled by the 9-dp-rounded
+    * `1/√λ_c`), one corpus scan, ZERO additional shuffles. */
+  def whitenTopK(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, iters: Int = 15): DataFrame = {
+    val (n, sums, prods) = collectMoments(df, vecCol)
+    val (comps, lams) = pcaTopK(covarianceFromMoments(n, sums, prods),
+      k, iters)
+    val wcols = (0 until k).map { c =>
+      require(lams(c) > 0.0,
+        s"whitening: eigenvalue $c is ${lams(c)} (component space " +
+          "exhausted — lower k)")
+      val s = round9(1.0 / math.sqrt(lams(c)))
+      struct(lit(c.toLong).as("comp"),
+        round(dot(col(vecCol), comps(c)) * s, 6).as("w"))
+    }
+    df.select(col(idCol), explode(array(wcols: _*)).as("p"))
+      .select(col(idCol), col("p.comp").as("comp"), col("p.w").as("w"))
+  }
+
   /** Index-order dot product of a vector column with a literal vector —
     * `zip_with` + `aggregate` stay inside codegen and sum in element
     * order, matching both the driver loop and the SQL replay. */
@@ -219,6 +299,107 @@ object Linalg {
     val (_, beta) = ridgeFit(df, vecCol, yCol, lambda, eta, iters)
     val b9 = beta.map(round9)
     val s = round(dot(col(vecCol), b9), 6)
+    df.select(col(idCol), s.as("score"),
+      (s >= threshold).as("keep"))
+  }
+
+  /** STANDARDIZED ridge probe with an (unregularized) intercept — the
+    * practical quality-classifier recipe (fastText / FineWeb-Edu
+    * style): features centered to the corpus mean and scaled to unit
+    * variance, bias fitted alongside. Still ONE corpus pass: the
+    * means, variances, and cross-moments all live in the same
+    * gram-moments + weighted-vec-sum + Σy aggregation, and the
+    * standardized normal equations derive driver-side —
+    * `Gz_ij = (P_ij/n − μ_i μ_j)/(σ_i σ_j)`,
+    * `bz_i = (B_i/n − ȳ μ_i)/σ_i` — so standardization costs no
+    * second scan. GD replay discipline: the four data-dependent
+    * reductions (P/n, S/n, B/n, ȳ) are rounded to 9 dp FIRST; every
+    * derived quantity (μ, σ, Gz, bz, the GD trajectory) is then
+    * closed-form IEEE arithmetic both engines replay identically.
+    * The intercept's gradient decouples (z̄ = 0 exactly, since
+    * μ ≡ S/n): `β₀ ← β₀ − η(β₀ − ȳ)`. Returns
+    * (n, β₀, β (9 dp), μ (9 dp), σ (9 dp)). */
+  def ridgeFitStd(df: DataFrame, vecCol: String, yCol: String,
+      lambda: Double, eta: Double, iters: Int)
+      : (Long, Double, Array[Double], Array[Double], Array[Double]) = {
+    // ȳ must be averaged over the SAME row set the moments count —
+    // restrict up front so a null-vector row can't skew the intercept
+    val row = df.filter(col(vecCol).isNotNull).agg(
+      AggregateFunctions.gramMoments(col(vecCol)).as("m"),
+      AggregateFunctions.weightedVecSum(col(yCol).cast("double"),
+        col(vecCol)).as("b"),
+      sum(col(yCol).cast("double")).as("sy")).head()
+    require(!row.isNullAt(0), s"ridge fit: no non-null $vecCol rows")
+    require(!row.isNullAt(1), s"ridge fit: no non-null $yCol rows")
+    val m = row.getSeq[Double](0).toArray
+    val bRaw = row.getSeq[Double](1).toArray
+    val d = bRaw.length
+    require(m.length == 1 + d + d * (d + 1) / 2,
+      s"ridge fit: moments length ${m.length} inconsistent with d=$d")
+    val n = m(0)
+    val ybar = round9(row.getDouble(2) / n)
+    val s9 = Array.tabulate(d)(i => round9(m(1 + i) / n))
+    val p = Array.ofDim[Double](d, d)
+    var k = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = round9(m(k) / n)
+        p(i)(j) = v; p(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val b9 = bRaw.map(x => round9(x / n))
+    val sig = Array.tabulate(d) { i =>
+      val v = p(i)(i) - s9(i) * s9(i)
+      require(v > 0.0, s"ridge std fit: feature $i has zero variance")
+      round9(math.sqrt(v))
+    }
+    val gz = Array.tabulate(d, d)((i, j) =>
+      (p(i)(j) - s9(i) * s9(j)) / (sig(i) * sig(j)))
+    val bz = Array.tabulate(d)(i => (b9(i) - ybar * s9(i)) / sig(i))
+    var beta0 = 0.0
+    val beta = new Array[Double](d)
+    var t = 0
+    while (t < iters) {
+      val grad = new Array[Double](d)
+      i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += gz(i)(j) * beta(j); j += 1 }
+        grad(i) = acc - bz(i) + lambda * beta(i)
+        i += 1
+      }
+      beta0 -= eta * (beta0 - ybar)
+      i = 0
+      while (i < d) { beta(i) -= eta * grad(i); i += 1 }
+      t += 1
+    }
+    (n.toLong, round9(beta0), beta.map(round9), s9, sig)
+  }
+
+  /** Score the corpus with the standardized-intercept probe. The
+    * standardization folds into the dot product driver-side —
+    * `a_j = round9(β_j/σ_j)`, `c₀ = round9(β₀ − Σ a_j μ_j)` — so the
+    * apply stage stays a single broadcast-literal dot product plus a
+    * constant: `score = round(c₀ + x·a, 6)`, keep from the ROUNDED
+    * score. One corpus scan, zero shuffles. */
+  def ridgeScoreStd(df: DataFrame, idCol: String, vecCol: String,
+      yCol: String, lambda: Double, eta: Double, iters: Int,
+      threshold: Double): DataFrame = {
+    val (_, beta0, beta, mu, sig) =
+      ridgeFitStd(df, vecCol, yCol, lambda, eta, iters)
+    val a = Array.tabulate(beta.length)(j => round9(beta(j) / sig(j)))
+    // sum first, subtract ONCE — the association an engine replaying
+    // `β₀ − Σ a_j μ_j` as a single list-sum reproduces exactly
+    var acc = 0.0
+    var j = 0
+    while (j < a.length) { acc += a(j) * mu(j); j += 1 }
+    val c0 = round9(beta0 - acc)
+    val s = round(lit(c0) + dot(col(vecCol), a), 6)
     df.select(col(idCol), s.as("score"),
       (s >= threshold).as("keep"))
   }

@@ -114,6 +114,84 @@ class LinalgSpec extends SparkSpec {
     }
   }
 
+  test("pcaTopK: recovers the spectrum of a diagonal covariance and " +
+    "component 0 equals powerIterate") {
+    val cov = Array(
+      Array(4.0, 0.0, 0.0, 0.0), Array(0.0, 3.0, 0.0, 0.0),
+      Array(0.0, 0.0, 2.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val (comps, lams) = Linalg.pcaTopK(cov, k = 4, iters = 60)
+    for (c <- 0 until 4) {
+      assert(math.abs(lams(c) - (4.0 - c)) < 1e-6,
+        s"eigval $c: ${lams(c)}")
+      for (j <- 0 until 4)
+        assert(math.abs(math.abs(comps(c)(j)) -
+          (if (j == c) 1.0 else 0.0)) < 1e-4,
+          s"comp $c loading $j: ${comps(c)(j)}")
+    }
+    // deflation starts where the single-component solver starts
+    assert(comps(0).toSeq ==
+      Linalg.powerIterate(cov, 60).map(v => math.rint(v * 1e9) / 1e9).toSeq)
+  }
+
+  test("pcaTopK: components mutually orthogonal on a random PSD matrix") {
+    val rnd = new scala.util.Random(7L)
+    val d = 8
+    val a = Array.fill(d, d)(rnd.nextGaussian())
+    val cov = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => a(k)(i) * a(k)(j)).sum)
+    val (comps, lams) = Linalg.pcaTopK(cov, k = 4, iters = 80)
+    assert(lams(0) >= lams(1) && lams(1) >= lams(2) && lams(2) >= lams(3))
+    for (c1 <- 0 until 4; c2 <- c1 + 1 until 4) {
+      val d12 = comps(c1).zip(comps(c2)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d12) < 1e-4, s"comps $c1 x $c2 = $d12")
+    }
+  }
+
+  test("whitenTopK: whitened coordinates have unit sample variance " +
+    "per component on an anisotropic cloud") {
+    val rnd = new scala.util.Random(11L)
+    val rows = (0 until 400).map { i =>
+      val z = Array.fill(3)(rnd.nextGaussian())
+      (i.toLong, Seq((5.0 * z(0)).toFloat, (2.0 * z(1)).toFloat,
+        (0.5 * z(2)).toFloat))
+    }
+    val out = Linalg.whitenTopK(spark, rows.toDF("id", "v"), "id", "v",
+        k = 3, iters = 40)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    for (c <- 0L until 3L) {
+      val ws = out.filter(_._1 == c).map(_._2)
+      assert(ws.length == 400)
+      val mean = ws.sum / ws.length
+      val v = ws.map(w => (w - mean) * (w - mean)).sum / (ws.length - 1)
+      // sample covariance fit → whitened sample variance ≈ 1
+      assert(math.abs(v - 1.0) < 0.05, s"comp $c variance $v")
+    }
+  }
+
+  test("ridgeFitStd: intercept converges to the label mean; " +
+    "standardized fit recovers a feature-aligned signal") {
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 0.7); val b = math.cos(i * 1.3)
+      (i.toLong, Seq(a.toFloat, b.toFloat),
+        if (i % 4 == 0) 1.0 else 0.0)
+    }
+    val (n, b0, beta, mu, sig) = Linalg.ridgeFitStd(
+      rows.toDF("id", "v", "y"), "v", "y",
+      lambda = 0.1, eta = 0.5, iters = 50)
+    assert(n == 200)
+    // β₀ ← β₀ − η(β₀ − ȳ) decouples: after 50 halvings it IS ȳ (9dp)
+    assert(math.abs(b0 - 0.25) < 1e-9, s"intercept $b0")
+    assert(mu.length == 2 && sig.length == 2 && beta.length == 2)
+    assert(sig.forall(_ > 0))
+    // scores center on ȳ and keep mirrors the rounded-score threshold
+    val out = Linalg.ridgeScoreStd(rows.toDF("id", "v", "y"), "id", "v",
+        "y", lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.25)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    val meanScore = out.map(_._1).sum / out.length
+    assert(math.abs(meanScore - 0.25) < 1e-3, s"mean score $meanScore")
+    out.foreach { case (s, keep) => assert(keep == (s >= 0.25)) }
+  }
+
   test("decontaminateByEmbedding: exact nearest eval + threshold flag " +
     "+ tie toward larger eval id") {
     val corpus = Seq(
