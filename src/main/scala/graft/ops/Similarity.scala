@@ -97,21 +97,58 @@ object Similarity {
     * accumulation difference between engines (index-order fold here
     * vs another engine's vectorized sum) can no longer flip
     * `near_eval_id` or `contaminated` near the threshold; ties at
-    * equal rounded cosine break deterministically via eval id. */
+    * equal rounded cosine break deterministically via eval id.
+    *
+    * Size routing: the broadcast-NL plan is O(|corpus|·|eval|) dot
+    * products and ships the whole eval set to every task — the right
+    * plan ONLY while the eval side is eval-suite-sized. Above
+    * `maxBroadcastEval` rows (default 2¹⁷ ≈ 33 MB of 64-dim floats)
+    * the operator routes itself through the hyperplane-bucket
+    * machinery instead: both sides bucket by seeded hyperplane signs,
+    * candidates meet in an EQUI-join (hash-partitioned — never a
+    * cross product), and the per-row max is exact over the candidate
+    * set. That path is approximate in coverage (a cross-bucket
+    * nearest neighbor is missed — the LSH recall trade, tunable via
+    * `nPlanes`) but every reported cosine is exact, and corpus rows
+    * with an empty probe bucket still surface with a null max_cos
+    * and `contaminated = false` rather than disappearing. */
   def decontaminateByEmbedding(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, evalIdCol: String,
-      evalVecCol: String, threshold: Double): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(evalSet))
-      .select(col(idCol),
-        struct(
-          round(VectorFunctions.cosineSimilarity(col(vecCol),
-            col(evalVecCol)), 6).as("cos"),
-          col(evalIdCol).as("eid")).as("p"))
-    scored.groupBy(idCol)
-      .agg(max(col("p")).as("m"))
-      .select(col(idCol), col("m.eid").as("near_eval_id"),
-        col("m.cos").as("max_cos"),
-        (col("m.cos") >= threshold).as("contaminated"))
+      evalVecCol: String, threshold: Double,
+      maxBroadcastEval: Long = 1L << 17, nPlanes: Int = 8,
+      dim: Int = 64, seed: Long = 7): DataFrame = {
+    def argmax(pairs: DataFrame, evalId: Column, cos: Column): DataFrame =
+      pairs
+        .select(col(idCol),
+          struct(round(cos, 6).as("cos"), evalId.as("eid")).as("p"))
+        .groupBy(idCol)
+        .agg(max(col("p")).as("m"))
+    if (evalSet.count() <= maxBroadcastEval) {
+      argmax(corpus.crossJoin(broadcast(evalSet)),
+        col(evalIdCol),
+        VectorFunctions.cosineSimilarity(col(vecCol), col(evalVecCol)))
+        .select(col(idCol), col("m.eid").as("near_eval_id"),
+          col("m.cos").as("max_cos"),
+          (col("m.cos") >= threshold).as("contaminated"))
+    } else {
+      val c = corpus.withColumn("__bkt",
+        hyperplaneBucket(col(vecCol), nPlanes, dim, seed))
+      val e = evalSet.withColumn("__bkt",
+        hyperplaneBucket(col(evalVecCol), nPlanes, dim, seed))
+      val scored = argmax(c.join(e, Seq("__bkt")),
+        col(evalIdCol),
+        VectorFunctions.cosineSimilarity(col(vecCol), col(evalVecCol)))
+      // no-candidate corpus rows re-enter via the id-keyed left join
+      // (the third and last exchange of this path: bucket join,
+      // candidate collapse, id join — the honest cost of an eval set
+      // too big to broadcast)
+      corpus.select(col(idCol))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol), col("m.eid").as("near_eval_id"),
+          col("m.cos").as("max_cos"),
+          coalesce(col("m.cos") >= threshold, lit(false))
+            .as("contaminated"))
+    }
   }
 
   /** Sign-bucket of `nPlanes` pseudo-random hyperplane dot products.

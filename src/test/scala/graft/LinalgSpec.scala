@@ -212,4 +212,61 @@ class LinalgSpec extends SparkSpec {
     assert(out(2L) == ((12L, 1.0, true)))  // tie breaks to larger eid
     assert(out(3L)._3 == false && out(3L)._2 <= 0.0)
   }
+
+  test("decontaminateByEmbedding: oversized eval set auto-routes to " +
+    "the bucketed equi-join — no broadcast-NL join in the plan, every " +
+    "corpus row survives, reported cosines exact, flags conservative") {
+    val corpusRows = Seq(
+      (0L, Seq(1.0f, 0.05f)), (1L, Seq(-1.0f, -0.05f)),
+      (2L, Seq(0.05f, 1.0f)), (3L, Seq(-0.05f, -1.0f)))
+    val evalRows = Seq(
+      (10L, Seq(1.0f, 0.1f)), (11L, Seq(0.9f, 0.2f)),
+      (12L, Seq(-0.9f, -0.3f)), (13L, Seq(0.1f, 0.9f)),
+      (14L, Seq(-0.2f, -0.8f)))
+    val corpus = corpusRows.toDF("doc_id", "emb")
+    val eval = evalRows.toDF("eval_id", "eval_emb")
+    // cap 3 < 5 eval rows → bucketed path
+    val routed = Similarity.decontaminateByEmbedding(corpus, eval,
+      "doc_id", "emb", "eval_id", "eval_emb", threshold = 0.95,
+      maxBroadcastEval = 3, nPlanes = 2, dim = 2, seed = 7)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val nlJoins =
+      try routed.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => b
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(nlJoins.isEmpty, "bucketed path must not cross-product")
+    val got = routed.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getBoolean(3))).toMap
+    assert(got.keySet == corpusRows.map(_._1).toSet,
+      "every corpus row must appear, candidates or not")
+    // exact-path reference (default cap → broadcast-NL)
+    val exact = Similarity.decontaminateByEmbedding(corpus, eval,
+      "doc_id", "emb", "eval_id", "eval_emb", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.rint(d / (na * nb) * 1e6) / 1e6
+    }
+    got.foreach { case (id, (eidOpt, cosOpt, flag)) =>
+      (eidOpt, cosOpt) match {
+        case (Some(eid), Some(c)) =>
+          // reported cosine is the EXACT pair cosine, and can only
+          // miss candidates, never invent a closer one
+          val pair = cos(corpusRows.find(_._1 == id).get._2,
+            evalRows.find(_._1 == eid).get._2)
+          assert(math.abs(c - pair) < 1e-9, s"id $id: $c vs $pair")
+          assert(c <= exact(id) + 1e-9)
+          assert(flag == (c >= 0.95))
+        case (None, None) =>
+          assert(!flag, s"id $id: empty bucket must flag false")
+        case other => fail(s"id $id: half-null candidate $other")
+      }
+    }
+  }
 }
