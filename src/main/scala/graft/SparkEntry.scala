@@ -511,6 +511,24 @@ object SparkEntry {
           round(col("value_norm"), 6).as("value_norm"), col("key_idx"))
     }),
 
+    "q229_ml_pipeline" -> ((s, dir) => {
+      // q32's preprocess lifecycle driven through the spark.ml
+      // Estimator/Transformer wrapper (SURVEY §7 step 8): an
+      // org.apache.spark.ml.Pipeline fit on the train slice, its
+      // PipelineModel transforming the full table — byte-identical
+      // output to q32 (same oracle SQL), proving the wrapper adds an
+      // API surface, not new semantics.
+      val ev = t(s, dir, "events")
+      val train = ev.filter(col("user_id") % 5 < 4)
+      val prep = new graft.ml.NumericPreprocessor()
+        .setKeyCol("event_type").setValueCol("value")
+      val model = new org.apache.spark.ml.Pipeline()
+        .setStages(Array(prep)).fit(train)
+      model.transform(ev)
+        .select(col("event_id"), col("final_key"),
+          round(col("value_norm"), 6).as("value_norm"), col("key_idx"))
+    }),
+
     "q33_preprocess_reencode" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val train = li.filter(col("l_orderkey") % 5 < 4)
@@ -4290,8 +4308,15 @@ object SparkEntry {
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
     * the driver's weaker rows-only check (seeded-hash ops:
-    * q16/q27/q28/q30/q41). */
-  def oracleSql: Map[String, String] = Map(
+    * q16/q27/q28/q30/q41). q229 (the spark.ml Pipeline twin of q32)
+    * SHARES q32's oracle verbatim — the wrapper must be semantics-
+    * preserving, and one SQL string makes that contractual. */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base + ("q229_ml_pipeline" -> base("q32_preprocess_std"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // q222: brute-force the broadcast cross product; max-over-struct
     // (round(cos,6), eval_id) replays as row_number ORDER BY rounded
     // cos DESC, eid DESC. The 6-dp rounding happens BEFORE the argmax

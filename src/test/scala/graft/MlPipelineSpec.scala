@@ -1,0 +1,111 @@
+package graft
+
+import graft.ingest.Splits
+import graft.ml.{GroupedSplitAssigner, NumericPreprocessor, NumericPreprocessorModel}
+import graft.preprocess.Preprocessor
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.sql.functions._
+
+/** spark.ml wrapper layer (SURVEY §7 step 8): the Estimator/Transformer
+  * adapters must be semantics-preserving over the direct operator calls
+  * and must persist by the params-as-data rule. */
+class MlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def obs = (0 until 200).map { i =>
+    (i.toLong, s"k${i % 3}", math.sin(i * 0.37) * 10)
+  }.toDF("id", "key", "value")
+
+  test("NumericPreprocessor inside a Pipeline == direct " +
+    "Preprocessor.fit/transform, column for column") {
+    val train = obs.filter($"id" % 5 < 4)
+    val model = new Pipeline().setStages(Array(
+      new NumericPreprocessor().setKeyCol("key").setValueCol("value")))
+      .fit(train)
+    val viaMl = model.transform(obs)
+      .select("id", "final_key", "value_norm", "key_idx")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val fit = Preprocessor.fit(train, "key", "value",
+      Preprocessor.Config())
+    val direct = Preprocessor.transform(obs, "key", "value", fit)
+      .select("id", "final_key", "value_norm", "key_idx")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaMl == direct)
+  }
+
+  test("NumericPreprocessorModel save/load round-trip: identical " +
+    "transform, params restored, fit frames local") {
+    val train = obs.filter($"id" % 5 < 4)
+    val model = new NumericPreprocessor()
+      .setKeyCol("key").setValueCol("value")
+      .setNormalizer("quantile").setNQuantiles(11)
+      .fit(train)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ml_model").toString + "/m"
+    model.write.overwrite().save(path)
+    val loaded = NumericPreprocessorModel.load(path)
+    assert(loaded.getOrDefault(loaded.normalizer) == "quantile")
+    assert(loaded.getOrDefault(loaded.nQuantiles) == 11)
+    val before = model.transform(obs)
+      .select("id", "final_key", "value_norm", "key_idx")
+      .collect().map(_.toSeq).toSet
+    val after = loaded.transform(obs)
+      .select("id", "final_key", "value_norm", "key_idx")
+      .collect().map(_.toSeq).toSet
+    assert(before == after)
+  }
+
+  test("NumericPreprocessor estimator persistence (DefaultParams) " +
+    "round-trips the threshold encoding") {
+    val est = new NumericPreprocessor()
+      .setKeyCol("key").setValueCol("value")
+      .setMinValidVocabObs(0.3) // proportion encoding
+      .setOutlierDetector("viod")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ml_est").toString + "/e"
+    est.write.overwrite().save(path)
+    val back = NumericPreprocessor.load(path)
+    assert(back.getOrDefault(back.minValidVocabObs) == 0.3)
+    assert(back.getOrDefault(back.outlierDetector) == "viod")
+  }
+
+  test("GroupedSplitAssigner == Splits.groupedSplit; missing group " +
+    "column fails schema validation") {
+    val df = (0 until 100).map(i => (i.toLong, s"d${i % 7}.com"))
+      .toDF("id", "domain")
+    val viaMl = new GroupedSplitAssigner().setGroupCol("domain")
+      .setFractions(Array(0.6, 0.2)).setSplitNames(
+        Array("train", "val", "test")).setSeed(11L)
+      .transform(df)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val direct = Splits.groupedSplit(df, "domain", Seq(0.6, 0.2),
+      Seq("train", "val", "test"), 11L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(viaMl == direct)
+    val e = intercept[IllegalArgumentException] {
+      new GroupedSplitAssigner().setGroupCol("nope")
+        .transformSchema(df.schema)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("two-stage Pipeline composes: split stamp then preprocess") {
+    val df = obs.withColumn("domain",
+      concat(lit("d"), ($"id" % 11).cast("string")))
+    val split = new GroupedSplitAssigner().setGroupCol("domain")
+      .setFractions(Array(0.8)).setSplitNames(Array("train", "held_out"))
+      .setSeed(3L)
+    val prep = new NumericPreprocessor()
+      .setKeyCol("key").setValueCol("value")
+    // canonical leakage discipline: fit the pipeline on the train
+    // slice (split precomputed by stage 1's own logic), transform all
+    val stamped = split.transform(df)
+    val model = new Pipeline().setStages(Array(split, prep))
+      .fit(stamped.filter($"split" === "train").drop("split"))
+    val out = model.transform(df)
+    assert(out.columns.contains("split") &&
+      out.columns.contains("value_norm") &&
+      out.columns.contains("key_idx"))
+    assert(out.count() == df.count())
+  }
+}
