@@ -3,7 +3,7 @@ package graft
 import graft.core.Vocabulary
 import graft.functors.TimeOfDayFunctor
 import graft.ingest.{EventDataset, Splits}
-import graft.ops.{Dedup, Linalg, Multimodal, Similarity, TextOps, Unigram, WordPiece}
+import graft.ops.{Dedup, Hnsw, Linalg, Multimodal, Similarity, TextOps, Unigram, WordPiece}
 import graft.preprocess.{NumericKernel, Preprocessor, Viod}
 import graft.serve.{BatchBuilder, EmbeddingGather}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2163,6 +2163,51 @@ object SparkEntry {
         "vec_id", "embedding", "eval_id", "eval_emb", threshold = 0.3)
     }),
 
+    "q230_hnsw_ann" -> ((s, dir) => {
+      // HNSW-style layered ANN under the replayable banded sign-bucket
+      // family (the q82 twin discipline applied to the FULL layered
+      // build + fixed-step beam search): geometric md5 levels, per-layer
+      // top-M adjacency from 4 independent sign-bucket bands,
+      // symmetrized, then all queries beam-descend together (ef=10,
+      // 2 fixed steps per layer). Everything downstream of the bucket
+      // columns is identical production code; the oracle replays the
+      // whole pipeline as an unrolled MATERIALIZED CTE chain.
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_vec_id"),
+          col("embedding").as("q_vec"))
+      Hnsw.hnswTopK(corpus, queries, "vec_id", "embedding",
+        "q_vec_id", "q_vec", k = HnswReplay.k, seed = HnswReplay.seed,
+        maxLevel = HnswReplay.maxLevel, m = HnswReplay.m,
+        bands = HnswReplay.bands, steps = HnswReplay.steps,
+        ef = HnswReplay.ef, bucketFn = Some(HnswReplay.bucketFn))
+    }),
+
+    "q231_hnsw_recall" -> ((s, dir) => {
+      // Recall@4 of the layered beam search vs brute-force ground
+      // truth — the q83 index-quality audit applied to the HNSW family,
+      // end-to-end oracle-checked (recall ≈ 0.77 on the driver's
+      // near-orthogonal vectors, the hardest case for a graph index).
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_vec_id"),
+          col("embedding").as("q_vec"))
+      val approx = Hnsw.hnswTopK(corpus, queries, "vec_id", "embedding",
+        "q_vec_id", "q_vec", k = HnswReplay.k, seed = HnswReplay.seed,
+        maxLevel = HnswReplay.maxLevel, m = HnswReplay.m,
+        bands = HnswReplay.bands, steps = HnswReplay.steps,
+        ef = HnswReplay.ef, bucketFn = Some(HnswReplay.bucketFn))
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = HnswReplay.k)
+      Similarity.recallAtK(approx, exact, "q_vec_id", "vec_id",
+          k = HnswReplay.k)
+        .select(col("q_vec_id"), round(col("recall"), 6).as("recall"))
+    }),
+
     "q223_embed_covariance" -> ((s, dir) =>
       // Corpus covariance of the embedding column as an EAV relation
       // (i, j, cov), upper triangle — the fit side of whitening/PCA.
@@ -4137,6 +4182,154 @@ object SparkEntry {
          |  FROM dots GROUP BY 1)""".stripMargin
   }
 
+  /** q230/q231's replayable HNSW family — one parameter block + one sign
+    * table drive the Spark queries AND the generated DuckDB oracle (the
+    * q82 HyperplaneReplay discipline extended to BANDS independent
+    * families; the full layered build + fixed-step beam search is
+    * replayed as an unrolled CTE chain, MATERIALIZED per step so the
+    * twice-referenced frontier doesn't inline exponentially). */
+  private object HnswReplay {
+    val maxLevel = 3
+    val m = 10
+    val steps = 2
+    val ef = 10
+    val k = 4
+    val seed = 9L
+    val nPlanes = 4
+    val bands = 4
+    val dim = 64
+    /** sign(p,i) = +1 iff ascii of md5("p:i")'s first hex char is even —
+      * the HyperplaneReplay formula over bands*nPlanes global planes. */
+    lazy val signs: Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(bands * nPlanes * dim) { pi =>
+        val p = pi / dim
+        val i = pi % dim
+        val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+        val hex0 = "%02x".format(d(0) & 0xff).charAt(0)
+        if (hex0.toInt % 2 == 0) 1 else -1
+      }
+    }
+    /** Planes per layer: coarsen with height (constant per-bucket
+      * work, connected top layer). */
+    def planesAt(lvl: Int): Int = math.max(1, nPlanes - lvl)
+    def bucketFn: (Int, Int, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+      (lvl, band, v) =>
+        graft.expressions.VectorFunctions.quantizedSignBucket(
+          v, signs.slice(band * nPlanes * dim,
+            (band * nPlanes + planesAt(lvl)) * dim).toSeq,
+          planesAt(lvl))
+    /** CTE chain ending in `hnsw(qid, id, c, rank)` — the full replay:
+      * level walk, banded sign buckets, per-layer top-M adjacency with
+      * reverse edges, entry point, unrolled beam descent. */
+    def searchCtes: String = {
+      val b = new StringBuilder
+      b ++= s"""corpus AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE vec_id % 10 <> 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 10 = 0),
+         |lv AS (SELECT vec_id,
+         |  CASE WHEN hx < ${1L << (48 - 3)} THEN 3
+         |       WHEN hx < ${1L << (48 - 2)} THEN 2
+         |       WHEN hx < ${1L << (48 - 1)} THEN 1 ELSE 0 END AS level
+         |  FROM (SELECT vec_id,
+         |          list_sum(list_transform(range(0, 12), i ->
+         |            (strpos('0123456789abcdef',
+         |               substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'),
+         |                      CAST(i + 1 AS INT), 1)) - 1)
+         |            * power(16.0, CAST(11 - i AS DOUBLE)))) AS hx
+         |        FROM corpus)),
+         |signs AS (
+         |  SELECT p.g AS p, i.g AS i,
+         |         CASE WHEN ascii(substr(md5(p.g || ':' || i.g), 1, 1))
+         |                % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM generate_series(0, ${bands * nPlanes - 1}) p(g),
+         |       generate_series(0, ${dim - 1}) i(g)),
+         |dots AS (
+         |  SELECT e.vec_id, s.p // $nPlanes AS band, s.p % $nPlanes AS j,
+         |         sum(s.s * CAST(round(
+         |           CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+         |           AS BIGINT)) AS dot
+         |  FROM corpus e, signs s GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT vec_id, t.lvl, band,
+         |         sum(CASE ${(0 to maxLevel).map(l =>
+                      s"WHEN t.lvl = $l AND j < ${planesAt(l)} " +
+                        s"AND dot >= 0 THEN (1 << (${planesAt(l) - 1} - j))")
+                      .mkString(" ")} ELSE 0 END) AS bucket
+         |  FROM dots, range(0, ${maxLevel + 1}) t(lvl) GROUP BY 1, 2, 3),
+         |mem AS (SELECT t.lvl, c.vec_id
+         |        FROM corpus c JOIN lv ON c.vec_id = lv.vec_id,
+         |             range(0, ${maxLevel + 1}) t(lvl)
+         |        WHERE lv.level >= t.lvl),
+         |cand AS (
+         |  SELECT DISTINCT a.lvl, a.vec_id AS src, b.vec_id AS dst
+         |  FROM mem a
+         |  JOIN bk ba ON ba.vec_id = a.vec_id AND ba.lvl = a.lvl
+         |  JOIN bk bb ON bb.lvl = ba.lvl AND bb.band = ba.band
+         |            AND bb.bucket = ba.bucket
+         |  JOIN mem b ON b.lvl = a.lvl AND b.vec_id = bb.vec_id
+         |  WHERE a.vec_id <> b.vec_id),
+         |knn AS (
+         |  SELECT lvl, src, dst FROM (
+         |    SELECT p.lvl, p.src, p.dst,
+         |      ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |        CAST(y.embedding AS DOUBLE[])), 6) AS c,
+         |      row_number() OVER (PARTITION BY p.lvl, p.src
+         |                         ORDER BY c DESC, p.dst) AS rn
+         |    FROM cand p JOIN corpus x ON x.vec_id = p.src
+         |                JOIN corpus y ON y.vec_id = p.dst)
+         |  WHERE rn <= $m),
+         |adj0 AS (SELECT DISTINCT lvl, src, dst FROM
+         |  (SELECT lvl, src, dst FROM knn
+         |   UNION ALL SELECT lvl, dst, src FROM knn)),
+         |adj AS (SELECT a.lvl, a.src, a.dst, x.embedding AS dvec
+         |        FROM adj0 a JOIN corpus x ON x.vec_id = a.dst),
+         |topm AS (SELECT c.vec_id, c.embedding FROM corpus c
+         |           JOIN lv USING (vec_id) WHERE lv.level >= $maxLevel),
+         |w0 AS (SELECT qid, id, c FROM (
+         |         SELECT q.qid, m.vec_id AS id,
+         |           ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |             CAST(m.embedding AS DOUBLE[])), 6) AS c,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ROUND(list_cosine_similarity(
+         |               CAST(q.qv AS DOUBLE[]),
+         |               CAST(m.embedding AS DOUBLE[])), 6) DESC,
+         |               m.vec_id) AS rn
+         |         FROM q, topm m) WHERE rn <= $ef)""".stripMargin
+      var idx = 0
+      for (lvl <- maxLevel to 0 by -1; _ <- 1 to steps) {
+        val prev = s"w$idx"
+        idx += 1
+        b ++= s""",
+           |w$idx AS MATERIALIZED (
+           |  SELECT qid, id, c FROM (
+           |    SELECT qid, id, c,
+           |      row_number() OVER (PARTITION BY qid
+           |                         ORDER BY c DESC, id) AS rn
+           |    FROM (SELECT DISTINCT qid, id, c FROM (
+           |      SELECT qid, id, c FROM $prev
+           |      UNION ALL
+           |      SELECT w.qid, a.dst AS id,
+           |        ROUND(list_cosine_similarity(CAST(qq.qv AS DOUBLE[]),
+           |          CAST(a.dvec AS DOUBLE[])), 6) AS c
+           |      FROM $prev w
+           |      JOIN adj a ON a.lvl = $lvl AND a.src = w.id
+           |      JOIN q qq ON qq.qid = w.qid)))
+           |  WHERE rn <= $ef)""".stripMargin
+      }
+      b ++= s""",
+         |hnsw AS (
+         |  SELECT qid, id, c, CAST(rk AS INT) AS rank FROM (
+         |    SELECT qid, id, c,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY c DESC, id) AS rk
+         |    FROM w$idx) WHERE rk <= $k)""".stripMargin
+      b.result()
+    }
+  }
+
   /** q78's replayable permutation family — one definition drives both the
     * Spark query and the generated DuckDB oracle. */
   /** Spark side of the q78 replayable MinHash band pipeline: ASCII-
@@ -4339,6 +4532,29 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY cos DESC, eval_id DESC) = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // q230/q231: the generated full-replay CTE chain (levels, banded
+    // sign buckets, layered top-M adjacency, unrolled beam descent) —
+    // one definition (HnswReplay) drives the Spark bucket columns AND
+    // this SQL.
+    "q230_hnsw_ann" ->
+      ("WITH " + HnswReplay.searchCtes + """
+        |SELECT qid AS q_vec_id, id AS vec_id, c AS cos, rank
+        |FROM hnsw ORDER BY 1, 4""".stripMargin),
+
+    "q231_hnsw_recall" ->
+      ("WITH " + HnswReplay.searchCtes + s""",
+        |brute AS (
+        |  SELECT qid, vec_id AS id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_cosine_similarity(CAST(qv AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[])) DESC, vec_id) AS rk
+        |  FROM q, corpus QUALIFY rk <= ${HnswReplay.k})
+        |SELECT b.qid AS q_vec_id,
+        |  ROUND(CAST(count(h.id) AS DOUBLE) / ${HnswReplay.k}, 6)
+        |    AS recall
+        |FROM brute b LEFT JOIN hnsw h ON h.qid = b.qid AND h.id = b.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // q223: the raw-moment covariance formula verbatim —
     // (Σxy − ΣxΣy/n)/(n−1) — NOT COVAR_SAMP, so the arithmetic shape

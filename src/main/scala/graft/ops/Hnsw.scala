@@ -1,0 +1,225 @@
+package graft.ops
+
+import graft.expressions.{AggregateFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HNSW-style LAYERED navigable ANN, re-expressed for Spark's batch
+  * model (the last common production ANN shape next to the LSH / IVF /
+  * IVF-PQ / int8 family in [[Similarity]]). True HNSW (Malkov &
+  * Yashunin, 1603.09320) is a sequential insert-and-greedy-search
+  * structure; the batch re-expression keeps its two load-bearing ideas
+  * — geometric level assignment (a logarithmic hierarchy of sparser
+  * and sparser layers) and greedy/beam descent through the layers —
+  * and replaces sequential insertion with a BULK layered kNN-graph
+  * build:
+  *
+  *  - levels: each vector draws level ℓ ~ Geometric(1/2) from a seeded
+  *    48-bit md5 digit walk, compared on EXACT integer thresholds
+  *    (level ≥ ℓ ⇔ leading ℓ bits zero) — deterministic, replayable,
+  *    no stored randomness. Layer ℓ holds every vector with level ≥ ℓ.
+  *  - adjacency: per layer, each member links to its top-M neighbors
+  *    by (round-6 cosine DESC, id ASC) among BANDED sign-bucket
+  *    candidates (several independent hyperplane families — the extra
+  *    bands restore the cross-bucket connectivity a single partition
+  *    of bucket cells would lose), symmetrized with reverse edges.
+  *    Never all-pairs: candidates meet in a (layer, band, bucket)
+  *    equi-join, and the top-M rank is the map-side-combinable
+  *    [[AggregateFunctions.topKByScore]] aggregate. Neighbor VECTORS
+  *    are embedded into the adjacency rows once at build time, so the
+  *    search loop never touches the corpus table again.
+  *  - search: ALL queries descend together — beam search with a fixed
+  *    `ef`-wide frontier and a FIXED number of expansion steps per
+  *    layer (the replay discipline: no convergence test). Each step is
+  *    one equi-join of the (query, frontier) state against the layer's
+  *    adjacency plus one top-ef rank; state is ≤ |queries|·ef rows
+  *    throughout, checkpointed per layer to truncate lineage.
+  *
+  * 100 TB posture: the build is the bucketed-kNN shape already proven
+  * for [[Similarity.knnGraph]] (bounded equi-join candidates, k-bounded
+  * partial-agg exchanges); the search touches only the adjacency
+  * (layer-partitioned equi-joins on the frontier) and a broadcast of
+  * the query vectors — corpus-size-independent per step. Recall is the
+  * tunable LSH-band trade, measured end-to-end by
+  * [[Similarity.recallAtK]] (the q231 contract query).
+  *
+  * Determinism: every comparison happens on 6-dp-rounded cosines with
+  * id tie-breaks, levels/buckets are integer arithmetic over md5 — the
+  * whole pipeline replays bit-for-bit in an external engine (the
+  * q75/q78/q82 twin discipline, applied to the full build+search). */
+object Hnsw {
+
+  /** (id, level): level ℓ ∈ [0, maxLevel], P(level ≥ ℓ) = 2^-ℓ via the
+    * replayable md5 digit walk — `hx` is the first 12 hex digits of
+    * md5("id:seed") as a 48-bit integer; level ≥ ℓ ⇔ hx < 2^(48-ℓ)
+    * (exact integer compares, no FP thresholds). */
+  def assignLevels(df: DataFrame, idCol: String, seed: Long,
+      maxLevel: Int): DataFrame = {
+    require(maxLevel >= 0 && maxLevel <= 40, s"maxLevel $maxLevel")
+    val hx = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed)).cast("binary")), 1, 12), 16, 10).cast("bigint")
+    var lvl: Column = lit(0)
+    var l = 1
+    while (l <= maxLevel) {
+      lvl = when(hx < lit(1L << (48 - l)), lit(l)).otherwise(lvl)
+      l += 1
+    }
+    df.withColumn("level", lvl)
+  }
+
+  /** Default production bucket family: seeded xxhash64 hyperplanes,
+    * one independent family per band, COARSENED with height — layer ℓ
+    * uses max(1, nPlanes − ℓ) planes. Layer populations halve per
+    * level while bucket counts halve too, so per-bucket candidate
+    * work is CONSTANT across layers, and the top layer is near-fully
+    * connected — the long-range links that let the descent cross
+    * cluster boundaries (a single plane count per layer leaves
+    * strongly-clustered corpora as disconnected per-cluster islands
+    * the beam can never leave). */
+  def defaultBucketFn(nPlanes: Int, dim: Int, seed: Long)
+      : (Int, Int, Column) => Column =
+    (lvl, band, v) => Similarity.hyperplaneBucket(v,
+      math.max(1, nPlanes - lvl), dim, seed * 1000 + band)
+
+  /** Layered adjacency `(lvl, src, dst, dvec)`: per layer, top-M
+    * neighbors by (round-6 cos DESC, dst ASC) among banded-bucket
+    * candidates, symmetrized, with the destination vector embedded.
+    * `bucketFn(band, vec)` is overridable for engine-replayable
+    * families (the q82 twin discipline) — everything downstream of the
+    * bucket column is identical production code. Ids must be castable
+    * to long (the state/rank currency of the ANN family). */
+  def buildAdjacency(vecs: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v"))
+    val lv = assignLevels(base.select("vid"), "vid", seed, maxLevel)
+    val mem = base.join(lv, "vid")
+      .select(explode(sequence(lit(0), col("level"))).as("lvl"),
+        col("vid"), col("v"))
+    // the bucket family varies by layer (coarsening) — dispatch on the
+    // lvl column with a generated when-chain per band
+    val bandStructs = (0 until bands).map { b =>
+      var e: Column = lit(null)
+      var l = 0
+      while (l <= maxLevel) {
+        e = when(col("lvl") === l, bucketFn(l, b, col("v"))).otherwise(e)
+        l += 1
+      }
+      struct(lit(b).as("band"), e.as("bkt"))
+    }
+    val withB = mem
+      .select(col("lvl"), col("vid"), col("v"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("lvl"), col("bb.band").as("band"),
+        col("bb.bkt").as("bkt"), col("vid"), col("v"))
+    val lhs = withB.select(col("lvl"), col("band"), col("bkt"),
+      col("vid").as("src"), col("v").as("__sv"))
+    val rhs = withB.select(col("lvl"), col("band"), col("bkt"),
+      col("vid").as("dst"), col("v").as("__dv"))
+    // a pair meeting in several bands must fill ONE top-M slot, not
+    // several — dedup before the rank (cosine is deterministic per
+    // pair, so which copy survives is irrelevant)
+    val pairs = lhs.join(rhs, Seq("lvl", "band", "bkt"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("lvl"), col("src"), col("dst"),
+        round(VectorFunctions.cosineSimilarity(col("__sv"), col("__dv")),
+          6).as("c"))
+      .dropDuplicates("lvl", "src", "dst")
+    val knn = pairs.groupBy("lvl", "src")
+      .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
+        .as("t"))
+      .select(col("lvl"), col("src"), explode(col("t")).as("e"))
+      .select(col("lvl"), col("src"), col("e.id").as("dst"))
+    val sym = knn.unionByName(
+        knn.select(col("lvl"), col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    sym.join(base.select(col("vid").as("dst"), col("v").as("dvec")),
+        Seq("dst"))
+      .select(col("lvl"), col("src"), col("dst"), col("dvec"))
+  }
+
+  /** Batch layered beam search over a prebuilt adjacency: the beam
+    * INITIALIZES on the whole TOP layer — a deterministic 2^-maxLevel
+    * sample of the corpus (the index "head"), so the initial frontier
+    * is cluster-diverse by construction (a single entry point would
+    * strand every query inside the entry's graph component; an M-NN
+    * graph over well-separated clusters IS the cluster partition, so
+    * diversity must come from the init, not the edges). Each query
+    * takes its top-ef head members by cosine, then descends with
+    * `steps` FIXED expansions per layer. Choose maxLevel so
+    * corpus/2^maxLevel is a scan-cheap head (it broadcasts against
+    * the queries exactly like [[Similarity.bruteForceTopK]]'s query
+    * side). Returns the ANN-family contract `(qIdCol, idCol, cos,
+    * rank)`, top-k under (cos DESC, id ASC). Queries must be
+    * broadcast-sized (the usual ANN regime). */
+  def searchTopK(adj: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, seed: Long, maxLevel: Int, steps: Int, ef: Int,
+      k: Int): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v"))
+    val lv = assignLevels(base.select("vid"), "vid", seed, maxLevel)
+    val head = base.join(lv, "vid").filter(col("level") >= maxLevel)
+      .select(col("vid"), col("v"))
+    val qv = queries.select(col(qIdCol).as("qid"),
+      col(qVecCol).as("qv"))
+    var state = qv.crossJoin(broadcast(head))
+      .select(col("qid"), col("vid").as("id"),
+        round(VectorFunctions.cosineSimilarity(col("qv"), col("v")), 6)
+          .as("c"))
+      .groupBy("qid")
+      .agg(AggregateFunctions.topKByScore(col("c"), col("id"), ef)
+        .as("t"))
+      .select(col("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("c"))
+    var lvl = maxLevel
+    while (lvl >= 0) {
+      val lvlAdj = adj.filter(col("lvl") === lvl)
+        .select(col("src"), col("dst"), col("dvec"))
+      var s = 0
+      while (s < steps) {
+        val cand = state.join(lvlAdj, state("id") === lvlAdj("src"))
+          .join(broadcast(qv), "qid")
+          .select(col("qid"), col("dst").as("id"),
+            round(VectorFunctions.cosineSimilarity(col("qv"),
+              col("dvec")), 6).as("c"))
+        state = state.unionByName(cand)
+          .dropDuplicates("qid", "id")
+          .groupBy("qid")
+          .agg(AggregateFunctions.topKByScore(col("c"), col("id"), ef)
+            .as("t"))
+          .select(col("qid"), explode(col("t")).as("e"))
+          .select(col("qid"), col("e.id").as("id"),
+            col("e.score").as("c"))
+        s += 1
+      }
+      // truncate the per-step join/agg lineage before descending
+      state = state.localCheckpoint(true)
+      lvl -= 1
+    }
+    state.groupBy("qid")
+      .agg(AggregateFunctions.topKByScore(col("c"), col("id"), k)
+        .as("t"))
+      .select(col("qid").as(qIdCol),
+        posexplode(col("t")).as(Seq("__p", "__e")))
+      .select(col(qIdCol), col("__e.id").as(idCol),
+        col("__e.score").as("cos"),
+        (col("__p") + 1).cast("int").as("rank"))
+  }
+
+  /** Convenience: build + search in one call with the production
+    * bucket family. */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      seed: Long = 9, maxLevel: Int = 3, m: Int = 10, bands: Int = 4,
+      steps: Int = 2, ef: Int = 10, nPlanes: Int = 4, dim: Int = 64,
+      bucketFn: Option[(Int, Int, Column) => Column] = None)
+      : DataFrame = {
+    val bf = bucketFn.getOrElse(defaultBucketFn(nPlanes, dim, seed))
+    val adj = buildAdjacency(corpus, idCol, vecCol, seed, maxLevel, m,
+      bands, bf).localCheckpoint(true)
+    searchTopK(adj, corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      seed, maxLevel, steps, ef, k)
+  }
+}
