@@ -117,16 +117,30 @@ object Hnsw {
       col("vid").as("src"), col("v").as("__sv"))
     val rhs = withB.select(col("lvl"), col("band"), col("bkt"),
       col("vid").as("dst"), col("v").as("__dv"))
-    // a pair meeting in several bands must fill ONE top-M slot, not
-    // several — dedup before the rank (cosine is deterministic per
-    // pair, so which copy survives is irrelevant)
+    // Top-M in two k-bounded stages so the full candidate-pair stream
+    // NEVER crosses an exchange: per-(lvl, band, src) top-M first (the
+    // map-side-combinable aggregate — only ≤ M survivors per key reach
+    // the wire), then dedup + re-rank over the ≤ members·bands·M
+    // union. A pair's cosine is band-invariant, so top-M of the unioned
+    // per-band top-Ms equals global top-M over DISTINCT candidates
+    // exactly (the standard distributed top-k identity) — the oracle
+    // replays the one-stage DISTINCT+rank form and hash-matches.
     val pairs = lhs.join(rhs, Seq("lvl", "band", "bkt"))
       .filter(col("src") =!= col("dst"))
-      .select(col("lvl"), col("src"), col("dst"),
+      .select(col("lvl"), col("band"), col("src"), col("dst"),
         round(VectorFunctions.cosineSimilarity(col("__sv"), col("__dv")),
           6).as("c"))
+    val perBand = pairs.groupBy("lvl", "band", "src")
+      .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
+        .as("t"))
+      .select(col("lvl"), col("src"), explode(col("t")).as("e"))
+      .select(col("lvl"), col("src"), col("e.id").as("dst"),
+        col("e.score").as("c"))
+      // the same pair surviving several bands must fill ONE slot of
+      // the final rank — dedup on the M-bounded union, not the pair
+      // stream (identical (lvl,src,dst) rows carry identical c)
       .dropDuplicates("lvl", "src", "dst")
-    val knn = pairs.groupBy("lvl", "src")
+    val knn = perBand.groupBy("lvl", "src")
       .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
         .as("t"))
       .select(col("lvl"), col("src"), explode(col("t")).as("e"))
@@ -208,18 +222,39 @@ object Hnsw {
         (col("__p") + 1).cast("int").as("rank"))
   }
 
-  /** Convenience: build + search in one call with the production
-    * bucket family. */
+  /** Convenience: build + search in one call. On the PRODUCTION path
+    * (no bucketFn override) the structural knobs AUTO-SCALE with the
+    * corpus — this is what keeps the build LINEAR instead of
+    * quadratic: plane count grows so per-bucket population stays at
+    * `bucketTarget` (total candidate-cosine work = bands · levels ·
+    * n · bucketTarget — linear in n), and maxLevel grows so the
+    * search-init head (the 2^-maxLevel top-layer sample every query
+    * scans) stays at `headTarget` rows. One count() job decides both
+    * (fixed structural params over a growing corpus are the q47
+    * fixed-block-count hazard: per-cell population, and with it the
+    * per-cell quadratic term, grows with the data). A bucketFn
+    * override (the replayable contract family) pins everything
+    * explicitly and skips the count. */
   def hnswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, k: Int,
       seed: Long = 9, maxLevel: Int = 3, m: Int = 10, bands: Int = 4,
       steps: Int = 2, ef: Int = 10, nPlanes: Int = 4, dim: Int = 64,
+      bucketTarget: Long = 256, headTarget: Long = 4096,
       bucketFn: Option[(Int, Int, Column) => Column] = None)
       : DataFrame = {
-    val bf = bucketFn.getOrElse(defaultBucketFn(nPlanes, dim, seed))
-    val adj = buildAdjacency(corpus, idCol, vecCol, seed, maxLevel, m,
+    val (bf, lvls) = bucketFn match {
+      case Some(f) => (f, maxLevel)
+      case None =>
+        val n = corpus.count()
+        val planes = math.max(nPlanes,
+          Similarity.autoNPlanes(n, bucketTarget))
+        val ml = math.min(40,
+          math.max(maxLevel, Similarity.autoNPlanes(n, headTarget)))
+        (defaultBucketFn(planes, dim, seed), ml)
+    }
+    val adj = buildAdjacency(corpus, idCol, vecCol, seed, lvls, m,
       bands, bf).localCheckpoint(true)
     searchTopK(adj, corpus, idCol, vecCol, queries, qIdCol, qVecCol,
-      seed, maxLevel, steps, ef, k)
+      seed, lvls, steps, ef, k)
   }
 }

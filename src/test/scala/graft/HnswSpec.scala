@@ -97,4 +97,27 @@ class HnswSpec extends SparkSpec {
     val hit = top1.count { case (q, (_, id, _, _)) => id == exact(q)._1 }
     assert(hit >= 13, s"recall@1 on clustered corpus: $hit/16")
   }
+
+  test("hnswTopK production path auto-scales planes and levels with " +
+    "the corpus (linear-build guardrail) and still answers well") {
+    val corpus = clustered.toDF("id", "v")
+    val queries = (0 until 8).map { i =>
+      (1000L + i, Array.tabulate(8)(j =>
+        (if (j == i % 8) 1.0f else 0.0f)).toSeq)
+    }.toDF("qid", "qv")
+    // tiny targets force the auto path well past the defaults:
+    // 240 rows / bucketTarget 8 → 5 planes; headTarget 32 → 3 levels
+    val out = Hnsw.hnswTopK(corpus, queries, "id", "v", "qid", "qv",
+      k = 2, seed = 9, maxLevel = 1, m = 6, bands = 2, steps = 2,
+      ef = 6, nPlanes = 1, dim = 8, bucketTarget = 8, headTarget = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(out.groupBy(_._1).size == 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "id", "v",
+        "qid", "qv", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = out.filter(_._4 == 1)
+      .count { case (q, id, _, _) => exact(q) == id }
+    assert(hit >= 6, s"auto-path recall@1: $hit/8")
+  }
 }
