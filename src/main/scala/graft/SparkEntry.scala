@@ -4058,6 +4058,61 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
     }),
 
+    "q232_ivfpq_residual" -> ((s, dir) => {
+      // The FULL FAISS IVFPQ (residual variant, closing q134's
+      // documented gap): codes quantize x − centroid(x), so one
+      // model-sized codebook serves every cell; the query side builds
+      // one ADC LUT per PROBED cell (LUT of q − c). Same literal
+      // dyadic centroid/codebook tables as q126/q134, so assignment,
+      // residual subtraction, encode, per-cell LUT, ADC ordered-sum
+      // and rank ALL replay in the oracle.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val cents = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val cb = s.range(32)
+        .select(expr("CAST(id div 8 AS INT)").as("subspace"),
+          expr("CAST(id % 8 AS INT)").as("code"))
+        .select(col("subspace"), col("code"),
+          expr("transform(sequence(0, 15), i -> CAST((subspace * 131 +" +
+            " code * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)").as("c_vec"))
+      Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", cents, cb, k = 5, nProbe = 2)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+    }),
+
+    "q233_ivfpq_refine" -> ((s, dir) => {
+      // Exact re-rank refinement (the FAISS refine stage): q232's
+      // residual-ADC top-20 candidates per query, true vectors joined
+      // back for those ≤ 20·|queries| rows only, exact cosine re-rank
+      // to top-5 — repairs the ADC quantization error at
+      // corpus-size-independent cost.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_vec"))
+      val cents = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val cb = s.range(32)
+        .select(expr("CAST(id div 8 AS INT)").as("subspace"),
+          expr("CAST(id % 8 AS INT)").as("code"))
+        .select(col("subspace"), col("code"),
+          expr("transform(sequence(0, 15), i -> CAST((subspace * 131 +" +
+            " code * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)").as("c_vec"))
+      val cand = Similarity.ivfPqResidualTopK(emb, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", cents, cb,
+        k = 20, nProbe = 2)
+      Similarity.refineTopK(cand, emb, queries, "vec_id", "embedding",
+          "q_vec_id", "q_vec", k = 5)
+        .select(col("q_vec_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
     "q120_save_load" -> ((s, dir) => {
       // Save/load round-trip as a contract row (EventDataset.save/load —
       // plain splittable parquet with params-as-data, vs the reference's
@@ -4180,6 +4235,77 @@ object SparkEntry {
          |         sum(CASE WHEN dot >= 0
          |             THEN 1 << (${nPlanes - 1} - p) ELSE 0 END) AS bucket
          |  FROM dots GROUP BY 1)""".stripMargin
+  }
+
+  /** q232/q233's shared residual-IVFPQ replay chain: the q126/q134
+    * literal dyadic centroid/codebook tables, assignment, RESIDUAL
+    * encode, per-probed-cell residual LUT, ADC ordered-sum — ending in
+    * `scored(q_vec_id, vec_id, adc)` for the caller's final rank. */
+  private object IvfPqResidualReplay {
+    val chain: String =
+      """WITH cents AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |assign AS (
+        |  SELECT e.vec_id, t.centroid_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(
+        |             CAST(e.embedding AS DOUBLE[]), t.c_vec) DESC,
+        |             t.centroid_id) AS pr
+        |  FROM embeddings e CROSS JOIN cents t),
+        |ca AS (SELECT vec_id, centroid_id FROM assign WHERE pr = 1),
+        |qa AS (SELECT vec_id, centroid_id FROM assign
+        |       WHERE vec_id < 5 AND pr <= 2),
+        |cb AS (
+        |  SELECT j // 8 AS s, j % 8 AS c,
+        |         list_transform(range(0, 16),
+        |           i -> CAST(((j // 8) * 131 + (j % 8) * 31 + i * 7)
+        |                     % 17 - 8 AS DOUBLE) / 8.0) AS cv
+        |  FROM range(0, 32) t(j)),
+        |codes AS (
+        |  SELECT e.vec_id, cb.s, cb.c,
+        |         row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |           ORDER BY list_sum(list_transform(range(0, 16), i ->
+        |             (CAST(e.embedding[CAST(cb.s * 16 + i + 1 AS INT)]
+        |                AS DOUBLE)
+        |              - ct.c_vec[CAST(cb.s * 16 + i + 1 AS INT)]
+        |              - cv[CAST(i + 1 AS INT)]) *
+        |             (CAST(e.embedding[CAST(cb.s * 16 + i + 1 AS INT)]
+        |                AS DOUBLE)
+        |              - ct.c_vec[CAST(cb.s * 16 + i + 1 AS INT)]
+        |              - cv[CAST(i + 1 AS INT)]))) ASC,
+        |             cb.c) AS rn
+        |  FROM embeddings e
+        |  JOIN ca ON ca.vec_id = e.vec_id
+        |  JOIN cents ct ON ct.centroid_id = ca.centroid_id
+        |  CROSS JOIN cb),
+        |cc AS (SELECT vec_id, s, c FROM codes WHERE rn = 1),
+        |pairs AS (
+        |  SELECT qa.vec_id AS q_vec_id, ca.vec_id, centroid_id
+        |  FROM qa JOIN ca USING (centroid_id)),
+        |q AS (SELECT vec_id AS q_vec_id, embedding
+        |      FROM embeddings WHERE vec_id < 5),
+        |sub AS (
+        |  SELECT p.q_vec_id, p.vec_id, cc.s,
+        |         list_sum(list_transform(range(0, 16), i ->
+        |           (CAST(q.embedding[CAST(cc.s * 16 + i + 1 AS INT)]
+        |              AS DOUBLE)
+        |            - ct.c_vec[CAST(cc.s * 16 + i + 1 AS INT)]
+        |            - cb.cv[CAST(i + 1 AS INT)]) *
+        |           (CAST(q.embedding[CAST(cc.s * 16 + i + 1 AS INT)]
+        |              AS DOUBLE)
+        |            - ct.c_vec[CAST(cc.s * 16 + i + 1 AS INT)]
+        |            - cb.cv[CAST(i + 1 AS INT)]))) AS d
+        |  FROM pairs p
+        |  JOIN q ON q.q_vec_id = p.q_vec_id
+        |  JOIN cents ct ON ct.centroid_id = p.centroid_id
+        |  JOIN cc ON cc.vec_id = p.vec_id
+        |  JOIN cb ON cb.s = cc.s AND cb.c = cc.c),
+        |scored AS (
+        |  SELECT q_vec_id, vec_id, list_sum(list(d ORDER BY s)) AS adc
+        |  FROM sub GROUP BY 1, 2)""".stripMargin
   }
 
   /** q230/q231's replayable HNSW family — one parameter block + one sign
@@ -9426,6 +9552,41 @@ object SparkEntry {
         |  round(adc, 6) AS adc
         |FROM scored QUALIFY rank <= 5 ORDER BY q_vec_id, rank"""
         .stripMargin,
+
+    // q232: the q134 replay with RESIDUAL geometry — both the encode
+    // and the per-probed-cell LUT subtract the assigned cell's
+    // centroid slice, in the same left-assoc (x − cent − cv) order as
+    // Spark's zip_with-then-encode chain.
+    "q232_ivfpq_residual" ->
+      (IvfPqResidualReplay.chain + """
+        |SELECT q_vec_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY adc ASC, vec_id) AS INT) AS rank,
+        |  round(adc, 6) AS adc
+        |FROM scored QUALIFY rank <= 5 ORDER BY q_vec_id, rank"""
+        .stripMargin),
+
+    // q233: q232's chain widened to top-20 candidates, then the exact
+    // cosine re-rank to top-5 on the true vectors — the refine stage.
+    "q233_ivfpq_refine" ->
+      (IvfPqResidualReplay.chain + """,
+        |cand AS (
+        |  SELECT q_vec_id, vec_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY adc ASC, vec_id) <= 20),
+        |rr AS (
+        |  SELECT c.q_vec_id, c.vec_id,
+        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |           CAST(ce.embedding AS DOUBLE[])) AS cos
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.q_vec_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id)
+        |SELECT q_vec_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY cos DESC, vec_id) AS INT) AS rank,
+        |  round(cos, 6) AS cos
+        |FROM rr QUALIFY rank <= 5 ORDER BY q_vec_id, rank"""
+        .stripMargin),
 
     // The round-trip target is q01's ingest projection: the reloaded
     // parquet must answer the ORIGINAL oracle.

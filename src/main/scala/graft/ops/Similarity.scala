@@ -645,6 +645,71 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding (the full FAISS IVFPQ: codes
+    * quantize x − centroid(x), not x) — residuals concentrate around
+    * the origin regardless of which cell a vector lives in, so ONE
+    * model-sized codebook set serves every cell with the accuracy a
+    * flat encoding only gets near the centroid mean. The cost is
+    * query-side: the ADC lookup table must be rebuilt per PROBED CELL
+    * (LUT of q − c for each probed centroid) instead of once per
+    * query — nProbe small LUTs, still narrow arithmetic before the
+    * cell equi-join. Corpus-side cost is one broadcast join against
+    * the k-row centroid table plus a codegen'd `zip_with` subtraction
+    * feeding [[graft.expressions.PqEncode]] — the corpus still never
+    * shuffles for the encode. Rank contract matches [[ivfPqTopK]]:
+    * ADC ascending, id ascending. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cbs = collectPqCodebooks(codebooks)
+    val cvt = broadcast(
+      centroids.select(col("centroid_id"), col("c_vec")))
+    def residual(v: Column): Column =
+      zip_with(v.cast("array<double>"), col("c_vec"), (a, b) => a - b)
+    val c = ivfAssign(corpus, idCol, vecCol, centroids, "centroid_id",
+        "c_vec", nProbe = 1).drop("probe_rank")
+      .join(cvt, Seq("centroid_id"))
+      .select(col("centroid_id"), col(idCol),
+        graft.expressions.VectorFunctions.pqEncode(residual(col(vecCol)),
+          cbs).as("__codes"))
+      .filter(col("__codes").isNotNull)
+    val q = ivfAssign(queries, qIdCol, qVecCol, centroids, "centroid_id",
+        "c_vec", nProbe = nProbe).drop("probe_rank")
+      .join(cvt, Seq("centroid_id"))
+      .select(col("centroid_id"), col(qIdCol),
+        graft.expressions.VectorFunctions.pqLut(residual(col(qVecCol)),
+          cbs).as("__lut"))
+      .filter(col("__lut").isNotNull)
+    val scored = q.join(c, Seq("centroid_id"))
+      .select(col(qIdCol), col(idCol),
+        (-graft.expressions.VectorFunctions.pqAdcScore(col("__codes"),
+          col("__lut"))).as("cos"))
+    rankTopK(scored, qIdCol, idCol, k)
+      .select(col(qIdCol), col(idCol), (-col("cos")).as("adc"),
+        col("rank"))
+  }
+
+  /** Exact re-rank REFINEMENT (the FAISS refine stage): take an
+    * approximate candidate list (any producer following the topK
+    * contract — ADC, LSH, HNSW), join the TRUE vectors back for the
+    * ≤ |queries|·R surviving candidates only, and re-rank by exact
+    * cosine to top-k. The id-keyed join touches R rows per query —
+    * corpus-size-independent wire — and repairs exactly the ADC
+    * quantization error the candidate stage accepted for speed. */
+  def refineTopK(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val scored = candidates.select(col(qIdCol), col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))),
+        Seq(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosineSimilarity(col(qVecCol), col(vecCol))
+          .as("cos"))
+    rankTopK(scored, qIdCol, idCol, k)
+  }
+
   /** Int8 scalar quantization: per-vector symmetric max-abs scaling,
     * `code_i = floor(v_i·127/maxabs + 0.5)` ∈ [-127, 127] stored as
     * TINYINT — the standard 4× embedding-table compression (8× vs

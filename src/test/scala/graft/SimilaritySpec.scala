@@ -533,6 +533,59 @@ class SimilaritySpec extends SparkSpec {
     assert(re == got) // integer sums are order-free
   }
 
+  test("ivfPqResidualTopK: a vector whose residual IS a codebook entry " +
+      "self-reconstructs at ADC 0 and ranks itself first") {
+    // 2 cells at +e1/−e1; residual codebook: subspace entries so that
+    // corpus vectors are exactly centroid + (code-vec per subspace)
+    val cents = Seq(
+      (0L, Seq(8.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(-8.0, 0.0, 0.0, 0.0))).toDF("centroid_id", "c_vec")
+    val cb = Seq(
+      (0, 0, Seq(0.5, 0.0)), (0, 1, Seq(0.0, -0.5)),
+      (1, 0, Seq(0.25, 0.0)), (1, 1, Seq(0.0, -0.25)))
+      .toDF("subspace", "code", "c_vec")
+    // corpus: centroid ± exact codebook residuals (float-exact values)
+    val corpus = Seq(
+      (10L, Seq(8.5f, 0.0f, 0.25f, 0.0f)),   // cell 0, codes (0,0)
+      (11L, Seq(8.0f, -0.5f, 0.0f, -0.25f)), // cell 0, codes (1,1)
+      (12L, Seq(-7.5f, 0.0f, 0.25f, 0.0f)),  // cell 1, codes (0,0)
+      (13L, Seq(-8.0f, -0.5f, 0.0f, -0.25f)) // cell 1, codes (1,1)
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.select(col("vec_id").as("q_vec_id"),
+      col("embedding").as("q_vec"))
+    val got = Similarity.ivfPqResidualTopK(corpus, queries, "vec_id",
+        "embedding", "q_vec_id", "q_vec", cents, cb, k = 1, nProbe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // every query's own row reconstructs exactly: ADC 0, rank 1
+    // (ties on ADC 0 break to the smallest id among exact-duplicates —
+    // none here)
+    got.foreach { case (q, (id, adc)) =>
+      assert(id == q && adc == 0.0, s"q $q -> ($id, $adc)")
+    }
+  }
+
+  test("refineTopK over a candidate superset reproduces brute-force " +
+      "exactly (the refine contract: repair, never distort)") {
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Seq(math.sin(i * 0.7).toFloat, math.cos(i * 1.1).toFloat,
+        math.sin(i * 0.3).toFloat))).toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(i =>
+      (100L + i, Seq(math.cos(i * 0.9).toFloat, math.sin(i * 0.5).toFloat,
+        0.5f))).toDF("q_vec_id", "q_vec")
+    // candidates = EVERYTHING (rank over full corpus) → refine must
+    // equal bruteForceTopK bit for bit
+    val allCand = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", "q_vec_id", "q_vec", k = 40)
+    val refined = Similarity.refineTopK(allCand, corpus, queries,
+        "vec_id", "embedding", "q_vec_id", "q_vec", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", "q_vec_id", "q_vec", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refined == brute)
+  }
+
   test("autoNPlanes: smallest plane count holding expected bucket " +
       "population at the target; capped at 30") {
     assert(Similarity.autoNPlanes(0L) == 0)
