@@ -2278,6 +2278,17 @@ object SparkEntry {
         lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.1)
     }),
 
+    "q234_embed_anisotropy" -> ((s, dir) =>
+      // Embedding-space anisotropy audit (Ethayarajh 2019 / Mu &
+      // Viswanath 2017): covariance trace + top-4 eigenvalue shares in
+      // ONE row — the "is the space collapsing onto a dominant
+      // direction" health gate that cosine-threshold dedup/ANN/
+      // decontam silently depend on. Same one-pass moments + q226
+      // deflation; trace is index-order arithmetic on the same
+      // 9dp-rounded covariance diagonal.
+      Linalg.anisotropyAudit(s, t(s, dir, "embeddings"), "embedding",
+        k = 4, iters = 15)),
+
     "q220_dup_cluster_histogram" -> ((s, dir) => {
       // Duplicate-cluster-size histogram (the release-note table next
       // to q214's per-source rate: how many content clusters have
@@ -4864,6 +4875,84 @@ object SparkEntry {
         |  round_even(lam, 6) AS eigval
         |FROM wl, range(0, 64) r(j)
         |ORDER BY 1, 2""".stripMargin,
+
+    // q234: q226's deflation chain + index-order diagonal trace +
+    // spectral-share arithmetic, one row, round_even (math.rint) 6dp.
+    "q234_embed_anisotropy" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+        |cv AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    round_even((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |          / (COUNT(*) - 1), 9) AS c
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT list(c ORDER BY ri, ci) AS cl FROM cv),
+        |pi(comp, t, cl, v) AS (
+        |  SELECT 0, 0, cl,
+        |    list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE))
+        |  FROM cm
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN t < 15 THEN comp ELSE comp + 1 END,
+        |    CASE WHEN t < 15 THEN t + 1 ELSE 0 END,
+        |    CASE WHEN t < 15 THEN cl
+        |         ELSE list_transform(range(0, 4096), ij -> round_even(
+        |           cl[CAST(ij + 1 AS INT)] - lam
+        |             * vv[CAST(ij // 64 + 1 AS INT)]
+        |             * vv[CAST(ij % 64 + 1 AS INT)], 9)) END,
+        |    CASE WHEN t < 15 THEN
+        |      list_transform(
+        |        list_transform(range(0, 64), i -> list_sum(list_transform(
+        |          range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                             * v[CAST(j + 1 AS INT)]))),
+        |        y -> y / sqrt(list_sum(list_transform(
+        |          list_transform(range(0, 64), i -> list_sum(list_transform(
+        |            range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                               * v[CAST(j + 1 AS INT)]))),
+        |          z -> z * z))))
+        |    ELSE list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE)) END
+        |  FROM (
+        |    SELECT comp, t, cl, v, vv,
+        |      CASE WHEN t = 15 THEN round_even(list_sum(list_transform(
+        |        range(0, 64), i -> vv[CAST(i + 1 AS INT)]
+        |          * list_sum(list_transform(range(0, 64),
+        |              j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                   * vv[CAST(j + 1 AS INT)])))), 9) END AS lam
+        |    FROM (
+        |      SELECT comp, t, cl, v,
+        |        CASE WHEN t = 15 THEN list_transform(
+        |          CASE WHEN list_sum(v) < 0
+        |               THEN list_transform(v, x -> -x) ELSE v END,
+        |          x -> round_even(x, 9)) END AS vv
+        |      FROM pi WHERE comp < 3 OR t < 15))),
+        |fin AS (
+        |  SELECT comp,
+        |    list_transform(
+        |      CASE WHEN list_sum(v) < 0
+        |           THEN list_transform(v, x -> -x) ELSE v END,
+        |      x -> round_even(x, 9)) AS vv, cl
+        |  FROM pi WHERE t = 15),
+        |wl AS (
+        |  SELECT comp, vv,
+        |    round_even(list_sum(list_transform(range(0, 64),
+        |      i -> vv[CAST(i + 1 AS INT)] * list_sum(list_transform(
+        |        range(0, 64), j -> cl[CAST(i*64 + j + 1 AS INT)]
+        |                           * vv[CAST(j + 1 AS INT)])))), 9) AS lam
+        |  FROM fin),
+        |tr AS (SELECT list_sum(list(c ORDER BY ri)) AS t
+        |       FROM cv WHERE ri = ci),
+        |ls AS (SELECT list_sum(list(lam ORDER BY comp)) AS tsum,
+        |              first(lam ORDER BY comp) AS l1 FROM wl),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings
+        |       WHERE embedding IS NOT NULL)
+        |SELECT n, round_even(t, 6) AS trace, round_even(l1, 6) AS lam1,
+        |  round_even(tsum, 6) AS topk_sum,
+        |  round_even(l1 / t, 6) AS lam1_share,
+        |  round_even(tsum / t, 6) AS topk_share
+        |FROM nn, tr, ls""".stripMargin,
 
     // q227: same deflation CTE as q226, then the whitening apply per
     // row — (x·v_c) · round_even(1/√λ_c, 9), output ROUND 6 (Spark

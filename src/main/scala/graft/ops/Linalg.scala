@@ -213,6 +213,35 @@ object Linalg {
       .select(col(idCol), col("p.comp").as("comp"), col("p.w").as("w"))
   }
 
+  /** Embedding-space ANISOTROPY audit — the "is my embedding space
+    * collapsing" health table (Ethayarajh 2019's anisotropy problem;
+    * Mu & Viswanath 2017's dominant-direction removal): one row with
+    * the covariance trace (total variance), the top-k eigenvalues, and
+    * the spectral shares λ₁/tr and Σtop-k/tr. A healthy isotropic
+    * space spreads variance (shares ≈ k/d); a collapsing one
+    * concentrates it (λ₁ share → 1), which silently breaks
+    * cosine-based dedup/ANN/decontam thresholds. Same ONE corpus pass
+    * + driver deflation as [[pcaTopK]]; trace is exact arithmetic on
+    * the same rounded covariance. One 6-dp row:
+    * `(n, trace, lam1, topk_sum, lam1_share, topk_share)`. */
+  def anisotropyAudit(spark: SparkSession, df: DataFrame,
+      vecCol: String, k: Int = 4, iters: Int = 15): DataFrame = {
+    val (n, sums, prods) = collectMoments(df, vecCol)
+    val cov = covarianceFromMoments(n, sums, prods)
+    // trace over the SAME 9dp-rounded matrix the solver sees, summed
+    // in index order — replayable
+    var tr = 0.0
+    var i = 0
+    while (i < cov.length) { tr += round9(cov(i)(i)); i += 1 }
+    val (_, lams) = pcaTopK(cov, k, iters)
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    val topSum = lams.sum // ≤ k 9dp-rounded terms, index order
+    import spark.implicits._
+    Seq((n, r6(tr), r6(lams(0)), r6(topSum),
+      r6(lams(0) / tr), r6(topSum / tr)))
+      .toDF("n", "trace", "lam1", "topk_sum", "lam1_share", "topk_share")
+  }
+
   /** Index-order dot product of a vector column with a literal vector —
     * `zip_with` + `aggregate` stay inside codegen and sum in element
     * order, matching both the driver loop and the SQL replay. */

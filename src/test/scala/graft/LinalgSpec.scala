@@ -168,6 +168,29 @@ class LinalgSpec extends SparkSpec {
     }
   }
 
+  test("anisotropyAudit: concentrated cloud shows a dominant lam1 " +
+    "share; isotropic cloud spreads the spectrum") {
+    val rnd = new scala.util.Random(5L)
+    val aniso = (0 until 300).map { i =>
+      val z = rnd.nextGaussian()
+      (i.toLong, Seq((10.0 * z).toFloat,
+        rnd.nextGaussian().toFloat * 0.1f,
+        rnd.nextGaussian().toFloat * 0.1f,
+        rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val a = Linalg.anisotropyAudit(spark, aniso.toDF("id", "v"), "v",
+      k = 2, iters = 40).collect()(0)
+    assert(a.getLong(0) == 300)
+    assert(a.getDouble(4) > 0.95, s"lam1_share ${a.getDouble(4)}")
+    val iso = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val b = Linalg.anisotropyAudit(spark, iso.toDF("id", "v"), "v",
+      k = 2, iters = 40).collect()(0)
+    // 4-d isotropic: each share ≈ 1/4 (sampling noise bounded)
+    assert(b.getDouble(4) < 0.5, s"iso lam1_share ${b.getDouble(4)}")
+    assert(b.getDouble(5) > b.getDouble(4)) // top-2 ≥ top-1
+  }
+
   test("ridgeFitStd: intercept converges to the label mean; " +
     "standardized fit recovers a feature-aligned signal") {
     val rows = (0 until 200).map { i =>
