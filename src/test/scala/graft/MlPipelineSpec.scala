@@ -89,6 +89,36 @@ class MlPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("Whitener == Linalg.whitenTopK coordinate for coordinate; " +
+    "model save/load round-trips") {
+    val rnd = new scala.util.Random(13L)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq((3.0 * rnd.nextGaussian()).toFloat,
+        rnd.nextGaussian().toFloat, (0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val model = new graft.ml.Whitener()
+      .setInputCol("v").setK(3).setIters(40).fit(df)
+    val viaMl = model.transform(df)
+      .select(col("id"), col("whitened"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val direct = graft.ops.Linalg.whitenTopK(spark, df, "id", "v",
+        k = 3, iters = 40)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(viaMl == direct)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_whitener").toString + "/w"
+    model.write.overwrite().save(path)
+    val loaded = graft.ml.WhitenerModel.load(path)
+    val after = loaded.transform(df)
+      .select(col("id"), col("whitened"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(after == viaMl)
+  }
+
   test("two-stage Pipeline composes: split stamp then preprocess") {
     val df = obs.withColumn("domain",
       concat(lit("d"), ($"id" % 11).cast("string")))
