@@ -89,6 +89,38 @@ class MlPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("VocabIndexer: UNK-pinned indexing == Vocabulary.fit+lookup; " +
+    "unseen folds to 0; rare folding; persistence round-trip") {
+    val train = Seq("a", "a", "a", "b", "b", "c").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val applyTo = Seq("a", "b", "c", "zz").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val model = new graft.ml.VocabIndexer()
+      .setInputCol("k").setOutputCol("kidx").fit(train)
+    val got = model.transform(applyTo)
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    // frequency order: a(3)→1, b(2)→2, c(1)→3; unseen zz → UNK 0
+    assert(got == Map("a" -> 1, "b" -> 2, "c" -> 3, "zz" -> 0))
+    val direct = graft.core.Vocabulary.lookup(applyTo, "k",
+        graft.core.Vocabulary.fit(train, "k"), "kidx")
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(got == direct)
+    // fold: count threshold 2 folds c into UNK
+    val folded = new graft.ml.VocabIndexer()
+      .setInputCol("k").setOutputCol("kidx").setMinFold(2.0)
+      .fit(train).transform(applyTo)
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(folded == Map("a" -> 1, "b" -> 2, "c" -> 0, "zz" -> 0))
+    // persistence
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vocab").toString + "/v"
+    model.write.overwrite().save(path)
+    val loaded = graft.ml.VocabIndexerModel.load(path)
+    val after = loaded.transform(applyTo)
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(after == got)
+  }
+
   test("Whitener == Linalg.whitenTopK coordinate for coordinate; " +
     "model save/load round-trips") {
     val rnd = new scala.util.Random(13L)
