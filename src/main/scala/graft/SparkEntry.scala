@@ -529,6 +529,30 @@ object SparkEntry {
           round(col("value_norm"), 6).as("value_norm"), col("key_idx"))
     }),
 
+    "q235_ml_pipeline_composed" -> ((s, dir) => {
+      // TWO real graft.ml stages composed, oracle-checked end-to-end:
+      // the leakage-safe split stamp (Transformer over
+      // Splits.groupedSplit), then a VocabIndexer FIT ON THE TRAIN
+      // SLICE ONLY and applied to every row. The indexed key is
+      // (event_type : user_id), so held-out users' keys are genuinely
+      // UNSEEN at fit time and must index to the pinned UNK 0 — the
+      // unseen-category semantics MLlib's StringIndexer errors on.
+      val ev = t(s, dir, "events")
+        .withColumn("subject_key",
+          concat(col("event_type"), lit(":"),
+            col("user_id").cast("string")))
+      val split = new graft.ml.GroupedSplitAssigner()
+        .setGroupCol("user_id").setFractions(Array(0.8))
+        .setSplitNames(Array("train", "held_out")).setSeed(9L)
+      val stamped = split.transform(ev)
+      val model = new graft.ml.VocabIndexer()
+        .setInputCol("subject_key").setOutputCol("key_idx")
+        .fit(stamped.filter(col("split") === "train"))
+      model.transform(stamped)
+        .select(col("event_id"), col("split"), col("subject_key"),
+          col("key_idx"))
+    }),
+
     "q33_preprocess_reencode" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val train = li.filter(col("l_orderkey") % 5 < 4)
@@ -8574,6 +8598,36 @@ object SparkEntry {
         |       WHEN u <= 0.8 + 0.1 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // q235: the q195 digit-walk split replay keyed by user_id, the
+    // q09/q51 frequency-rank vocab over the TRAIN slice only, and the
+    // UNK-0 lookup via coalesce — the composed ml-Pipeline contract.
+    "q235_ml_pipeline_composed" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id,
+        |    event_type || ':' || user_id AS subject_key,
+        |    (list_sum(list_transform(range(0, 12), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(user_id AS VARCHAR) || ':9'),
+        |                  CAST(i + 1 AS INT), 1)) - 1)
+        |        * power(16.0, CAST(11 - i AS DOUBLE)))) + 1)
+        |      / 281474976710656.0 AS uu
+        |  FROM events),
+        |st AS (
+        |  SELECT event_id, subject_key,
+        |    CASE WHEN uu <= 0.8 THEN 'train' ELSE 'held_out' END AS split
+        |  FROM u),
+        |c AS (SELECT subject_key AS element, count(*) AS n
+        |      FROM st WHERE split = 'train' GROUP BY 1),
+        |ranked AS (
+        |  SELECT element,
+        |    CAST(row_number() OVER (ORDER BY n DESC, element) AS INT)
+        |      AS idx
+        |  FROM c)
+        |SELECT st.event_id, st.split, st.subject_key,
+        |  coalesce(r.idx, 0) AS key_idx
+        |FROM st LEFT JOIN ranked r ON r.element = st.subject_key
+        |ORDER BY event_id""".stripMargin,
 
     // q191: same salting, token split, case-folded membership count.
     "q191_word_blocklist" ->
