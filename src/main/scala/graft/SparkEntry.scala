@@ -2302,6 +2302,17 @@ object SparkEntry {
         lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.1)
     }),
 
+    "q236_hash_embed" -> ((s, dir) =>
+      // Feature-hashed text embeddings (the hashing trick / fastText
+      // bag shape, no trained table): the in-engine bridge from the
+      // documents world to the vector world — one narrow token scan +
+      // two partial-aggregatable exchanges, unit-L2 EAV out. Contract
+      // uses the engine-portable md5 digit-walk family (the q15/q124
+      // discipline); production defaults to codegen'd xxhash64 with
+      // everything downstream of the (bucket, sign) columns identical.
+      graft.ops.TextOps.hashedEmbedding(t(s, dir, "documents"),
+        "doc_id", "text", dim = 64, seed = 7, family = "md5")),
+
     "q234_embed_anisotropy" -> ((s, dir) =>
       // Embedding-space anisotropy audit (Ethayarajh 2019 / Mu &
       // Viswanath 2017): covariance trace + top-4 eigenvalue shares in
@@ -4899,6 +4910,32 @@ object SparkEntry {
         |  round_even(lam, 6) AS eigval
         |FROM wl, range(0, 64) r(j)
         |ORDER BY 1, 2""".stripMargin,
+
+    // q236: whitespace tokens → 4-hex-digit md5 walk mod dim buckets,
+    // 5th-digit-parity signs, signed integer sums (exact in doubles),
+    // one sqrt + one rounded division.
+    "q236_hash_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 4), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(tok || ':7'), CAST(i + 1 AS INT), 1))
+        |           - 1)
+        |          * power(16.0, CAST(3 - i AS DOUBLE)))) AS BIGINT)
+        |          % 64 AS d,
+        |        CASE WHEN strpos('02468ace',
+        |               substr(md5(tok || ':7'), 5, 1)) > 0
+        |             THEN 1.0 ELSE -1.0 END AS sgn
+        |      FROM tt),
+        |s AS (SELECT doc_id, d, sum(sgn) AS v FROM h GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY 1)
+        |SELECT s.doc_id, CAST(s.d AS INT) AS dim,
+        |  ROUND(s.v / n.nrm, 6) AS val
+        |FROM s JOIN n USING (doc_id) ORDER BY 1, 2""".stripMargin,
 
     // q234: q226's deflation chain + index-order diagonal trace +
     // spectral-share arithmetic, one row, round_even (math.rint) 6dp.

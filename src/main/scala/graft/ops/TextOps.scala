@@ -847,4 +847,62 @@ object TextOps {
         round((col("r") + 1).cast("double") * col("__nn") / col("n_r"),
           6).as("r_star"))
   }
+
+  /** Feature-hashed text embedding (Weinberger et al. 2009's hashing
+    * trick; the fastText bag-of-features shape without a trained
+    * table) — the IN-ENGINE bridge from the text world to the vector
+    * world: every whitespace token hashes to one of `dim` buckets with
+    * a ±1 sign, per-document bucket sums L2-normalize into a unit
+    * vector the ANN / dedup / linalg operators consume directly. No
+    * model, no vocabulary, no training pass — the embedding of 100 TB
+    * of text is ONE narrow token scan plus two partial-aggregatable
+    * exchanges ((doc, dim) sums, then per-doc norms), output ≤
+    * |docs|·dim rows as the house EAV `(idCol, dim, val)` (6 dp).
+    *
+    * `family`: "xxhash" (default — codegen'd xxhash64, the production
+    * hash) or "md5" (the engine-portable replayable family: bucket =
+    * first 4 hex digits of md5(token:seed) mod dim, sign = parity of
+    * the 5th — the q15/q124 digit-walk discipline, so an external
+    * engine replays the whole embedding bit-for-bit). Everything
+    * downstream of the (bucket, sign) columns is identical production
+    * code. Signed sums are small-integer-valued doubles (exact,
+    * order-invariant), so the only FP steps are one sqrt and one
+    * rounded division. Empty documents yield no rows. */
+  def hashedEmbedding(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, seed: Long = 7, family: String = "xxhash")
+      : DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val hashed = family match {
+      case "xxhash" =>
+        // bucket from the low bits, sign from an independent bit well
+        // above them (pmod keeps negatives in range)
+        val h = xxhash64(lit(seed), col("__tok"))
+        toks.select(col(idCol),
+          pmod(h, lit(dim.toLong)).as("__d"),
+          when(pmod(shiftright(h, 32), lit(2L)) === 0L, 1.0)
+            .otherwise(-1.0).as("__sgn"))
+      case "md5" =>
+        val md = md5(concat(col("__tok"), lit(":" + seed)).cast("binary"))
+        toks.select(col(idCol),
+          pmod(conv(substring(md, 1, 4), 16, 10).cast("long"),
+            lit(dim.toLong)).as("__d"),
+          when(substring(md, 5, 1).isin(
+            "0", "2", "4", "6", "8", "a", "c", "e"), 1.0)
+            .otherwise(-1.0).as("__sgn"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"hashedEmbedding family must be xxhash|md5: $other")
+    }
+    val sums = hashed.groupBy(col(idCol), col("__d"))
+      .agg(sum(col("__sgn")).as("__v"))
+      .localCheckpoint(true)
+    val norms = sums.groupBy(col(idCol))
+      .agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
+    sums.join(norms, Seq(idCol))
+      .select(col(idCol), col("__d").cast("int").as("dim"),
+        round(col("__v") / col("__n"), 6).as("val"))
+  }
 }

@@ -1038,6 +1038,37 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == ((Seq(""), Seq("plain block\n"))))
   }
 
+  test("hashedEmbedding: unit L2 norm per doc, deterministic, " +
+    "token-order-invariant, both hash families; empty docs vanish") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"), // permuted
+      (3L, "completely different words entirely"),
+      (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (family <- Seq("xxhash", "md5")) {
+      val out = TextOps.hashedEmbedding(docs, "doc_id", "text",
+          dim = 16, seed = 7, family = family)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val byDoc = out.groupBy(_._1)
+      assert(byDoc.keySet == Set(1L, 2L, 3L), s"$family: ${byDoc.keySet}")
+      byDoc.foreach { case (id, rows) =>
+        val n2 = rows.map(r => r._3 * r._3).sum
+        assert(math.abs(n2 - 1.0) < 1e-4, s"$family doc $id norm² $n2")
+        assert(rows.forall(r => r._2 >= 0 && r._2 < 16))
+      }
+      // a bag embedding ignores token order: docs 1 and 2 identical
+      assert(byDoc(1L).map(r => (r._2, r._3)).toSet ==
+        byDoc(2L).map(r => (r._2, r._3)).toSet, family)
+      // deterministic across runs
+      val again = TextOps.hashedEmbedding(docs, "doc_id", "text",
+          dim = 16, seed = 7, family = family)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(again.toSet == out.toSet, family)
+    }
+  }
+
   /** Textbook full-matrix Levenshtein, the oracle for the banded impl. */
   private def reference(a: String, b: String): Long = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
