@@ -2302,6 +2302,16 @@ object SparkEntry {
         lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.1)
     }),
 
+    "q237_label_scatter" -> ((s, dir) =>
+      // Fisher class-separability audit: per label, between-class /
+      // within-class scatter and their ratio — the "would a linear
+      // probe see this label" gate, answered WITHOUT fitting a probe
+      // (q225/q228 fit one; this measures whether fitting is even
+      // worth it). Exact integer-lattice + DECIMAL arithmetic end to
+      // end; FP only in the final two divisions per label row.
+      Linalg.labelScatter(t(s, dir, "embeddings"), "embedding",
+        "label")),
+
     "q236_hash_embed" -> ((s, dir) =>
       // Feature-hashed text embeddings (the hashing trick / fastText
       // bag shape, no trained table): the in-engine bridge from the
@@ -4910,6 +4920,49 @@ object SparkEntry {
         |  round_even(lam, 6) AS eigval
         |FROM wl, range(0, 64) r(j)
         |ORDER BY 1, 2""".stripMargin,
+
+    // q237: the q202 floor(x·1e6 + 0.5) lattice carried through the
+    // whole scatter algebra in HUGEINT — Δ = S·n − G·n_l and
+    // W = Q·n_l − S² stay integer-exact; the division chains mirror
+    // the Spark expressions term for term.
+    "q237_label_scatter" ->
+      """WITH x AS (
+        |  SELECT label, CAST(r.i - 1 AS INT) AS d,
+        |    CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |pld AS (
+        |  SELECT label, d, CAST(sum(qv) AS BIGINT) AS s,
+        |    sum(CAST(qv AS HUGEINT) * qv) AS q2,
+        |    CAST(count(*) AS BIGINT) AS nl
+        |  FROM x GROUP BY 1, 2),
+        |g AS (SELECT d, CAST(sum(s) AS BIGINT) AS gs,
+        |        CAST(sum(nl) AS BIGINT) AS ntot
+        |      FROM pld GROUP BY 1),
+        |t AS (
+        |  SELECT label, nl, ntot,
+        |    (CAST(s AS HUGEINT) * ntot - CAST(gs AS HUGEINT) * nl)
+        |      AS delta,
+        |    (q2 * nl - CAST(s AS HUGEINT) * s) AS wterm
+        |  FROM pld JOIN g USING (d)),
+        |agg AS (
+        |  SELECT label, max(nl) AS n, max(ntot) AS ntot,
+        |    sum(delta * delta) AS bsum, sum(wterm) AS wsum
+        |  FROM t GROUP BY 1)
+        |SELECT label, n,
+        |  ROUND(CAST(bsum AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * ntot * ntot * 1e12), 6)
+        |    AS between_scatter,
+        |  ROUND(CAST(wsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12), 6)
+        |    AS within_scatter,
+        |  CASE WHEN wsum > 0 THEN ROUND(
+        |    (CAST(bsum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * ntot * ntot * 1e12))
+        |    / (CAST(wsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12)),
+        |    6) END AS fisher
+        |FROM agg ORDER BY label""".stripMargin,
 
     // q236: whitespace tokens → 4-hex-digit md5 walk mod dim buckets,
     // 5th-digit-parity signs, signed integer sums (exact in doubles),

@@ -242,6 +242,62 @@ object Linalg {
       .toDF("n", "trace", "lam1", "topk_sum", "lam1_share", "topk_share")
   }
 
+  /** Fisher class-separability audit over an embedding column — "are
+    * these embeddings any good for THIS label" (the linear-probe
+    * question answered without fitting a probe): per label, the
+    * between-class scatter ‖μ_label − μ‖², the within-class scatter
+    * (mean squared distance to the class mean), and their Fisher
+    * ratio. High ratio → classes are linearly separable in this
+    * space; ratio ≈ 0 → the label is invisible to any linear head.
+    *
+    * Arithmetic discipline: the [[Similarity.dimMeansLattice]] integer
+    * lattice taken all the way — per-(label, dim) sums Σq (long) and
+    * Σq² (DECIMAL(38,0)) are EXACT, every scatter term stays in
+    * integer/decimal form (Δ = S·n − G·n_label; W = Q·n_label − S²)
+    * through the per-label reductions, and floating point appears
+    * only in the final two divisions per row — so the result is
+    * merge-order-invariant and bit-replayable. Two partial-
+    * aggregatable exchanges ((label, dim) then label); the widest
+    * intermediate is |labels|·dim rows. Decimal headroom: Δ² ≤
+    * (2·10⁶·rows)⁴-ish — exact to ~10⁹ rows at the 1e6 lattice;
+    * beyond that, coarsen the lattice scale. */
+  def labelScatter(df: DataFrame, vecCol: String, labelCol: String)
+      : DataFrame = {
+    val q = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long")
+          .as("qv"))
+    val perLD = q.groupBy("label", "d")
+      .agg(sum(col("qv")).as("s"),
+        sum((col("qv").cast("decimal(38,0)") * col("qv")))
+          .as("q2"),
+        count(lit(1)).as("nl"))
+      .localCheckpoint(true)
+    val glob = perLD.groupBy("d")
+      .agg(sum(col("s")).as("gs"), sum(col("nl")).as("ntot"))
+    val terms = perLD.join(glob, Seq("d"))
+      .select(col("label"), col("nl"), col("ntot"),
+        (col("s").cast("decimal(38,0)") * col("ntot") -
+          col("gs").cast("decimal(38,0)") * col("nl")).as("delta"),
+        (col("q2") * col("nl") -
+          col("s").cast("decimal(38,0)") * col("s")).as("wterm"))
+    val agg = terms.groupBy("label")
+      .agg(max(col("nl")).as("n"), max(col("ntot")).as("ntot"),
+        sum(col("delta") * col("delta")).as("bsum"),
+        sum(col("wterm")).as("wsum"))
+    val n = col("n").cast("double")
+    val ntot = col("ntot").cast("double")
+    val between = col("bsum").cast("double") /
+      (n * n * ntot * ntot * lit(1e12))
+    val within = col("wsum").cast("double") / (n * n * lit(1e12))
+    agg.select(col("label"), col("n"),
+      round(between, 6).as("between_scatter"),
+      round(within, 6).as("within_scatter"),
+      when(col("wsum") > 0, round(between / within, 6)).as("fisher"))
+  }
+
   /** Index-order dot product of a vector column with a literal vector —
     * `zip_with` + `aggregate` stay inside codegen and sum in element
     * order, matching both the driver loop and the SQL replay. */

@@ -191,6 +191,38 @@ class LinalgSpec extends SparkSpec {
     assert(b.getDouble(5) > b.getDouble(4)) // top-2 ≥ top-1
   }
 
+  test("labelScatter: separable labels → high Fisher ratio, " +
+    "label-blind embeddings → near zero; bit-exact under " +
+    "repartitioning (integer/decimal arithmetic)") {
+    val rnd = new scala.util.Random(3L)
+    val separable = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, Seq.tabulate(4)(j =>
+        ((if (j == c) 2.0 else 0.0) + rnd.nextGaussian() * 0.1).toFloat),
+        c)
+    }.toDF("id", "v", "label")
+    val sep = Linalg.labelScatter(separable, "v", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(sep.size == 4)
+    sep.foreach { case (l, (b, w, f)) =>
+      assert(f > 10.0, s"label $l fisher $f (between $b within $w)")
+    }
+    val blind = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat), i % 4)
+    }.toDF("id", "v", "label")
+    val bl = Linalg.labelScatter(blind, "v", "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    bl.foreach { case (l, f) => assert(f < 0.2, s"label $l fisher $f") }
+    // order-invariance to the bit: every scatter term is integer/
+    // decimal until the final divisions
+    val a = Linalg.labelScatter(separable, "v", "label")
+      .collect().map(_.toSeq).toSet
+    val b = Linalg.labelScatter(separable.repartition(13), "v", "label")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("ridgeFitStd: intercept converges to the label mean; " +
     "standardized fit recovers a feature-aligned signal") {
     val rows = (0 until 200).map { i =>
