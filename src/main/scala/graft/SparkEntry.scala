@@ -2302,6 +2302,28 @@ object SparkEntry {
         lambda = 0.1, eta = 0.5, iters = 50, threshold = 0.1)
     }),
 
+    "q238_kmeans_fit" -> ((s, dir) => {
+      // FULL multi-iteration Lloyd's fit, oracle-checked (q140 proves
+      // one M-step; q50's production fit is rows-only — this closes
+      // the gap): 3 fixed iterations from the q126 literal dyadic
+      // centroids. Assignment is the zero-exchange NearestCentroids
+      // projection; each M-step is ONE (centroid, dim) lattice-sum
+      // exchange; inter-iteration state is k·dim doubles
+      // (params-as-data). Argmax margins on this corpus are O(0.1),
+      // far above cross-engine cosine ulp, so the unrounded
+      // assignment replays stably (the q126 parity, iterated).
+      val emb = t(s, dir, "embeddings")
+      val cents0 = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val c2 = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+        cents0, iters = 2)
+      Similarity.kmeansStep(emb, "vec_id", "embedding", c2)
+        .select(col("centroid_id"), col("dim"), col("n"), col("qsum"),
+          round(col("mean"), 6).as("mean"))
+    }),
+
     "q237_label_scatter" -> ((s, dir) =>
       // Fisher class-separability audit: per label, between-class /
       // within-class scatter and their ratio — the "would a linear
@@ -4920,6 +4942,77 @@ object SparkEntry {
         |  round_even(lam, 6) AS eigval
         |FROM wl, range(0, 64) r(j)
         |ORDER BY 1, 2""".stripMargin,
+
+    // q238: three unrolled (assign → lattice M-step) rounds; the
+    // rebuilt centroid lists are qsum/(1e6·n) ordered by dim, the
+    // assignment rule is the q126 (cos DESC, centroid_id) row_number.
+    "q238_kmeans_fit" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |a1 AS (
+        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m1 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a1 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m2 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a2 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m2 GROUP BY 1),
+        |a3 AS (
+        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m3 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a3 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2)
+        |SELECT centroid_id, dim, n, qsum,
+        |  ROUND(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)),
+        |    6) AS mean
+        |FROM m3 ORDER BY 1, 2""".stripMargin,
 
     // q237: the q202 floor(x·1e6 + 0.5) lattice carried through the
     // whole scatter algebra in HUGEINT — Δ = S·n − G·n_l and
