@@ -2324,6 +2324,25 @@ object SparkEntry {
           round(col("mean"), 6).as("mean"))
     }),
 
+    "q239_semdedup_kmeans" -> ((s, dir) => {
+      // SemDeDup with the paper's ACTUAL scoping (Abbas et al.
+      // 2303.09540: k-means clusters bound the candidate space):
+      // q238's 2-iteration Lloyd's fit supplies the clusters, the
+      // within-cluster pair discovery compares round-6 cosines to the
+      // threshold after rounding (q222 rule). Per-cluster quadratic
+      // only — k is the explicit cost lever; 0.3 on the driver's
+      // near-orthogonal vectors yields a non-trivial surviving set.
+      val emb = t(s, dir, "embeddings")
+      val cents0 = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val cents = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+        cents0, iters = 2)
+      Dedup.embeddingNearDupsKmeans(emb, "vec_id", "embedding",
+        threshold = 0.3, cents)
+    }),
+
     "q237_label_scatter" -> ((s, dir) =>
       // Fisher class-separability audit: per label, between-class /
       // within-class scatter and their ratio — the "would a linear
@@ -4315,6 +4334,75 @@ object SparkEntry {
          |  FROM dots GROUP BY 1)""".stripMargin
   }
 
+  /** q238/q239's shared Lloyd's replay chain: literal dyadic start,
+    * three unrolled (assign → integer-lattice M-step) rounds — ends
+    * with `a3` (third assignment) and `m3` (third M-step stats). */
+  private object KmeansReplay {
+    val chain: String =
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |a1 AS (
+        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m1 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a1 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m2 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a2 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m2 GROUP BY 1),
+        |a3 AS (
+        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m3 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a3 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** q232/q233's shared residual-IVFPQ replay chain: the q126/q134
     * literal dyadic centroid/codebook tables, assignment, RESIDUAL
     * encode, per-probed-cell residual LUT, ADC ordered-sum — ending in
@@ -4947,72 +5035,29 @@ object SparkEntry {
     // rebuilt centroid lists are qsum/(1e6·n) ordered by dim, the
     // assignment rule is the q126 (cos DESC, centroid_id) row_number.
     "q238_kmeans_fit" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |           WHERE embedding IS NOT NULL),
-        |c0 AS (
-        |  SELECT j AS centroid_id,
-        |         list_transform(range(0, 64),
-        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
-        |  FROM range(0, 8) t(j)),
-        |a1 AS (
-        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c0 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
-        |      c.centroid_id) = 1),
-        |m1 AS (
-        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(floor(
-        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
-        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
-        |  FROM a1 a JOIN e ON e.vec_id = a.vec_id,
-        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT centroid_id,
-        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
-        |         ORDER BY dim) AS c_vec
-        |  FROM m1 GROUP BY 1),
-        |a2 AS (
-        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c1 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
-        |      c.centroid_id) = 1),
-        |m2 AS (
-        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(floor(
-        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
-        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
-        |  FROM a2 a JOIN e ON e.vec_id = a.vec_id,
-        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT centroid_id,
-        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
-        |         ORDER BY dim) AS c_vec
-        |  FROM m2 GROUP BY 1),
-        |a3 AS (
-        |  SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c2 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
-        |      c.centroid_id) = 1),
-        |m3 AS (
-        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(floor(
-        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
-        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
-        |  FROM a3 a JOIN e ON e.vec_id = a.vec_id,
-        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
-        |  GROUP BY 1, 2)
+      (KmeansReplay.chain + """
         |SELECT centroid_id, dim, n, qsum,
         |  ROUND(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)),
         |    6) AS mean
-        |FROM m3 ORDER BY 1, 2""".stripMargin,
+        |FROM m3 ORDER BY 1, 2""".stripMargin),
+
+    // q239: the same 2-iteration fit (chain through c2/a3), then the
+    // SemDeDup within-cluster pair discovery — round-6 cosine compared
+    // to the threshold AFTER rounding on both sides (the q222 rule).
+    "q239_semdedup_kmeans" ->
+      (KmeansReplay.chain + """,
+        |p AS (
+        |  SELECT x.centroid_id, x.vec_id AS id_a, y.vec_id AS id_b,
+        |    ROUND(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM a3 x
+        |  JOIN a3 y ON x.centroid_id = y.centroid_id
+        |           AND x.vec_id < y.vec_id
+        |  JOIN e ea ON ea.vec_id = x.vec_id
+        |  JOIN e eb ON eb.vec_id = y.vec_id)
+        |SELECT centroid_id, id_a, id_b, cos
+        |FROM p WHERE cos >= 0.3 ORDER BY 1, 2, 3""".stripMargin),
 
     // q237: the q202 floor(x·1e6 + 0.5) lattice carried through the
     // whole scatter algebra in HUGEINT — Δ = S·n − G·n_l and

@@ -911,6 +911,36 @@ object Dedup {
     dedupByPairs(vecs, idCol, pairs.select("id_a", "id_b"))
   }
 
+  /** k-means-scoped SemDeDup discovery — the paper's ACTUAL candidate
+    * scoping (Abbas et al. 2303.09540 §2: cluster the corpus, compare
+    * pairs only WITHIN each cluster): assignment is the zero-exchange
+    * [[Similarity.ivfAssign]] projection against a model-sized
+    * centroid table (typically [[Similarity.kmeansIterate]]'s fit),
+    * candidates meet in a centroid-keyed equi-join — per-cluster
+    * quadratic, never corpus-quadratic, with cluster count k the
+    * explicit cost lever. Cosines are rounded to 6 dp BEFORE the
+    * threshold compare (the q222 engine-portability rule). Returns
+    * `(centroid_id, id_a, id_b, cos)` for surviving pairs; feed
+    * `(id_a, id_b)` to [[dedupByPairs]] for the keep/drop table. */
+  def embeddingNearDupsKmeans(vecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, centroids: DataFrame,
+      cIdCol: String = "centroid_id", cVecCol: String = "c_vec")
+      : DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, centroids,
+        cIdCol, cVecCol, nProbe = 1).drop("probe_rank")
+      .select(col(cIdCol), col(idCol).as("__id"), col(vecCol).as("__v"))
+    val a = assigned.select(col(cIdCol), col("__id").as("id_a"),
+      col("__v").as("v_a"))
+    val b = assigned.select(col(cIdCol), col("__id").as("id_b"),
+      col("__v").as("v_b"))
+    a.join(b, Seq(cIdCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col(cIdCol), col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")),
+          6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 7,
       dim: Int = 64): DataFrame = {

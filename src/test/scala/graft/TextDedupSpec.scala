@@ -579,6 +579,44 @@ class TextDedupSpec extends SparkSpec {
     assert(bucketed == exact)
   }
 
+  test("embeddingNearDupsKmeans: pairs discovered within clusters only — " +
+      "a cross-cluster near-dup is out of scope by construction; cosines " +
+      "round-6 before the threshold compare") {
+    // angles (radians, in the xy-plane): v1≈.01, v2≈-.01, v5≈.02 hug
+    // +x; v3/v4 hug +y. All within-cluster cosines ≈ .9998.
+    val vecs = Seq(
+      (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(1f, -0.01f, 0f, 0f)),
+      (3L, Array(0.01f, 1f, 0f, 0f)),
+      (4L, Array(-0.01f, 1f, 0f, 0f)),
+      (5L, Array(1f, 0.02f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0))).toDF("centroid_id", "c_vec")
+    // axis centroids: {1,2,5}→c0, {3,4}→c1; every within-cluster pair
+    // clears .9 and the huge cross-cluster block is never formed
+    val all = Dedup.embeddingNearDupsKmeans(vecs, "vec_id", "embedding",
+      threshold = 0.9, cents)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(all.map(r => (r._1, r._2, r._3)).toSet ==
+      Set((0L, 1L, 2L), (0L, 1L, 5L), (0L, 2L, 5L), (1L, 3L, 4L)))
+    // move c1 to angle .035: v5 (angle .02) now sits closer to c1 than
+    // to c0 while v1/v2 stay at c0 — the (1,5)/(2,5) cosines are still
+    // ~1 but the pairs MUST vanish (SemDeDup's clusters bound the
+    // candidate space); v3/v4 also tip to c1 but their cosines vs v5
+    // are ~.03, below threshold
+    val cents5 = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.035, 0.0, 0.0))).toDF("centroid_id", "c_vec")
+    val scoped = Dedup.embeddingNearDupsKmeans(vecs, "vec_id",
+      "embedding", threshold = 0.9, cents5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(scoped.map(r => (r._2, r._3)).toSet ==
+      Set((1L, 2L), (3L, 4L)))
+    // cos values are 6dp-rounded in the output (q222 portability rule)
+    assert(all.forall(r => r._4 == math.rint(r._4 * 1e6) / 1e6))
+  }
+
   test("substringDedup: repeated >=L spans excised (cross-doc, self-copy, " +
       "within-doc repetition); hash shuffle key is result-equivalent") {
     val d1 = "abcdefghijklmnopqrst" // 20 chars, internally unique
