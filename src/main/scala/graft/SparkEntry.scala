@@ -2343,6 +2343,26 @@ object SparkEntry {
         threshold = 0.3, cents)
     }),
 
+    "q240_cluster_terms" -> ((s, dir) => {
+      // BERTopic-style data map: q238's Lloyd's fit clusters the
+      // embedding space, then each cluster is named by its top-5
+      // c-TF-IDF terms from the LINKED documents (doc_id = vec_id) —
+      // characteristic, not merely frequent. Rank runs on the round-6
+      // score so cross-engine ulp noise can't reorder.
+      val emb = t(s, dir, "embeddings")
+      val cents0 = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val cents = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+        cents0, iters = 2)
+      val assign = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        cents, "centroid_id", "c_vec", nProbe = 1)
+        .select("vec_id", "centroid_id")
+      TextOps.clusterTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        assign, "vec_id", "centroid_id", topN = 5)
+    }),
+
     "q237_label_scatter" -> ((s, dir) =>
       // Fisher class-separability audit: per label, between-class /
       // within-class scatter and their ratio — the "would a linear
@@ -5058,6 +5078,38 @@ object SparkEntry {
         |  JOIN e eb ON eb.vec_id = y.vec_id)
         |SELECT centroid_id, id_a, id_b, cos
         |FROM p WHERE cos >= 0.3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // q240: the same 2-iteration fit's a3 assignment joined to the
+    // linked documents, then the BERTopic c-TF-IDF algebra —
+    // tf(t,c) · ln(1 + A/f(t)) with A = total tokens / non-empty
+    // clusters, ranked per cluster on the ROUND-6 score (ties → term).
+    "q240_cluster_terms" ->
+      (KmeansReplay.chain + """,
+        |tok AS (
+        |  SELECT a.centroid_id,
+        |         unnest(string_split_regex(trim(lower(d.text)), '\s+'))
+        |           AS term
+        |  FROM a3 a JOIN documents d ON d.doc_id = a.vec_id
+        |  WHERE trim(d.text) <> ''),
+        |tfc AS (SELECT centroid_id, term, count(*) AS tf
+        |        FROM tok GROUP BY 1, 2),
+        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft
+        |       FROM tfc GROUP BY 1),
+        |av AS (SELECT CAST(sum(tf) AS DOUBLE) /
+        |              CAST(count(DISTINCT centroid_id) AS DOUBLE) AS a
+        |       FROM tfc),
+        |sc AS (
+        |  SELECT tfc.centroid_id, tfc.term, tfc.tf, ft.ft,
+        |         round(CAST(tfc.tf AS DOUBLE) *
+        |           ln(1.0 + av.a / CAST(ft.ft AS DOUBLE)), 6) AS score
+        |  FROM tfc JOIN ft USING (term) CROSS JOIN av),
+        |rk AS (
+        |  SELECT centroid_id, term, tf, ft, score,
+        |         CAST(row_number() OVER (PARTITION BY centroid_id
+        |           ORDER BY score DESC, term) AS INT) AS rnk
+        |  FROM sc)
+        |SELECT centroid_id, rnk, term, tf, ft, score
+        |FROM rk WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin),
 
     // q237: the q202 floor(x·1e6 + 0.5) lattice carried through the
     // whole scatter algebra in HUGEINT — Δ = S·n − G·n_l and

@@ -426,6 +426,49 @@ object TextOps {
         (col("tf") * log(col("__n_docs") / col("df"))).as("tfidf"))
   }
 
+  /** Class-based tf-idf cluster labeling (Grootendorst 2022 "BERTopic",
+    * arXiv 2203.05794 §2.3 — the data-map recipe: cluster the corpus in
+    * embedding space, then name each cluster by its most CHARACTERISTIC
+    * terms, not its most frequent): W(t,c) = tf(t,c) · ln(1 + A/f(t))
+    * with f(t) the term's corpus-wide count and A the average tokens
+    * per (non-empty) cluster. Emits the `topN` terms per cluster by
+    * (round-6 score DESC, term ASC) — rank runs on the ROUNDED score so
+    * cross-engine ulp noise can't reorder (the q222 rule).
+    *
+    * Plan: tokens collapse to per-(cluster,term) counts with map-side
+    * partial combines before anything shuffles; f(t)/A derive from that
+    * collapsed table (one more term-keyed exchange + a broadcast
+    * scalar); the rank window partitions by cluster with ≤|vocab| rows
+    * per partition — bounded by construction, never corpus-sized. */
+  def clusterTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      assign: DataFrame, aIdCol: String, clusterCol: String,
+      topN: Int = 5): DataFrame = {
+    val joined = docs.join(
+      assign.select(col(aIdCol).as(idCol), col(clusterCol)), idCol)
+    val terms = joined
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(clusterCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+    val tfc = terms.groupBy(col(clusterCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy("term").agg(sum("tf").as("ft"))
+    val avg = tfc.agg((sum("tf").cast("double") /
+      countDistinct(col(clusterCol)).cast("double")).as("__avg"))
+    val scored = tfc.join(ft, "term")
+      .crossJoin(broadcast(avg))
+      .select(col(clusterCol), col("term"), col("tf"), col("ft"),
+        round(col("tf").cast("double") *
+          log(lit(1.0) + col("__avg") / col("ft").cast("double")), 6)
+          .as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(clusterCol))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= topN)
+      .select(col(clusterCol), col("rnk"), col("term"), col("tf"),
+        col("ft"), col("score"))
+  }
+
   /** In-engine document embeddings: random projection of the tf-idf
     * vector (Achlioptas, JCSS 2003 — ±1 projections preserve inner
     * products in expectation; the sparse-JL idiom). vec_d(doc) =

@@ -617,6 +617,33 @@ class TextDedupSpec extends SparkSpec {
     assert(all.forall(r => r._4 == math.rint(r._4 * 1e6) / 1e6))
   }
 
+  test("clusterTopTerms: characteristic terms outrank frequent-everywhere " +
+      "ones; c-TF-IDF formula exact; ties break by term") {
+    val docs = Seq(
+      (1L, "spark spark shuffle common"),
+      (2L, "spark spark shuffle common"),
+      (3L, "duck pond common"),
+      (4L, "duck pond common")).toDF("doc_id", "text")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("aid", "cl")
+    val out = TextOps.clusterTopTerms(docs, "doc_id", "text",
+      assign, "aid", "cl", topN = 5)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 14 tokens / 2 clusters → A = 7
+    // c0: spark 4·ln(1+7/4), shuffle 2·ln(1+7/2), common 2·ln(1+7/4)
+    assert(out(0L).map(_._3).toSeq == Seq("spark", "shuffle", "common"))
+    assert(out(0L).head._6 ==
+      math.rint(4.0 * math.log(1.0 + 7.0 / 4.0) * 1e6) / 1e6)
+    // c1: duck and pond tie at 2·ln(1+7/2) → term ASC; common last
+    assert(out(1L).map(_._3).toSeq == Seq("duck", "pond", "common"))
+    assert(out(1L)(0)._6 == out(1L)(1)._6)
+    // tf/ft carried through: spark tf=4 in c0, corpus-wide ft=4;
+    // common ft=4 across both clusters
+    assert(out(0L).head._4 == 4L && out(0L).head._5 == 4L)
+    assert(out(0L).last._5 == 4L && out(1L).last._5 == 4L)
+  }
+
   test("substringDedup: repeated >=L spans excised (cross-doc, self-copy, " +
       "within-doc repetition); hash shuffle key is result-equivalent") {
     val d1 = "abcdefghijklmnopqrst" // 20 chars, internally unique
