@@ -2363,6 +2363,30 @@ object SparkEntry {
         assign, "vec_id", "centroid_id", topN = 5)
     }),
 
+    "q241_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval: sparse BM25 top-20 (q115's scorer) ⊕ dense
+      // cosine top-20 against doc 0's embedding, fused by Reciprocal
+      // Rank Fusion (Cormack SIGIR'09, K=60) — the production hybrid-
+      // search combiner; rank-only fusion needs no score calibration.
+      // Both lists and the fused rank order on ROUND-6 scores with id
+      // tie-breaks, so no raw-FP compare crosses the engine boundary.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val sparse = Similarity.rankByScore(
+        TextOps.bm25Search(docs, "doc_id", "text", "join hash filter",
+          k = 20), "doc_id", "score", k = 20)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val dense = Similarity.rankByScore(
+        emb.crossJoin(broadcast(q0))
+          .select(col("vec_id").as("doc_id"),
+            round(graft.expressions.VectorFunctions.cosineSimilarity(
+              col("q_vec"), col("embedding")), 6).as("cos")),
+        "doc_id", "cos", k = 20)
+      Similarity.rrfFuse(Seq(sparse, dense), "doc_id", "rank",
+        kConst = 60, topN = 10)
+    }),
+
     "q237_label_scatter" -> ((s, dir) =>
       // Fisher class-separability audit: per label, between-class /
       // within-class scatter and their ratio — the "would a linear
@@ -4352,6 +4376,42 @@ object SparkEntry {
          |         sum(CASE WHEN dot >= 0
          |             THEN 1 << (${nPlanes - 1} - p) ELSE 0 END) AS bucket
          |  FROM dots GROUP BY 1)""".stripMargin
+  }
+
+  /** q115/q241's shared BM25 chain over `documents` for the fixed
+    * query terms (join, hash, filter): Okapi weights per (doc, term) —
+    * ends with `w` (doc_id, bm25). */
+  private object Bm25Replay {
+    val chain: String =
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |lens AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS DOUBLE) AS dl
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+        |  FROM lens),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl))
+        |      AS bm25
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
+        |  WHERE term IN ('join', 'hash', 'filter'))""".stripMargin
   }
 
   /** q238/q239's shared Lloyd's replay chain: literal dyadic start,
@@ -10109,39 +10169,46 @@ object SparkEntry {
     // q94's BM25 CTEs restricted to the query terms, summed per doc,
     // top-20 by (round-6 score desc, doc_id).
     "q115_bm25_search" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE length(trim(text)) > 0),
-        |lens AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END
-        |      AS DOUBLE) AS dl
-        |  FROM d),
-        |t AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM d),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM t GROUP BY 1, 2),
-        |df AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |c AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
-        |  FROM lens),
-        |w AS (
-        |  SELECT tf.doc_id,
-        |    ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-        |    (tf.tf * (1.2 + 1.0)) /
-        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl))
-        |      AS bm25
-        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
-        |  WHERE term IN ('join', 'hash', 'filter'))
+      (Bm25Replay.chain + """
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
         |  round(sum(bm25), 6) AS score
         |FROM w GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q241: the q115 chain ranked (round-6 score DESC, doc_id), the
+    // dense list ranked on ROUND-6 cosine vs doc 0's embedding, RRF
+    // 1/(60+r) summed sparse-then-dense over a full outer join, fused
+    // rank on the round-6 RRF (ties → doc_id) — every rank on both
+    // engine sides orders on an already-rounded value.
+    "q241_hybrid_rrf" ->
+      (Bm25Replay.chain + """,
+        |sp0 AS (
+        |  SELECT doc_id, round(sum(bm25), 6) AS score
+        |  FROM w GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |sp AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score DESC, doc_id) AS INT) AS r
+        |  FROM sp0),
+        |dn AS (
+        |  SELECT c2.vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY
+        |      ROUND(list_cosine_similarity(
+        |        CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c2.embedding AS DOUBLE[])), 6) DESC,
+        |      c2.vec_id) AS INT) AS r
+        |  FROM embeddings q, embeddings c2 WHERE q.vec_id = 0
+        |  QUALIFY r <= 20),
+        |f AS (
+        |  SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+        |    round(COALESCE(1.0 / (60.0 + CAST(sp.r AS DOUBLE)), 0.0) +
+        |          COALESCE(1.0 / (60.0 + CAST(dn.r AS DOUBLE)), 0.0), 6)
+        |      AS rrf
+        |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+        |SELECT doc_id, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+        |    AS rank
+        |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin),
 
     // KN per-doc scores (q110's CTEs) → exact decile thresholds
     // (quantile_cont ↔ Spark percentile, the q13 parity) → bucket =

@@ -39,6 +39,46 @@ object Similarity {
         col("__s.score").as("cos"),
         (col("__pos") + 1).cast("int").as("rank"))
 
+  /** Global top-k rank by (`scoreCol` DESC, `idCol` ASC) via the same
+    * k-bounded aggregate — the single-list form of [[rankTopK]] for
+    * ranking a retrieval result without a corpus-wide unpartitioned
+    * window: the map side keeps ≤ k rows per partition, the one
+    * exchange carries ≤ partitions×k rows. Pass an already-rounded
+    * score when cross-engine rank stability matters (the q222 rule). */
+  def rankByScore(df: DataFrame, idCol: String, scoreCol: String,
+      k: Int): DataFrame =
+    rankTopK(df.select(lit(1L).as("__q"), col(idCol),
+        col(scoreCol).cast("double").as("cos")), "__q", idCol, k)
+      .select(col(idCol), col("cos").as(scoreCol), col("rank"))
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N ranked retrieval lists by Σ_lists 1/(K + rank) — the
+    * standard hybrid-search combiner (sparse BM25 ⊕ dense ANN) because
+    * it needs no score calibration, only ranks. Each input carries
+    * (`idCol`, `rankCol`); absent ids contribute 0 from that list.
+    *
+    * Determinism: contributions are summed in FIXED list order over a
+    * full-outer join fold (no data-order FP accumulation), the fused
+    * score is rounded to 6 dp, and the output rank runs on the ROUNDED
+    * score (ties → id ASC) via the k-bounded aggregate — no
+    * unpartitioned window, and the joins are k·|lists|-row sized
+    * regardless of corpus size. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Int = 60, topN: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val prepared = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        (lit(1.0) / (lit(kConst.toDouble) + col(rankCol).cast("double")))
+          .as(s"__c$i"))
+    }
+    val joined = prepared.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val fused = joined.select(col(idCol),
+      round(prepared.indices
+          .map(i => coalesce(col(s"__c$i"), lit(0.0))).reduce(_ + _), 6)
+        .as("rrf"))
+    rankByScore(fused, idCol, "rrf", topN)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries must be small enough to broadcast (the usual shape:
     * thousands of queries against billions of corpus rows).

@@ -600,4 +600,32 @@ class SimilaritySpec extends SparkSpec {
         assert(math.ceil(corpus / math.pow(2, p - 1)).toLong > target)
     }
   }
+
+  test("rrfFuse: both-list ids beat single-list ids, exact 1/(K+r) " +
+      "sums in list order, rounded-score ties break by id; " +
+      "rankByScore matches (score DESC, id ASC)") {
+    import spark.implicits._
+    // list A ranks 1..3 = ids 10,11,12; list B ranks 1..3 = ids 11,13,10
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val b = Seq((11L, 1), (13L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "doc_id", "rank",
+      kConst = 60, topN = 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    def c(r: Int) = 1.0 / (60.0 + r)
+    val want = Map( // fused score per id, rounded to 6dp
+      10L -> (c(1) + c(3)), 11L -> (c(2) + c(1)),
+      12L -> c(3), 13L -> c(2))
+      .view.mapValues(v => math.rint(v * 1e6) / 1e6).toMap
+    assert(out.map(r => r._1 -> r._2).toMap == want)
+    // 11 (ranks 2+1) ties 10 (ranks 1+3) at the raw level? No:
+    // c(2)+c(1) > c(1)+c(3); both-list ids outrank single-list ids
+    assert(out.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    // rankByScore: rank on score DESC, id ASC — equal scores → id
+    val scored = Seq((5L, 2.0), (3L, 2.0), (9L, 7.0), (1L, 1.0))
+      .toDF("id", "s")
+    val ranked = Similarity.rankByScore(scored, "id", "s", k = 3)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(ranked.map(r => (r._1, r._3)).toSeq ==
+      Seq((9L, 1), (3L, 2), (5L, 3)))
+  }
 }
