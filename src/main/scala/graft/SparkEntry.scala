@@ -2387,6 +2387,14 @@ object SparkEntry {
         kConst = 60, topN = 10)
     }),
 
+    "q242_kcenter_coreset" -> ((s, dir) =>
+      // Greedy k-center diversity selection (Gonzalez 1985): 4 maximally
+      // spread exemplars from the embedding corpus starting at vec 0,
+      // with the decreasing max-min coverage radius trace. Cosines
+      // round-6 before 1−cos and the argmax; ties toward smaller id.
+      Similarity.kCenterGreedy(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, seedId = 0L)),
+
     "q237_label_scatter" -> ((s, dir) =>
       // Fisher class-separability audit: per label, between-class /
       // within-class scatter and their ratio — the "would a linear
@@ -10209,6 +10217,48 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
         |    AS rank
         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin),
+
+    // q242: three unrolled farthest-point rounds from seed 0 — each
+    // round's distance is least() over the selected centers' round-6
+    // cosines (exact picks, no accumulation), argmax (d DESC, vec_id)
+    // via ORDER BY ... LIMIT 1 mirrors the engine's k-bounded ranker.
+    "q242_kcenter_coreset" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |s1 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+        |d2 AS (SELECT e.vec_id,
+        |         1.0 - ROUND(list_cosine_similarity(e.v,
+        |           (SELECT v FROM s1)), 6) AS d
+        |       FROM e),
+        |w2 AS (SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+        |s2 AS (SELECT e.vec_id, e.v FROM e JOIN w2 USING (vec_id)),
+        |d3 AS (SELECT e.vec_id, least(
+        |         1.0 - ROUND(list_cosine_similarity(e.v,
+        |           (SELECT v FROM s1)), 6),
+        |         1.0 - ROUND(list_cosine_similarity(e.v,
+        |           (SELECT v FROM s2)), 6)) AS d
+        |       FROM e),
+        |w3 AS (SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+        |s3 AS (SELECT e.vec_id, e.v FROM e JOIN w3 USING (vec_id)),
+        |d4 AS (SELECT e.vec_id, least(
+        |         1.0 - ROUND(list_cosine_similarity(e.v,
+        |           (SELECT v FROM s1)), 6),
+        |         1.0 - ROUND(list_cosine_similarity(e.v,
+        |           (SELECT v FROM s2)), 6),
+        |         1.0 - ROUND(list_cosine_similarity(e.v,
+        |           (SELECT v FROM s3)), 6)) AS d
+        |       FROM e),
+        |w4 AS (SELECT vec_id, d FROM d4 ORDER BY d DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS INT) AS sel_rank,
+        |  (SELECT vec_id FROM s1) AS center_id,
+        |  CAST(0.0 AS DOUBLE) AS radius
+        |UNION ALL SELECT CAST(2 AS INT), (SELECT vec_id FROM w2),
+        |  (SELECT d FROM w2)
+        |UNION ALL SELECT CAST(3 AS INT), (SELECT vec_id FROM w3),
+        |  (SELECT d FROM w3)
+        |UNION ALL SELECT CAST(4 AS INT), (SELECT vec_id FROM w4),
+        |  (SELECT d FROM w4)
+        |ORDER BY sel_rank""".stripMargin,
 
     // KN per-doc scores (q110's CTEs) → exact decile thresholds
     // (quantile_cont ↔ Spark percentile, the q13 parity) → bucket =

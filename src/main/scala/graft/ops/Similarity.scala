@@ -79,6 +79,54 @@ object Similarity {
     rankByScore(fused, idCol, "rrf", topN)
   }
 
+  /** Greedy k-center / farthest-point traversal (Gonzalez, TCS 1985 —
+    * the 2-approximation; the coreset-style DIVERSITY selection used to
+    * pick maximally-spread exemplars from an embedded corpus, dual to
+    * SemDeDup's remove-the-close): start from `seedId`, repeatedly add
+    * the point FARTHEST (cosine distance, 1 − cos) from everything
+    * selected so far. Returns the selection trace
+    * (sel_rank, center_id, radius): radius at rank r is the max-min
+    * coverage distance BEFORE adding that center — the classic
+    * decreasing coverage curve.
+    *
+    * Scale shape: k−1 full scans (selection state is k vectors — never
+    * cached corpus); each scan is a narrow projection (min over ≤k
+    * broadcast-literal cosines, exact picks — no FP accumulation
+    * across rows) into the k-bounded [[rankByScore]] argmax, so the
+    * per-round exchange is ≤ partitions rows. Cosines round to 6 dp
+    * BEFORE 1−cos and the argmax (the q222 rule); argmax ties break
+    * toward the smaller id on both engine sides. */
+  def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Long): DataFrame = {
+    require(k >= 1, s"kCenterGreedy: k must be >= 1: $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val e = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+    def vecOf(id: Long): Array[Double] = {
+      val rows = e.filter(col("__id") === id).select("__v").head(1)
+      require(rows.nonEmpty, s"kCenterGreedy: no row with $idCol=$id")
+      rows.head.getSeq[Double](0).toArray
+    }
+    var selected = Vector((seedId, vecOf(seedId), 0.0))
+    while (selected.length < k) {
+      val dmin = selected
+        .map { case (_, c, _) =>
+          lit(1.0) - round(VectorFunctions.cosineSimilarity(col("__v"),
+            typedLit(c.toSeq)), 6)
+        }
+        .reduce(least(_, _))
+      val win = rankByScore(e.select(col("__id"), dmin.as("d")),
+        "__id", "d", k = 1).head
+      selected :+= ((win.getLong(0), vecOf(win.getLong(0)),
+        win.getDouble(1)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1, id, r) }
+      .toDF("sel_rank", "center_id", "radius")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries must be small enough to broadcast (the usual shape:
     * thousands of queries against billions of corpus rows).

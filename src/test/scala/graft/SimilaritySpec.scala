@@ -601,6 +601,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kCenterGreedy: farthest-point order, decreasing coverage radius, " +
+      "duplicate of a selected center never chosen while distinct " +
+      "points remain, ties toward smaller id") {
+    import spark.implicits._
+    // seed 0=+x; 1≈−x (farthest, d≈2); 2=+y and its exact duplicate 4
+    // (d=1 from seed); 3≈+x (d≈0)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(-1f, 0.01f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0.01f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(vecs, "vec_id", "embedding",
+      k = 4, seedId = 0L).as[(Int, Long, Double)].collect()
+      .sortBy(_._1)
+    // rank 3 is a tie between 2 and its duplicate 4 → smaller id;
+    // rank 4 must be 3 (d>0), never 4 (d=0 once 2 is in)
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    val radii = out.map(_._3)
+    assert(radii(0) == 0.0 && radii(1) > 1.9 &&
+      radii(2) > 0.9 && radii(2) < 1.1 && radii(3) < 0.001)
+    // coverage curve decreases after the seed row
+    assert(radii.drop(1).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("rrfFuse: both-list ids beat single-list ids, exact 1/(K+r) " +
       "sums in list order, rounded-score ties break by id; " +
       "rankByScore matches (score DESC, id ASC)") {
