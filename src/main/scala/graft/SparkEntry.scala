@@ -553,6 +553,44 @@ object SparkEntry {
           col("key_idx"))
     }),
 
+    "q243_ml_kmeans" -> ((s, dir) => {
+      // q238's Lloyd's fit driven through the spark.ml wrapper: a
+      // KMeansClusterer Estimator (dyadic init, 2 fixed iterations)
+      // fit + transform, reduced to per-cluster sizes. The oracle is
+      // q238's unrolled SQL replay's third assignment — the wrapper
+      // adds an API surface, not new semantics.
+      val m = new graft.ml.KMeansClusterer()
+        .setInputCol("embedding").setOutputCol("centroid_id")
+        .setK(8).setIters(2)
+        .fit(t(s, dir, "embeddings"))
+      m.transform(t(s, dir, "embeddings"))
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    }),
+
+    "q244_ml_ridge_probe" -> ((s, dir) => {
+      // q228's standardized ridge probe driven through the spark.ml
+      // RidgeProbe Estimator — fit on the labeled corpus, the model's
+      // transform appends (score, keep). Byte-identical to
+      // Linalg.ridgeScoreStd (same oracle SQL): the wrapper adds an
+      // API surface, not new semantics.
+      val emb = t(s, dir, "embeddings")
+        .withColumn("y", (col("label") === 0).cast("double"))
+      val m = new graft.ml.RidgeProbe()
+        .setInputCol("embedding").setLabelCol("y")
+        .setLambda(0.1).setEta(0.5).setIters(50).setThreshold(0.1)
+        .fit(emb)
+      m.transform(emb).select("vec_id", "score", "keep")
+    }),
+
+    "q245_ml_hash_embed" -> ((s, dir) =>
+      // q236's feature-hashed embeddings driven through the stateless
+      // HashedEmbedder Transformer (same oracle SQL) — the Pipeline
+      // bridge from the documents world to the vector-world stages.
+      new graft.ml.HashedEmbedder()
+        .setIdCol("doc_id").setInputCol("text")
+        .setDim(64).setSeed(7L).setFamily("md5")
+        .transform(t(s, dir, "documents"))),
+
     "q33_preprocess_reencode" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val train = li.filter(col("l_orderkey") % 5 < 4)
@@ -4881,12 +4919,16 @@ object SparkEntry {
 
   /** DuckDB oracles over the same parquet tables. Keys absent here get
     * the driver's weaker rows-only check (seeded-hash ops:
-    * q16/q27/q28/q30/q41). q229 (the spark.ml Pipeline twin of q32)
-    * SHARES q32's oracle verbatim — the wrapper must be semantics-
-    * preserving, and one SQL string makes that contractual. */
+    * q16/q27/q28/q30/q41). The spark.ml wrapper twins (q229↔q32,
+    * q244↔q228, q245↔q236) SHARE their base query's oracle verbatim —
+    * a wrapper must be semantics-preserving, and one SQL string makes
+    * that contractual. */
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
-    base + ("q229_ml_pipeline" -> base("q32_preprocess_std"))
+    base +
+      ("q229_ml_pipeline" -> base("q32_preprocess_std")) +
+      ("q244_ml_ridge_probe" -> base("q228_ridge_std")) +
+      ("q245_ml_hash_embed" -> base("q236_hash_embed"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -5146,6 +5188,13 @@ object SparkEntry {
         |  JOIN e eb ON eb.vec_id = y.vec_id)
         |SELECT centroid_id, id_a, id_b, cos
         |FROM p WHERE cos >= 0.3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // q243: the same 2-iteration fit driven through the spark.ml
+    // KMeansClusterer wrapper — per-cluster sizes of the a3 assignment.
+    "q243_ml_kmeans" ->
+      (KmeansReplay.chain + """
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n
+        |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // q240: the same 2-iteration fit's a3 assignment joined to the
     // linked documents, then the BERTopic c-TF-IDF algebra —

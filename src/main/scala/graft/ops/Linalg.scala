@@ -45,7 +45,7 @@ object Linalg {
     (m(0).toLong, m.slice(1, 1 + d), m.drop(1 + d))
   }
 
-  private def round9(v: Double): Double = math.rint(v * 1e9) / 1e9
+  private[graft] def round9(v: Double): Double = math.rint(v * 1e9) / 1e9
 
   /** Sample covariance from raw moments:
     * `cov(i,j) = (Σ x_i x_j − Σx_i·Σx_j/n) / (n−1)`, full d×d. */

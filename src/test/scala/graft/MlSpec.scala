@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.GraftPreprocessor
+import graft.ml.{GraftPreprocessor, KMeansClusterer, KMeansClustererModel}
 import graft.ops.Similarity
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.sql.functions._
@@ -49,5 +49,138 @@ class MlSpec extends SparkSpec {
     top.foreach { case (q, v) =>
       if (q == 100L) assert(v < 20L) else assert(v >= 20L)
     }
+  }
+
+  // the wrapper's contract: q243 === q238's dataflow behind an
+  // Estimator API, so fit+transform must be row-identical to calling
+  // kmeansIterate + ivfAssign with the same dyadic init.
+  private def smallCorpus = {
+    val r = new scala.util.Random(11)
+    (0L until 60L).map { i =>
+      val base = if (i % 3 == 0) 1.0 else if (i % 3 == 1) -1.0 else 0.2
+      (i, Seq.fill(8)((base + r.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def dyadicInit(k: Int, dim: Int) =
+    spark.range(k).select(col("id").as("centroid_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+        .as("c_vec"))
+
+  test("KMeansClusterer fit+transform ≡ kmeansIterate + ivfAssign") {
+    val corpus = smallCorpus
+    val model = new KMeansClusterer()
+      .setInputCol("embedding").setOutputCol("centroid_id")
+      .setK(4).setIters(2)
+      .fit(corpus)
+    val viaWrapper = model.transform(corpus)
+      .select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap
+    val cents = Similarity.kmeansIterate(corpus, "vec_id", "embedding",
+      dyadicInit(4, 8), iters = 2)
+    val direct = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      cents, "centroid_id", "c_vec", nProbe = 1)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaWrapper == direct)
+    assert(viaWrapper.values.toSet.size > 1) // actually clusters
+  }
+
+  test("KMeansClusterer model save/load roundtrip preserves assignments") {
+    val corpus = smallCorpus
+    val model = new KMeansClusterer()
+      .setInputCol("embedding").setOutputCol("centroid_id")
+      .setK(4).setIters(2)
+      .fit(corpus)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmeans-ml").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = KMeansClustererModel.load(dir)
+    assert(loaded.getOrDefault(loaded.inputCol) == "embedding")
+    assert(loaded.getOrDefault(loaded.k) == 4)
+    val a = model.transform(corpus)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    val b = loaded.transform(corpus)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("KMeansClusterer rejects a missing input column") {
+    val bad = Seq((1L, "x")).toDF("vec_id", "txt")
+    intercept[IllegalArgumentException] {
+      new KMeansClusterer().setInputCol("embedding").fit(bad)
+    }
+  }
+
+  // q244's contract: the RidgeProbe stage is Linalg.ridgeScoreStd
+  // behind an Estimator API — fit+transform must be row-identical.
+  private def labeledCorpus = {
+    val r = new scala.util.Random(23)
+    (0L until 80L).map { i =>
+      val y = if (i % 4 == 0) 1.0 else 0.0
+      // signal in dims 0-1, noise elsewhere — probe must find it
+      (i, Seq.tabulate(6)(j =>
+        (if (j < 2) y + r.nextGaussian() * 0.3
+         else r.nextGaussian()).toFloat), y)
+    }.toDF("vec_id", "embedding", "y")
+  }
+
+  test("RidgeProbe fit+transform ≡ Linalg.ridgeScoreStd") {
+    val df = labeledCorpus
+    val model = new graft.ml.RidgeProbe()
+      .setInputCol("embedding").setLabelCol("y")
+      .setLambda(0.1).setEta(0.5).setIters(50).setThreshold(0.25)
+      .fit(df)
+    val viaWrapper = model.transform(df)
+      .select("vec_id", "score", "keep")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val direct = graft.ops.Linalg.ridgeScoreStd(df, "vec_id",
+      "embedding", "y", lambda = 0.1, eta = 0.5, iters = 50,
+      threshold = 0.25)
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(viaWrapper == direct)
+    // the probe actually separates: kept rows skew to y=1
+    val keptY = model.transform(df).filter(col("keep"))
+      .agg(avg("y")).head().getDouble(0)
+    assert(keptY > 0.5)
+  }
+
+  test("RidgeProbe model save/load roundtrip preserves scores") {
+    val df = labeledCorpus
+    val model = new graft.ml.RidgeProbe()
+      .setInputCol("embedding").setLabelCol("y").setIters(20)
+      .fit(df)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ridge-ml").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = graft.ml.RidgeProbeModel.load(dir)
+    assert(loaded.getOrDefault(loaded.iters) == 20)
+    val a = model.transform(df).select("vec_id", "score")
+      .as[(Long, Double)].collect().toSet
+    val b = loaded.transform(df).select("vec_id", "score")
+      .as[(Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  // q245's contract: HashedEmbedder ≡ TextOps.hashedEmbedding.
+  test("HashedEmbedder ≡ TextOps.hashedEmbedding, unit-L2 EAV out") {
+    val docs = Seq((1L, "spark joins shuffle spark"),
+      (2L, "hash the tokens"), (3L, "")).toDF("doc_id", "text")
+    val stage = new graft.ml.HashedEmbedder()
+      .setIdCol("doc_id").setInputCol("text")
+      .setDim(16).setSeed(7L).setFamily("md5")
+    val viaWrapper = stage.transform(docs)
+      .as[(Long, Int, Double)].collect().toSet
+    val direct = graft.ops.TextOps.hashedEmbedding(docs, "doc_id",
+      "text", dim = 16, seed = 7, family = "md5")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(viaWrapper == direct)
+    assert(viaWrapper.nonEmpty)
+    // schema contract matches the declared transformSchema
+    assert(stage.transform(docs).schema.fieldNames.toSeq ==
+      Seq("doc_id", "dim", "val"))
+    assert(stage.transformSchema(docs.schema).fieldNames.toSeq ==
+      Seq("doc_id", "dim", "val"))
   }
 }
