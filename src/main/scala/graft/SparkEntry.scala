@@ -591,6 +591,34 @@ object SparkEntry {
         .setDim(64).setSeed(7L).setFamily("md5")
         .transform(t(s, dir, "documents"))),
 
+    "q246_ml_text_cluster_pipeline" -> ((s, dir) => {
+      // The composed documents→clusters Pipeline, oracle-checked END
+      // TO END: HashedEmbedder (q236's hashing trick, md5 replay
+      // family) → EavToVector (sparse EAV → dense zero-filled 64-d)
+      // → KMeansClusterer (q238's 2-iteration Lloyd's fit from the
+      // dyadic init). One org.apache.spark.ml.Pipeline.fit + one
+      // PipelineModel.transform produce every doc's cluster id; the
+      // oracle replays the whole chain in SQL. Assignment-margin
+      // audit (DuckDB, this corpus): min argmax margin 3.7e-6 at
+      // sf0.1 — three orders above cross-engine cosine ulp, the q238
+      // stability argument; inputs are 6dp-quantized on both sides.
+      val docs = t(s, dir, "documents")
+      val model = new org.apache.spark.ml.Pipeline().setStages(
+        Array(
+          new graft.ml.HashedEmbedder()
+            .setIdCol("doc_id").setInputCol("text")
+            .setDim(64).setSeed(7L).setFamily("md5"),
+          new graft.ml.EavToVector()
+            .setIdCol("doc_id").setDimCol("dim").setValCol("val")
+            .setOutputCol("embedding").setDim(64),
+          new graft.ml.KMeansClusterer()
+            .setInputCol("embedding").setOutputCol("centroid_id")
+            .setK(8).setIters(2)))
+        .fit(docs)
+      model.transform(docs)
+        .select(col("doc_id"), col("centroid_id").cast("long"))
+    }),
+
     "q33_preprocess_reencode" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val train = li.filter(col("l_orderkey") % 5 < 4)
@@ -5296,6 +5324,98 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(s.d AS INT) AS dim,
         |  ROUND(s.v / n.nrm, 6) AS val
         |FROM s JOIN n USING (doc_id) ORDER BY 1, 2""".stripMargin,
+
+    // q246: the whole documents→clusters Pipeline replayed in one
+    // SQL chain — q236's md5 hashing trick → zero-filled dense pivot
+    // → q238's 2-iteration Lloyd's unroll — ending in every doc's
+    // third-round assignment. `e` is MATERIALIZED (referenced by all
+    // five assign/M-step stages; inlining would re-run the hashing
+    // chain each time). Assignment margins ≥ 3.7e-6 on this corpus
+    // (measured), far above cross-engine cosine ulp.
+    "q246_ml_text_cluster_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 4), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(tok || ':7'), CAST(i + 1 AS INT), 1))
+        |           - 1)
+        |          * power(16.0, CAST(3 - i AS DOUBLE)))) AS BIGINT)
+        |          % 64 AS d,
+        |        CASE WHEN strpos('02468ace',
+        |               substr(md5(tok || ':7'), 5, 1)) > 0
+        |             THEN 1.0 ELSE -1.0 END AS sgn
+        |      FROM tt),
+        |s AS (SELECT doc_id, d, sum(sgn) AS v FROM h GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY 1),
+        |ev AS (SELECT s.doc_id, CAST(s.d AS INT) AS dim,
+        |         ROUND(s.v / n.nrm, 6) AS val
+        |       FROM s JOIN n USING (doc_id)),
+        |grid AS (SELECT d.doc_id, CAST(t.i AS INT) AS dim
+        |         FROM (SELECT DISTINCT doc_id FROM ev) d,
+        |              range(0, 64) t(i)),
+        |e AS MATERIALIZED (
+        |  SELECT g.doc_id, list(coalesce(ev.val, 0.0)
+        |           ORDER BY g.dim) AS embedding
+        |  FROM grid g LEFT JOIN ev
+        |    ON ev.doc_id = g.doc_id AND ev.dim = g.dim
+        |  GROUP BY 1),
+        |c0 AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |a1 AS (
+        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m1 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a1 a JOIN e ON e.doc_id = a.doc_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m2 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a2 a JOIN e ON e.doc_id = a.doc_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m2 GROUP BY 1),
+        |a3 AS (
+        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1)
+        |SELECT doc_id, CAST(centroid_id AS BIGINT) AS centroid_id
+        |FROM a3 ORDER BY 1""".stripMargin,
 
     // q234: q226's deflation chain + index-order diagonal trace +
     // spectral-share arithmetic, one row, round_even (math.rint) 6dp.

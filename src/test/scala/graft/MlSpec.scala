@@ -163,6 +163,47 @@ class MlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("EavToVector pivots to dense zero-filled vectors") {
+    val eav = Seq((1L, 0, 0.5), (1L, 3, -0.5), (2L, 1, 1.0))
+      .toDF("doc_id", "dim", "val")
+    val out = new graft.ml.EavToVector()
+      .setIdCol("doc_id").setDim(4)
+      .transform(eav)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(0.5, 0.0, 0.0, -0.5))
+    assert(out(2L) == Seq(0.0, 1.0, 0.0, 0.0))
+    // declared schema matches the actual output
+    assert(new graft.ml.EavToVector().setIdCol("doc_id").setDim(4)
+      .transformSchema(eav.schema).fieldNames.toSeq ==
+      Seq("doc_id", "embedding"))
+  }
+
+  test("composed documents→clusters Pipeline ≡ hand-chained stages") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "zeta eta theta iota"),
+      (5L, "delta epsilon")).toDF("doc_id", "text")
+    val hash = new graft.ml.HashedEmbedder()
+      .setIdCol("doc_id").setInputCol("text")
+      .setDim(16).setSeed(7L).setFamily("md5")
+    val pivot = new graft.ml.EavToVector()
+      .setIdCol("doc_id").setDim(16)
+    val km = new graft.ml.KMeansClusterer()
+      .setInputCol("embedding").setK(3).setIters(2)
+    val model = new Pipeline()
+      .setStages(Array(hash, pivot, km)).fit(docs)
+    val composed = model.transform(docs)
+      .select("doc_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap
+    val direct = km.fit(pivot.transform(hash.transform(docs)))
+      .transform(pivot.transform(hash.transform(docs)))
+      .select("doc_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap
+    assert(composed == direct)
+    // identical docs land in the same cluster
+    assert(composed(1L) == composed(2L))
+    assert(composed(3L) == composed(5L))
+  }
+
   // q245's contract: HashedEmbedder ≡ TextOps.hashedEmbedding.
   test("HashedEmbedder ≡ TextOps.hashedEmbedding, unit-L2 EAV out") {
     val docs = Seq((1L, "spark joins shuffle spark"),
