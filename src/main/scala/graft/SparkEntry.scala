@@ -591,6 +591,39 @@ object SparkEntry {
         .setDim(64).setSeed(7L).setFamily("md5")
         .transform(t(s, dir, "documents"))),
 
+    "q247_stream_semantic_dedup" -> ((s, dir) => {
+      // REAL streaming execution of StreamOps.semanticDedupStream —
+      // SemDeDup's decision rule applied at ingest: stage the
+      // embeddings (with their replayable md5-parity hyperplane
+      // bucket) as ONE parquet file, read back as a file-source
+      // STREAM, run the stateful per-bucket greedy keeper, drain with
+      // AvailableNow into a memory sink. One file → one micro-batch,
+      // and the operator sorts each bucket's rows by id before the
+      // walk, so the verdict is the canonical id-ascending greedy
+      // chain the oracle replays. Decision margins on this corpus:
+      // min |round6(maxcos) − 0.3| = 6.7e-4 (measured) — far above
+      // cross-engine cosine ulp.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          HyperplaneReplay.bucketCol(col("embedding")).as("bucket"))
+        .repartition(1)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q247")
+        .toString
+      emb.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(emb.schema).parquet(tmp)
+      val sink = "q247_sink_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "")
+      val sq = graft.streaming.StreamOps.semanticDedupStream(stream,
+          "vec_id", "embedding", "bucket", threshold = 0.3,
+          maxKeptPerBucket = 64)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink).select(col("vec_id"), col("bucket"), col("kept"))
+    }),
+
     "q246_ml_text_cluster_pipeline" -> ((s, dir) => {
       // The composed documents→clusters Pipeline, oracle-checked END
       // TO END: HashedEmbedder (q236's hashing trick, md5 replay
@@ -5324,6 +5357,41 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(s.d AS INT) AS dim,
         |  ROUND(s.v / n.nrm, 6) AS val
         |FROM s JOIN n USING (doc_id) ORDER BY 1, 2""".stripMargin,
+
+    // q247: the streaming semantic-dedup greedy chain replayed as a
+    // recursive CTE — per bucket (the q82 md5-parity family), walk
+    // ids ascending in lockstep across buckets, carrying each
+    // bucket's kept-vector list; a row is kept iff its max
+    // ROUND(cos,6) against the carried list stays under 0.3 (NULL →
+    // kept, the empty-list base), and kept rows append to the list
+    // only while it holds < 64 vectors (the engine's state cap).
+    "q247_stream_semantic_dedup" ->
+      ("""WITH RECURSIVE """ + HyperplaneReplay.oracleBucketCtes + """,
+        |v AS MATERIALIZED (
+        |  SELECT e.vec_id, b.bucket,
+        |         CAST(e.embedding AS DOUBLE[]) AS emb,
+        |         row_number() OVER (PARTITION BY b.bucket
+        |           ORDER BY e.vec_id) AS rn
+        |  FROM embeddings e JOIN bk b ON b.vec_id = e.vec_id),
+        |rec AS (
+        |  SELECT bucket, CAST(0 AS BIGINT) AS rn,
+        |         CAST(NULL AS BIGINT) AS vec_id,
+        |         CAST(NULL AS BOOLEAN) AS kept,
+        |         CAST([] AS DOUBLE[][]) AS kv
+        |  FROM (SELECT DISTINCT bucket FROM v)
+        |  UNION ALL
+        |  SELECT r.bucket, v.rn, v.vec_id,
+        |    coalesce(list_max(list_transform(r.kv,
+        |      k -> ROUND(list_cosine_similarity(v.emb, k), 6)))
+        |      < 0.3, TRUE),
+        |    CASE WHEN coalesce(list_max(list_transform(r.kv,
+        |             k -> ROUND(list_cosine_similarity(v.emb, k), 6)))
+        |             < 0.3, TRUE)
+        |           AND len(r.kv) < 64
+        |         THEN list_append(r.kv, v.emb) ELSE r.kv END
+        |  FROM rec r JOIN v ON v.bucket = r.bucket AND v.rn = r.rn + 1)
+        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, kept
+        |FROM rec WHERE rn > 0 ORDER BY 1""".stripMargin),
 
     // q246: the whole documents→clusters Pipeline replayed in one
     // SQL chain — q236's md5 hashing trick → zero-filled dense pivot

@@ -257,6 +257,95 @@ object StreamOps {
       }
   }
 
+  final case class SemVecRow(vec_id: Long, bucket: Long,
+      vec: Array[Double])
+  final case class SemVerdict(vec_id: Long, bucket: Long, kept: Boolean)
+  final case class SemState(ids: Array[Long], vecs: Array[Double],
+      dim: Int)
+
+  /** Streaming SEMANTIC dedup — the dedup-at-ingest production shape
+    * for vector corpora (SemDeDup's decision rule, applied as data
+    * arrives): vectors bucket by a caller-supplied LSH column (a
+    * narrow projection — [[graft.expressions.VectorFunctions
+    * .hyperplaneBucket]] or its replayable QuantizedSignBucket twin),
+    * and within each bucket a stateful greedy pass KEEPS a vector only
+    * if its 6dp-rounded cosine against every previously-kept vector in
+    * the bucket stays below `threshold`. Emits every row with its
+    * verdict (`kept`), so callers can route dups to quarantine instead
+    * of silently dropping.
+    *
+    * Determinism: rows within a micro-batch are sorted by id before
+    * the walk, so a single-batch drain (one staged file + AvailableNow,
+    * the q129 discipline) is globally canonical — the same greedy
+    * chain a batch replay produces in id order. Across micro-batches
+    * the verdict is arrival-order dependent (the q129 batch-vs-stream
+    * survivor caveat, inherent to streaming dedup).
+    *
+    * State: ≤ `maxKeptPerBucket` kept vectors per bucket, stored as
+    * one flat double array (Spark's product encoder round-trips nested
+    * arrays poorly; flat is also the smaller state-store row). Once a
+    * bucket's keeper set is full, new non-dup rows still pass
+    * (kept=true) but stop enlarging the state — the comparison basis
+    * freezes at the first `maxKeptPerBucket` keepers. At 100 TB rates
+    * the knobs compose: more planes → exponentially more buckets →
+    * per-bucket population (and state) stays O(maxKeptPerBucket) while
+    * recall follows the LSH band math; the cosine rounding-before-
+    * compare mirrors the q222/q239 cross-engine rule. */
+  def semanticDedupStream(vecs: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, threshold: Double,
+      maxKeptPerBucket: Int = 64): Dataset[SemVerdict] = {
+    require(maxKeptPerBucket > 0,
+      s"maxKeptPerBucket must be positive: $maxKeptPerBucket")
+    implicit val re = Encoders.product[SemVecRow]
+    implicit val se = Encoders.product[SemState]
+    implicit val oe = Encoders.product[SemVerdict]
+    implicit val le = Encoders.scalaLong
+    def cos6(a: Array[Double], vecsFlat: Array[Double], k: Int,
+        dim: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val off = k * dim
+      while (i < dim) {
+        val x = a(i); val y = vecsFlat(off + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(bucketCol).cast("long").as("bucket"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[SemVecRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[SemState, SemVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state: GroupState[SemState]) =>
+          val sorted = rows.toArray.sortBy(_.vec_id)
+          val dim =
+            if (state.exists) state.get.dim else sorted.head.vec.length
+          var ids = if (state.exists) state.get.ids else Array.empty[Long]
+          var flat =
+            if (state.exists) state.get.vecs else Array.empty[Double]
+          val out = sorted.map { r =>
+            var isDup = false
+            var k = 0
+            while (!isDup && k < ids.length) {
+              if (cos6(r.vec, flat, k, dim) >= threshold) isDup = true
+              k += 1
+            }
+            if (!isDup && ids.length < maxKeptPerBucket) {
+              ids = ids :+ r.vec_id
+              flat = flat ++ r.vec
+            }
+            SemVerdict(r.vec_id, bucket, !isDup)
+          }
+          state.update(SemState(ids, flat, dim))
+          out.iterator
+      }
+  }
+
   def runningSubjectStats(events: Dataset[SubjectEvent])
       : Dataset[SubjectUpdate] = {
     implicit val se = Encoders.product[SubjectState]

@@ -335,4 +335,56 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(storePath).count() == 4)
     } finally q.stop()
   }
+
+  test("semanticDedupStream: per-bucket greedy keeper — near-dups of a " +
+    "KEPT vector drop, cross-bucket lookalikes don't, state spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Array[Double])]
+    val df = input.toDF().toDF("vec_id", "bucket", "vec")
+    val out = StreamOps.semanticDedupStream(df, "vec_id", "vec",
+      "bucket", threshold = 0.9, maxKeptPerBucket = 2)
+    val q = out.writeStream.format("memory").queryName("sem_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val a = Array(1.0, 0.0, 0.0)
+      val aJit = Array(0.99, 0.05, 0.0) // cos(a, aJit) ≈ 0.999
+      val b = Array(0.0, 1.0, 0.0)
+      val c = Array(0.0, 0.0, 1.0)
+      // batch 1: a kept, its jitter dropped (same bucket), the SAME
+      // jitter in ANOTHER bucket kept (LSH scoping), b kept
+      input.addData((1L, 10L, a), (2L, 10L, aJit), (3L, 20L, aJit),
+        (4L, 10L, b))
+      q.processAllAvailable()
+      // batch 2: state persisted — a-dup still drops; c is novel but
+      // the bucket's keeper set is FULL (cap 2: a, b) → kept=true,
+      // not remembered; a later c-dup therefore ALSO passes
+      input.addData((5L, 10L, aJit), (6L, 10L, c))
+      q.processAllAvailable()
+      input.addData((7L, 10L, Array(0.0, 0.01, 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("sem_dedup")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true,
+        4L -> true, 5L -> false, 6L -> true, 7L -> true))
+    } finally q.stop()
+  }
+
+  test("semanticDedupStream: in-batch walk is id-ascending (canonical " +
+    "greedy chain regardless of arrival order)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Array[Double])]
+    val df = input.toDF().toDF("vec_id", "bucket", "vec")
+    val out = StreamOps.semanticDedupStream(df, "vec_id", "vec",
+      "bucket", threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("sem_dedup_ord")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // added high-id first; the walk must still keep id 1 and drop 9
+      input.addData((9L, 5L, Array(1.0, 0.01)), (1L, 5L, Array(1.0, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sem_dedup_ord")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(1L -> true, 9L -> false))
+    } finally q.stop()
+  }
 }
