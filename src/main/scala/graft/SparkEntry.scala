@@ -591,6 +591,18 @@ object SparkEntry {
         .setDim(64).setSeed(7L).setFamily("md5")
         .transform(t(s, dir, "documents"))),
 
+    "q248_embed_drift" -> ((s, dir) => {
+      // Embedding-distribution drift audit between two snapshots (the
+      // monitor that guards every cosine-threshold operator): even
+      // vec_ids play crawl N, odd ones crawl N+1. Two one-pass
+      // gram-moments reads, neither side shuffles; per-dim mean/var
+      // algebra on 9dp-rounded reductions, 6dp EAV out.
+      val emb = t(s, dir, "embeddings")
+      Linalg.embeddingDriftEav(s,
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+    }),
+
     "q247_stream_semantic_dedup" -> ((s, dir) => {
       // REAL streaming execution of StreamOps.semanticDedupStream —
       // SemDeDup's decision rule applied at ingest: stage the
@@ -5357,6 +5369,36 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(s.d AS INT) AS dim,
         |  ROUND(s.v / n.nrm, 6) AS val
         |FROM s JOIN n USING (doc_id) ORDER BY 1, 2""".stripMargin,
+
+    // q248: per-dim drift algebra on 9dp-rounded reductions per side
+    // (the q223/q228 discipline); deltas computed from the 9dp values,
+    // then everything rounds to 6dp for output. round_even ↔ math.rint.
+    "q248_embed_drift" ->
+      """WITH idx AS (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |xa AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx
+        |       WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+        |xb AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM embeddings, idx
+        |       WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+        |sa AS (SELECT i, round_even(SUM(x) / COUNT(*), 9) AS m,
+        |         round_even(SUM(x * x) / COUNT(*), 9) AS p
+        |       FROM xa GROUP BY i),
+        |sb AS (SELECT i, round_even(SUM(x) / COUNT(*), 9) AS m,
+        |         round_even(SUM(x * x) / COUNT(*), 9) AS p
+        |       FROM xb GROUP BY i),
+        |v AS (SELECT sa.i,
+        |        sa.m AS ma, sb.m AS mb,
+        |        round_even(sa.p - sa.m * sa.m, 9) AS va9,
+        |        round_even(sb.p - sb.m * sb.m, 9) AS vb9
+        |      FROM sa JOIN sb ON sa.i = sb.i)
+        |SELECT CAST(i - 1 AS BIGINT) AS j,
+        |  round_even(ma, 6) AS mean_a, round_even(mb, 6) AS mean_b,
+        |  round_even(mb - ma, 6) AS mean_delta,
+        |  round_even(va9, 6) AS var_a, round_even(vb9, 6) AS var_b,
+        |  round_even(vb9 - va9, 6) AS var_delta
+        |FROM v ORDER BY 1""".stripMargin,
 
     // q247: the streaming semantic-dedup greedy chain replayed as a
     // recursive CTE — per bucket (the q82 md5-parity family), walk

@@ -190,6 +190,55 @@ object Linalg {
     rows.toDF("comp", "j", "loading", "eigval")
   }
 
+  /** Embedding-distribution DRIFT audit between two corpus snapshots
+    * (crawl N vs N+1, pre- vs post-dedup, source A vs B) — "did my
+    * embedding space move", the production monitor that guards every
+    * cosine-threshold operator downstream (dedup/ANN/decontam
+    * thresholds silently rot when the distribution shifts). Per
+    * dimension: both snapshots' means and (population) variances, and
+    * their deltas. TWO one-pass [[AggregateFunctions.gramMoments]]
+    * reads (one per snapshot, constant `1+d+d(d+1)/2`-double buffer,
+    * O(partitions) exchange each) — neither corpus ever shuffles.
+    *
+    * Replay discipline (the q223/q228 rule): each data-dependent
+    * reduction (Σx/n, Σx²/n) is 9dp-rounded FIRST; every derived
+    * quantity (variance p − m², the deltas) is closed-form IEEE
+    * arithmetic both engines reproduce identically; 6-dp EAV out. */
+  def embeddingDriftEav(spark: SparkSession, dfA: DataFrame,
+      dfB: DataFrame, vecCol: String): DataFrame = {
+    def sideStats(df: DataFrame): (Array[Double], Array[Double]) = {
+      val (n, sums, prods) = collectMoments(df, vecCol)
+      val d = sums.length
+      val means = Array.tabulate(d)(j => round9(sums(j) / n))
+      val vars = new Array[Double](d)
+      var k = 0
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          if (i == j) {
+            val p = round9(prods(k) / n)
+            vars(i) = round9(p - means(i) * means(i))
+          }
+          j += 1; k += 1
+        }
+        i += 1
+      }
+      (means, vars)
+    }
+    val (ma, va) = sideStats(dfA)
+    val (mb, vb) = sideStats(dfB)
+    require(ma.length == mb.length,
+      s"drift: dimension mismatch ${ma.length} vs ${mb.length}")
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    val rows = ma.indices.map(j => (j.toLong,
+      r6(ma(j)), r6(mb(j)), r6(mb(j) - ma(j)),
+      r6(va(j)), r6(vb(j)), r6(vb(j) - va(j))))
+    import spark.implicits._
+    rows.toDF("j", "mean_a", "mean_b", "mean_delta",
+      "var_a", "var_b", "var_delta")
+  }
+
   /** Whitening transform onto the top-k principal components:
     * `w_c = (x · v_c) / √λ_c` as an EAV relation `(idCol, comp, w)`
     * — decorrelated unit-variance embedding features. Fit is the one

@@ -324,4 +324,29 @@ class LinalgSpec extends SparkSpec {
       }
     }
   }
+
+  test("embeddingDriftEav: identical snapshots → zero deltas; a shifted/" +
+    "widened dimension shows exactly there; null vectors excluded") {
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 0.0f)),
+      (3L, Array(5.0f, 0.0f)), (4L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val same = Linalg.embeddingDriftEav(spark, a, a, "embedding")
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(same.map(_._1).toSeq == Seq(0L, 1L))
+    same.foreach { r => assert(r._4 == 0.0 && r._7 == 0.0) }
+    // dim0: mean 3, population var ((1+9+25)/3 - 9) = 35/3 - 9
+    assert(same(0)._2 == 3.0)
+    assert(math.abs(same(0)._5 - (35.0 / 3 - 9)) < 1e-6)
+    // shift dim 0 by +2 and widen it; dim 1 untouched
+    val b = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(5.0f, 0.0f)),
+      (3L, Array(9.0f, 0.0f))).toDF("vec_id", "embedding")
+    val drift = Linalg.embeddingDriftEav(spark, a, b, "embedding")
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(drift(0)._4 == 2.0) // mean_delta dim0
+    assert(drift(0)._7 > 0.0) // var widened
+    assert(drift(1)._4 == 0.0 && drift(1)._7 == 0.0)
+  }
 }
