@@ -591,6 +591,23 @@ object SparkEntry {
         .setDim(64).setSeed(7L).setFamily("md5")
         .transform(t(s, dir, "documents"))),
 
+    "q249_incremental_moments" -> ((s, dir) => {
+      // Incremental embedding stats WITHOUT a history rescan: fit a
+      // lattice-moments state on the "history" half (even vec_ids),
+      // fit a second state on the arriving "delta" (odd vec_ids),
+      // integer-merge them, and read per-dim mean/variance off the
+      // merged state. The oracle recomputes over the WHOLE corpus in
+      // one pass — the query is green only because merged incremental
+      // state ≡ full recompute, BIT-exact on the integer lattice.
+      val emb = t(s, dir, "embeddings")
+      val hist = Linalg.momentsLatticeState(
+        emb.filter(col("vec_id") % 2 === 0), "embedding")
+      val delta = Linalg.momentsLatticeState(
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+      Linalg.statsFromLatticeState(
+        Linalg.mergeMomentsState(hist, delta))
+    }),
+
     "q248_embed_drift" -> ((s, dir) => {
       // Embedding-distribution drift audit between two snapshots (the
       // monitor that guards every cosine-threshold operator): even
@@ -5369,6 +5386,30 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(s.d AS INT) AS dim,
         |  ROUND(s.v / n.nrm, 6) AS val
         |FROM s JOIN n USING (doc_id) ORDER BY 1, 2""".stripMargin,
+
+    // q249: the oracle is a FULL-corpus single-pass recompute — the
+    // incremental merge must be bit-identical to it (integer lattice
+    // core; FP only in the mirrored final divisions).
+    "q249_incremental_moments" ->
+      """WITH x AS (
+        |  SELECT CAST(r.i - 1 AS BIGINT) AS j,
+        |    CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL),
+        |s AS (
+        |  SELECT j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS qsum,
+        |    sum(CAST(qv AS HUGEINT) * qv) AS q2sum
+        |  FROM x GROUP BY 1)
+        |SELECT j, n,
+        |  ROUND(CAST(qsum AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean,
+        |  ROUND(CAST(q2sum * n - CAST(qsum AS HUGEINT) * qsum AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6)
+        |    AS variance
+        |FROM s ORDER BY 1""".stripMargin,
 
     // q248: per-dim drift algebra on 9dp-rounded reductions per side
     // (the q223/q228 discipline); deltas computed from the 9dp values,

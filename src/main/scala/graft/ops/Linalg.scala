@@ -239,6 +239,46 @@ object Linalg {
       "var_a", "var_b", "var_delta")
   }
 
+  /** MERGEABLE per-dimension embedding-moments state on the integer
+    * lattice — the q216 incremental-stats pattern for the vector
+    * world: per dim, exact `(n, Σq, Σq²)` with `q = ⌊x·10⁶ + 0.5⌋`
+    * (long / long / DECIMAL(38,0) — the [[labelScatter]] arithmetic).
+    * The state is d rows of params-as-data: persist it, and when a
+    * delta corpus arrives, [[mergeMomentsState]] adds the integer
+    * sums — NO history rescan, and because the core is integer the
+    * merged state is BIT-IDENTICAL to a full recompute at any
+    * history/delta split and any partitioning (q249 makes that
+    * contractual). One partial-aggregatable (dim) exchange per call. */
+  def momentsLatticeState(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("j", "x")))
+      .select(col("j").cast("long").as("j"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long")
+          .as("qv"))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("qsum"),
+        sum(col("qv").cast("decimal(38,0)") * col("qv")).as("q2sum"))
+
+  /** Merge two lattice-moments states: integer adds, exact. */
+  def mergeMomentsState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("j")
+      .agg(sum(col("n")).as("n"), sum(col("qsum")).as("qsum"),
+        sum(col("q2sum")).as("q2sum"))
+
+  /** Per-dim mean and population variance from a lattice state —
+    * the integer core `(Σq² · n − (Σq)²)` is exact DECIMAL
+    * arithmetic; floating point enters only in the final divisions
+    * (mirrored term-for-term in the q249 oracle), 6-dp out. */
+  def statsFromLatticeState(state: DataFrame): DataFrame = {
+    val nD = col("n").cast("double")
+    val exact = col("q2sum") * col("n") -
+      col("qsum").cast("decimal(38,0)") * col("qsum")
+    state.select(col("j"), col("n"),
+      round(col("qsum").cast("double") / (nD * lit(1e6)), 6).as("mean"),
+      round(exact.cast("double") / (nD * nD * lit(1e12)), 6)
+        .as("variance"))
+  }
+
   /** Whitening transform onto the top-k principal components:
     * `w_c = (x · v_c) / √λ_c` as an EAV relation `(idCol, comp, w)`
     * — decorrelated unit-variance embedding features. Fit is the one

@@ -349,4 +349,32 @@ class LinalgSpec extends SparkSpec {
     assert(drift(0)._7 > 0.0) // var widened
     assert(drift(1)._4 == 0.0 && drift(1)._7 == 0.0)
   }
+
+  test("lattice moments state: merged incremental state is BIT-identical " +
+    "to a full recompute at any split; stats read off exactly") {
+    val r = new scala.util.Random(31)
+    val all = (0L until 50L).map(i =>
+      (i, Array.fill(4)((r.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val full = Linalg.statsFromLatticeState(
+      Linalg.momentsLatticeState(all, "embedding"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // two different history/delta splits, both must equal the full pass
+    for (m <- Seq(2L, 7L)) {
+      val merged = Linalg.statsFromLatticeState(Linalg.mergeMomentsState(
+        Linalg.momentsLatticeState(
+          all.filter(col("vec_id") % m === 0), "embedding"),
+        Linalg.momentsLatticeState(
+          all.filter(col("vec_id") % m =!= 0), "embedding")))
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(merged == full, s"split %$m diverged")
+    }
+    // hand-check one dim: vectors [(1,.),(3,.)] → mean 2, var 1
+    val tiny = Seq((1L, Array(1.0f)), (2L, Array(3.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Linalg.statsFromLatticeState(
+      Linalg.momentsLatticeState(tiny, "embedding"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((0L, 2L, 2.0, 1.0)))
+  }
 }
