@@ -591,6 +591,29 @@ object SparkEntry {
         .setDim(64).setSeed(7L).setFamily("md5")
         .transform(t(s, dir, "documents"))),
 
+    "q250_stream_moments" -> ((s, dir) => {
+      // REAL streaming maintenance of the lattice-moments state: the
+      // embeddings staged as FOUR files, maxFilesPerTrigger=1 so
+      // AvailableNow genuinely slices into four micro-batches, each
+      // integer-merged into the persisted state by foreachBatch. The
+      // drained state must be BIT-identical to a one-pass batch fit —
+      // this query shares q249's full-recompute oracle verbatim, so
+      // the batch-slicing invariance is hash-checked, not asserted.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .repartition(4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q250")
+        .toString
+      emb.write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val sq = graft.streaming.StreamOps.incrementalMomentsStream(
+          stream, "embedding", s"$tmp/state")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      Linalg.statsFromLatticeState(s.read.parquet(s"$tmp/state"))
+    }),
+
     "q249_incremental_moments" -> ((s, dir) => {
       // Incremental embedding stats WITHOUT a history rescan: fit a
       // lattice-moments state on the "history" half (even vec_ids),
@@ -5018,7 +5041,8 @@ object SparkEntry {
     base +
       ("q229_ml_pipeline" -> base("q32_preprocess_std")) +
       ("q244_ml_ridge_probe" -> base("q228_ridge_std")) +
-      ("q245_ml_hash_embed" -> base("q236_hash_embed"))
+      ("q245_ml_hash_embed" -> base("q236_hash_embed")) +
+      ("q250_stream_moments" -> base("q249_incremental_moments"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -257,6 +257,40 @@ object StreamOps {
       }
   }
 
+  /** STREAMING maintenance of the mergeable lattice-moments state
+    * ([[graft.ops.Linalg.momentsLatticeState]]): each micro-batch fits
+    * its own d-row state and integer-merges it into the persisted one
+    * — per-dim embedding stats stay current as vectors arrive, and
+    * NOTHING rescans history (the vector-world twin of
+    * [[incrementalDedupStream]]). Because the lattice core is integer,
+    * the drained state is BIT-identical to a one-pass batch fit over
+    * everything that arrived, regardless of how the stream sliced into
+    * batches — q250 makes that contractual by sharing q249's
+    * full-recompute oracle. The state is d rows (model-sized), so the
+    * merge materializes driver-side before the overwrite — the only
+    * sound way to replace a parquet dir a job also reads. */
+  def incrementalMomentsStream(stream: DataFrame, vecCol: String,
+      statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val delta = graft.ops.Linalg.momentsLatticeState(
+          batch.toDF(), vecCol)
+        val merged =
+          if (new java.io.File(statePath).exists())
+            graft.ops.Linalg.mergeMomentsState(
+              sp.read.parquet(statePath), delta)
+          else delta
+        val rows = merged.collect() // ≤ d rows — model-sized state
+        sp.createDataFrame(
+            sp.sparkContext.parallelize(rows.toIndexedSeq, 1),
+            merged.schema)
+          .write.mode("overwrite").parquet(statePath)
+        ()
+    }
+
   final case class SemVecRow(vec_id: Long, bucket: Long,
       vec: Array[Double])
   final case class SemVerdict(vec_id: Long, bucket: Long, kept: Boolean)

@@ -369,6 +369,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalMomentsStream: state merged across micro-batches is " +
+    "bit-identical to a one-pass batch fit over everything") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Double])]
+    val df = input.toDF().toDF("vec_id", "vec")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-moments-stream").toString + "/state"
+    val q = StreamOps.incrementalMomentsStream(df, "vec", statePath)
+      .start()
+    try {
+      val r = new scala.util.Random(41)
+      val all = (0L until 30L).map(i =>
+        (i, Array.fill(3)(r.nextGaussian() * 2)))
+      input.addData(all.take(11))
+      q.processAllAvailable()
+      input.addData(all.slice(11, 17))
+      q.processAllAvailable()
+      input.addData(all.drop(17))
+      q.processAllAvailable()
+      val streamed = graft.ops.Linalg.statsFromLatticeState(
+        spark.read.parquet(statePath))
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val batch = graft.ops.Linalg.statsFromLatticeState(
+        graft.ops.Linalg.momentsLatticeState(
+          all.toDF("vec_id", "vec"), "vec"))
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.forall(_._2 == 30L)) // every dim saw all rows
+    } finally q.stop()
+  }
+
   test("semanticDedupStream: in-batch walk is id-ascending (canonical " +
     "greedy chain regardless of arrival order)") {
     implicit val sqlCtx = spark.sqlContext
