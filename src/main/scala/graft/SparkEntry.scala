@@ -2436,6 +2436,17 @@ object SparkEntry {
       Linalg.whitenTopK(s, t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 4, iters = 15)),
 
+    "q251_pca_leverage" -> ((s, dir) =>
+      // PCA-leverage outlier score: Mahalanobis distance restricted
+      // to the top-4 principal subspace — the "weird vector" filter
+      // before embeddings feed dedup/ANN/probes. Same one-pass fit as
+      // q227, apply is one narrow scan; score and flag are closed-form
+      // over the already-rounded whitened coordinates, so the 8.0
+      // threshold replays exactly (measured distribution at sf0.01:
+      // median 3.3, p95 8.6, max 17.2 — the flag is non-trivial).
+      Linalg.pcaLeverage(s, t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 15, threshold = 8.0)),
+
     "q228_ridge_std" -> ((s, dir) => {
       // The practical quality-filter recipe (fastText/FineWeb-Edu
       // shape): ridge probe on STANDARDIZED features with an
@@ -5042,7 +5053,20 @@ object SparkEntry {
       ("q229_ml_pipeline" -> base("q32_preprocess_std")) +
       ("q244_ml_ridge_probe" -> base("q228_ridge_std")) +
       ("q245_ml_hash_embed" -> base("q236_hash_embed")) +
-      ("q250_stream_moments" -> base("q249_incremental_moments"))
+      ("q250_stream_moments" -> base("q249_incremental_moments")) +
+      // q251's oracle WRAPS q227's whiten replay verbatim — the
+      // leverage is definitionally the comp-ordered fold of q227's
+      // rounded outputs, and one shared SQL string keeps that
+      // contractual (the rounded-score >= threshold compare is then
+      // exact on both sides).
+      ("q251_pca_leverage" ->
+        ("WITH wout AS (\n" + base("q227_whiten") + "\n)\n" +
+          """SELECT vec_id,
+            |  ROUND(list_sum(list(w * w ORDER BY comp)), 6)
+            |    AS leverage,
+            |  ROUND(list_sum(list(w * w ORDER BY comp)), 6) >= 8.0
+            |    AS is_outlier
+            |FROM wout GROUP BY 1 ORDER BY 1""".stripMargin))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

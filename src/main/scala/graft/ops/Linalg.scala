@@ -239,6 +239,37 @@ object Linalg {
       "var_a", "var_b", "var_delta")
   }
 
+  /** PCA-LEVERAGE outlier score — the "weird vector" filter run before
+    * embeddings feed dedup/ANN/probes: per row, the squared norm of
+    * its top-k WHITENED coordinates `Σ_c ((x·v_c)/√λ_c)²`. Whitened
+    * coordinates are unit-variance by construction, so a healthy row
+    * scores ≈ k·(n−1)/n and a corrupt/out-of-distribution one scores
+    * far above — a Mahalanobis distance restricted to the top-k
+    * principal subspace, which is the part an engine at 100 TB can
+    * afford: ONE moments pass + driver deflation (the q223/q226 fit),
+    * then k broadcast-literal dot products in one narrow scan, ZERO
+    * shuffles. Replay: the score sums the ALREADY-6dp-rounded whitened
+    * coordinates (the q227 outputs) in component order, so both the
+    * score and the threshold flag are closed-form on engine-identical
+    * inputs — the flag compares the ROUNDED score (the q222 rule). */
+  def pcaLeverage(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, iters: Int = 15,
+      threshold: Double = 8.0): DataFrame = {
+    val (n, sums, prods) = collectMoments(df, vecCol)
+    val (comps, lams) = pcaTopK(covarianceFromMoments(n, sums, prods),
+      k, iters)
+    val wcols = (0 until k).map { c =>
+      require(lams(c) > 0.0,
+        s"pca leverage: eigenvalue $c is ${lams(c)} (component space " +
+          "exhausted — lower k)")
+      val s = round9(1.0 / math.sqrt(lams(c)))
+      round(dot(col(vecCol), comps(c)) * s, 6)
+    }
+    val score = round(wcols.map(w => w * w).reduce(_ + _), 6)
+    df.select(col(idCol), score.as("leverage"),
+      (score >= threshold).as("is_outlier"))
+  }
+
   /** MERGEABLE per-dimension embedding-moments state on the integer
     * lattice — the q216 incremental-stats pattern for the vector
     * world: per dim, exact `(n, Σq, Σq²)` with `q = ⌊x·10⁶ + 0.5⌋`

@@ -377,4 +377,28 @@ class LinalgSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().head
     assert(got == ((0L, 2L, 2.0, 1.0)))
   }
+
+  test("pcaLeverage: a planted far-out-of-distribution vector scores " +
+    "far above the bulk and only it flags") {
+    val r = new scala.util.Random(47)
+    // bulk: correlated 8-d cloud; one planted point far along PC1
+    val bulk = (0L until 200L).map { i =>
+      val t = r.nextGaussian()
+      (i, Array.tabulate(8)(j =>
+        (t * (if (j < 4) 1.0 else 0.2) + r.nextGaussian() * 0.1).toFloat))
+    }
+    val outlier = (999L,
+      Array.tabulate(8)(j => if (j < 4) 20.0f else 4.0f))
+    val df = (bulk :+ outlier).toDF("vec_id", "embedding")
+    val got = Linalg.pcaLeverage(spark, df, "vec_id", "embedding",
+      k = 2, iters = 15, threshold = 50.0)
+      .as[(Long, Double, Boolean)].collect()
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(999L)._3, s"planted outlier not flagged: ${byId(999L)}")
+    val bulkScores = got.filter(_._1 != 999L)
+    assert(bulkScores.forall(!_._3),
+      s"bulk rows flagged: ${bulkScores.filter(_._3).take(3).toSeq}")
+    assert(byId(999L)._2 >
+      bulkScores.map(_._2).max * 5)
+  }
 }
