@@ -3411,6 +3411,16 @@ object SparkEntry {
           bucketFn = Some(HyperplaneReplay.bucketCol))
     }),
 
+    "q252_contrastive_triplets" -> ((s, dir) =>
+      // Contrastive triplet mining (SimCSE/SBERT data prep): anchor +
+      // nearest same-label in-bucket positive at round6-cos ≥ 0.3 +
+      // the q171 hard negative, with both cosines and the triplet
+      // margin. Candidates never leave their LSH bucket's equi-join
+      // cell; the positive rank orders on the ROUNDED cosine.
+      Similarity.contrastiveTriplets(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", posThreshold = 0.3,
+        bucketFn = Some(HyperplaneReplay.bucketCol))),
+
     "q170_good_turing" -> ((s, dir) => {
       // Good–Turing smoothing table over the corpus BIGRAM stream
       // (multiplicity kept — these are token frequencies, not doc
@@ -9649,6 +9659,46 @@ object SparkEntry {
          |FROM c a JOIN c b
          |  ON a.bucket = b.bucket AND a.label <> b.label
          |QUALIFY rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    // q252: positive rank on the ROUNDED cosine (threshold filtered
+    // BEFORE the rank, matching the engine); negative = q171's exact
+    // raw-cos rank shape at k=1; margin = plain subtraction of two
+    // already-6dp values (exact on both engines).
+    "q252_contrastive_triplets" ->
+      s"""WITH ${HyperplaneReplay.oracleBucketCtes},
+         |c AS (SELECT e.vec_id, e.embedding, e.label, bk.bucket
+         |      FROM embeddings e JOIN bk USING (vec_id)),
+         |pos AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+         |    ROUND(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) AS pos_cos
+         |  FROM c a JOIN c b
+         |    ON a.bucket = b.bucket AND a.label = b.label
+         |       AND a.vec_id <> b.vec_id
+         |  WHERE ROUND(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY pos_cos DESC, b.vec_id) = 1),
+         |neg AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id
+         |  FROM c a JOIN c b
+         |    ON a.bucket = b.bucket AND a.label <> b.label
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) = 1)
+         |SELECT p.anchor_id, p.pos_id, n.neg_id, p.pos_cos,
+         |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |    CAST(en.embedding AS DOUBLE[])), 6) AS neg_cos,
+         |  p.pos_cos - ROUND(list_cosine_similarity(
+         |    CAST(ea.embedding AS DOUBLE[]),
+         |    CAST(en.embedding AS DOUBLE[])), 6) AS margin
+         |FROM pos p JOIN neg n USING (anchor_id)
+         |JOIN embeddings ea ON ea.vec_id = p.anchor_id
+         |JOIN embeddings en ON en.vec_id = n.neg_id
+         |ORDER BY 1""".stripMargin,
 
     // q170: bigram token frequencies → frequency-of-frequencies →
     // (r+1)·N_{r+1}/N_r with one round-6 division; gaps null.

@@ -375,6 +375,57 @@ object Similarity {
       .select("anchor_id", "neg_id", "rank")
   }
 
+  /** Contrastive TRIPLET mining — the training-pair construction step
+    * for embedding-model fine-tuning (SimCSE/SBERT data prep): per
+    * anchor, pair its nearest SAME-label in-bucket neighbor at
+    * `round6(cos) ≥ posThreshold` (the positive) with its hardest
+    * DIFFERENT-label in-bucket neighbor ([[hardNegatives]], the
+    * negative that actually carries gradient), emitting both cosines
+    * and the triplet margin. Anchors missing either side drop — a
+    * triplet needs both. Candidate generation is the same LSH
+    * bucket equi-join as q154/q171 (never all-pairs); the positive
+    * rank orders on the ALREADY-ROUNDED cosine (the q222 rule), id
+    * ASC ties. */
+  def contrastiveTriplets(vecs: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, posThreshold: Double,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 7,
+      bucketFn: Option[Column => Column] = None): DataFrame = {
+    val bucket: Column => Column =
+      bucketFn.getOrElse(v => hyperplaneBucket(v, nPlanes, dim, seed))
+    val c = vecs.select(col(idCol), col(vecCol), col(labelCol))
+      .withColumn("bucket", bucket(col(vecCol)))
+    val a = c.select(col("bucket"), col(idCol).as("anchor_id"),
+      col(vecCol).as("__av"), col(labelCol).as("__al"))
+    val p = c.select(col("bucket"), col(idCol).as("pos_id"),
+      col(vecCol).as("__pv"), col(labelCol).as("__pl"))
+    val posScored = a.join(p, Seq("bucket"))
+      .filter(col("__al") === col("__pl") &&
+        col("anchor_id") =!= col("pos_id"))
+      .select(col("anchor_id"), col("pos_id"),
+        round(VectorFunctions.cosineSimilarity(col("__av"), col("__pv")),
+          6).as("pos_cos"))
+      .filter(col("pos_cos") >= posThreshold)
+    val pos = rankTopK(posScored.withColumnRenamed("pos_cos", "cos"),
+        "anchor_id", "pos_id", 1)
+      .filter(col("rank") === 1)
+      .select(col("anchor_id"), col("pos_id"), col("cos").as("pos_cos"))
+    val neg = hardNegatives(vecs, idCol, vecCol, labelCol, k = 1,
+        nPlanes, dim, seed, bucketFn)
+      .filter(col("rank") === 1)
+      .select(col("anchor_id"), col("neg_id"))
+    val vlook = vecs.select(col(idCol), col(vecCol))
+    pos.join(neg, Seq("anchor_id"))
+      .join(vlook.select(col(idCol).as("anchor_id"),
+        col(vecCol).as("__av2")), Seq("anchor_id"))
+      .join(vlook.select(col(idCol).as("neg_id"),
+        col(vecCol).as("__nv2")), Seq("neg_id"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("pos_cos"),
+        round(VectorFunctions.cosineSimilarity(col("__av2"),
+          col("__nv2")), 6).as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+  }
+
   /** Fit IVF centroids — the coarse quantizer. The FAISS training idiom:
     * ONE distributed job draws a deterministic sample (xxhash64-ranked
     * TakeOrdered — no RNG, stable across runs/partitionings), then

@@ -653,4 +653,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ranked.map(r => (r._1, r._3)).toSeq ==
       Seq((9L, 1), (3L, 2), (5L, 3)))
   }
+
+  test("contrastiveTriplets: positive = nearest same-label over the " +
+    "threshold, negative = hardest other-label, both in-bucket; anchors " +
+    "missing a side drop") {
+    // everything lands in ONE bucket via a constant bucket fn, so the
+    // semantics under test are the label/threshold/rank rules
+    val one: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit(0L)
+    val a = Array(1.0, 0.0, 0.0)
+    val aNear = Array(0.98, 0.2, 0.0) // same label, cos ~ .98
+    val aFar = Array(0.5, 0.86, 0.0) // same label, cos ~ .5
+    val nHard = Array(0.9, 0.0, 0.44) // other label, cos ~ .9
+    val nEasy = Array(0.0, 0.0, 1.0) // other label, cos 0
+    val lone = Array(-1.0, 0.0, 0.0) // label with no same-label peer
+    val df = Seq(
+      (1L, a, "x"), (2L, aNear, "x"), (3L, aFar, "x"),
+      (4L, nHard, "y"), (5L, nEasy, "y"), (9L, lone, "z"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastiveTriplets(df, "vec_id", "embedding",
+        "label", posThreshold = 0.4, bucketFn = Some(one))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // anchor 1: positive is the NEAREST same-label (2, not 3);
+    // negative is the HARDEST other-label (4, not 5)
+    assert(got(1L)._2 == 2L && got(1L)._3 == 4L)
+    assert(got(1L)._6 == got(1L)._4 - got(1L)._5)
+    // anchor 9 has no same-label peer → no triplet
+    assert(!got.contains(9L))
+    // anchor 3's positive must clear the threshold: cos(3,1)=.5 ≥ .4 ok
+    assert(got.contains(3L))
+  }
 }
