@@ -42,6 +42,10 @@ class EavToVector(override val uid: String)
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     dataset.toDF()
+      // a null attribute index would crash map_from_entries; a null
+      // value carries nothing — both drop (an id with ONLY null rows
+      // then vanishes, like an id with no rows)
+      .filter(col($(dimCol)).isNotNull && col($(valCol)).isNotNull)
       .groupBy(col($(idCol)))
       .agg(map_from_entries(collect_list(struct(
         col($(dimCol)).cast("int"), col($(valCol)).cast("double"))))

@@ -348,6 +348,10 @@ object StreamOps {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     vecs
+      // null vectors can't be compared and null buckets can't key
+      // state — drop both up front (mirrors the batch operators'
+      // null-vector semantics)
+      .filter(col(vecCol).isNotNull && col(bucketCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"),
         col(bucketCol).cast("long").as("bucket"),
         col(vecCol).cast("array<double>").as("vec"))

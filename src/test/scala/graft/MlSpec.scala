@@ -172,6 +172,14 @@ class MlSpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toMap
     assert(out(1L) == Seq(0.5, 0.0, 0.0, -0.5))
     assert(out(2L) == Seq(0.0, 1.0, 0.0, 0.0))
+    // null dim/val rows drop instead of crashing map_from_entries; an
+    // id with ONLY null rows vanishes like an id with no rows
+    val dirty = Seq((1L, Some(0), Some(0.5)), (1L, None, Some(9.9)),
+      (2L, Some(1), None)).toDF("doc_id", "dim", "val")
+    val cleaned = new graft.ml.EavToVector()
+      .setIdCol("doc_id").setDim(2).transform(dirty)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cleaned == Map(1L -> Seq(0.5, 0.0)))
     // declared schema matches the actual output
     assert(new graft.ml.EavToVector().setIdCol("doc_id").setDim(4)
       .transformSchema(eav.schema).fieldNames.toSeq ==

@@ -410,8 +410,10 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("sem_dedup_ord")
       .outputMode(OutputMode.Append()).start()
     try {
-      // added high-id first; the walk must still keep id 1 and drop 9
-      input.addData((9L, 5L, Array(1.0, 0.01)), (1L, 5L, Array(1.0, 0.0)))
+      // added high-id first; the walk must still keep id 1 and drop 9;
+      // a null-vector row drops instead of NPEing the greedy walk
+      input.addData((9L, 5L, Array(1.0, 0.01)), (1L, 5L, Array(1.0, 0.0)),
+        (4L, 5L, null.asInstanceOf[Array[Double]]))
       q.processAllAvailable()
       val got = spark.table("sem_dedup_ord")
         .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
