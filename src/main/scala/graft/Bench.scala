@@ -34,6 +34,21 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // Cross-run calibration: a FIXED pure-compute, data-independent
+    // workload timed first and last (min of 3 reps each). Its time
+    // moves with the box/JVM session, never with the code or the data,
+    // so (a) per-query times are also reported normalized (sec /
+    // calib_sec) and (b) a uniformly slow session — the r9→r10 sf0.1
+    // 1.11× common-set drift on a zero-contended run — is
+    // self-diagnosing in the artifact instead of reading as a code
+    // regression. xxhash64 over a range is codegen'd scalar compute:
+    // no I/O, no shuffle, no data dependence.
+    def calib(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1500000000L).selectExpr("sum(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibStart = calib()
     // q100's window/agg stage carries the run's single largest one-time
     // codegen+JIT compile (~1.5 s; rep-1 measured 5× its steady state —
     // every other query's rep-1 is < 3×). Pre-touch that exact path
@@ -136,18 +151,21 @@ object Bench {
     // the sum of per-query MINs — for every agreeing query that min is
     // one of the agreeing pair by construction; contended queries are
     // counted separately so a dirty run impeaches itself up front.
+    val calibEnd = calib()
+    val calibSec = math.min(calibStart, calibEnd)
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     val nFailed = results.count(_._2.sec < 0)
     val nContended = results.count(_._2.contended)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    // The driver retains only the last 2000 chars of stdout, so the ONE
-    // JSON line must fit that window: query keys are abbreviated to their
-    // unique qNN prefix (the contract's own example uses "q1") and times
-    // carry 3 decimals. Full names + per-rep times go to the companion
-    // file below.
-    val qs = results.map { case (k, r) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(r.sec)
-    }.mkString("{", ",", "}")
+    // The driver retains only the last 2000 chars of stdout — 252
+    // abbreviated per-query entries (~3.3 KB) overflow it and truncate
+    // the line mid-JSON (rounds 8–10: "parsed": null). The ONE line
+    // must fit the window, so it carries totals + the top-20 slowest
+    // queries only, and points at the full-fidelity companion file.
+    val qs = results.filter(_._2.sec >= 0).sortBy(-_._2.sec).take(20)
+      .map { case (k, r) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r3(r.sec)
+      }.mkString("{", ",", "}")
     // Full-fidelity record (full query names, every rep's time): immune to
     // the stdout tail window. Path overridable for local iteration.
     // Opt-in bucketed-persistence variants (SPARK_GRAFT_BUCKETED=1): the
@@ -186,7 +204,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val fullQs = results.map { case (k, r) =>
       val sp = if (r.spread.isInfinity) "null" else r3(r.spread).toString
-      s""""$k":{"sec":${r.sec},"reps":[${r.times.mkString(",")}],""" +
+      // norm = sec / calib_sec: the cross-run-comparable number (a
+      // uniformly slow session scales sec and calib together)
+      val norm = if (r.sec < 0 || calibSec <= 0) "null"
+        else r3(r.sec / calibSec).toString
+      s""""$k":{"sec":${r.sec},"norm":$norm,""" +
+        s""""reps":[${r.times.mkString(",")}],""" +
         s""""gc_ms":[${r.gcs.mkString(",")}],""" +
         s""""loads":[${r.loads.map(r3).mkString(",")}],""" +
         s""""spread":$sp,"contended":${r.contended}}"""
@@ -199,6 +222,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""max_reps":$maxReps,"rep_agree":$agree,""" +
         s""""n_contended":$nContended,""" +
+        s""""calib_sec":${r3(calibSec)},""" +
+        s""""calib_start_sec":${r3(calibStart)},""" +
+        s""""calib_end_sec":${r3(calibEnd)},""" +
+        s""""total_norm":${if (calibSec > 0) r3(total / calibSec) else -1},""" +
         s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
         s""""gc_sec":$gcSec,"gc_forced_sec":$gcForcedSec,""" +
         s""""gc_total_sec":$gcTotalSec,""" +
@@ -209,9 +236,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // Compact load/GC note in the one-liner too (the driver keeps only the
-    // stdout tail): enough to attribute a slow run to box contention.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","max_reps":$maxReps,"n_contended":$nContended,"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"gc_forced_sec":$gcForcedSec,"gc_total_sec":$gcTotalSec,"queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    // Compact one-liner sized for the driver's 2000-char stdout tail:
+    // totals, calibration, load/GC attribution, the top-20 slowest
+    // queries, and a pointer to the full-fidelity file.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":$nContended,"calib_sec":${r3(calibSec)},"total_norm":${if (calibSec > 0) r3(total / calibSec) else -1},"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"queries":$qs,"queries_are":"top20_slowest","full_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

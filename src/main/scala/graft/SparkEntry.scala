@@ -4740,7 +4740,7 @@ object SparkEntry {
     * families; the full layered build + fixed-step beam search is
     * replayed as an unrolled CTE chain, MATERIALIZED per step so the
     * twice-referenced frontier doesn't inline exponentially). */
-  private object HnswReplay {
+  private[graft] object HnswReplay {
     val maxLevel = 3
     val m = 10
     val steps = 2

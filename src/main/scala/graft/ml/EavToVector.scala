@@ -11,12 +11,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructTyp
   * `(idCol, dimCol, valCol)` into dense zero-filled `array<double>`
   * vectors — the shape adapter between [[HashedEmbedder]]'s sparse
   * unit-L2 output and the vector-world stages ([[KMeansClusterer]],
-  * [[RidgeProbe]], the ANN/dedup/linalg operators). ONE exchange (the
-  * per-id collect), then a bounded `dim`-element fill per row — the
+  * [[RidgeProbe]], the ANN/dedup/linalg operators). Two partial-agg
+  * exchanges — a (id, dim) SUM first (which makes duplicate EAV rows
+  * well-defined: they add, the natural semantics of the upstream
+  * embedder's signed counts, instead of crashing `map_from_entries`
+  * under Spark's EXCEPTION map-key-dedup policy), then the per-id
+  * pivot — followed by a bounded `dim`-element fill per row; the
   * higher-order lambda runs per DOCUMENT, not per token, so the
-  * interpreted-lambda ban on hot loops doesn't bite. Ids with no EAV
-  * rows don't exist in the output (nothing to pivot), matching the
-  * upstream embedder's empty-doc semantics. */
+  * interpreted-lambda ban on hot loops doesn't bite. Both aggregations
+  * combine map-side, so the wire volume is ≤ distinct (id, dim) pairs
+  * twice. Ids with no EAV rows don't exist in the output (nothing to
+  * pivot), matching the upstream embedder's empty-doc semantics. */
 class EavToVector(override val uid: String)
     extends Transformer with DefaultParamsWritable {
 
@@ -46,10 +51,13 @@ class EavToVector(override val uid: String)
       // value carries nothing — both drop (an id with ONLY null rows
       // then vanishes, like an id with no rows)
       .filter(col($(dimCol)).isNotNull && col($(valCol)).isNotNull)
+      // deterministic duplicate handling BEFORE the pivot: repeated
+      // (id, dim) rows sum, so map_from_entries always sees unique keys
+      .groupBy(col($(idCol)), col($(dimCol)).cast("int").as("__d"))
+      .agg(sum(col($(valCol)).cast("double")).as("__v"))
       .groupBy(col($(idCol)))
       .agg(map_from_entries(collect_list(struct(
-        col($(dimCol)).cast("int"), col($(valCol)).cast("double"))))
-        .as("__m"))
+        col("__d"), col("__v")))).as("__m"))
       .select(col($(idCol)),
         expr(s"transform(sequence(0, ${$(dim) - 1}), i -> " +
           "coalesce(element_at(__m, CAST(i AS INT)), " +

@@ -26,7 +26,8 @@ private[ml] trait KMeansClustererParams
       : StructType = {
     require(schema.fieldNames.contains($(inputCol)),
       s"input is missing inputCol '${$(inputCol)}'")
-    schema.add($(outputCol), LongType, nullable = false)
+    // nullable: a null input vector maps to a null cluster id
+    schema.add($(outputCol), LongType, nullable = true)
   }
 }
 
@@ -96,11 +97,16 @@ class KMeansClustererModel private[ml] (override val uid: String,
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
+    // spark.ml convention: transform preserves row count — a null
+    // input vector yields a null cluster id instead of silently
+    // shrinking the table under a Pipeline consumer that counts or
+    // re-joins rows
     dataset.toDF()
-      .filter(col($(inputCol)).isNotNull)
       .withColumn($(outputCol),
-        element_at(VectorFunctions.nearestCentroids(col($(inputCol)),
-          centroidIds, centroids, 1), 1))
+        when(col($(inputCol)).isNotNull,
+          element_at(VectorFunctions.nearestCentroids(col($(inputCol)),
+            centroidIds, centroids, 1), 1))
+          .otherwise(lit(null).cast("long")))
   }
 
   override def transformSchema(schema: StructType): StructType =

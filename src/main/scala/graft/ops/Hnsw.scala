@@ -88,8 +88,12 @@ object Hnsw {
     * families (the q82 twin discipline) — everything downstream of the
     * bucket column is identical production code. Ids must be castable
     * to long (the state/rank currency of the ANN family). */
-  def buildAdjacency(vecs: DataFrame, idCol: String, vecCol: String,
-      seed: Long, maxLevel: Int, m: Int, bands: Int,
+  /** The (lvl, band, bkt, vid, v) banded membership relation both the
+    * adjacency build and its work audit derive from: every corpus
+    * vector, replicated to each layer ≤ its level and each band, keyed
+    * by that band's (coarsened-with-height) bucket. */
+  private def bandedMembers(vecs: DataFrame, idCol: String,
+      vecCol: String, seed: Long, maxLevel: Int, bands: Int,
       bucketFn: (Int, Int, Column) => Column): DataFrame = {
     val base = vecs.select(col(idCol).cast("long").as("vid"),
       col(vecCol).as("v"))
@@ -108,11 +112,41 @@ object Hnsw {
       }
       struct(lit(b).as("band"), e.as("bkt"))
     }
-    val withB = mem
+    mem
       .select(col("lvl"), col("vid"), col("v"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("lvl"), col("bb.band").as("band"),
         col("bb.bkt").as("bkt"), col("vid"), col("v"))
+  }
+
+  /** MEASURED build work, per (lvl, band): bucket count, member rows,
+    * and `cand_cos` — the exact number of candidate-cosine evaluations
+    * the banded bucket join feeds the top-M aggregate (Σ_buckets
+    * n·(n−1); both directions, self-pairs excluded — the row count of
+    * the `pairs` relation in [[buildAdjacency]], computed from the
+    * SAME membership dataflow without running the join). This is the
+    * scale audit's primary evidence: at fixed structural params,
+    * cand_cos grows quadratically with per-bucket population (the q47
+    * fixed-block-count hazard); on the auto-scaled production path it
+    * stays ~linear in the corpus because plane count grows to hold
+    * per-bucket population at bucketTarget. */
+  def buildWorkCounters(vecs: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxLevel: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame =
+    bandedMembers(vecs, idCol, vecCol, seed, maxLevel, bands, bucketFn)
+      .groupBy("lvl", "band", "bkt").agg(count(lit(1)).as("n"))
+      .groupBy("lvl", "band")
+      .agg(count(lit(1)).as("buckets"), sum(col("n")).as("members"),
+        sum(col("n") * (col("n") - 1)).as("cand_cos"))
+      .orderBy("lvl", "band")
+
+  def buildAdjacency(vecs: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v"))
+    val withB = bandedMembers(vecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
     val lhs = withB.select(col("lvl"), col("band"), col("bkt"),
       col("vid").as("src"), col("v").as("__sv"))
     val rhs = withB.select(col("lvl"), col("band"), col("bkt"),
@@ -170,7 +204,26 @@ object Hnsw {
   def searchTopK(adj: DataFrame, vecs: DataFrame, idCol: String,
       vecCol: String, queries: DataFrame, qIdCol: String,
       qVecCol: String, seed: Long, maxLevel: Int, steps: Int, ef: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    searchTopKCounted(adj, vecs, idCol, vecCol, queries, qIdCol,
+      qVecCol, seed, maxLevel, steps, ef, k, counted = false)._1
+
+  /** One row of measured search work: `cand_cos` candidate-cosine
+    * evaluations at (`lvl`, `step`); the head-initialization scan is
+    * `phase = "init"` (lvl = maxLevel, step = −1). */
+  final case class SearchWork(phase: String, lvl: Int, step: Int,
+      cand_cos: Long)
+
+  /** [[searchTopK]] plus, when `counted`, the MEASURED per-(layer,
+    * step) candidate-cosine counts — the search-side scale evidence
+    * (each count is the exact row count of that step's
+    * frontier ⋈ adjacency join; counting reruns each step's join once,
+    * so this is the audit path, not the serving path). */
+  def searchTopKCounted(adj: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, seed: Long, maxLevel: Int, steps: Int, ef: Int,
+      k: Int, counted: Boolean): (DataFrame, Seq[SearchWork]) = {
+    val work = Seq.newBuilder[SearchWork]
     val base = vecs.select(col(idCol).cast("long").as("vid"),
       col(vecCol).as("v"))
     val lv = assignLevels(base.select("vid"), "vid", seed, maxLevel)
@@ -178,6 +231,8 @@ object Hnsw {
       .select(col("vid"), col("v"))
     val qv = queries.select(col(qIdCol).as("qid"),
       col(qVecCol).as("qv"))
+    if (counted)
+      work += SearchWork("init", maxLevel, -1, qv.count() * head.count())
     var state = qv.crossJoin(broadcast(head))
       .select(col("qid"), col("vid").as("id"),
         round(VectorFunctions.cosineSimilarity(col("qv"), col("v")), 6)
@@ -198,6 +253,7 @@ object Hnsw {
           .select(col("qid"), col("dst").as("id"),
             round(VectorFunctions.cosineSimilarity(col("qv"),
               col("dvec")), 6).as("c"))
+        if (counted) work += SearchWork("beam", lvl, s, cand.count())
         state = state.unionByName(cand)
           .dropDuplicates("qid", "id")
           .groupBy("qid")
@@ -212,7 +268,7 @@ object Hnsw {
       state = state.localCheckpoint(true)
       lvl -= 1
     }
-    state.groupBy("qid")
+    val out = state.groupBy("qid")
       .agg(AggregateFunctions.topKByScore(col("c"), col("id"), k)
         .as("t"))
       .select(col("qid").as(qIdCol),
@@ -220,6 +276,7 @@ object Hnsw {
       .select(col(qIdCol), col("__e.id").as(idCol),
         col("__e.score").as("cos"),
         (col("__p") + 1).cast("int").as("rank"))
+    (out, work.result())
   }
 
   /** Convenience: build + search in one call. On the PRODUCTION path

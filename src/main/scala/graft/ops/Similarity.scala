@@ -89,21 +89,30 @@ object Similarity {
     * coverage distance BEFORE adding that center — the classic
     * decreasing coverage curve.
     *
-    * Scale shape: k−1 full scans (selection state is k vectors — never
-    * cached corpus); each scan is a narrow projection (min over ≤k
-    * broadcast-literal cosines, exact picks — no FP accumulation
-    * across rows) into the k-bounded [[rankByScore]] argmax, so the
-    * per-round exchange is ≤ partitions rows. Cosines round to 6 dp
-    * BEFORE 1−cos and the argmax (the q222 rule); argmax ties break
-    * toward the smaller id on both engine sides. */
+    * Scale shape: ONE Spark job per selection round (k−1 rounds; spec-
+    * pinned by SimilaritySpec's job-counter test) over a
+    * localCheckpointed narrow (id, vec) projection — the argmax is a
+    * single reduce whose payload CARRIES the winner's vector, so no
+    * second lookup scan exists and the per-round driver traffic is ≤ 1
+    * row per partition (an SQL aggregate would be the same scan but
+    * AQE materializes its exchange as an extra job). Selection state
+    * is k vectors (never a cached corpus-sized structure); each scan
+    * is a narrow projection (min over ≤k broadcast-literal cosines,
+    * exact picks — no FP accumulation across rows). Cosines round to
+    * 6 dp BEFORE 1−cos and the argmax (the q222 rule); argmax ties
+    * break toward the smaller id on both engine sides (ordering by
+    * (d, −id) ≡ rank by d DESC, id ASC). */
   def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, seedId: Long): DataFrame = {
     require(k >= 1, s"kCenterGreedy: k must be >= 1: $k")
     val spark = vecs.sparkSession
     import spark.implicits._
+    // materialized ONCE: every selection round re-scans this relation,
+    // so without the checkpoint each round would re-read the source
     val e = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint(true)
     def vecOf(id: Long): Array[Double] = {
       val rows = e.filter(col("__id") === id).select("__v").head(1)
       require(rows.nonEmpty, s"kCenterGreedy: no row with $idCol=$id")
@@ -117,10 +126,15 @@ object Similarity {
             typedLit(c.toSeq)), 6)
         }
         .reduce(least(_, _))
-      val win = rankByScore(e.select(col("__id"), dmin.as("d")),
-        "__id", "d", k = 1).head
-      selected :+= ((win.getLong(0), vecOf(win.getLong(0)),
-        win.getDouble(1)))
+      // jobs-per-round = 1: winner id, radius AND vector come back in
+      // one reduce job (max by (d, −id) — farthest first, ties to the
+      // smaller id, exactly rankByScore's (score DESC, id ASC) rule)
+      val win = e.select(dmin.as("d"), col("__id"), col("__v"))
+        .as[(Double, Long, Array[Double])]
+        .rdd
+        .max()(Ordering.by((t: (Double, Long, Array[Double])) =>
+          (t._1, -t._2)))
+      selected :+= ((win._2, win._3, win._1))
     }
     selected.zipWithIndex
       .map { case ((id, _, r), i) => (i + 1, id, r) }

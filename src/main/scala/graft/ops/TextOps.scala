@@ -944,6 +944,11 @@ object TextOps {
       .localCheckpoint(true)
     val norms = sums.groupBy(col(idCol))
       .agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
+      // a document whose per-dim signed sums all cancel to 0 has no
+      // direction to normalize — it vanishes like an empty document
+      // (the alternative is 0/0 = NaN rows poisoning downstream
+      // cosine/k-means stages)
+      .filter(col("__n") > 0.0)
     sums.join(norms, Seq(idCol))
       .select(col(idCol), col("__d").cast("int").as("dim"),
         round(col("__v") / col("__n"), 6).as("val"))

@@ -278,8 +278,15 @@ object StreamOps {
         val sp = batch.sparkSession
         val delta = graft.ops.Linalg.momentsLatticeState(
           batch.toDF(), vecCol)
+        // state existence must be checked on the filesystem Spark
+        // actually reads (HDFS/S3/local per the path's scheme) — a
+        // driver-local java.io.File probe is always false for remote
+        // stores and would silently reset the state every batch
+        val stateP = new org.apache.hadoop.fs.Path(statePath)
+        val fs = stateP.getFileSystem(
+          sp.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(statePath).exists())
+          if (fs.exists(stateP))
             graft.ops.Linalg.mergeMomentsState(
               sp.read.parquet(statePath), delta)
           else delta
@@ -361,23 +368,32 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (bucket, rows, state: GroupState[SemState]) =>
           val sorted = rows.toArray.sortBy(_.vec_id)
-          val dim =
-            if (state.exists) state.get.dim else sorted.head.vec.length
+          // dim pins on the FIRST NON-EMPTY vector the bucket ever
+          // sees; rows whose length disagrees (or empty vectors) can't
+          // enter the cosine walk — they pass through kept=true
+          // (quarantine-style: never silently dropped, never allowed
+          // to corrupt or crash the state walk)
+          var dim = if (state.exists) state.get.dim else 0
           var ids = if (state.exists) state.get.ids else Array.empty[Long]
           var flat =
             if (state.exists) state.get.vecs else Array.empty[Double]
           val out = sorted.map { r =>
-            var isDup = false
-            var k = 0
-            while (!isDup && k < ids.length) {
-              if (cos6(r.vec, flat, k, dim) >= threshold) isDup = true
-              k += 1
+            if (dim == 0 && r.vec.length > 0) dim = r.vec.length
+            if (r.vec.length != dim || dim == 0)
+              SemVerdict(r.vec_id, bucket, kept = true)
+            else {
+              var isDup = false
+              var k = 0
+              while (!isDup && k < ids.length) {
+                if (cos6(r.vec, flat, k, dim) >= threshold) isDup = true
+                k += 1
+              }
+              if (!isDup && ids.length < maxKeptPerBucket) {
+                ids = ids :+ r.vec_id
+                flat = flat ++ r.vec
+              }
+              SemVerdict(r.vec_id, bucket, !isDup)
             }
-            if (!isDup && ids.length < maxKeptPerBucket) {
-              ids = ids :+ r.vec_id
-              flat = flat ++ r.vec
-            }
-            SemVerdict(r.vec_id, bucket, !isDup)
           }
           state.update(SemState(ids, flat, dim))
           out.iterator

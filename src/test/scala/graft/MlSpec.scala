@@ -113,6 +113,25 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("KMeansClustererModel.transform preserves row count: null " +
+      "input vectors keep their row with a null cluster id") {
+    val corpus = smallCorpus
+    val model = new KMeansClusterer()
+      .setInputCol("embedding").setOutputCol("centroid_id")
+      .setK(4).setIters(2)
+      .fit(corpus)
+    val withNull = corpus.unionByName(
+      Seq((999L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val out = model.transform(withNull)
+    assert(out.count() == corpus.count() + 1)
+    val nullRow = out.filter(col("vec_id") === 999L)
+      .select("centroid_id").collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(0))
+    // non-null rows are assigned exactly as before
+    assert(out.filter(col("centroid_id").isNull).count() == 1)
+  }
+
   // q244's contract: the RidgeProbe stage is Linalg.ridgeScoreStd
   // behind an Estimator API — fit+transform must be row-identical.
   private def labeledCorpus = {
@@ -180,6 +199,14 @@ class MlSpec extends SparkSpec {
       .setIdCol("doc_id").setDim(2).transform(dirty)
       .as[(Long, Seq[Double])].collect().toMap
     assert(cleaned == Map(1L -> Seq(0.5, 0.0)))
+    // duplicate (id, dim) rows SUM deterministically instead of
+    // crashing map_from_entries under the EXCEPTION dedup policy
+    val dup = Seq((1L, 0, 0.5), (1L, 0, 0.25), (1L, 1, 1.0))
+      .toDF("doc_id", "dim", "val")
+    val summed = new graft.ml.EavToVector()
+      .setIdCol("doc_id").setDim(2).transform(dup)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(summed == Map(1L -> Seq(0.75, 1.0)))
     // declared schema matches the actual output
     assert(new graft.ml.EavToVector().setIdCol("doc_id").setDim(4)
       .transformSchema(eav.schema).fieldNames.toSeq ==

@@ -626,6 +626,44 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.drop(1).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("kCenterGreedy: exactly ONE Spark job per selection round " +
+      "(the argmax aggregate carries the winner's vector — no second " +
+      "lookup scan)") {
+    import spark.implicits._
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(4)(j => math.sin(i * 7.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    def countJobs(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store ingests listener events asynchronously —
+      // poll until the count is stable
+      var n = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).length
+      var same = 0
+      val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+      while (same < 5 && System.nanoTime < deadline) {
+        Thread.sleep(50)
+        val cur = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).length
+        if (cur == n) same += 1 else { n = cur; same = 0 }
+      }
+      n
+    }
+    val j2 = countJobs("kcenter-k2") {
+      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", 2, 0L)
+        .collect()
+    }
+    val j5 = countJobs("kcenter-k5") {
+      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", 5, 0L)
+        .collect()
+    }
+    // fixed per-call overhead (checkpoint + seed lookup + result
+    // collect) cancels in the delta: 3 extra rounds must cost exactly
+    // 3 extra jobs
+    assert(j5 - j2 == 3, s"jobs k=5: $j5, k=2: $j2")
+  }
+
   test("rrfFuse: both-list ids beat single-list ids, exact 1/(K+r) " +
       "sums in list order, rounded-score ties break by id; " +
       "rankByScore matches (score DESC, id ASC)") {

@@ -420,4 +420,30 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map(1L -> true, 9L -> false))
     } finally q.stop()
   }
+
+  test("semanticDedupStream: dim-mismatched and empty vectors pass " +
+    "through kept=true instead of crashing the state walk") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Array[Double])]
+    val df = input.toDF().toDF("vec_id", "bucket", "vec")
+    val out = StreamOps.semanticDedupStream(df, "vec_id", "vec",
+      "bucket", threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("sem_dedup_dim")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: an EMPTY first row must not pin dim=0 for the bucket;
+      // the 2-d rows that follow establish dim and dedup normally
+      input.addData((1L, 5L, Array.empty[Double]),
+        (2L, 5L, Array(1.0, 0.0)), (3L, 5L, Array(1.0, 0.01)))
+      q.processAllAvailable()
+      // batch 2: a SHORTER vector quarantines (kept=true, no state
+      // write) while a same-dim dup still drops against the keeper
+      input.addData((4L, 5L, Array(0.5)), (5L, 5L, Array(1.0, 0.02)))
+      q.processAllAvailable()
+      val got = spark.table("sem_dedup_dim")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false,
+        4L -> true, 5L -> false))
+    } finally q.stop()
+  }
 }
