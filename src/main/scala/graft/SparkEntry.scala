@@ -2383,6 +2383,30 @@ object SparkEntry {
         .select(col("q_vec_id"), round(col("recall"), 6).as("recall"))
     }),
 
+    "q253_hnsw_insert" -> ((s, dir) => {
+      // INCREMENTAL index maintenance, oracle-proven: Spark builds the
+      // layered kNN over 2/3 of the corpus, then INSERTS the remaining
+      // third (Hnsw.insertKnn — level-assign arrivals, bucket-join
+      // them against existing members only, top-M merge per touched
+      // key; no old pair re-scored). The oracle replays the FULL
+      // build over everything (q230's buildCtes verbatim), so
+      // insert(build(A), B) ≡ build(A ∪ B) is CONTRACTUAL row-for-row
+      // including the stored cosines — the production daily-arrival
+      // path provably converges to the from-scratch index.
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val a = corpus.filter(col("vec_id") % 3 =!= 1)
+      val b = corpus.filter(col("vec_id") % 3 === 1)
+      val oldKnn = Hnsw.buildKnn(a, "vec_id", "embedding",
+        HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
+        HnswReplay.bands, HnswReplay.bucketFn)
+      Hnsw.insertKnn(oldKnn, a, b, "vec_id", "embedding",
+          HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
+          HnswReplay.bands, HnswReplay.bucketFn)
+        .select(col("lvl"), col("src"), col("dst"), col("c"))
+    }),
+
     "q223_embed_covariance" -> ((s, dir) =>
       // Corpus covariance of the embedding column as an EAV relation
       // (i, j, cov), upper triangle — the fit side of whitening/PCA.
@@ -4775,7 +4799,15 @@ object SparkEntry {
     /** CTE chain ending in `hnsw(qid, id, c, rank)` — the full replay:
       * level walk, banded sign buckets, per-layer top-M adjacency with
       * reverse edges, entry point, unrolled beam descent. */
-    def searchCtes: String = {
+    def searchCtes: String = buildCtes + searchTailCtes
+
+    /** The BUILD half of the replay, through the directed
+      * `knn(lvl, src, dst, c)` and symmetrized `adj`: reused verbatim
+      * by q253's insert-equivalence oracle (Spark runs
+      * [[graft.ops.Hnsw.insertKnn]] on a corpus split; the oracle
+      * replays the FULL build over everything — equality IS the
+      * incremental-maintenance contract). */
+    def buildCtes: String = {
       val b = new StringBuilder
       b ++= s"""corpus AS (SELECT vec_id, embedding FROM embeddings
          |           WHERE vec_id % 10 <> 0),
@@ -4824,7 +4856,7 @@ object SparkEntry {
          |  JOIN mem b ON b.lvl = a.lvl AND b.vec_id = bb.vec_id
          |  WHERE a.vec_id <> b.vec_id),
          |knn AS (
-         |  SELECT lvl, src, dst FROM (
+         |  SELECT lvl, src, dst, c FROM (
          |    SELECT p.lvl, p.src, p.dst,
          |      ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
          |        CAST(y.embedding AS DOUBLE[])), 6) AS c,
@@ -4837,7 +4869,15 @@ object SparkEntry {
          |  (SELECT lvl, src, dst FROM knn
          |   UNION ALL SELECT lvl, dst, src FROM knn)),
          |adj AS (SELECT a.lvl, a.src, a.dst, x.embedding AS dvec
-         |        FROM adj0 a JOIN corpus x ON x.vec_id = a.dst),
+         |        FROM adj0 a JOIN corpus x ON x.vec_id = a.dst)""".stripMargin
+      b.result()
+    }
+
+    /** The SEARCH half: head init + unrolled beam descent, appended
+      * after [[buildCtes]]. */
+    def searchTailCtes: String = {
+      val b = new StringBuilder
+      b ++= s""",
          |topm AS (SELECT c.vec_id, c.embedding FROM corpus c
          |           JOIN lv USING (vec_id) WHERE lv.level >= $maxLevel),
          |w0 AS (SELECT qid, id, c FROM (
@@ -5125,6 +5165,16 @@ object SparkEntry {
         |    AS recall
         |FROM brute b LEFT JOIN hnsw h ON h.qid = b.qid AND h.id = b.id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // q253: the insert-equivalence contract — Spark runs the
+    // INCREMENTAL path (buildKnn on 2/3 of the corpus, insertKnn of
+    // the rest); the oracle replays the FULL from-scratch build over
+    // everything (q230's buildCtes verbatim, through the directed
+    // knn). Row-for-row equality, cosines included, IS the claim.
+    "q253_hnsw_insert" ->
+      ("WITH " + HnswReplay.buildCtes + """
+        |SELECT CAST(lvl AS INT) AS lvl, src, dst, c
+        |FROM knn ORDER BY 1, 2, 3""".stripMargin),
 
     // q223: the raw-moment covariance formula verbatim —
     // (Σxy − ΣxΣy/n)/(n−1) — NOT COVAR_SAMP, so the arithmetic shape

@@ -140,52 +140,138 @@ object Hnsw {
         sum(col("n") * (col("n") - 1)).as("cand_cos"))
       .orderBy("lvl", "band")
 
-  def buildAdjacency(vecs: DataFrame, idCol: String, vecCol: String,
-      seed: Long, maxLevel: Int, m: Int, bands: Int,
-      bucketFn: (Int, Int, Column) => Column): DataFrame = {
-    val base = vecs.select(col(idCol).cast("long").as("vid"),
-      col(vecCol).as("v"))
-    val withB = bandedMembers(vecs, idCol, vecCol, seed, maxLevel,
-      bands, bucketFn)
-    val lhs = withB.select(col("lvl"), col("band"), col("bkt"),
+  /** Candidate edges `(lvl, band, src, dst, c)` from a banded-bucket
+    * equi-join of two membership relations (both [[bandedMembers]]
+    * shaped): every cross pair inside a shared (lvl, band, bkt) cell,
+    * self-pairs excluded, cosine rounded to 6 dp at birth. */
+  private def pairsOf(lhs: DataFrame, rhs: DataFrame): DataFrame = {
+    val l = lhs.select(col("lvl"), col("band"), col("bkt"),
       col("vid").as("src"), col("v").as("__sv"))
-    val rhs = withB.select(col("lvl"), col("band"), col("bkt"),
+    val r = rhs.select(col("lvl"), col("band"), col("bkt"),
       col("vid").as("dst"), col("v").as("__dv"))
-    // Top-M in two k-bounded stages so the full candidate-pair stream
-    // NEVER crosses an exchange: per-(lvl, band, src) top-M first (the
-    // map-side-combinable aggregate — only ≤ M survivors per key reach
-    // the wire), then dedup + re-rank over the ≤ members·bands·M
-    // union. A pair's cosine is band-invariant, so top-M of the unioned
-    // per-band top-Ms equals global top-M over DISTINCT candidates
-    // exactly (the standard distributed top-k identity) — the oracle
-    // replays the one-stage DISTINCT+rank form and hash-matches.
-    val pairs = lhs.join(rhs, Seq("lvl", "band", "bkt"))
+    l.join(r, Seq("lvl", "band", "bkt"))
       .filter(col("src") =!= col("dst"))
       .select(col("lvl"), col("band"), col("src"), col("dst"),
         round(VectorFunctions.cosineSimilarity(col("__sv"), col("__dv")),
           6).as("c"))
-    val perBand = pairs.groupBy("lvl", "band", "src")
+  }
+
+  /** Global (lvl, src) top-M under (c DESC, dst ASC) over DISTINCT
+    * (lvl, src, dst) edges — identical edges carry identical c (the
+    * cosine is a pure 6dp-rounded function of the endpoint vectors),
+    * so the dedup is sound on the edge key alone. */
+  private def topMEdges(edges: DataFrame, m: Int): DataFrame =
+    edges.dropDuplicates("lvl", "src", "dst")
+      .groupBy("lvl", "src")
       .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
         .as("t"))
       .select(col("lvl"), col("src"), explode(col("t")).as("e"))
       .select(col("lvl"), col("src"), col("e.id").as("dst"),
         col("e.score").as("c"))
-      // the same pair surviving several bands must fill ONE slot of
-      // the final rank — dedup on the M-bounded union, not the pair
-      // stream (identical (lvl,src,dst) rows carry identical c)
-      .dropDuplicates("lvl", "src", "dst")
-    val knn = perBand.groupBy("lvl", "src")
-      .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
-        .as("t"))
-      .select(col("lvl"), col("src"), explode(col("t")).as("e"))
-      .select(col("lvl"), col("src"), col("e.id").as("dst"))
-    val sym = knn.unionByName(
-        knn.select(col("lvl"), col("dst").as("src"), col("src").as("dst")))
+
+  /** Top-M in two k-bounded stages so the full candidate-pair stream
+    * NEVER crosses an exchange: per-(lvl, band, src) top-M first (the
+    * map-side-combinable aggregate — only ≤ M survivors per key reach
+    * the wire), then dedup + re-rank over the ≤ members·bands·M union.
+    * A pair's cosine is band-invariant, so top-M of the unioned
+    * per-band top-Ms equals global top-M over DISTINCT candidates
+    * exactly (the standard distributed top-k identity) — the oracle
+    * replays the one-stage DISTINCT+rank form and hash-matches. */
+  private def topMPerSrc(pairs: DataFrame, m: Int): DataFrame =
+    topMEdges(
+      pairs.groupBy("lvl", "band", "src")
+        .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
+          .as("t"))
+        .select(col("lvl"), col("src"), explode(col("t")).as("e"))
+        .select(col("lvl"), col("src"), col("e.id").as("dst"),
+          col("e.score").as("c")),
+      m)
+
+  /** The DIRECTED per-layer top-M kNN `(lvl, src, dst, c)` — the
+    * build's core relation and the UNIT of incremental maintenance
+    * ([[insertKnn]]): cosines are kept so a later insert can merge
+    * stored edges with fresh candidates without recomputing them.
+    * [[adjacencyFromKnn]] derives the symmetrized search adjacency. */
+  def buildKnn(vecs: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val withB = bandedMembers(vecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    topMPerSrc(pairsOf(withB, withB), m)
+  }
+
+  /** Symmetrized search adjacency `(lvl, src, dst, dvec)` from a
+    * directed kNN: reverse edges unioned in, destination vectors
+    * embedded so the beam search never touches the corpus again. */
+  def adjacencyFromKnn(knn: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v"))
+    val sym = knn.select("lvl", "src", "dst").unionByName(
+        knn.select(col("lvl"), col("dst").as("src"),
+          col("src").as("dst")))
       .distinct()
     sym.join(base.select(col("vid").as("dst"), col("v").as("dvec")),
         Seq("dst"))
       .select(col("lvl"), col("src"), col("dst"), col("dvec"))
   }
+
+  /** INCREMENTAL maintenance of the layered kNN: merge a batch of new
+    * vectors into an existing index WITHOUT rebuilding it —
+    * contractually `insertKnn(buildKnn(A), A, B) ≡ buildKnn(A ∪ B)`
+    * row-for-row including the stored cosines (the q253 oracle replays
+    * the FULL build while Spark runs the insert path; HnswSpec pins
+    * the same equivalence as a property). Soundness: levels and
+    * buckets are pure functions of (id, vec, seed), so A's assignments
+    * never move; the fresh candidate set is exactly every banded-
+    * bucket pair touching B (`(A∪B)×B ∪ B×A`); and for any split of a
+    * candidate set, topM(P ∪ Q) = topM(topM(P) ∪ topM(Q)) — the stored
+    * kNN IS topM(A×A pairs), so merging it with the bounded fresh
+    * top-M and re-ranking reproduces the full build exactly.
+    *
+    * 100 TB posture: a daily arrival batch B costs one banded bucket
+    * equi-join of B against the corpus (O(|B| · bucketPop · bands ·
+    * levels) candidate cosines — the same per-row price the original
+    * build paid, instead of re-paying the whole corpus) plus a merge
+    * bounded by the |A|·M stored edges; no old pair is re-scored.
+    * Persist the kNN between arrivals as params-as-data
+    * ([[graft.ops.AnnIndex]]). */
+  def insertKnn(oldKnn: DataFrame, oldVecs: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, seed: Long,
+      maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val memA = bandedMembers(oldVecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    val memB = bandedMembers(newVecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    // every candidate pair with a NEW endpoint, in both src roles:
+    // src ∈ A∪B gains dst ∈ B candidates; src ∈ B also scans dst ∈ A
+    val freshPairs = pairsOf(memA.unionByName(memB), memB)
+      .unionByName(pairsOf(memB, memA))
+    topMEdges(
+      oldKnn.select("lvl", "src", "dst", "c")
+        .unionByName(topMPerSrc(freshPairs, m)),
+      m)
+  }
+
+  /** [[insertKnn]] + [[adjacencyFromKnn]] over the merged corpus. */
+  def insertAdjacency(oldKnn: DataFrame, oldVecs: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, seed: Long,
+      maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame =
+    adjacencyFromKnn(
+      insertKnn(oldKnn, oldVecs, newVecs, idCol, vecCol, seed,
+        maxLevel, m, bands, bucketFn),
+      oldVecs.select(col(idCol), col(vecCol))
+        .unionByName(newVecs.select(col(idCol), col(vecCol))),
+      idCol, vecCol)
+
+  def buildAdjacency(vecs: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame =
+    adjacencyFromKnn(
+      buildKnn(vecs, idCol, vecCol, seed, maxLevel, m, bands, bucketFn),
+      vecs, idCol, vecCol)
 
   /** Batch layered beam search over a prebuilt adjacency: the beam
     * INITIALIZES on the whole TOP layer — a deterministic 2^-maxLevel

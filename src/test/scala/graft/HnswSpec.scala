@@ -120,4 +120,132 @@ class HnswSpec extends SparkSpec {
       .count { case (q, id, _, _) => exact(q) == id }
     assert(hit >= 6, s"auto-path recall@1: $hit/8")
   }
+
+  test("buildWorkCounters equals an independent Σ n·(n−1) over the " +
+    "same banded buckets; searchTopKCounted(counted) returns the " +
+    "identical result plus exact init work") {
+    val corpus = clustered.toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val counters = Hnsw.buildWorkCounters(corpus, "id", "v", seed = 9,
+        maxLevel = 2, bands = 2, bf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent recomputation from the PUBLIC pieces: level walk,
+    // per-layer membership, per-band bucket assignment
+    val base = corpus.select(col("id").cast("long").as("vid"),
+      col("v"))
+    val mem = base.join(
+        Hnsw.assignLevels(base.select("vid"), "vid", 9, 2), "vid")
+      .select(explode(sequence(lit(0), col("level"))).as("lvl"),
+        col("vid"), col("v"))
+    for (lvl <- 0 to 2; band <- 0 to 1) {
+      val ns = mem.filter(col("lvl") === lvl)
+        .select(bf(lvl, band, col("v")).as("bkt"))
+        .groupBy("bkt").count()
+        .collect().map(_.getLong(1))
+      val expected = (ns.length.toLong, ns.sum,
+        ns.map(n => n * (n - 1)).sum)
+      assert(counters((lvl, band)) == expected,
+        s"(lvl=$lvl band=$band): ${counters((lvl, band))} != $expected")
+    }
+    // counted search: same rows as the uncounted path, init work =
+    // |queries| × |head|, beam counters present for every (lvl, step)
+    val queries = (0 until 8).map { i =>
+      (1000L + i, Array.tabulate(8)(j =>
+        (if (j == i % 8) 1.0f else 0.0f)).toSeq)
+    }.toDF("qid", "qv")
+    val adj = Hnsw.buildAdjacency(corpus, "id", "v", 9, 2, 4, 2, bf)
+      .localCheckpoint(true)
+    val plain = Hnsw.searchTopK(adj, corpus, "id", "v", queries,
+      "qid", "qv", 9, 2, 2, 6, 3).collect().map(_.toSeq).toSet
+    val (countedDf, work) = Hnsw.searchTopKCounted(adj, corpus, "id",
+      "v", queries, "qid", "qv", 9, 2, 2, 6, 3, counted = true)
+    assert(countedDf.collect().map(_.toSeq).toSet == plain)
+    val headN = base
+      .join(Hnsw.assignLevels(base.select("vid"), "vid", 9, 2), "vid")
+      .filter(col("level") >= 2).count()
+    val init = work.filter(_.phase == "init")
+    assert(init.map(w => (w.lvl, w.step, w.cand_cos)) ==
+      Seq((2, -1, 8 * headN)))
+    val beam = work.filter(_.phase == "beam")
+    assert(beam.map(w => (w.lvl, w.step)) ==
+      (2 to 0 by -1).flatMap(l => Seq((l, 0), (l, 1))))
+    assert(beam.forall(_.cand_cos >= 0) && beam.map(_.cand_cos).sum > 0)
+  }
+
+  test("insertKnn(buildKnn(A), A, B) ≡ buildKnn(A ∪ B) row-for-row " +
+    "including cosines, for several splits; insertAdjacency matches " +
+    "buildAdjacency the same way") {
+    val all = clustered.toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    def knnSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = knnSet(Hnsw.buildKnn(all, "id", "v", 9, 2, 4, 2, bf))
+    // splits: tail batch, interleaved, tiny arrival batch
+    for (pred <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => c < 180, c => c % 3 =!= 1, c => c < 232)) {
+      val a = all.filter(pred(col("id")))
+      val b = all.filter(!pred(col("id")))
+      val oldKnn = Hnsw.buildKnn(a, "id", "v", 9, 2, 4, 2, bf)
+      val merged = knnSet(Hnsw.insertKnn(oldKnn, a, b, "id", "v", 9,
+        2, 4, 2, bf))
+      assert(merged == full, s"insertKnn diverged from full build " +
+        s"(split sizes ${a.count()}/${b.count()}): " +
+        s"missing ${(full -- merged).take(3)}, " +
+        s"extra ${(merged -- full).take(3)}")
+    }
+    // adjacency equivalence carries over (sym + dvec are derived)
+    val a = all.filter(col("id") % 3 =!= 1)
+    val b = all.filter(col("id") % 3 === 1)
+    val oldKnn = Hnsw.buildKnn(a, "id", "v", 9, 2, 4, 2, bf)
+    def adjSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("lvl", "src", "dst").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adjSet(Hnsw.insertAdjacency(oldKnn, a, b, "id", "v", 9, 2,
+        4, 2, bf)) ==
+      adjSet(Hnsw.buildAdjacency(all, "id", "v", 9, 2, 4, 2, bf)))
+  }
+
+  test("AnnIndex save/load round-trips the layered index; the recall " +
+    "audit against the RELOADED adjacency matches the in-memory one") {
+    val corpus = clustered.toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val knn = Hnsw.buildKnn(corpus, "id", "v", 9, 2, 6, 2, bf)
+    val adj = Hnsw.adjacencyFromKnn(knn, corpus, "id", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-index").toString + "/idx"
+    graft.ops.AnnIndex.save(dir,
+      Map("knn" -> knn, "adjacency" -> adj),
+      Map("seed" -> "9", "max_level" -> "2", "m" -> "6",
+        "bands" -> "2", "n_planes" -> "3", "kind" -> "hnsw"))
+    val (parts, params) = graft.ops.AnnIndex.load(spark, dir)
+    assert(parts.keySet == Set("knn", "adjacency"))
+    assert(params("m") == "6" && params("kind") == "hnsw")
+    assert(parts("knn").collect().map(_.toSeq).toSet ==
+      knn.collect().map(_.toSeq).toSet)
+    // q231-shape audit against the PERSISTED index: search the
+    // reloaded adjacency and compare recall to the in-memory run
+    val queries = (0 until 8).map { i =>
+      (1000L + i, Array.tabulate(8)(j =>
+        (if (j == i % 8) 1.0f else 0.0f)).toSeq)
+    }.toDF("qid", "qv")
+    def recall(a: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val exact = Similarity.bruteForceTopK(corpus, queries, "id", "v",
+        "qid", "qv", k = 3)
+      val approx = Hnsw.searchTopK(a, corpus, "id", "v", queries,
+        "qid", "qv", 9, 2, 2, 6, 3)
+      Similarity.recallAtK(approx, exact, "qid", "id", k = 3)
+        .collect().map(_.toSeq).toSet
+    }
+    val fromDisk = recall(parts("adjacency"))
+    assert(fromDisk == recall(adj))
+    assert(fromDisk.nonEmpty &&
+      fromDisk.forall(_(1).asInstanceOf[Double] > 0.0))
+    // torn-save protection: a directory without a manifest refuses
+    intercept[Exception] {
+      graft.ops.AnnIndex.load(spark, dir + "_nope")
+    }
+  }
 }
