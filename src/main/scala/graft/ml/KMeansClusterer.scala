@@ -100,12 +100,16 @@ class KMeansClustererModel private[ml] (override val uid: String,
     // spark.ml convention: transform preserves row count — a null
     // input vector yields a null cluster id instead of silently
     // shrinking the table under a Pipeline consumer that counts or
-    // re-joins rows
+    // re-joins rows. `get` (0-based, null on out-of-bounds) instead of
+    // ANSI element_at: a dim-mismatched vector matches NO centroid
+    // (nearestCentroids skips them), and its empty selection must read
+    // as an unassignable row (null id), not an array-index error.
     dataset.toDF()
       .withColumn($(outputCol),
         when(col($(inputCol)).isNotNull,
-          element_at(VectorFunctions.nearestCentroids(col($(inputCol)),
-            centroidIds, centroids, 1), 1))
+          org.apache.spark.sql.functions.get(
+            VectorFunctions.nearestCentroids(col($(inputCol)),
+              centroidIds, centroids, 1), lit(0)))
           .otherwise(lit(null).cast("long")))
   }
 

@@ -82,7 +82,13 @@ class WhitenerModel private[ml] (override val uid: String,
       val s = round9(1.0 / math.sqrt(lam))
       round(Linalg.dot(col($(inputCol)), vv) * s, 6)
     }
-    dataset.toDF().withColumn($(outputCol), array(coords: _*))
+    // row count preserved; a null or dim-mismatched vector has no
+    // projection — null output array, never an array of null coords
+    val d = components.headOption.map(_.length).getOrElse(0)
+    dataset.toDF().withColumn($(outputCol),
+      when(col($(inputCol)).isNotNull &&
+          size(col($(inputCol))) === d, array(coords: _*))
+        .otherwise(lit(null).cast(s"array<double>")))
   }
 
   override def transformSchema(schema: StructType): StructType =
