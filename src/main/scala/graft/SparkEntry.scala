@@ -2407,6 +2407,65 @@ object SparkEntry {
         .select(col("lvl"), col("src"), col("dst"), col("c"))
     }),
 
+    "q254_stage2_curation" -> ((s, dir) => {
+      // The COMPOSED stage-2 curation pipeline, end-to-end on raw
+      // documents — every stage is a proven operator, chained the way
+      // a production curation run chains them, and the ONE oracle
+      // replays the whole flow: md5 hash-embed (q236) → dense pivot
+      // (q246's EavToVector stage) → 2-iteration Lloyd's clustering
+      // (q238) → k-means-scoped semantic dedup with the min-id-keeper
+      // rule (q239's pair relation; a doc with a smaller-id in-cluster
+      // neighbor at round-6 cos ≥ 0.9 drops) → ridge quality probe
+      // FIT ON THE SURVIVORS (q225's raw-feature recipe — the
+      // STANDARDIZED form is structurally wrong here: hash dims the
+      // small-vocab corpus never touches have zero variance, and
+      // σ-division would be 0/0; y = the lang='en' proxy label, keep
+      // at rounded score ≥ 0.4, the classifier-gate shape) → weighted
+      // mixture
+      // materialization of the kept docs (q192's integer-copies
+      // algebra, budget 10k tokens). Decision margins audited in
+      // DuckDB at sf0.01 (min 2.4e-5 across kmeans argmax / dedup τ /
+      // ridge keep — see the oracle's comment). Scale: the only
+      // super-linear stage is the within-cluster pair scan, per-
+      // cluster quadratic with k the explicit lever (the q239 story);
+      // everything else is one-pass moments, broadcast dots, or
+      // output-sized explodes.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val eav = TextOps.hashedEmbedding(docs, "doc_id", "text",
+        dim = 64, seed = 7, family = "md5")
+      val vecs = new graft.ml.EavToVector()
+        .setIdCol("doc_id").setDimCol("dim").setValCol("val")
+        .setOutputCol("embedding").setDim(64)
+        .transform(eav)
+      val cents0 = s.range(8).select(col("id").as("centroid_id"),
+        expr("transform(sequence(0, 63)," +
+          " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")
+          .as("c_vec"))
+      val cents = Similarity.kmeansIterate(vecs, "doc_id", "embedding",
+        cents0, iters = 2)
+      val dupIds = Dedup.embeddingNearDupsKmeans(vecs, "doc_id",
+          "embedding", threshold = 0.9, cents)
+        .select(col("id_b").as("doc_id")).distinct()
+      val survivors = vecs.join(dupIds, Seq("doc_id"), "left_anti")
+      val labeled = survivors.join(
+        docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("y")), Seq("doc_id"))
+      val kept = Linalg.ridgeScore(labeled, "doc_id", "embedding",
+          "y", lambda = 0.1, eta = 0.5, iters = 30, threshold = 0.4)
+        .filter(col("keep")).select("doc_id")
+      val keptDocs = docs.join(kept, Seq("doc_id"))
+      val counts = keptDocs.groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("n_tok"))
+      val weights = Seq(("en", 4L), ("de", 2L), ("es", 1L),
+        ("fr", 1L), ("zh", 1L)).toDF("lang", "w")
+      val plan = graft.ops.Sampling.mixturePlan(counts, "lang",
+        "n_tok", weights, "lang", "w", budget = 10000L)
+      graft.ops.Sampling.materializeMixture(keptDocs, "doc_id", "lang",
+        plan, seed = 11L)
+    }),
+
     "q223_embed_covariance" -> ((s, dir) =>
       // Corpus covariance of the embedding column as an EAV relation
       // (i, j, cov), upper triangle — the fit side of whitening/PCA.
@@ -4621,6 +4680,99 @@ object SparkEntry {
   /** q238/q239's shared Lloyd's replay chain: literal dyadic start,
     * three unrolled (assign → integer-lattice M-step) rounds — ends
     * with `a3` (third assignment) and `m3` (third M-step stats). */
+  /** q246/q254's documents→clusters replay: md5 hash-embed (64-d,
+    * seed 7, the q236 digit walk) → zero-filled dense pivot →
+    * 2-iteration Lloyd's from the dyadic init (k=8) ending in the
+    * `a3(doc_id, centroid_id)` assignment, with the dense vectors
+    * available as `e(doc_id, embedding)`. ONE definition drives the
+    * q246 Pipeline oracle and the q254 stage-2 curation oracle's
+    * front half. */
+  private object DocKmeansReplay {
+    val chain: String =
+      """toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 4), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(tok || ':7'), CAST(i + 1 AS INT), 1))
+        |           - 1)
+        |          * power(16.0, CAST(3 - i AS DOUBLE)))) AS BIGINT)
+        |          % 64 AS d,
+        |        CASE WHEN strpos('02468ace',
+        |               substr(md5(tok || ':7'), 5, 1)) > 0
+        |             THEN 1.0 ELSE -1.0 END AS sgn
+        |      FROM tt),
+        |s AS (SELECT doc_id, d, sum(sgn) AS v FROM h GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY 1
+        |      HAVING sqrt(sum(v * v)) > 0),
+        |ev AS (SELECT s.doc_id, CAST(s.d AS INT) AS dim,
+        |         ROUND(s.v / n.nrm, 6) AS val
+        |       FROM s JOIN n USING (doc_id)),
+        |grid AS (SELECT d.doc_id, CAST(t.i AS INT) AS dim
+        |         FROM (SELECT DISTINCT doc_id FROM ev) d,
+        |              range(0, 64) t(i)),
+        |e AS MATERIALIZED (
+        |  SELECT g.doc_id, list(coalesce(ev.val, 0.0)
+        |           ORDER BY g.dim) AS embedding
+        |  FROM grid g LEFT JOIN ev
+        |    ON ev.doc_id = g.doc_id AND ev.dim = g.dim
+        |  GROUP BY 1),
+        |c0 AS (
+        |  SELECT j AS centroid_id,
+        |         list_transform(range(0, 64),
+        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
+        |  FROM range(0, 8) t(j)),
+        |a1 AS (
+        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m1 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a1 a JOIN e ON e.doc_id = a.doc_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1),
+        |m2 AS (
+        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(
+        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM a2 a JOIN e ON e.doc_id = a.doc_id,
+        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+        |         ORDER BY dim) AS c_vec
+        |  FROM m2 GROUP BY 1),
+        |a3 AS (
+        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
+        |      c.centroid_id) = 1)""".stripMargin
+  }
+
   private object KmeansReplay {
     val chain: String =
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
@@ -5592,89 +5744,106 @@ object SparkEntry {
     // chain each time). Assignment margins ≥ 3.7e-6 on this corpus
     // (measured), far above cross-engine cosine ulp.
     "q246_ml_text_cluster_pipeline" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        |h AS (SELECT doc_id,
-        |        CAST(list_sum(list_transform(range(0, 4), i ->
-        |          (strpos('0123456789abcdef',
-        |             substr(md5(tok || ':7'), CAST(i + 1 AS INT), 1))
-        |           - 1)
-        |          * power(16.0, CAST(3 - i AS DOUBLE)))) AS BIGINT)
-        |          % 64 AS d,
-        |        CASE WHEN strpos('02468ace',
-        |               substr(md5(tok || ':7'), 5, 1)) > 0
-        |             THEN 1.0 ELSE -1.0 END AS sgn
-        |      FROM tt),
-        |s AS (SELECT doc_id, d, sum(sgn) AS v FROM h GROUP BY 1, 2),
-        |n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY 1),
-        |ev AS (SELECT s.doc_id, CAST(s.d AS INT) AS dim,
-        |         ROUND(s.v / n.nrm, 6) AS val
-        |       FROM s JOIN n USING (doc_id)),
-        |grid AS (SELECT d.doc_id, CAST(t.i AS INT) AS dim
-        |         FROM (SELECT DISTINCT doc_id FROM ev) d,
-        |              range(0, 64) t(i)),
-        |e AS MATERIALIZED (
-        |  SELECT g.doc_id, list(coalesce(ev.val, 0.0)
-        |           ORDER BY g.dim) AS embedding
-        |  FROM grid g LEFT JOIN ev
-        |    ON ev.doc_id = g.doc_id AND ev.dim = g.dim
-        |  GROUP BY 1),
-        |c0 AS (
-        |  SELECT j AS centroid_id,
-        |         list_transform(range(0, 64),
-        |           i -> ((j * 31 + i * 7) % 17 - 8) / 8.0) AS c_vec
-        |  FROM range(0, 8) t(j)),
-        |a1 AS (
-        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c0 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
-        |    ORDER BY list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
-        |      c.centroid_id) = 1),
-        |m1 AS (
-        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(floor(
-        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
-        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
-        |  FROM a1 a JOIN e ON e.doc_id = a.doc_id,
-        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT centroid_id,
-        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
-        |         ORDER BY dim) AS c_vec
-        |  FROM m1 GROUP BY 1),
-        |a2 AS (
-        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c1 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
-        |    ORDER BY list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
-        |      c.centroid_id) = 1),
-        |m2 AS (
-        |  SELECT a.centroid_id, CAST(r.i - 1 AS INT) AS dim,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(floor(
-        |      CAST(e.embedding[CAST(r.i AS INT)] AS DOUBLE)
-        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
-        |  FROM a2 a JOIN e ON e.doc_id = a.doc_id,
-        |    LATERAL unnest(range(1, len(e.embedding) + 1)) AS r(i)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT centroid_id,
-        |    list(CAST(qsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
-        |         ORDER BY dim) AS c_vec
-        |  FROM m2 GROUP BY 1),
-        |a3 AS (
-        |  SELECT e.doc_id, c.centroid_id FROM e CROSS JOIN c2 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.doc_id
-        |    ORDER BY list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), c.c_vec) DESC,
-        |      c.centroid_id) = 1)
+      ("WITH " + DocKmeansReplay.chain + """
         |SELECT doc_id, CAST(centroid_id AS BIGINT) AS centroid_id
-        |FROM a3 ORDER BY 1""".stripMargin,
+        |FROM a3 ORDER BY 1""".stripMargin),
+
+    // q254: the composed stage-2 curation pipeline — every stage's
+    // SQL is the proven replay (q246's doc-kmeans chain verbatim via
+    // DocKmeansReplay, q239's pair shape, q225's raw-feature ridge GD
+    // chain retargeted at the survivor relation, q192's mixture
+    // algebra) chained into ONE oracle. Margins audited in DuckDB at
+    // sf0.01: kmeans argmax ≥ 2.4e-5, dedup pair cos ≥ 1e-5 from τ in
+    // rounded space, ridge keep ≥ 7.1e-5 from threshold — all above
+    // the 1e-6 cross-engine ulp bar.
+    "q254_stage2_curation" ->
+      ("WITH RECURSIVE " + DocKmeansReplay.chain + """,
+        |prs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    ROUND(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM a3 x JOIN a3 y ON x.centroid_id = y.centroid_id
+        |                     AND x.doc_id < y.doc_id
+        |  JOIN e ea ON ea.doc_id = x.doc_id
+        |  JOIN e eb ON eb.doc_id = y.doc_id),
+        |surv AS (
+        |  SELECT e.doc_id, e.embedding FROM e
+        |  WHERE e.doc_id NOT IN (SELECT id_b FROM prs WHERE cos >= 0.9)),
+        |idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+        |src AS (SELECT s.doc_id AS vec_id, s.embedding,
+        |          CAST(d.lang = 'en' AS DOUBLE) AS y
+        |        FROM surv s JOIN documents d USING (doc_id)),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x, y
+        |      FROM src, idx),
+        |nn AS (SELECT COUNT(*) AS n FROM src),
+        |g AS (
+        |  SELECT a.i AS ri, b.i AS ci,
+        |    round_even(SUM(a.x * b.x) / (SELECT n FROM nn), 9) AS gv
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |gm AS (SELECT list(gv ORDER BY ri, ci) AS gl FROM g),
+        |bv AS (
+        |  SELECT i, round_even(SUM(y * x) / (SELECT n FROM nn), 9) AS bb
+        |  FROM x GROUP BY i),
+        |bm AS (SELECT list(bb ORDER BY i) AS bl FROM bv),
+        |gd(t, beta) AS (
+        |  SELECT 0, list_transform(range(0, 64),
+        |            i -> CAST(0.0 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    list_transform(range(0, 64), i ->
+        |      beta[CAST(i + 1 AS INT)] - 0.5 * (
+        |        list_sum(list_transform(range(0, 64),
+        |          j -> gl[CAST(i*64 + j + 1 AS INT)]
+        |               * beta[CAST(j + 1 AS INT)]))
+        |        - bl[CAST(i + 1 AS INT)]
+        |        + 0.1 * beta[CAST(i + 1 AS INT)]))
+        |  FROM gd, gm, bm WHERE t < 30),
+        |b9 AS (
+        |  SELECT list_transform(beta, x -> round_even(x, 9)) AS b
+        |  FROM gd WHERE t = 30),
+        |scored AS (
+        |  SELECT s.vec_id AS doc_id,
+        |    ROUND(list_sum(list_transform(range(0, 64),
+        |      i -> b9.b[CAST(i + 1 AS INT)]
+        |           * CAST(s.embedding[CAST(i + 1 AS INT)] AS DOUBLE))), 6)
+        |      AS score
+        |  FROM src s, b9),
+        |kept AS (SELECT doc_id FROM scored WHERE score >= 0.4),
+        |kd AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |       JOIN kept USING (doc_id)),
+        |counts AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      AS BIGINT) AS n_tok
+        |  FROM kd GROUP BY 1),
+        |w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('es', 1),
+        |                       ('fr', 1), ('zh', 1)),
+        |jw AS (SELECT c.lang, c.n_tok, CAST(wt AS BIGINT) AS wt
+        |       FROM counts c JOIN w ON w.lang = c.lang),
+        |tw AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM jw),
+        |plan AS (SELECT lang, n_tok, (10000 * wt) // total AS target
+        |         FROM jw, tw),
+        |dd AS (
+        |  SELECT doc_id, d.lang, n_tok, target,
+        |    target // n_tok AS base,
+        |    (list_sum(list_transform(range(0, 12), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR) || ':11'),
+        |                  CAST(i + 1 AS INT), 1)) - 1)
+        |        * power(16.0, CAST(11 - i AS DOUBLE)))) + 1)
+        |      / 281474976710656.0 AS u
+        |  FROM kd d JOIN plan ON plan.lang = d.lang),
+        |nc AS (
+        |  SELECT doc_id, lang,
+        |    base + (CASE WHEN u < (target % n_tok)
+        |      / CAST(n_tok AS DOUBLE) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM dd)
+        |SELECT lang AS grp, doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+        |FROM nc WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin),
 
     // q234: q226's deflation chain + index-order diagonal trace +
     // spectral-share arithmetic, one row, round_even (math.rint) 6dp.
