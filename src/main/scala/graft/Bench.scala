@@ -45,7 +45,9 @@ object Bench {
     // no I/O, no shuffle, no data dependence.
     def calib(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(1500000000L).selectExpr("sum(xxhash64(id))").collect()
+      // % bounds the summands so the ANSI-mode sum can't overflow long
+      spark.range(3000000000L)
+        .selectExpr("sum(xxhash64(id) % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
     val calibStart = calib()
