@@ -2444,8 +2444,13 @@ object SparkEntry {
           .as("c_vec"))
       val cents = Similarity.kmeansIterate(vecs, "doc_id", "embedding",
         cents0, iters = 2)
+      // saltSlices=32: the doc clusters are SKEWED (one cluster holds
+      // most of the corpus at sf1), so the quadratic stage needs the
+      // big cluster spread across ≥ cores tasks — measured 104 → 49 s
+      // at sf1 vs the bare k-key join (results identical; salting is
+      // content-invariant)
       val dupIds = Dedup.embeddingNearDupsKmeans(vecs, "doc_id",
-          "embedding", threshold = 0.9, cents)
+          "embedding", threshold = 0.9, cents, saltSlices = 32)
         .select(col("id_b").as("doc_id")).distinct()
       val survivors = vecs.join(dupIds, Seq("doc_id"), "left_anti")
       val labeled = survivors.join(

@@ -918,22 +918,38 @@ object Dedup {
     * centroid table (typically [[Similarity.kmeansIterate]]'s fit),
     * candidates meet in a centroid-keyed equi-join — per-cluster
     * quadratic, never corpus-quadratic, with cluster count k the
-    * explicit cost lever. Cosines are rounded to 6 dp BEFORE the
+    * explicit cost lever, SALTED across `saltSlices` sub-keys so the
+    * quadratic work parallelizes to k·saltSlices tasks instead of
+    * capping at k (small k is the common regime — SemDeDup's paper
+    * uses k ≈ √n; with k=8 a bare join pins 8 cores whatever the
+    * cluster size). Cosines are rounded to 6 dp BEFORE the
     * threshold compare (the q222 engine-portability rule). Returns
     * `(centroid_id, id_a, id_b, cos)` for surviving pairs; feed
     * `(id_a, id_b)` to [[dedupByPairs]] for the keep/drop table. */
   def embeddingNearDupsKmeans(vecs: DataFrame, idCol: String,
       vecCol: String, threshold: Double, centroids: DataFrame,
-      cIdCol: String = "centroid_id", cVecCol: String = "c_vec")
-      : DataFrame = {
+      cIdCol: String = "centroid_id", cVecCol: String = "c_vec",
+      saltSlices: Int = 8): DataFrame = {
+    require(saltSlices >= 1, s"saltSlices must be >= 1: $saltSlices")
     val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, centroids,
         cIdCol, cVecCol, nProbe = 1).drop("probe_rank")
       .select(col(cIdCol), col(idCol).as("__id"), col(vecCol).as("__v"))
-    val a = assigned.select(col(cIdCol), col("__id").as("id_a"),
-      col("__v").as("v_a"))
+    // SALTED pair join: a bare centroid_id equi-join has only k
+    // distinct keys, so the per-cluster-quadratic work (the dominant
+    // cost — measured 174M cosines at sf1 for q254) lands on at most
+    // k tasks no matter how many cores exist. Slice the rhs by
+    // id % saltSlices and replicate the lhs across slices: identical
+    // pair set (every (a, b) meets in exactly the slice b belongs
+    // to), parallelism k·saltSlices, extra wire = saltSlices copies
+    // of the ROW STREAM (linear), never of the pair stream.
+    val a = assigned
+      .select(col(cIdCol), col("__id").as("id_a"), col("__v").as("v_a"),
+        explode(sequence(lit(0), lit(saltSlices - 1))).as("__slice"))
     val b = assigned.select(col(cIdCol), col("__id").as("id_b"),
-      col("__v").as("v_b"))
-    a.join(b, Seq(cIdCol))
+      col("__v").as("v_b"),
+      pmod(col("__id").cast("long"), lit(saltSlices.toLong))
+        .cast("int").as("__slice"))
+    a.join(b, Seq(cIdCol, "__slice"))
       .filter(col("id_a") < col("id_b"))
       .select(col(cIdCol), col("id_a"), col("id_b"),
         round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")),
