@@ -326,7 +326,18 @@ class PlanShapeSpec extends SparkSpec {
     // final job (per-doc aggs + id join + eval semi-join) plans ZERO
     // exchanges; at corpus scale the same aggs partial-aggregate over
     // survivor-sized (not corpus-sized) rows.
-    "q221_bloom_prod_verified" -> 0
+    "q221_bloom_prod_verified" -> 0,
+    // Incremental kNN insert: the old index builds behind buildKnn
+    // (same shape as q230's build); the insert's own final job is the
+    // fresh-pair banded bucket join (both membership sides derive from
+    // level/bucket projections + the level join) feeding the two
+    // k-bounded topM stages and the merge re-rank.
+    "q253_hnsw_insert" -> 9,
+    // Composed curation: kmeans fit + ridge fit run as EAGER driver
+    // jobs at build time (params-as-data); the final mixture job spans
+    // embed (2 aggs) + pivot (2) + salted pair join + survivor
+    // anti-join + kept semi-join + the plan/count aggs.
+    "q254_stage2_curation" -> 10
   )
 
   expected.foreach { case (name, want) =>

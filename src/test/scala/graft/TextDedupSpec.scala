@@ -617,6 +617,28 @@ class TextDedupSpec extends SparkSpec {
     assert(all.forall(r => r._4 == math.rint(r._4 * 1e6) / 1e6))
   }
 
+  test("embeddingNearDupsKmeans: the salted join is content-invariant " +
+      "— every saltSlices returns the identical pair set (salting only " +
+      "spreads the quadratic work)") {
+    val r = new scala.util.Random(13)
+    val vecs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(4)(j =>
+        (if (j == c) 1.0f else 0.0f) + r.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0, 0.0))).toDF("centroid_id", "c_vec")
+    def pairs(slices: Int) = Dedup.embeddingNearDupsKmeans(vecs,
+        "vec_id", "embedding", threshold = 0.8, cents,
+        saltSlices = slices)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base = pairs(1)
+    assert(base.nonEmpty)
+    assert(pairs(8) == base && pairs(32) == base && pairs(7) == base)
+  }
+
   test("clusterTopTerms: characteristic terms outrank frequent-everywhere " +
       "ones; c-TF-IDF formula exact; ties break by term") {
     val docs = Seq(
