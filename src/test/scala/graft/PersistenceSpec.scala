@@ -47,4 +47,53 @@ class PersistenceSpec extends SparkSpec {
       .select("k", "v", "value_norm", "key_idx").collect().toSet
     assert(a == b)
   }
+
+  test("AnnIndex save/load round-trips the layered ANN index; the " +
+    "recall audit against the RELOADED adjacency matches the " +
+    "in-memory one; a torn save (no manifest) refuses to load") {
+    import graft.ops.{Hnsw, Similarity}
+    import org.apache.spark.sql.functions.col
+    val corpus = (0 until 240).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == c) 1.0f else 0.0f) +
+          (math.sin(i * 7.31 + j) * 0.05).toFloat).toSeq)
+    }.toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val knn = Hnsw.buildKnn(corpus, "id", "v", 9, 2, 6, 2, bf)
+    val adj = Hnsw.adjacencyFromKnn(knn, corpus, "id", "v")
+    val dir = Files.createTempDirectory("graft-ann-index").toString +
+      "/idx"
+    graft.ops.AnnIndex.save(dir,
+      Map("knn" -> knn, "adjacency" -> adj),
+      Map("seed" -> "9", "max_level" -> "2", "m" -> "6",
+        "bands" -> "2", "n_planes" -> "3", "kind" -> "hnsw"))
+    val (parts, params) = graft.ops.AnnIndex.load(spark, dir)
+    assert(parts.keySet == Set("knn", "adjacency"))
+    assert(params("m") == "6" && params("kind") == "hnsw")
+    assert(parts("knn").collect().map(_.toSeq).toSet ==
+      knn.collect().map(_.toSeq).toSet)
+    // q231-shape audit against the PERSISTED index: search the
+    // reloaded adjacency and compare recall to the in-memory run
+    val queries = (0 until 8).map { i =>
+      (1000L + i, Array.tabulate(8)(j =>
+        (if (j == i % 8) 1.0f else 0.0f)).toSeq)
+    }.toDF("qid", "qv")
+    def recall(a: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val exact = Similarity.bruteForceTopK(corpus, queries, "id", "v",
+        "qid", "qv", k = 3)
+      val approx = Hnsw.searchTopK(a, corpus, "id", "v", queries,
+        "qid", "qv", 9, 2, 2, 6, 3)
+      Similarity.recallAtK(approx, exact, "qid", "id", k = 3)
+        .collect().map(_.toSeq).toSet
+    }
+    val fromDisk = recall(parts("adjacency"))
+    assert(fromDisk == recall(adj))
+    assert(fromDisk.nonEmpty &&
+      fromDisk.forall(_(1).asInstanceOf[Double] > 0.0))
+    // torn-save protection: a directory without a manifest refuses
+    intercept[Exception] {
+      graft.ops.AnnIndex.load(spark, dir + "_nope")
+    }
+  }
 }
