@@ -2407,6 +2407,31 @@ object SparkEntry {
         .select(col("lvl"), col("src"), col("dst"), col("c"))
     }),
 
+    "q255_hnsw_delete" -> ((s, dir) => {
+      // INCREMENTAL index deletion, oracle-proven (the q253 twin on
+      // the shrink side — together they close the index lifecycle:
+      // build / insert / delete / persist): Spark builds the layered
+      // kNN over the full corpus, then DELETES the vec_id % 7 = 3
+      // slice (Hnsw.deleteKnn — edges touching the deleted set drop;
+      // ONLY the (lvl, src) groups that lost a stored edge recompute,
+      // against retained members in their own buckets — work
+      // proportional to the delete's blast radius, never the corpus).
+      // The oracle replays the FULL from-scratch build over the
+      // retained corpus, so delete(build(A), D) ≡ build(A ∖ D) is
+      // CONTRACTUAL row-for-row including the stored cosines.
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val d = corpus.filter(col("vec_id") % 7 === 3).select("vec_id")
+      val fullKnn = Hnsw.buildKnn(corpus, "vec_id", "embedding",
+        HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
+        HnswReplay.bands, HnswReplay.bucketFn)
+      Hnsw.deleteKnn(fullKnn, corpus, d, "vec_id", "embedding",
+          HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
+          HnswReplay.bands, HnswReplay.bucketFn)
+        .select(col("lvl"), col("src"), col("dst"), col("c"))
+    }),
+
     "q254_stage2_curation" -> ((s, dir) => {
       // The COMPOSED stage-2 curation pipeline, end-to-end on raw
       // documents — every stage is a proven operator, chained the way
@@ -4960,14 +4985,18 @@ object SparkEntry {
 
     /** The BUILD half of the replay, through the directed
       * `knn(lvl, src, dst, c)` and symmetrized `adj`: reused verbatim
-      * by q253's insert-equivalence oracle (Spark runs
-      * [[graft.ops.Hnsw.insertKnn]] on a corpus split; the oracle
-      * replays the FULL build over everything — equality IS the
-      * incremental-maintenance contract). */
-    def buildCtes: String = {
+      * by q253's insert-equivalence oracle and, with a narrower
+      * `corpusWhere`, by q255's delete-equivalence oracle (Spark runs
+      * [[graft.ops.Hnsw.insertKnn]]/[[graft.ops.Hnsw.deleteKnn]] on a
+      * corpus split; the oracle replays the FULL from-scratch build
+      * over the target corpus — equality IS the incremental-
+      * maintenance contract). */
+    def buildCtes: String = buildCtes("vec_id % 10 <> 0")
+
+    def buildCtes(corpusWhere: String): String = {
       val b = new StringBuilder
       b ++= s"""corpus AS (SELECT vec_id, embedding FROM embeddings
-         |           WHERE vec_id % 10 <> 0),
+         |           WHERE $corpusWhere),
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |      WHERE vec_id % 10 = 0),
          |lv AS (SELECT vec_id,
@@ -5330,6 +5359,19 @@ object SparkEntry {
     // knn). Row-for-row equality, cosines included, IS the claim.
     "q253_hnsw_insert" ->
       ("WITH " + HnswReplay.buildCtes + """
+        |SELECT CAST(lvl AS INT) AS lvl, src, dst, c
+        |FROM knn ORDER BY 1, 2, 3""".stripMargin),
+
+    // q255: the delete-equivalence contract — Spark runs the
+    // INCREMENTAL delete path (buildKnn over the full corpus, then
+    // deleteKnn of the vec_id % 7 = 3 slice); the oracle replays the
+    // FULL from-scratch build over the RETAINED corpus (buildCtes
+    // with the narrowed predicate). Row-for-row equality, cosines
+    // included, IS the claim.
+    "q255_hnsw_delete" ->
+      ("WITH " +
+        HnswReplay.buildCtes("vec_id % 10 <> 0 AND vec_id % 7 <> 3") +
+        """
         |SELECT CAST(lvl AS INT) AS lvl, src, dst, c
         |FROM knn ORDER BY 1, 2, 3""".stripMargin),
 

@@ -254,6 +254,59 @@ object Hnsw {
       m)
   }
 
+  /** INCREMENTAL deletion from the layered kNN — the
+    * right-to-be-forgotten path (a production vector index must shed
+    * vectors without a rebuild, and a dedup/dedup-audit corpus shrinks
+    * too): contractually `deleteKnn(buildKnn(A), A, D) ≡
+    * buildKnn(A ∖ D)` row-for-row including cosines (q255; HnswSpec
+    * pins the property). Exactness argument, per (lvl, src) group:
+    *
+    *  - src ∈ D: every edge drops (src leaves all layers).
+    *  - src kept, NO stored edge to D: top-M(C ∖ D) = top-M(C)
+    *    whenever top-M(C) ∩ D = ∅ — removing candidates that were
+    *    not in the top-M cannot change it. The stored group survives
+    *    verbatim (minus nothing).
+    *  - src kept, SOME stored edge to D (the "affected" set): the
+    *    truncated-away replacement candidates are not recoverable
+    *    from the index, so the group is RECOMPUTED exactly — its
+    *    banded buckets (pure functions of (id, vec, seed), unchanged
+    *    by deletion) joined against the RETAINED members only.
+    *
+    * Cost: affected (lvl, src) groups are found with one join against
+    * the delete set; the recompute pair scan is |affected members| ·
+    * bucketPop · bands — proportional to the blast radius of the
+    * delete, never to the corpus. Deletes compose with [[insertKnn]]
+    * and [[AnnIndex]] persistence into the full index lifecycle. */
+  def deleteKnn(oldKnn: DataFrame, oldVecs: DataFrame,
+      deleteIds: DataFrame, idCol: String, vecCol: String, seed: Long,
+      maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val del = deleteIds.select(col(idCol).cast("long").as("__did"))
+      .distinct()
+    val keptVecs = oldVecs.join(
+      del.select(col("__did").as(idCol)), Seq(idCol), "left_anti")
+    // stored edges touching D drop; srcs ∈ D vanish with them
+    val cleaned = oldKnn
+      .join(del.select(col("__did").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("__did").as("dst")), Seq("dst"), "left_anti")
+      .select("lvl", "src", "dst", "c")
+    // (lvl, src) groups that LOST a stored edge — only these can gain
+    // a replacement candidate the index no longer remembers
+    val affected = oldKnn
+      .join(del.select(col("__did").as("dst")), Seq("dst"))
+      .select("lvl", "src").distinct()
+      .join(del.select(col("__did").as("src")), Seq("src"), "left_anti")
+    val memAll = bandedMembers(keptVecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    val memAff = memAll.join(
+      affected.select(col("lvl"), col("src").as("vid")),
+      Seq("lvl", "vid"))
+    val recomputed = topMPerSrc(pairsOf(memAff, memAll), m)
+    cleaned
+      .join(affected, Seq("lvl", "src"), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** [[insertKnn]] + [[adjacencyFromKnn]] over the merged corpus. */
   def insertAdjacency(oldKnn: DataFrame, oldVecs: DataFrame,
       newVecs: DataFrame, idCol: String, vecCol: String, seed: Long,

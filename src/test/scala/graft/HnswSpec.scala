@@ -208,4 +208,35 @@ class HnswSpec extends SparkSpec {
       adjSet(Hnsw.buildAdjacency(all, "id", "v", 9, 2, 4, 2, bf)))
   }
 
+  test("deleteKnn(buildKnn(A), A, D) ≡ buildKnn(A ∖ D) row-for-row " +
+    "including cosines, for several delete sets (exact repair: only " +
+    "edge-losing groups recompute)") {
+    val all = clustered.toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val fullKnn = Hnsw.buildKnn(all, "id", "v", 9, 2, 4, 2, bf)
+      .localCheckpoint(true)
+    def knnSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    import spark.implicits._
+    // scattered ids, a whole residue class, a single hot vector
+    for (delIds <- Seq(Seq(5L, 77L, 160L, 231L),
+        (0L until 240L).filter(_ % 4 == 2),
+        Seq(0L))) {
+      val d = delIds.toDF("id")
+      val kept = all.join(d, Seq("id"), "left_anti")
+      val viaDelete = knnSet(Hnsw.deleteKnn(fullKnn, all, d, "id", "v",
+        9, 2, 4, 2, bf))
+      val rebuilt = knnSet(Hnsw.buildKnn(kept, "id", "v", 9, 2, 4, 2,
+        bf))
+      assert(viaDelete == rebuilt,
+        s"delete ${delIds.take(4)}…: missing " +
+          s"${(rebuilt -- viaDelete).take(3)}, extra " +
+          s"${(viaDelete -- rebuilt).take(3)}")
+      // no deleted id survives anywhere in the index
+      assert(viaDelete.forall { case (_, s2, d2, _) =>
+        !delIds.contains(s2) && !delIds.contains(d2) })
+    }
+  }
+
 }
