@@ -941,13 +941,16 @@ object Dedup {
     // id % saltSlices and replicate the lhs across slices: identical
     // pair set (every (a, b) meets in exactly the slice b belongs
     // to), parallelism k·saltSlices, extra wire = saltSlices copies
-    // of the ROW STREAM (linear), never of the pair stream.
+    // of the ROW STREAM (linear), never of the pair stream. The slice
+    // key is xxhash64(id), NOT a long cast: ids of any type (string
+    // doc ids included) slice correctly, whereas a failed cast would
+    // null the key and silently drop every pair touching those rows.
     val a = assigned
       .select(col(cIdCol), col("__id").as("id_a"), col("__v").as("v_a"),
         explode(sequence(lit(0), lit(saltSlices - 1))).as("__slice"))
     val b = assigned.select(col(cIdCol), col("__id").as("id_b"),
       col("__v").as("v_b"),
-      pmod(col("__id").cast("long"), lit(saltSlices.toLong))
+      pmod(xxhash64(col("__id")), lit(saltSlices.toLong))
         .cast("int").as("__slice"))
     a.join(b, Seq(cIdCol, "__slice"))
       .filter(col("id_a") < col("id_b"))
@@ -955,6 +958,74 @@ object Dedup {
         round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")),
           6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** EXACT candidate-pair work counter for [[embeddingNearDupsKmeans]]
+    * without running the quadratic join: the pair stage scores exactly
+    * Σ_c s_c·(s_c−1)/2 cosines where s_c is cluster c's population, so
+    * one [[Similarity.ivfAssign]] projection + one count-by-centroid
+    * (a k-bounded exchange) prices the whole stage. Returns
+    * (centroid_id, n, cand_pairs) — the scale audit's raw rows (sum
+    * `cand_pairs`, divide by Σn for pairs-per-row). This is the
+    * SemDeDup analogue of [[graft.ops.Hnsw.buildWorkCounters]]: it
+    * turns "would this k survive a 10× corpus" into a measured number
+    * BEFORE the quadratic stage runs — a deployment sizes k with
+    * [[Similarity.autoK]], prices it here, then commits. */
+  def kmeansPairWork(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String = "centroid_id",
+      cVecCol: String = "c_vec"): DataFrame =
+    Similarity.ivfAssign(vecs, idCol, vecCol, centroids, cIdCol,
+        cVecCol, nProbe = 1)
+      .groupBy(col(cIdCol))
+      .agg(count(lit(1)).as("n"))
+      // integral DIV: n·(n−1) is even, and a double quotient would
+      // lose exactness past 2^53 pairs (reachable per-cluster at 100 TB
+      // with a mis-sized k — exactly when the counter matters most)
+      .select(col(cIdCol), col("n"),
+        expr("(n * (n - 1)) DIV 2").as("cand_pairs"))
+
+  /** PRODUCTION parameterization of k-means-scoped SemDeDup — the
+    * auto-scaled path a deployment runs, vs the fixed-k demo the
+    * contract pins for oracle replayability (q239/q254). Fixed k over
+    * a growing corpus is the documented scale hazard: per-cluster
+    * population grows with the data, so pair work grows quadratically
+    * (measured 99.6× pairs at 10× data for the q239 demo). Here k is
+    * [[Similarity.autoK]](n, targetClusterSize) — expected cluster
+    * population, hence pairs-per-row, held ~constant as the corpus
+    * grows; total pair work ~linear (the SemDeDup paper's own k ≈ √n
+    * regime, Abbas et al. 2303.09540 §2).
+    *
+    * Fit: [[Similarity.fitIvfCentroids]] (one deterministic-sample
+    * scan + driver Lloyd's — `maxSample` must comfortably exceed k;
+    * required 4× here) then `iters` full-corpus
+    * [[Similarity.kmeansIterate]] refinement passes so tail domains
+    * the sample under-represents still shape the final cells. Pass
+    * `corpusSize` when the caller already knows n (usually from an agg
+    * it has anyway) to skip the count job. Returns (survivors,
+    * centroids) — survivors are [[dedupByPairs]]'s min-id
+    * representatives; centroids are reusable for assignment audits
+    * and [[kmeansPairWork]] pricing. */
+  def semanticDedupKmeansAuto(vecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      targetClusterSize: Long = 1024L, corpusSize: Long = -1L,
+      seed: Long = 42, iters: Int = 2, saltSlices: Int = 8,
+      maxSample: Int = 1 << 16): (DataFrame, DataFrame) = {
+    val n = if (corpusSize >= 0L) corpusSize else vecs.count()
+    val k = Similarity.autoK(n, targetClusterSize)
+    require(k.toLong * 4 <= math.min(maxSample.toLong, n.max(1L)) ||
+      k == 1,
+      s"semanticDedupKmeansAuto: k=$k needs a fit sample >= 4k " +
+        s"(maxSample=$maxSample, n=$n) — raise maxSample or " +
+        "targetClusterSize")
+    val init = Similarity.fitIvfCentroids(vecs, vecCol, k, seed,
+      maxIter = 20, maxSample = maxSample)
+    val cents =
+      if (iters >= 1)
+        Similarity.kmeansIterate(vecs, idCol, vecCol, init, iters)
+      else init
+    val pairs = embeddingNearDupsKmeans(vecs, idCol, vecCol, threshold,
+      cents, saltSlices = saltSlices)
+    (dedupByPairs(vecs, idCol, pairs.select("id_a", "id_b")), cents)
   }
 
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,

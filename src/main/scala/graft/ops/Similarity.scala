@@ -340,6 +340,31 @@ object Similarity {
     p
   }
 
+  /** Size the k-means cluster count instead of guessing it — the
+    * production parameterization of every within-cluster-quadratic
+    * consumer ([[graft.ops.Dedup.embeddingNearDupsKmeans]] first):
+    * smallest k whose EXPECTED cluster population corpusSize/k is ≤
+    * `targetClusterSize`, i.e. ceil(n / target). With fixed k the
+    * per-cluster pair work grows quadratically in the corpus (measured
+    * 99.6× pairs at 10× data for the q239 demo-k); holding the
+    * expected population constant holds pairs-per-row ~constant
+    * ((target−1)/2 under balance) and total pair work ~linear — the
+    * SemDeDup paper's own regime (Abbas et al. 2303.09540 run k ≈ √n
+    * scale-ups for exactly this reason). `kMin` floors the answer for
+    * corpora smaller than one target cluster. The companion exact
+    * work counter is [[graft.ops.Dedup.kmeansPairWork]]; recall/dup-
+    * coverage shifts with k, so re-measure after a re-size (the
+    * [[autoNPlanes]] discipline). */
+  def autoK(corpusSize: Long, targetClusterSize: Long = 1024L,
+      kMin: Int = 1): Int = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1: $targetClusterSize")
+    require(kMin >= 1, s"kMin must be >= 1: $kMin")
+    val n = math.max(0L, corpusSize)
+    val k = (n + targetClusterSize - 1) / targetClusterSize
+    math.max(kMin.toLong, math.min(k, Int.MaxValue.toLong)).toInt
+  }
+
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64, seed: Long = 7,
       bucketFn: Option[Column => Column] = None): DataFrame = {

@@ -601,6 +601,84 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("autoK: smallest k holding expected cluster population at the " +
+      "target (ceil(n/target)); kMin floor; monotone in n") {
+    assert(Similarity.autoK(0L) == 1)
+    assert(Similarity.autoK(1024L, 1024L) == 1)
+    assert(Similarity.autoK(1025L, 1024L) == 2)
+    assert(Similarity.autoK(10240L, 1024L) == 10)
+    assert(Similarity.autoK(100L, 1024L, kMin = 8) == 8)
+    for (target <- Seq(64L, 1024L); n <- Seq(1000L, 123456L)) {
+      val k = Similarity.autoK(n, target)
+      assert(n <= k.toLong * target, s"n=$n target=$target k=$k")
+      if (k > 1) // minimality: one fewer cluster would overflow
+        assert(n > (k - 1).toLong * target)
+    }
+    // 10× the corpus ≈ 10× the clusters — expected population flat
+    assert(Similarity.autoK(20000L, 1024L) == 20)
+    assert(Similarity.autoK(200000L, 1024L) == 196)
+  }
+
+  test("autoK production SemDeDup holds pairs-per-row ~flat at 4x the " +
+      "corpus while fixed demo-k grows it ~4x (kmeansPairWork prices " +
+      "both without running the quadratic stage)") {
+    import graft.ops.Dedup
+    val r = new scala.util.Random(7)
+    def corpus(n: Int) = (0L until n.toLong).map { i =>
+      (i, Array.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val small = corpus(800).cache()
+    val big = corpus(3200).cache()
+    def pairsPerRow(vecs: org.apache.spark.sql.DataFrame, n: Long,
+        k: Int): Double = {
+      val cents = Similarity.kmeansIterate(vecs, "vec_id", "embedding",
+        Similarity.fitIvfCentroids(vecs, "embedding", k, seed = 5),
+        iters = 2)
+      val pairs = Dedup.kmeansPairWork(vecs, "vec_id", "embedding",
+        cents).agg(sum("cand_pairs")).as[Long].head()
+      pairs.toDouble / n
+    }
+    val target = 100L
+    val autoSmall = pairsPerRow(small, 800, Similarity.autoK(800, target))
+    val autoBig = pairsPerRow(big, 3200, Similarity.autoK(3200, target))
+    val fixedSmall = pairsPerRow(small, 800, 8)
+    val fixedBig = pairsPerRow(big, 3200, 8)
+    // fixed k: expected population 4x → pairs-per-row ~4x
+    assert(fixedBig / fixedSmall > 2.5,
+      s"fixed-k should grow ~4x: $fixedSmall -> $fixedBig")
+    // autoK: expected population flat → pairs-per-row ~flat (Lloyd's
+    // imbalance allowed for, but nowhere near the 4x of fixed k)
+    assert(autoBig / autoSmall < 2.0,
+      s"autoK should stay ~flat: $autoSmall -> $autoBig")
+    assert(autoBig < fixedBig / 2,
+      s"autoK must undercut fixed k at scale: $autoBig vs $fixedBig")
+  }
+
+  test("semanticDedupKmeansAuto: planted exact duplicates collapse to " +
+      "min-id survivors; centroid count follows autoK; corpusSize " +
+      "short-circuit gives the identical answer") {
+    import graft.ops.Dedup
+    val r = new scala.util.Random(11)
+    val base = (0L until 300L).map { i =>
+      (i, Array.fill(8)(r.nextGaussian().toFloat))
+    }
+    // ids 300..309 duplicate ids 0..9 exactly — same cluster always
+    val dups = (0L until 10L).map(i => (300L + i, base(i.toInt)._2))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val (survivors, cents) = Dedup.semanticDedupKmeansAuto(vecs,
+      "vec_id", "embedding", threshold = 0.999999,
+      targetClusterSize = 64L, seed = 3)
+    val kept = survivors.select("vec_id").as[Long].collect().toSet
+    assert(kept.size == 300)
+    (0L until 10L).foreach { i =>
+      assert(kept.contains(i) && !kept.contains(300L + i)) }
+    assert(cents.count() <= Similarity.autoK(310, 64L))
+    val (s2, _) = Dedup.semanticDedupKmeansAuto(vecs, "vec_id",
+      "embedding", threshold = 0.999999, targetClusterSize = 64L,
+      corpusSize = 310L, seed = 3)
+    assert(s2.select("vec_id").as[Long].collect().toSet == kept)
+  }
+
   test("kCenterGreedy: farthest-point order, decreasing coverage radius, " +
       "duplicate of a selected center never chosen while distinct " +
       "points remain, ties toward smaller id") {

@@ -637,6 +637,19 @@ class TextDedupSpec extends SparkSpec {
     val base = pairs(1)
     assert(base.nonEmpty)
     assert(pairs(8) == base && pairs(32) == base && pairs(7) == base)
+    // STRING ids must salt correctly too: the slice key is a hash, not
+    // a long cast (a failed cast would null the key and silently drop
+    // every pair touching those rows)
+    val svecs = vecs.select(concat(lit("doc-"), col("vec_id"))
+      .as("vec_id"), col("embedding"))
+    def spairs(slices: Int) = Dedup.embeddingNearDupsKmeans(svecs,
+        "vec_id", "embedding", threshold = 0.8, cents,
+        saltSlices = slices)
+      .as[(Long, String, String, Double)].collect()
+      .map(r => (r._1, Set(r._2, r._3), r._4)).toSet
+    val sbase = spairs(1)
+    assert(sbase.size == base.size)
+    assert(spairs(8) == sbase && spairs(7) == sbase)
   }
 
   test("clusterTopTerms: characteristic terms outrank frequent-everywhere " +
