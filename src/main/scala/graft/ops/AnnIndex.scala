@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Params-as-data persistence for ANN index artifacts — the
   * first-class save/load surface the index family was missing: the
@@ -11,44 +13,159 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (everything the loader needs is DATA; no JVM serialization, any
   * engine can read an index back).
   *
-  * Layout: `path/<part>/` parquet per part table, `path/_params/`
-  * (param, value) strings, `path/_manifest/` (part) names — written
-  * LAST, so a torn save has no manifest and `load` fails loudly
-  * instead of returning a partial index.
+  * Layout: `path/<part>/b<i>/` parquet per part BATCH (b0 at save,
+  * b1.. appended), `path/_params/` (param, value) strings,
+  * `path/_manifest/` (part, batches, key_cols) — written LAST and
+  * rewritten last again on every append, so a torn save has no
+  * manifest and `load` fails loudly, and a torn APPEND (delta batch
+  * written, manifest not yet bumped) loads the PREVIOUS index intact;
+  * the retried append simply overwrites the orphan batch directory.
   *
-  * 100 TB posture: saving is one parquet write per part (the kNN
-  * table, the big one, is (lvl, src, dst, c) rows — ~levels·M rows per
-  * corpus vector); loading is lazy parquet scans, so a recall audit
-  * against a reloaded index reads only what the search touches. */
+  * Incremental maintenance ([[append]]): a part saved with `keys`
+  * declared (e.g. the kNN's `(lvl, src)`) is a KEYED part — `load`
+  * resolves batches by latest-batch-wins per key group, so a delta
+  * batch carrying the full replacement rows for just the groups an
+  * [[Hnsw.insertKnnDelta]] / [[Hnsw.deleteKnnDelta]] touched updates
+  * the index at delta-sized write cost instead of re-paying the full
+  * kNN rewrite the incremental compute just saved. A row whose
+  * NON-KEY columns are all null is a TOMBSTONE: it wins its group like
+  * any latest-batch row and then drops, deleting the group (how a
+  * deleted vector's (lvl, src) groups leave an append-only store).
+  * Parts without `keys` are plain union-of-batches.
+  *
+  * 100 TB posture: saving is one parquet write per part; appending
+  * writes ONLY the delta batch; loading is lazy parquet scans (the
+  * keyed resolve is one window over the key columns — the same
+  * exchange a fresh build's final rank already pays), so a recall
+  * audit against a reloaded index reads only what the search touches.
+  * Compaction = load → save to a fresh path. */
 object AnnIndex {
 
   private val partName = "[A-Za-z0-9_]+".r
+  private val batchCol = "__ann_batch"
 
-  def save(path: String, parts: Map[String, DataFrame],
-      params: Map[String, String]): Unit = {
-    require(parts.nonEmpty, "AnnIndex.save: no part tables")
-    parts.keys.foreach(n => require(partName.matches(n) &&
-      !n.startsWith("_"), s"AnnIndex part name '$n' must be " +
-      "alphanumeric/underscore and not start with '_'"))
-    val spark = parts.head._2.sparkSession
+  private def requireValidName(n: String): Unit =
+    require(partName.matches(n) && !n.startsWith("_"),
+      s"AnnIndex part name '$n' must be alphanumeric/underscore and " +
+        "not start with '_'")
+
+  private def writeManifest(path: String,
+      rows: Seq[(String, Int, String)], spark: SparkSession): Unit = {
     import spark.implicits._
-    parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name")
-    }
-    params.toSeq.sortBy(_._1).toDF("param", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
-    parts.keys.toSeq.sorted.toDF("part")
+    rows.sortBy(_._1).toDF("part", "batches", "key_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
   }
 
+  private def readManifest(spark: SparkSession, path: String)
+      : Seq[(String, Int, String)] =
+    spark.read.parquet(s"$path/_manifest")
+      .select("part", "batches", "key_cols")
+      .collect()
+      .map { r =>
+        val n = r.getString(0)
+        // re-validate what we read: a corrupted/crafted manifest must
+        // not be able to point part reads at arbitrary relative paths
+        requireValidName(n)
+        (n, r.getInt(1), r.getString(2))
+      }.toSeq
+
+  /** Write a fresh index: every part as batch `b0`, params, then the
+    * manifest LAST. `keys(part)` declares the upsert key columns that
+    * make the part appendable via [[append]] (must be a subset of the
+    * part's columns); undeclared parts are plain union-of-batches. */
+  def save(path: String, parts: Map[String, DataFrame],
+      params: Map[String, String],
+      keys: Map[String, Seq[String]] = Map.empty): Unit = {
+    require(parts.nonEmpty, "AnnIndex.save: no part tables")
+    parts.keys.foreach(requireValidName)
+    keys.foreach { case (n, ks) =>
+      require(parts.contains(n),
+        s"AnnIndex.save: keys declared for unknown part '$n'")
+      require(ks.nonEmpty, s"AnnIndex.save: empty key list for '$n'")
+      val cols = parts(n).columns.toSet
+      ks.foreach(k => require(cols.contains(k),
+        s"AnnIndex.save: key '$k' not a column of part '$n'"))
+      require(ks.size < cols.size,
+        s"AnnIndex.save: part '$n' needs at least one non-key column " +
+          "(tombstones are all-null non-key rows)")
+    }
+    val spark = parts.head._2.sparkSession
+    import spark.implicits._
+    parts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$name/b0")
+    }
+    params.toSeq.sortBy(_._1).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+    writeManifest(path,
+      parts.keys.toSeq.map(n =>
+        (n, 1, keys.get(n).map(_.mkString(",")).getOrElse(""))),
+      spark)
+  }
+
+  /** Delta-sized incremental write: each delta part lands as the next
+    * batch directory of an EXISTING part, then the manifest is
+    * rewritten LAST with the bumped batch counts. Keyed parts take
+    * full replacement rows per touched key group (plus all-null-non-key
+    * tombstones for deleted groups); un-keyed parts take plain
+    * additional rows. Write cost is the delta, never the index. */
+  def append(path: String, deltaParts: Map[String, DataFrame]): Unit = {
+    require(deltaParts.nonEmpty, "AnnIndex.append: no delta parts")
+    val spark = deltaParts.head._2.sparkSession
+    val manifest = readManifest(spark, path)
+    val byName = manifest.map(e => e._1 -> e).toMap
+    deltaParts.keys.foreach { n =>
+      requireValidName(n)
+      require(byName.contains(n),
+        s"AnnIndex.append: part '$n' not in the saved index " +
+          s"(${manifest.map(_._1).mkString(", ")})")
+    }
+    deltaParts.foreach { case (name, df) =>
+      df.write.mode("overwrite")
+        .parquet(s"$path/$name/b${byName(name)._2}")
+    }
+    writeManifest(path,
+      manifest.map { case (n, b, ks) =>
+        (n, if (deltaParts.contains(n)) b + 1 else b, ks)
+      }, spark)
+  }
+
+  /** Read the index back: batches resolved per the manifest — plain
+    * union for un-keyed parts; latest-batch-wins per key group then
+    * tombstone drop for keyed parts. Lazy scans throughout. */
   def load(spark: SparkSession, path: String)
       : (Map[String, DataFrame], Map[String, String]) = {
-    val names = spark.read.parquet(s"$path/_manifest")
-      .collect().map(_.getString(0))
-    val parts = names.map(n =>
-      n -> spark.read.parquet(s"$path/$n")).toMap
+    val manifest = readManifest(spark, path)
+    val parts = manifest.map { case (name, batches, keyCols) =>
+      val union = (0 until batches).map { b =>
+        spark.read.parquet(s"$path/$name/b$b")
+          .withColumn(batchCol, lit(b))
+      }.reduce(_ unionByName _)
+      val resolved =
+        if (keyCols.isEmpty || batches == 1) {
+          if (keyCols.isEmpty) union.drop(batchCol)
+          else dropTombstones(union, keyCols).drop(batchCol)
+        } else {
+          val keys = keyCols.split(",").toSeq
+          val w = Window.partitionBy(keys.map(col): _*)
+          dropTombstones(
+            union.withColumn("__mb", max(col(batchCol)).over(w))
+              .filter(col(batchCol) === col("__mb"))
+              .drop("__mb"),
+            keyCols).drop(batchCol)
+        }
+      name -> resolved
+    }.toMap
     val params = spark.read.parquet(s"$path/_params")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     (parts, params)
+  }
+
+  /** Tombstone rows (all non-key columns null) delete their group. */
+  private def dropTombstones(df: DataFrame, keyCols: String)
+      : DataFrame = {
+    val keys = keyCols.split(",").toSet
+    val nonKey = df.columns.filter(c => c != batchCol && !keys.contains(c))
+    if (nonKey.isEmpty) df
+    else df.filter(nonKey.map(c => col(c).isNotNull).reduce(_ || _))
   }
 }

@@ -239,18 +239,60 @@ object Hnsw {
   def insertKnn(oldKnn: DataFrame, oldVecs: DataFrame,
       newVecs: DataFrame, idCol: String, vecCol: String, seed: Long,
       maxLevel: Int, m: Int, bands: Int,
-      bucketFn: (Int, Int, Column) => Column): DataFrame = {
-    val memA = bandedMembers(oldVecs, idCol, vecCol, seed, maxLevel,
-      bands, bucketFn)
-    val memB = bandedMembers(newVecs, idCol, vecCol, seed, maxLevel,
-      bands, bucketFn)
-    // every candidate pair with a NEW endpoint, in both src roles:
-    // src ∈ A∪B gains dst ∈ B candidates; src ∈ B also scans dst ∈ A
-    val freshPairs = pairsOf(memA.unionByName(memB), memB)
-      .unionByName(pairsOf(memB, memA))
+      bucketFn: (Int, Int, Column) => Column): DataFrame =
     topMEdges(
       oldKnn.select("lvl", "src", "dst", "c")
-        .unionByName(topMPerSrc(freshPairs, m)),
+        .unionByName(freshTopM(oldKnn, oldVecs, newVecs, idCol, vecCol,
+          seed, maxLevel, m, bands, bucketFn)),
+      m)
+
+  /** The bounded fresh-candidate top-M both insert forms merge from:
+    * every banded-bucket pair with a NEW endpoint, in both src roles
+    * (src ∈ A∪B gains dst ∈ B candidates; src ∈ B also scans dst ∈ A).
+    * `newVecs` rows whose id already exists in `oldVecs` are DROPPED
+    * up front (one id-only anti-join, no extra job): the
+    * insert ≡ rebuild identity assumes disjoint arrivals, and an
+    * overlapping id would otherwise plant duplicate membership rows
+    * and leave stale stored edges to the old copy — re-arrivals are
+    * treated as already-present, never as silent corruption; updates
+    * are [[deleteKnn]] then insert. */
+  private def freshTopM(oldKnn: DataFrame, oldVecs: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, seed: Long,
+      maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val onlyNew = newVecs.join(oldVecs.select(idCol), Seq(idCol),
+      "left_anti")
+    val memA = bandedMembers(oldVecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    val memB = bandedMembers(onlyNew, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    val freshPairs = pairsOf(memA.unionByName(memB), memB)
+      .unionByName(pairsOf(memB, memA))
+    topMPerSrc(freshPairs, m)
+  }
+
+  /** DELTA form of [[insertKnn]] for [[AnnIndex.append]]: only the
+    * (lvl, src) groups that gained at least one fresh candidate are
+    * returned, each as its FULL replacement top-M (old stored edges of
+    * the group merged with the fresh candidates and re-ranked — the
+    * same topM(P∪Q) identity as insertKnn, scoped to touched groups).
+    * Latest-batch-wins resolution over key (lvl, src) then yields
+    * exactly insertKnn's relation: untouched groups keep their stored
+    * rows, touched groups take the delta — so
+    * `load(save(knn(A)) + append(insertKnnDelta(..B..)))` ≡
+    * `buildKnn(A ∪ B)` at DELTA-sized write cost (the storage half of
+    * incremental insert; PersistenceSpec pins the identity). */
+  def insertKnnDelta(oldKnn: DataFrame, oldVecs: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, seed: Long,
+      maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val fresh = freshTopM(oldKnn, oldVecs, newVecs, idCol, vecCol,
+      seed, maxLevel, m, bands, bucketFn)
+    val touched = fresh.select("lvl", "src").distinct()
+    topMEdges(
+      oldKnn.select("lvl", "src", "dst", "c")
+        .join(touched, Seq("lvl", "src"), "left_semi")
+        .unionByName(fresh),
       m)
   }
 
@@ -304,6 +346,46 @@ object Hnsw {
     val recomputed = topMPerSrc(pairsOf(memAff, memAll), m)
     cleaned
       .join(affected, Seq("lvl", "src"), "left_anti")
+      .unionByName(recomputed)
+  }
+
+  /** DELTA form of [[deleteKnn]] for [[AnnIndex.append]]: replacement
+    * rows for every (lvl, src) group the delete can change, plus
+    * TOMBSTONES (all-null non-key rows — [[AnnIndex]]'s deletion
+    * convention for an append-only store) so groups that vanish
+    * entirely (src ∈ D, or an affected group whose recompute comes
+    * back empty) actually leave on load. Tombstoned groups that also
+    * get replacement rows in the same batch resolve correctly: the
+    * whole latest batch wins the group, then the tombstone row itself
+    * drops. `load(save(knn(A)) + append(deleteKnnDelta(..D..)))` ≡
+    * `buildKnn(A ∖ D)` at blast-radius-sized write cost
+    * (PersistenceSpec pins the identity, composed after an insert
+    * append). */
+  def deleteKnnDelta(oldKnn: DataFrame, oldVecs: DataFrame,
+      deleteIds: DataFrame, idCol: String, vecCol: String, seed: Long,
+      maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    val del = deleteIds.select(col(idCol).cast("long").as("__did"))
+      .distinct()
+    val keptVecs = oldVecs.join(
+      del.select(col("__did").as(idCol)), Seq(idCol), "left_anti")
+    val affected = oldKnn
+      .join(del.select(col("__did").as("dst")), Seq("dst"))
+      .select("lvl", "src").distinct()
+      .join(del.select(col("__did").as("src")), Seq("src"), "left_anti")
+    val gone = oldKnn
+      .join(del.select(col("__did").as("src")), Seq("src"))
+      .select("lvl", "src").distinct()
+    val memAll = bandedMembers(keptVecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn)
+    val memAff = memAll.join(
+      affected.select(col("lvl"), col("src").as("vid")),
+      Seq("lvl", "vid"))
+    val recomputed = topMPerSrc(pairsOf(memAff, memAll), m)
+    affected.unionByName(gone)
+      .select(col("lvl"), col("src"),
+        lit(null).cast("long").as("dst"),
+        lit(null).cast("double").as("c"))
       .unionByName(recomputed)
   }
 

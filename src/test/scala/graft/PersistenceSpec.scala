@@ -96,4 +96,141 @@ class PersistenceSpec extends SparkSpec {
       graft.ops.AnnIndex.load(spark, dir + "_nope")
     }
   }
+
+  test("AnnIndex append lifecycle: save(build(A)) + append(insert " +
+    "delta) loads as build(A∪B); + append(delete delta) loads as " +
+    "build(A∪B∖D); torn append loads the previous index; appended " +
+    "index passes the reloaded-recall audit") {
+    import graft.ops.{AnnIndex, Hnsw, Similarity}
+    import org.apache.spark.sql.functions.col
+    def mkVecs(ids: Range) = ids.map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == c) 1.0f else 0.0f) +
+          (math.sin(i * 7.31 + j) * 0.05).toFloat).toSeq)
+    }.toDF("id", "v")
+    val vecsA = mkVecs(0 until 240)
+    // arrivals confined to ONE cluster (ids ≡ 0 mod 8): groups in
+    // buckets the batch never touches must stay out of the delta
+    val vecsB = mkVecs(240 until 280 by 8)
+    val vecsAB = vecsA.unionByName(vecsB)
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    def knnSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("lvl", "src", "dst", "c").collect()
+        .map(_.toSeq).toSet
+    val knnA = Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf)
+    val dir = Files.createTempDirectory("graft-ann-append").toString +
+      "/idx"
+    AnnIndex.save(dir, Map("knn" -> knnA),
+      Map("seed" -> "9", "kind" -> "hnsw"),
+      keys = Map("knn" -> Seq("lvl", "src")))
+
+    // insert delta: only touched (lvl, src) groups cross the wire
+    val insDelta = Hnsw.insertKnnDelta(knnA, vecsA, vecsB, "id", "v",
+      9, 2, 6, 2, bf)
+    AnnIndex.append(dir, Map("knn" -> insDelta))
+    val (p1, _) = AnnIndex.load(spark, dir)
+    val wantAB = knnSet(Hnsw.buildKnn(vecsAB, "id", "v", 9, 2, 6, 2, bf))
+    assert(knnSet(p1("knn")) == wantAB)
+    // delta-sized: the delta is strictly smaller than the full kNN
+    assert(insDelta.count() < p1("knn").count())
+
+    // delete delta on top of the appended state (composition)
+    val delIds = (0 until 280 by 7).map(_.toLong).toDF("id")
+    val knnAB = Hnsw.buildKnn(vecsAB, "id", "v", 9, 2, 6, 2, bf)
+    val delDelta = Hnsw.deleteKnnDelta(knnAB, vecsAB, delIds, "id",
+      "v", 9, 2, 6, 2, bf)
+    AnnIndex.append(dir, Map("knn" -> delDelta))
+    val (p2, _) = AnnIndex.load(spark, dir)
+    val vecsKept = vecsAB.join(delIds, Seq("id"), "left_anti")
+    val wantKept = knnSet(Hnsw.buildKnn(vecsKept, "id", "v", 9, 2, 6,
+      2, bf))
+    assert(knnSet(p2("knn")) == wantKept)
+    // deleted srcs are gone (tombstones landed)
+    val deadSrcs = delIds.as[Long].collect().toSet
+    assert(!p2("knn").select("src").as[Long].collect()
+      .exists(deadSrcs.contains))
+
+    // torn append: an orphan batch directory WITHOUT a manifest bump
+    // is invisible — load returns the previous index intact
+    Seq((0, 999L, 999L, 9.9)).toDF("lvl", "src", "dst", "c")
+      .write.parquet(s"$dir/knn/b3")
+    val (p3, _) = AnnIndex.load(spark, dir)
+    assert(knnSet(p3("knn")) == wantKept)
+
+    // q231-shape recall audit against the APPENDED index: adjacency
+    // derived from the loaded kNN matches the from-scratch build
+    val queries = (0 until 8).map { i =>
+      (1000L + i, Array.tabulate(8)(j =>
+        (if (j == i % 8) 1.0f else 0.0f)).toSeq)
+    }.toDF("qid", "qv")
+    def recall(knn: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val adj = Hnsw.adjacencyFromKnn(knn, vecsKept, "id", "v")
+      val exact = Similarity.bruteForceTopK(vecsKept, queries, "id",
+        "v", "qid", "qv", k = 3)
+      val approx = Hnsw.searchTopK(adj, vecsKept, "id", "v", queries,
+        "qid", "qv", 9, 2, 2, 6, 3)
+      Similarity.recallAtK(approx, exact, "qid", "id", k = 3)
+        .collect().map(_.toSeq).toSet
+    }
+    val fromDisk = recall(p2("knn"))
+    assert(fromDisk == recall(Hnsw.buildKnn(vecsKept, "id", "v", 9, 2,
+      6, 2, bf)))
+    assert(fromDisk.nonEmpty &&
+      fromDisk.forall(_(1).asInstanceOf[Double] > 0.0))
+  }
+
+  test("AnnIndex: overlapping-id arrivals are dropped (insert stays " +
+    "idempotent); un-keyed parts append as plain row unions; a " +
+    "corrupted manifest part name refuses to load") {
+    import graft.ops.{AnnIndex, Hnsw}
+    import org.apache.spark.sql.functions.col
+    def mkVecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(i * 3.7 + j).toFloat).toSeq)
+    }.toDF("id", "v")
+    val vecsA = mkVecs(0 until 120)
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val knnA = Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf)
+    // re-arrival of existing ids 0..19 plus genuinely new 120..139:
+    // the overlap is ignored, the new ids insert — equals build over
+    // the deduped union
+    val arrivals = mkVecs(0 until 20).unionByName(mkVecs(120 until 140))
+    val merged = Hnsw.insertKnn(knnA, vecsA, arrivals, "id", "v",
+      9, 2, 6, 2, bf)
+    val want = Hnsw.buildKnn(vecsA.unionByName(mkVecs(120 until 140)),
+      "id", "v", 9, 2, 6, 2, bf)
+    assert(merged.select("lvl", "src", "dst", "c").collect()
+      .map(_.toSeq).toSet ==
+      want.select("lvl", "src", "dst", "c").collect()
+        .map(_.toSeq).toSet)
+
+    // un-keyed part: append = plain union of batches
+    val dir = Files.createTempDirectory("graft-ann-unkeyed")
+      .toString + "/idx"
+    AnnIndex.save(dir,
+      Map("centroids" -> Seq((0L, Seq(1.0, 0.0)))
+        .toDF("centroid_id", "c_vec")),
+      Map("kind" -> "ivf"))
+    AnnIndex.append(dir,
+      Map("centroids" -> Seq((1L, Seq(0.0, 1.0)))
+        .toDF("centroid_id", "c_vec")))
+    val (parts, _) = AnnIndex.load(spark, dir)
+    assert(parts("centroids").select("centroid_id").as[Long]
+      .collect().toSet == Set(0L, 1L))
+    // appending to a part the index doesn't have refuses
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(dir, Map("nope" -> Seq((1L, 1L)).toDF("a", "b")))
+    }
+
+    // manifest hardening: a crafted part name pointing outside the
+    // index directory refuses to load (the save-side name rule is
+    // re-applied to whatever the manifest claims)
+    Seq(("../evil", 1, "")).toDF("part", "batches", "key_cols")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_manifest")
+    intercept[IllegalArgumentException] {
+      AnnIndex.load(spark, dir)
+    }
+  }
 }
