@@ -158,6 +158,21 @@ object Bench {
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     val nFailed = results.count(_._2.sec < 0)
     val nContended = results.count(_._2.contended)
+    // Tiered subtotals: the pinned-demo ANN family runs CONTRACT
+    // parameterizations (fixed planes/maxLevel so the DuckDB oracle
+    // can replay the build) whose work is by-design quadratic in the
+    // corpus — measured in bench/HNSW_AUDIT_*; the production path
+    // auto-scales (~linear, same audit). Folding that demo cost into
+    // one headline made the number track demo-parameter cost instead
+    // of engine speed (~19% of the sf1 wall by round 11, growing with
+    // each lifecycle query) — so the artifact carries both subtotals
+    // and the headline stays the full sum.
+    val contractTier = Set("q230_hnsw_ann", "q231_hnsw_recall",
+      "q253_hnsw_insert", "q255_hnsw_delete", "q256_ann_index_stream")
+    val contractSec = results
+      .filter(r => contractTier(r._1) && r._2.sec >= 0)
+      .map(_._2.sec).sum
+    val engineSec = total - contractSec
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // The driver retains only the last 2000 chars of stdout — 252
     // abbreviated per-query entries (~3.3 KB) overflow it and truncate
@@ -228,6 +243,8 @@ object Bench {
         s""""calib_start_sec":${r3(calibStart)},""" +
         s""""calib_end_sec":${r3(calibEnd)},""" +
         s""""total_norm":${if (calibSec > 0) r3(total / calibSec) else -1},""" +
+        s""""contract_ann_sec":${r3(contractSec)},""" +
+        s""""engine_sec":${r3(engineSec)},""" +
         s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
         s""""gc_sec":$gcSec,"gc_forced_sec":$gcForcedSec,""" +
         s""""gc_total_sec":$gcTotalSec,""" +
@@ -241,7 +258,7 @@ object Bench {
     // Compact one-liner sized for the driver's 2000-char stdout tail:
     // totals, calibration, load/GC attribution, the top-20 slowest
     // queries, and a pointer to the full-fidelity file.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":$nContended,"calib_sec":${r3(calibSec)},"total_norm":${if (calibSec > 0) r3(total / calibSec) else -1},"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"queries":$qs,"queries_are":"top20_slowest","full_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":$nContended,"calib_sec":${r3(calibSec)},"total_norm":${if (calibSec > 0) r3(total / calibSec) else -1},"contract_ann_sec":${r3(contractSec)},"engine_sec":${r3(engineSec)},"load":[${r3(loadStart)},${r3(loadEnd)}],"gc_sec":$gcSec,"queries":$qs,"queries_are":"top20_slowest","full_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2432,6 +2432,68 @@ object SparkEntry {
         .select(col("lvl"), col("src"), col("dst"), col("c"))
     }),
 
+    "q256_ann_index_stream" -> ((s, dir) => {
+      // The index LIFECYCLE as a RUNNING maintenance loop, oracle-
+      // proven end-to-end: build(A) is SAVED as a params-as-data
+      // AnnIndex (batch-partitioned parquet, manifest last), the
+      // remaining arrivals stream in as two mtime-ordered snapshot
+      // files (maxFilesPerTrigger=1 → one micro-batch each, the q149
+      // discipline), each micro-batch runs Hnsw.insertKnnDelta and
+      // AnnIndex.append (delta-sized write: only the touched
+      // (lvl, src) groups land in the new batch directory), and the
+      // result is the index READ BACK FROM DISK (latest-batch-wins
+      // resolution). The oracle replays the FULL from-scratch build
+      // over everything (q253's claim, now through a real streaming
+      // run + persistence round-trip): stream-of-inserts + appends ≡
+      // build-once, row-for-row including stored cosines. Corpus is
+      // the vec_id % 4 = 1 quarter — the lifecycle claim doesn't need
+      // the q230 demo corpus, and the pinned-params build is
+      // by-design quadratic (contract tier; production auto-scales).
+      import java.nio.file.{Files, StandardCopyOption}
+      val root = Files.createTempDirectory("graft-q256")
+      val inDir = Files.createDirectory(root.resolve("in"))
+      val idxPath = root.resolve("idx").toString
+      val corpus = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 === 1)
+        .select("vec_id", "embedding")
+      val a = corpus.filter(col("vec_id") % 3 =!= 1)
+      graft.ops.AnnIndex.save(idxPath,
+        Map("knn" -> Hnsw.buildKnn(a, "vec_id", "embedding",
+            HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
+            HnswReplay.bands, HnswReplay.bucketFn),
+          "vectors" -> a),
+        Map("seed" -> HnswReplay.seed.toString, "kind" -> "hnsw"),
+        keys = Map("knn" -> Seq("lvl", "src")))
+      // arrivals (vec_id % 3 = 1, all ≡ 1 mod 4 → ≡ 1 or 5 mod 8)
+      // as two snapshot files in pinned mtime order
+      Seq(1, 5).zipWithIndex.foreach { case (r8, snap) =>
+        val stage = root.resolve(s"stage$snap")
+        corpus.filter(col("vec_id") % 3 === 1 &&
+            col("vec_id") % 8 === r8)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage)
+          .filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = inDir.resolve(s"snap$snap.parquet")
+        Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + snap * 60000L))
+      }
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val sq = graft.streaming.StreamOps.annIndexMaintenanceStream(
+          stream, "vec_id", "embedding", idxPath, HnswReplay.seed,
+          HnswReplay.maxLevel, HnswReplay.m, HnswReplay.bands,
+          HnswReplay.bucketFn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      graft.ops.AnnIndex.load(s, idxPath)._1("knn")
+        .select(col("lvl"), col("src"), col("dst"), col("c"))
+    }),
+
     "q254_stage2_curation" -> ((s, dir) => {
       // The COMPOSED stage-2 curation pipeline, end-to-end on raw
       // documents — every stage is a proven operator, chained the way
@@ -5372,6 +5434,17 @@ object SparkEntry {
       ("WITH " +
         HnswReplay.buildCtes("vec_id % 10 <> 0 AND vec_id % 7 <> 3") +
         """
+        |SELECT CAST(lvl AS INT) AS lvl, src, dst, c
+        |FROM knn ORDER BY 1, 2, 3""".stripMargin),
+
+    // q256: the lifecycle-composition contract — Spark seeds a
+    // persisted index with build(A), streams the remaining arrivals
+    // through insertKnnDelta + AnnIndex.append in two real
+    // micro-batches, and returns the index READ BACK FROM DISK; the
+    // oracle replays the from-scratch build over the whole % 4 = 1
+    // corpus. Stream + append + load ≡ build, cosines included.
+    "q256_ann_index_stream" ->
+      ("WITH " + HnswReplay.buildCtes("vec_id % 4 = 1") + """
         |SELECT CAST(lvl AS INT) AS lvl, src, dst, c
         |FROM knn ORDER BY 1, 2, 3""".stripMargin),
 

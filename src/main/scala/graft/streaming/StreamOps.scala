@@ -130,6 +130,66 @@ object StreamOps {
         ()
     }
 
+  /** The ANN-index maintenance loop, LIVE — the full lifecycle
+    * (build → insert → persist) as a running stream: each micro-batch
+    * of arriving vectors loads the PERSISTED index
+    * ([[graft.ops.AnnIndex]] at `indexPath`), computes the
+    * delta-sized incremental merge
+    * ([[graft.ops.Hnsw.insertKnnDelta]] — only the (lvl, src) groups
+    * the batch touches), and appends BOTH the kNN delta and the new
+    * vectors as one more batch directory, manifest last. The next
+    * micro-batch inserts against everything that arrived before it,
+    * and a search process can [[graft.ops.AnnIndex.load]] the same
+    * path at any time for a fully-consistent index (torn appends are
+    * invisible until the manifest bump).
+    *
+    * Caller seeds `indexPath` first —
+    * `AnnIndex.save(path, Map("knn" -> buildKnn(A), "vectors" -> A),
+    * params, keys = Map("knn" -> Seq("lvl", "src")))` — the
+    * [[incrementalDedupStream]] seeding discipline. Re-arrivals of
+    * stored ids are dropped (insert idempotence); deletes ride the
+    * same storage path via [[graft.ops.Hnsw.deleteKnnDelta]] from an
+    * orchestrator.
+    *
+    * State is parquet DATA, never executor memory: per batch, compute
+    * is one banded bucket join of the arrivals against the corpus +
+    * a merge bounded by the touched groups' stored edges; write is
+    * delta-sized. The streamed final index is contractually the
+    * from-scratch build over everything that arrived, however the
+    * stream sliced into batches (spec-pinned — the q250 equivalence
+    * discipline applied to the index lifecycle). */
+  def annIndexMaintenanceStream(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, seed: Long, maxLevel: Int,
+      m: Int, bands: Int,
+      bucketFn: (Int, Int, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val (parts, _) = graft.ops.AnnIndex.load(sp, indexPath)
+        val oldKnn = parts("knn")
+        val oldVecs = parts("vectors")
+        // one overlap anti-join shared by the kNN delta and the
+        // vectors append (insertKnnDelta would re-drop internally,
+        // but the vectors part must not store duplicate ids either);
+        // localCheckpoint pins the batch + loaded state so the two
+        // appended parts are computed from the same snapshot
+        val fresh = batch.toDF()
+          .select(col(idCol), col(vecCol))
+          .join(oldVecs.select(idCol), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          val delta = graft.ops.Hnsw.insertKnnDelta(oldKnn, oldVecs,
+              fresh, idCol, vecCol, seed, maxLevel, m, bands, bucketFn)
+            .localCheckpoint(true)
+          graft.ops.AnnIndex.append(indexPath,
+            Map("knn" -> delta, "vectors" -> fresh))
+        }
+        ()
+    }
+
   /** Per-subject session windows: events closer than `gap` merge into one
     * session (native session_window — state per open session, evicted at
     * watermark + gap). */
@@ -331,10 +391,23 @@ object StreamOps {
     * the knobs compose: more planes → exponentially more buckets →
     * per-bucket population (and state) stays O(maxKeptPerBucket) while
     * recall follows the LSH band math; the cosine rounding-before-
-    * compare mirrors the q222/q239 cross-engine rule. */
+    * compare mirrors the q222/q239 cross-engine rule.
+    *
+    * Dim discipline: rows whose vector length disagrees with the
+    * bucket's dim can't enter the cosine walk — they pass through
+    * kept=true (quarantine-style: never silently dropped, never
+    * allowed to corrupt the state). With the default `expectedDim=0`
+    * the dim pins on the first non-empty vector the bucket sees,
+    * which means ONE aberrant-length first arrival would quarantine
+    * every correct row after it; a production caller knows its
+    * embedding dim, so pass `expectedDim > 0` to pin it a priori and
+    * make aberrant rows (not correct ones) the quarantined side. */
   def semanticDedupStream(vecs: DataFrame, idCol: String,
       vecCol: String, bucketCol: String, threshold: Double,
-      maxKeptPerBucket: Int = 64): Dataset[SemVerdict] = {
+      maxKeptPerBucket: Int = 64, expectedDim: Int = 0)
+      : Dataset[SemVerdict] = {
+    require(expectedDim >= 0,
+      s"expectedDim must be >= 0 (0 = pin from first): $expectedDim")
     require(maxKeptPerBucket > 0,
       s"maxKeptPerBucket must be positive: $maxKeptPerBucket")
     implicit val re = Encoders.product[SemVecRow]
@@ -368,12 +441,15 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (bucket, rows, state: GroupState[SemState]) =>
           val sorted = rows.toArray.sortBy(_.vec_id)
-          // dim pins on the FIRST NON-EMPTY vector the bucket ever
-          // sees; rows whose length disagrees (or empty vectors) can't
-          // enter the cosine walk — they pass through kept=true
+          // dim: pinned a priori when the caller declared expectedDim;
+          // otherwise on the FIRST NON-EMPTY vector the bucket sees.
+          // Rows whose length disagrees (or empty vectors) can't enter
+          // the cosine walk — they pass through kept=true
           // (quarantine-style: never silently dropped, never allowed
           // to corrupt or crash the state walk)
-          var dim = if (state.exists) state.get.dim else 0
+          var dim =
+            if (expectedDim > 0) expectedDim
+            else if (state.exists) state.get.dim else 0
           var ids = if (state.exists) state.get.ids else Array.empty[Long]
           var flat =
             if (state.exists) state.get.vecs else Array.empty[Double]

@@ -446,4 +446,73 @@ class StreamingSpec extends SparkSpec {
         4L -> true, 5L -> false))
     } finally q.stop()
   }
+
+  test("semanticDedupStream: expectedDim pins the dim a priori — an " +
+    "aberrant-length FIRST arrival quarantines instead of disabling " +
+    "dedup for every correct row after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Array[Double])]
+    val df = input.toDF().toDF("vec_id", "bucket", "vec")
+    val out = StreamOps.semanticDedupStream(df, "vec_id", "vec",
+      "bucket", threshold = 0.9, expectedDim = 2)
+    val q = out.writeStream.format("memory").queryName("sem_dedup_pin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the 3-d FIRST row is the aberrant one: it quarantines
+      // (kept=true, never enters state) and the correct 2-d rows
+      // behind it still dedup — under pin-from-first the 3-d row
+      // would have pinned dim=3 and quarantined 2/3 forever
+      input.addData((1L, 5L, Array(1.0, 0.0, 0.0)),
+        (2L, 5L, Array(1.0, 0.0)), (3L, 5L, Array(1.0, 0.01)))
+      q.processAllAvailable()
+      val got = spark.table("sem_dedup_pin")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false))
+    } finally q.stop()
+  }
+
+  test("annIndexMaintenanceStream: micro-batched inserts + appends " +
+    "leave the persisted index identical to a from-scratch build over " +
+    "everything that arrived; re-arrivals are ignored") {
+    import graft.ops.{AnnIndex, Hnsw}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Double] = {
+      val c = i % 8
+      Array.tabulate(8)(j =>
+        (if (j == c) 1.0 else 0.0) + math.sin(i * 7.31 + j) * 0.05)
+    }
+    val vecsA = (0 until 160).map(i => (i.toLong, vec(i)))
+      .toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-stream").toString + "/idx"
+    AnnIndex.save(dir,
+      Map("knn" -> Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf),
+        "vectors" -> vecsA),
+      Map("seed" -> "9", "kind" -> "hnsw"),
+      keys = Map("knn" -> Seq("lvl", "src")))
+    val input = MemoryStream[(Long, Array[Double])]
+    val df = input.toDF().toDF("id", "v")
+    val q = StreamOps.annIndexMaintenanceStream(df, "id", "v", dir,
+      9, 2, 6, 2, bf).start()
+    try {
+      input.addData((160 until 180).map(i => (i.toLong, vec(i))))
+      q.processAllAvailable()
+      // second batch includes a RE-ARRIVAL of id 160 (dropped) and
+      // fresh ids
+      input.addData(Seq((160L, vec(160))) ++
+        (180 until 200).map(i => (i.toLong, vec(i))))
+      q.processAllAvailable()
+      val (parts, _) = AnnIndex.load(spark, dir)
+      val all = (0 until 200).map(i => (i.toLong, vec(i)))
+        .toDF("id", "v")
+      val want = Hnsw.buildKnn(all, "id", "v", 9, 2, 6, 2, bf)
+        .collect().map(_.toSeq).toSet
+      assert(parts("knn").select("lvl", "src", "dst", "c")
+        .collect().map(_.toSeq).toSet == want)
+      // vectors part holds each id exactly once (overlap dropped)
+      val ids = parts("vectors").select("id").as[Long].collect()
+      assert(ids.length == 200 && ids.toSet == (0L until 200L).toSet)
+    } finally q.stop()
+  }
 }
