@@ -160,6 +160,25 @@ object AnnIndex {
     (parts, params)
   }
 
+  /** Fold an appended index back to single-batch form: load (batches
+    * resolved, tombstones dropped) and re-save to `dstPath` with the
+    * same keys and params. Run it when the batch list grows past the
+    * point where load's per-batch scans + the keyed window outweigh a
+    * rewrite — the standard LSM-ish compaction trade, expressed as
+    * the two existing primitives so there is nothing new to trust.
+    * dst must differ from src (a self-overwrite would read its own
+    * partially-deleted inputs). */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String)
+      : Unit = {
+    require(srcPath != dstPath,
+      "AnnIndex.compact: dstPath must differ from srcPath")
+    val manifest = readManifest(spark, srcPath)
+    val (parts, params) = load(spark, srcPath)
+    val keys = manifest.collect { case (n, _, ks) if ks.nonEmpty =>
+      n -> ks.split(",").toSeq }.toMap
+    save(dstPath, parts, params, keys)
+  }
+
   /** Tombstone rows (all non-key columns null) delete their group. */
   private def dropTombstones(df: DataFrame, keyCols: String)
       : DataFrame = {

@@ -178,6 +178,12 @@ class PersistenceSpec extends SparkSpec {
       6, 2, bf)))
     assert(fromDisk.nonEmpty &&
       fromDisk.forall(_(1).asInstanceOf[Double] > 0.0))
+
+    // compaction folds the 3-batch tombstoned history into one batch
+    // that still loads as exactly build(A∪B∖D)
+    AnnIndex.compact(spark, dir, dir + "_c")
+    val (pc, _) = AnnIndex.load(spark, dir + "_c")
+    assert(knnSet(pc("knn")) == wantKept)
   }
 
   test("AnnIndex: overlapping-id arrivals are dropped (insert stays " +
@@ -221,6 +227,18 @@ class PersistenceSpec extends SparkSpec {
     // appending to a part the index doesn't have refuses
     intercept[IllegalArgumentException] {
       AnnIndex.append(dir, Map("nope" -> Seq((1L, 1L)).toDF("a", "b")))
+    }
+
+    // compact: fold batches to a fresh single-batch index — loads
+    // identically (keys preserved through the manifest round-trip)
+    val cdir = dir + "_compact"
+    AnnIndex.compact(spark, dir, cdir)
+    val (cparts, cparams) = AnnIndex.load(spark, cdir)
+    assert(cparams("kind") == "ivf")
+    assert(cparts("centroids").select("centroid_id").as[Long]
+      .collect().toSet == Set(0L, 1L))
+    intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, dir, dir)
     }
 
     // manifest hardening: a crafted part name pointing outside the
