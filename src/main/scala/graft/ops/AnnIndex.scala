@@ -113,11 +113,19 @@ object AnnIndex {
     val spark = deltaParts.head._2.sparkSession
     val manifest = readManifest(spark, path)
     val byName = manifest.map(e => e._1 -> e).toMap
-    deltaParts.keys.foreach { n =>
+    deltaParts.foreach { case (n, df) =>
       requireValidName(n)
       require(byName.contains(n),
         s"AnnIndex.append: part '$n' not in the saved index " +
           s"(${manifest.map(_._1).mkString(", ")})")
+      // schema drift fails at APPEND time, not at some future load's
+      // unionByName — the batch directories of one part must stay
+      // column-compatible forever
+      val stored = spark.read.parquet(s"$path/$n/b0").columns.toSet
+      require(df.columns.toSet == stored,
+        s"AnnIndex.append: part '$n' delta columns " +
+          s"${df.columns.sorted.mkString("[", ",", "]")} != stored " +
+          s"${stored.toSeq.sorted.mkString("[", ",", "]")}")
     }
     deltaParts.foreach { case (name, df) =>
       df.write.mode("overwrite")

@@ -154,29 +154,64 @@ object StreamOps {
     * State is parquet DATA, never executor memory: per batch, compute
     * is one banded bucket join of the arrivals against the corpus +
     * a merge bounded by the touched groups' stored edges; write is
-    * delta-sized. The streamed final index is contractually the
-    * from-scratch build over everything that arrived, however the
-    * stream sliced into batches (spec-pinned — the q250 equivalence
-    * discipline applied to the index lifecycle). */
+    * delta-sized (measured curve: bench/ANN_STREAM_AUDIT_*). The
+    * streamed final index is contractually the from-scratch build
+    * over everything that arrived, however the stream sliced into
+    * batches (spec-pinned — the q250 equivalence discipline applied
+    * to the index lifecycle).
+    *
+    * CDC mode (`opCol` non-empty): rows whose `opCol` = "delete" are
+    * removals (only `idCol` is read); everything else inserts. Within
+    * a micro-batch deletes apply FIRST, so delete+insert of the same
+    * id in one batch is an UPDATE (the standard CDC-upsert order).
+    * Deletes ride [[graft.ops.Hnsw.deleteKnnDelta]] + a vector
+    * TOMBSTONE append — which requires the seed save to have declared
+    * BOTH parts keyed: `keys = Map("knn" -> Seq("lvl", "src"),
+    * "vectors" -> Seq(idCol))` (an un-keyed vectors part cannot shed
+    * a deleted row, and a stale stored vector would keep feeding
+    * bucket candidates to later inserts). */
   def annIndexMaintenanceStream(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, seed: Long, maxLevel: Int,
       m: Int, bands: Int,
       bucketFn: (Int, Int, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column)
+        org.apache.spark.sql.Column, opCol: String = "")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
-        val (parts, _) = graft.ops.AnnIndex.load(sp, indexPath)
+        var (parts, _) = graft.ops.AnnIndex.load(sp, indexPath)
+        if (opCol.nonEmpty) {
+          val dels = batch.toDF()
+            .filter(col(opCol) === "delete")
+            .select(idCol).distinct().localCheckpoint(true)
+          if (!dels.isEmpty) {
+            val delta = graft.ops.Hnsw.deleteKnnDelta(parts("knn"),
+                parts("vectors"), dels, idCol, vecCol, seed, maxLevel,
+                m, bands, bucketFn)
+              .localCheckpoint(true)
+            val vecType = parts("vectors").schema(vecCol).dataType
+            val vecTombs = dels.select(col(idCol),
+              lit(null).cast(vecType).as(vecCol))
+            graft.ops.AnnIndex.append(indexPath,
+              Map("knn" -> delta, "vectors" -> vecTombs))
+            // re-read so the insert half sees the post-delete state
+            // (a deleted-then-reinserted id must not be dropped as an
+            // overlap, and its old edges must not survive the merge)
+            parts = graft.ops.AnnIndex.load(sp, indexPath)._1
+          }
+        }
         val oldKnn = parts("knn")
         val oldVecs = parts("vectors")
+        val arrivals =
+          if (opCol.isEmpty) batch.toDF()
+          else batch.toDF().filter(col(opCol) =!= "delete")
         // one overlap anti-join shared by the kNN delta and the
         // vectors append (insertKnnDelta would re-drop internally,
         // but the vectors part must not store duplicate ids either);
         // localCheckpoint pins the batch + loaded state so the two
         // appended parts are computed from the same snapshot
-        val fresh = batch.toDF()
+        val fresh = arrivals
           .select(col(idCol), col(vecCol))
           .join(oldVecs.select(idCol), Seq(idCol), "left_anti")
           .localCheckpoint(true)

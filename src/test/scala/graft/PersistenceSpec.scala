@@ -228,6 +228,12 @@ class PersistenceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AnnIndex.append(dir, Map("nope" -> Seq((1L, 1L)).toDF("a", "b")))
     }
+    // schema drift refuses at APPEND time (not at a future load)
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(dir,
+        Map("centroids" -> Seq((2L, Seq(1.0, 0.0), "extra"))
+          .toDF("centroid_id", "c_vec", "oops")))
+    }
 
     // compact: fold batches to a fresh single-batch index — loads
     // identically (keys preserved through the manifest round-trip)

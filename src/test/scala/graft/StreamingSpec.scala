@@ -515,4 +515,63 @@ class StreamingSpec extends SparkSpec {
       assert(ids.length == 200 && ids.toSet == (0L until 200L).toSet)
     } finally q.stop()
   }
+
+  test("annIndexMaintenanceStream CDC mode: deletes and updates ride " +
+    "the same stream — final persisted index equals the from-scratch " +
+    "build over the surviving id→vector state") {
+    import graft.ops.{AnnIndex, Hnsw}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Double] = {
+      val c = i % 8
+      Array.tabulate(8)(j =>
+        (if (j == c) 1.0 else 0.0) + math.sin(i * 7.31 + j) * 0.05)
+    }
+    val vecsA = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-cdc").toString + "/idx"
+    AnnIndex.save(dir,
+      Map("knn" -> Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf),
+        "vectors" -> vecsA),
+      Map("seed" -> "9", "kind" -> "hnsw"),
+      keys = Map("knn" -> Seq("lvl", "src"), "vectors" -> Seq("id")))
+    val input = MemoryStream[(Long, Array[Double], String)]
+    val df = input.toDF().toDF("id", "v", "op")
+    val q = StreamOps.annIndexMaintenanceStream(df, "id", "v", dir,
+      9, 2, 6, 2, bf, opCol = "op").start()
+    try {
+      // batch 1: delete ids 0..9, insert 120..139
+      input.addData(
+        (0 until 10).map(i => (i.toLong, null.asInstanceOf[Array[Double]],
+          "delete")) ++
+        (120 until 140).map(i => (i.toLong, vec(i), "insert")))
+      q.processAllAvailable()
+      // batch 2: UPDATE id 50 (delete + re-insert with a NEW vector,
+      // same micro-batch) and insert 140..149
+      input.addData(
+        Seq((50L, null.asInstanceOf[Array[Double]], "delete"),
+          (50L, vec(999), "insert")) ++
+        (140 until 150).map(i => (i.toLong, vec(i), "insert")))
+      q.processAllAvailable()
+      val (parts, _) = AnnIndex.load(spark, dir)
+      // surviving state: A minus 0..9, with 50 remapped to vec(999),
+      // plus 120..149
+      val want = ((10 until 120).map(i =>
+          (i.toLong, if (i == 50) vec(999) else vec(i))) ++
+        (120 until 150).map(i => (i.toLong, vec(i))))
+        .toDF("id", "v")
+      val wantKnn = Hnsw.buildKnn(want, "id", "v", 9, 2, 6, 2, bf)
+        .collect().map(_.toSeq).toSet
+      assert(parts("knn").select("lvl", "src", "dst", "c")
+        .collect().map(_.toSeq).toSet == wantKnn)
+      // vectors part resolved: no deleted id, id 50 carries the NEW
+      // vector, each id exactly once
+      val got = parts("vectors").as[(Long, Array[Double])].collect()
+      assert(got.length == 140)
+      val byId = got.toMap
+      assert(!(0L until 10L).exists(byId.contains))
+      assert(byId(50L).toSeq == vec(999).toSeq)
+    } finally q.stop()
+  }
 }
