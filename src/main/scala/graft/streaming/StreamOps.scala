@@ -209,10 +209,14 @@ object StreamOps {
         // one overlap anti-join shared by the kNN delta and the
         // vectors append (insertKnnDelta would re-drop internally,
         // but the vectors part must not store duplicate ids either);
+        // dropDuplicates also collapses duplicate ids WITHIN a batch
+        // (the anti-join only guards against stored ids — an at-least-
+        // once source can replay a row inside one micro-batch too);
         // localCheckpoint pins the batch + loaded state so the two
         // appended parts are computed from the same snapshot
         val fresh = arrivals
           .select(col(idCol), col(vecCol))
+          .dropDuplicates(idCol)
           .join(oldVecs.select(idCol), Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (!fresh.isEmpty) {

@@ -500,7 +500,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // second batch includes a RE-ARRIVAL of id 160 (dropped) and
       // fresh ids
-      input.addData(Seq((160L, vec(160))) ++
+      // includes a re-arrival of id 160 AND an in-batch duplicate of 199
+      input.addData(Seq((160L, vec(160)), (199L, vec(199))) ++
         (180 until 200).map(i => (i.toLong, vec(i))))
       q.processAllAvailable()
       val (parts, _) = AnnIndex.load(spark, dir)
