@@ -137,6 +137,34 @@ object ScaleRehearsal {
     val tokenizePack = s""""tokenize_pack":{"n":$nDoc,""" +
       s""""packed_rows":$packedRows,"wall_sec":${r3(packSec)}}"""
 
+    // ---- minhash LSH: the flagship text near-dup path -------------
+    var lshPairs = 0L
+    val lshSec = timeSec {
+      lshPairs = Dedup.minhashLsh(docs, "doc_id", "text")
+        .count()
+    }
+    val minhash = s""""minhash_lsh":{"n":$nDoc,"pairs":$lshPairs,""" +
+      s""""wall_sec":${r3(lshSec)}}"""
+
+    // ---- bm25: retrieval scoring over the corpus ------------------
+    var bmRows = 0L
+    val bmSec = timeSec {
+      bmRows = TextOps.bm25Search(docs, "doc_id", "text",
+        "join hash filter", k = 20).count()
+    }
+    val bm25 = s""""bm25":{"n":$nDoc,"rows":$bmRows,""" +
+      s""""wall_sec":${r3(bmSec)}}"""
+
+    // ---- knn graph: auto-sized in-bucket quadratic ----------------
+    val kgPlanes = Similarity.autoNPlanes(nEmb, 256L)
+    var kgRows = 0L
+    val kgSec = timeSec {
+      kgRows = Similarity.knnGraph(emb, "vec_id", "embedding", k = 10,
+        nPlanes = kgPlanes).count()
+    }
+    val knng = s""""knn_graph":{"n":$nEmb,"planes":$kgPlanes,""" +
+      s""""rows":$kgRows,"wall_sec":${r3(kgSec)}}"""
+
     // ---- sharding: sink layout control ----------------------------
     val shardDir = java.nio.file.Files
       .createTempDirectory("graft-rehearsal-shard").toString
@@ -152,7 +180,7 @@ object ScaleRehearsal {
       s""""wall_sec":${r3(shardSec)}}"""
 
     val json = s"""{"sf":"$sfDir",$hnsw,$semdedup,$substring,""" +
-      s"""$tokenizePack,$sharding}"""
+      s"""$tokenizePack,$minhash,$bm25,$knng,$sharding}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
