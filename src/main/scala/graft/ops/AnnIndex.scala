@@ -187,6 +187,12 @@ object AnnIndex {
     save(dstPath, parts, params, keys)
   }
 
+  /** Largest batch-directory count across parts — the compaction
+    * trigger signal (read cost grows with this number, measured in
+    * bench/ANN_LOAD_CURVE_SF1_r12.json). One small manifest read. */
+  def maxBatches(spark: SparkSession, path: String): Int =
+    readManifest(spark, path).map(_._2).max
+
   /** Tombstone rows (all non-key columns null) delete their group. */
   private def dropTombstones(df: DataFrame, keyCols: String)
       : DataFrame = {

@@ -169,12 +169,28 @@ object StreamOps {
     * BOTH parts keyed: `keys = Map("knn" -> Seq("lvl", "src"),
     * "vectors" -> Seq(idCol))` (an un-keyed vectors part cannot shed
     * a deleted row, and a stale stored vector would keep feeding
-    * bucket candidates to later inserts). */
+    * bucket candidates to later inserts).
+    *
+    * In-loop compaction (`compactEvery` > 0): after a micro-batch
+    * whose append leaves any part at ≥ `compactEvery` batch
+    * directories, the loop folds the index back to single-batch form
+    * ([[graft.ops.AnnIndex.compact]] to a sibling temp dir, then a
+    * delete + filesystem rename into place). Read cost of a keyed
+    * part grows ~linearly with the batch list (measured:
+    * bench/ANN_LOAD_CURVE_SF1_r12.json — ~0.13 s per batch at sf1 vs
+    * a 9 s rewrite), so a bounded batch list keeps every subsequent
+    * load flat at the one-rewrite price. The swap is safe for THIS
+    * loop (foreachBatch is the only writer, batches are serial); a
+    * CONCURRENT reader can catch the brief gap between delete and
+    * rename and must treat a missing/invalid manifest as "retry",
+    * never as data loss — readers needing stronger isolation should
+    * load from a snapshot copy instead. */
   def annIndexMaintenanceStream(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, seed: Long, maxLevel: Int,
       m: Int, bands: Int,
       bucketFn: (Int, Int, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column, opCol: String = "")
+        org.apache.spark.sql.Column, opCol: String = "",
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
@@ -225,6 +241,24 @@ object StreamOps {
             .localCheckpoint(true)
           graft.ops.AnnIndex.append(indexPath,
             Map("knn" -> delta, "vectors" -> fresh))
+        }
+        if (compactEvery > 0 &&
+            graft.ops.AnnIndex.maxBatches(sp, indexPath)
+              >= compactEvery) {
+          val tmp = s"$indexPath-compacting"
+          val conf = sp.sparkContext.hadoopConfiguration
+          val tmpP = new org.apache.hadoop.fs.Path(tmp)
+          val idxP = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = idxP.getFileSystem(conf)
+          // a stale temp dir from a crashed prior compaction is dead
+          // weight — remove it before rewriting
+          if (fs.exists(tmpP)) fs.delete(tmpP, true)
+          graft.ops.AnnIndex.compact(sp, indexPath, tmp)
+          fs.delete(idxP, true)
+          require(fs.rename(tmpP, idxP),
+            s"annIndexMaintenanceStream: rename $tmp -> $indexPath " +
+              "failed — index left at the temp path, re-seed or move " +
+              "it back manually")
         }
         ()
     }

@@ -517,6 +517,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annIndexMaintenanceStream compactEvery: the loop folds the " +
+    "batch list back to 1 and the compacted index still equals the " +
+    "from-scratch build") {
+    import graft.ops.{AnnIndex, Hnsw}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Double] = {
+      val c = i % 8
+      Array.tabulate(8)(j =>
+        (if (j == c) 1.0 else 0.0) + math.sin(i * 7.31 + j) * 0.05)
+    }
+    val vecsA = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-compact-stream").toString + "/idx"
+    AnnIndex.save(dir,
+      Map("knn" -> Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf),
+        "vectors" -> vecsA),
+      Map("seed" -> "9", "kind" -> "hnsw"),
+      keys = Map("knn" -> Seq("lvl", "src"), "vectors" -> Seq("id")))
+    val input = MemoryStream[(Long, Array[Double])]
+    val df = input.toDF().toDF("id", "v")
+    // compactEvery=2: every append takes the index to 2 batches, so
+    // EVERY micro-batch triggers a fold — the maximally-stressed cadence
+    val q = StreamOps.annIndexMaintenanceStream(df, "id", "v", dir,
+      9, 2, 6, 2, bf, compactEvery = 2).start()
+    try {
+      input.addData((120 until 140).map(i => (i.toLong, vec(i))))
+      q.processAllAvailable()
+      assert(AnnIndex.maxBatches(spark, dir) == 1,
+        "first micro-batch should have compacted 2 batches -> 1")
+      input.addData((140 until 160).map(i => (i.toLong, vec(i))))
+      q.processAllAvailable()
+      assert(AnnIndex.maxBatches(spark, dir) == 1)
+      val (parts, _) = AnnIndex.load(spark, dir)
+      val all = (0 until 160).map(i => (i.toLong, vec(i)))
+        .toDF("id", "v")
+      val want = Hnsw.buildKnn(all, "id", "v", 9, 2, 6, 2, bf)
+        .collect().map(_.toSeq).toSet
+      assert(parts("knn").select("lvl", "src", "dst", "c")
+        .collect().map(_.toSeq).toSet == want)
+      val ids = parts("vectors").select("id").as[Long].collect()
+      assert(ids.length == 160 && ids.toSet == (0L until 160L).toSet)
+      // params and keys survive the fold (a subsequent CDC delete
+      // would still find a keyed vectors part)
+      val (_, params) = AnnIndex.load(spark, dir)
+      assert(params("kind") == "hnsw" && params("seed") == "9")
+      // no leftover temp dir from the swap
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir-compacting")))
+    } finally q.stop()
+  }
+
   test("annIndexMaintenanceStream CDC mode: deletes and updates ride " +
     "the same stream — final persisted index equals the from-scratch " +
     "build over the surviving id→vector state") {
