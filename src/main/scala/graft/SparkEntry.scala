@@ -2494,6 +2494,52 @@ object SparkEntry {
         .select(col("lvl"), col("src"), col("dst"), col("c"))
     }),
 
+    "q257_bm25_index_stream" -> ((s, dir) => {
+      // The text-retrieval index lifecycle as a RUNNING maintenance
+      // loop (the q256 discipline applied to BM25): a TextIndex is
+      // SEEDED from two thirds of the corpus, the remaining documents
+      // stream in as two mtime-ordered snapshot files (one micro-batch
+      // each), every micro-batch appends ADDITIVE deltas (postings
+      // with denormalized doc length, per-batch df, one stats row —
+      // BM25's statistics are sums of per-batch integers, so no stored
+      // group is ever recomputed), the loop COMPACTS the batch list
+      // back to single-batch form after each append (compactEvery=2 —
+      // the fold must not change any answer), and the result is a
+      // top-20 search answered FROM THE INDEX ON DISK with term-pruned
+      // scans. The oracle replays the full-corpus BM25 search (q94's
+      // formula, q197's retrieval shape): streamed-additive-deltas +
+      // compaction ≡ scoring everything from scratch.
+      import java.nio.file.{Files, StandardCopyOption}
+      val root = Files.createTempDirectory("graft-q257")
+      val inDir = Files.createDirectory(root.resolve("in"))
+      val idxPath = root.resolve("idx").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TextIndex.save(idxPath,
+        docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text")
+      Seq(1, 0).zipWithIndex.foreach { case (r2, snap) =>
+        val stage = root.resolve(s"stage$snap")
+        docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === r2)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage)
+          .filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = inDir.resolve(s"snap$snap.parquet")
+        Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + snap * 60000L))
+      }
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val sq = graft.streaming.StreamOps.bm25MaintenanceStream(
+          stream, "doc_id", "text", idxPath, compactEvery = 2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      graft.ops.TextIndex.search(s, idxPath, "merge window sort", 20)
+    }),
+
     "q254_stage2_curation" -> ((s, dir) => {
       // The COMPOSED stage-2 curation pipeline, end-to-end on raw
       // documents — every stage is a proven operator, chained the way
@@ -5447,6 +5493,49 @@ object SparkEntry {
       ("WITH " + HnswReplay.buildCtes("vec_id % 4 = 1") + """
         |SELECT CAST(lvl AS INT) AS lvl, src, dst, c
         |FROM knn ORDER BY 1, 2, 3""".stripMargin),
+
+    // q257: the BM25 lifecycle contract — Spark seeds a persisted
+    // TextIndex from 2/3 of the corpus, streams the rest through
+    // additive-delta appends (+ an in-loop compaction fold after
+    // every micro-batch), and answers the search FROM DISK; the
+    // oracle scores the whole corpus from scratch (q94's formula,
+    // q197's retrieval shape). Streamed additive deltas + compaction
+    // ≡ full recompute: tf/df/N/len_sum are per-batch integer sums
+    // over disjoint doc sets, and avg_dl = len_sum/N equals avg(dl)
+    // exactly (integer-valued doubles sum exactly).
+    "q257_bm25_index_stream" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |      AS dl
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+        |  FROM lens),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl))
+        |      AS bm25
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
+        |  WHERE term IN ('merge', 'window', 'sort'))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |  round(sum(bm25), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // q223: the raw-moment covariance formula verbatim —
     // (Σxy − ΣxΣy/n)/(n−1) — NOT COVAR_SAMP, so the arithmetic shape

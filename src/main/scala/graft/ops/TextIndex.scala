@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained BM25 inverted index — the
+  * text-retrieval twin of the [[AnnIndex]]+[[Hnsw]] maintenance
+  * lifecycle (Robertson et al., Okapi at TREC-3 1994; identical
+  * scoring to [[TextOps.bm25]]/[[TextOps.bm25Search]], spec-pinned).
+  * A growing RAG/retrieval corpus should not re-tokenize 100 TB to
+  * refresh df and avg-length every day: every BM25 statistic is a sum
+  * of per-batch integers, so the index stores ADDITIVE deltas in the
+  * same batch-directory parquet store [[AnnIndex]] uses (the store is
+  * generic parts + params + manifest-written-last; nothing in it is
+  * ANN-specific), and a query resolves them with vocabulary-bounded
+  * rollups — never a corpus rescan.
+  *
+  * Parts (all un-keyed — plain batch unions, append cost = the delta):
+  *  - `postings` (idCol, term, tf, dl): one row per distinct
+  *    (doc, term), with the doc length DENORMALIZED onto the posting
+  *    (the Lucene norms idiom) so scoring never joins a doc table;
+  *  - `docs` (idCol, dl): the stored-id set — the maintenance
+  *    stream's re-arrival anti-join target, and the CDC hook a
+  *    delete/compact pass would rewrite;
+  *  - `termdf` (term, df_delta): per-batch document frequencies —
+  *    exact because re-arrivals are dropped before the delta is
+  *    computed, so SUM(df_delta) IS df;
+  *  - `stats` (n_docs, len_sum): ONE row per batch; N and avg_dl come
+  *    from summing this batches-sized table. len_sum is an exact
+  *    integer sum, so len_sum/N equals the double-avg of
+  *    integer-valued lengths ([[TextOps.bm25]]'s q94 invariant) in
+  *    every summation order.
+  *
+  * Query plan shape at 100 TB: `search` filters `postings` and
+  * `termdf` on the query's terms BEFORE any join or agg — parquet
+  * min/max + dictionary pushdown prunes the scan to the query
+  * vocabulary, the df/stats rollups are ≤ |terms|- and
+  * ≤ |batches|-sized broadcasts, and the only wide stage is the
+  * per-doc score agg over matched postings (map-side combinable,
+  * k-bounded output). That is the difference between BM25-as-a-
+  * nightly-batch-job and BM25-as-a-service.
+  */
+object TextIndex {
+  private val Kind = "bm25"
+
+  /** The four delta parts for a batch of NEW documents (caller
+    * guarantees ids are not already stored — the maintenance stream
+    * anti-joins against `docs` first). Rows with empty/whitespace text
+    * are excluded from every statistic, matching [[TextOps.bm25]]. */
+  def deltaParts(docs: DataFrame, idCol: String, textCol: String)
+      : Map[String, DataFrame] = {
+    val d = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), col(textCol))
+    val lens = d.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
+    val tf = d
+      .select(col(idCol),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val postings = tf.join(lens, Seq(idCol))
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+    val termdf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_delta"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("len_sum"))
+    Map("postings" -> postings, "docs" -> lens,
+      "termdf" -> termdf, "stats" -> stats)
+  }
+
+  /** Build and persist the index from scratch (the seed save the
+    * maintenance stream grows from). */
+  def save(path: String, docs: DataFrame, idCol: String,
+      textCol: String): Unit =
+    AnnIndex.save(path, deltaParts(docs, idCol, textCol),
+      Map("kind" -> Kind, "id_col" -> idCol, "text_col" -> textCol))
+
+  /** Append a batch of documents as one more batch directory per part
+    * (manifest bumped last — a torn append is invisible). Re-arrivals
+    * of stored ids are dropped HERE so df_delta stays exact no matter
+    * the caller. Returns the number of genuinely-new docs appended. */
+  def append(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Long = {
+    val (parts, params) = AnnIndex.load(spark, path)
+    require(params.get("kind").contains(Kind),
+      s"TextIndex.append: index at $path has kind " +
+        s"${params.getOrElse("kind", "?")}, expected $Kind")
+    val fresh = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol)
+      .join(parts("docs").select(idCol), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0)
+      AnnIndex.append(path, deltaParts(fresh, idCol, textCol))
+    n
+  }
+
+  /** BM25 top-`k` from the persisted index: (idCol, n_hit, score) by
+    * (round-6 score desc, id asc) — the [[TextOps.bm25Search]]
+    * contract, answered from disk with term-pruned scans. */
+  def search(spark: SparkSession, path: String, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = query.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qt.nonEmpty, "TextIndex.search needs a non-empty query")
+    val (parts, params) = AnnIndex.load(spark, path)
+    require(params.get("kind").contains(Kind),
+      s"TextIndex.search: index at $path has kind " +
+        s"${params.getOrElse("kind", "?")}, expected $Kind")
+    val idCol = params("id_col")
+    // batches-sized and |terms|-sized rollups — broadcast into the
+    // posting scan so the only wide stage is the per-doc score agg
+    val stats = parts("stats")
+      .agg(sum(col("n_docs")).cast("double").as("__n_docs"),
+        (sum(col("len_sum")).cast("double") /
+          sum(col("n_docs")).cast("double")).as("__avg_dl"))
+    val df = parts("termdf")
+      .filter(col("term").isin(qt: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("df_delta")).as("df"))
+    parts("postings")
+      .filter(col("term").isin(qt: _*))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("__avg_dl"))))
+          .as("bm25"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"),
+        round(sum(col("bm25")), 6).as("score"))
+      .orderBy(desc("score"), asc(idCol)).limit(k)
+  }
+}

@@ -242,25 +242,59 @@ object StreamOps {
           graft.ops.AnnIndex.append(indexPath,
             Map("knn" -> delta, "vectors" -> fresh))
         }
-        if (compactEvery > 0 &&
-            graft.ops.AnnIndex.maxBatches(sp, indexPath)
-              >= compactEvery) {
-          val tmp = s"$indexPath-compacting"
-          val conf = sp.sparkContext.hadoopConfiguration
-          val tmpP = new org.apache.hadoop.fs.Path(tmp)
-          val idxP = new org.apache.hadoop.fs.Path(indexPath)
-          val fs = idxP.getFileSystem(conf)
-          // a stale temp dir from a crashed prior compaction is dead
-          // weight — remove it before rewriting
-          if (fs.exists(tmpP)) fs.delete(tmpP, true)
-          graft.ops.AnnIndex.compact(sp, indexPath, tmp)
-          fs.delete(idxP, true)
-          require(fs.rename(tmpP, idxP),
-            s"annIndexMaintenanceStream: rename $tmp -> $indexPath " +
-              "failed — index left at the temp path, re-seed or move " +
-              "it back manually")
-        }
+        maybeCompactInPlace(sp, indexPath, compactEvery)
         ()
+    }
+
+  /** The BM25-index maintenance loop, LIVE — [[annIndexMaintenanceStream]]
+    * for the text-retrieval index ([[graft.ops.TextIndex]]): each
+    * micro-batch of arriving documents appends its tokenized postings,
+    * per-batch term document-frequencies and one corpus-stats row as
+    * additive deltas (every BM25 statistic is a sum of per-batch
+    * integers — no stored group is ever recomputed, unlike the ANN
+    * loop's touched-group rewrites), and a search process can
+    * [[graft.ops.TextIndex.search]] the same path at any time with
+    * term-pruned scans. Re-arrivals of stored ids are dropped inside
+    * [[graft.ops.TextIndex.append]] (which keeps df_delta exact).
+    * Caller seeds the path with [[graft.ops.TextIndex.save]] first.
+    * `compactEvery` folds the batch list exactly as the ANN loop does
+    * (same store, same measured read-cost growth —
+    * bench/ANN_LOAD_CURVE_SF1_r12.json). */
+  def bm25MaintenanceStream(stream: DataFrame, idCol: String,
+      textCol: String, indexPath: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        graft.ops.TextIndex.append(sp, indexPath, batch.toDF(),
+          idCol, textCol)
+        maybeCompactInPlace(sp, indexPath, compactEvery)
+        ()
+    }
+
+  /** Fold the index at `indexPath` back to single-batch form when any
+    * part's batch list has reached `threshold` (0 = never): compact to
+    * a sibling temp dir, delete, rename into place. Single-writer-safe
+    * (the maintenance loops serialize batches); a concurrent reader
+    * that catches the delete→rename gap sees a loudly-missing manifest
+    * and must retry — never torn data. A stale temp dir from a crashed
+    * prior fold is cleared first. */
+  private def maybeCompactInPlace(
+      sp: org.apache.spark.sql.SparkSession, indexPath: String,
+      threshold: Int): Unit =
+    if (threshold > 0 &&
+        graft.ops.AnnIndex.maxBatches(sp, indexPath) >= threshold) {
+      val tmp = s"$indexPath-compacting"
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val idxP = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = idxP.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      if (fs.exists(tmpP)) fs.delete(tmpP, true)
+      graft.ops.AnnIndex.compact(sp, indexPath, tmp)
+      fs.delete(idxP, true)
+      require(fs.rename(tmpP, idxP),
+        s"index compaction: rename $tmp -> $indexPath failed — index " +
+          "left at the temp path, re-seed or move it back manually")
     }
 
   /** Per-subject session windows: events closer than `gap` merge into one

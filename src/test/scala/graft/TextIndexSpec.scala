@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{AnnIndex, TextIndex, TextOps}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The persisted BM25 inverted index: batch save/search equivalence
+  * with the in-memory scorer, additive append semantics, and the
+  * streaming maintenance loop (with in-loop compaction). */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "merge sort beats bubble sort on large arrays"),
+    (3L, "a sliding window sort merges sorted runs"),
+    (4L, "  "), // whitespace-only: excluded from every statistic
+    (5L, "the window merge pass sorts each window"),
+    (6L, "dogs and foxes are not sorting algorithms"),
+    (7L, "external merge sort is the disk based window sort"))
+
+  private def dir(tag: String) = java.nio.file.Files
+    .createTempDirectory(s"graft-textindex-$tag").toString + "/idx"
+
+  private def asRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("save → search answers exactly like the in-memory bm25Search, " +
+    "for single- and multi-term queries") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = dir("batch")
+    TextIndex.save(path, docs, "doc_id", "text")
+    for (q <- Seq("merge window sort", "fox", "the lazy window")) {
+      val want = asRows(
+        TextOps.bm25Search(docs, "doc_id", "text", q, k = 5))
+      val got = asRows(TextIndex.search(spark, path, q, k = 5))
+      assert(got == want, s"query '$q': $got != $want")
+    }
+  }
+
+  test("append is additive and idempotent: seed + append ≡ " +
+    "save(everything); re-arrivals and in-batch duplicates are dropped") {
+    val (a, b) = corpus.splitAt(4)
+    val path = dir("append")
+    TextIndex.save(path, a.toDF("doc_id", "text"), "doc_id", "text")
+    // re-arrival of id 2 (stored) + in-batch duplicate of id 7
+    val batch = (b ++ Seq((2L, "changed text must be ignored"),
+      (7L, "duplicate arrival"))).toDF("doc_id", "text")
+    val appended = TextIndex.append(spark, path, batch, "doc_id", "text")
+    assert(appended == 3, s"expected 3 fresh docs, got $appended")
+    val full = dir("full")
+    TextIndex.save(full, corpus.toDF("doc_id", "text"), "doc_id", "text")
+    for (q <- Seq("merge window sort", "dog")) {
+      assert(asRows(TextIndex.search(spark, path, q, k = 7)) ==
+        asRows(TextIndex.search(spark, full, q, k = 7)))
+    }
+    // df is exact after the dedup: sum(df_delta) == distinct docs/term
+    val termdf = AnnIndex.load(spark, path)._1("termdf")
+      .groupBy("term").agg(sum("df_delta").as("df"))
+    val wantDf = corpus.toDF("doc_id", "text")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    assert(asRows(termdf.orderBy("term")) ==
+      asRows(wantDf.orderBy("term")))
+  }
+
+  test("bm25MaintenanceStream: micro-batched arrivals leave the " +
+    "persisted index answering like a from-scratch build; compaction " +
+    "folds the batch list without changing answers") {
+    implicit val sqlCtx = spark.sqlContext
+    val (a, b) = corpus.splitAt(3)
+    val path = dir("stream")
+    TextIndex.save(path, a.toDF("doc_id", "text"), "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
+      compactEvery = 2).start()
+    try {
+      input.addData(b.take(2) :+ ((1L, "re-arrival ignored")))
+      q.processAllAvailable()
+      assert(AnnIndex.maxBatches(spark, path) == 1,
+        "compactEvery=2 should fold every micro-batch")
+      input.addData(b.drop(2))
+      q.processAllAvailable()
+      assert(AnnIndex.maxBatches(spark, path) == 1)
+      val docs = corpus.toDF("doc_id", "text")
+      for (query <- Seq("merge window sort", "fox")) {
+        assert(asRows(TextIndex.search(spark, path, query, k = 7)) ==
+          asRows(TextOps.bm25Search(docs, "doc_id", "text", query,
+            k = 7)))
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path-compacting")))
+    } finally q.stop()
+  }
+
+  test("kind guard: searching or appending a non-bm25 store fails " +
+    "loudly") {
+    val path = dir("kind")
+    AnnIndex.save(path, Map("vectors" ->
+        Seq((1L, Array(1.0))).toDF("id", "v")),
+      Map("kind" -> "hnsw"))
+    intercept[IllegalArgumentException] {
+      TextIndex.search(spark, path, "x", 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.append(spark, path,
+        Seq((1L, "t")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
+}
