@@ -464,6 +464,44 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("TextIndex.search: the query-term predicate is PUSHED into " +
+    "both parquet scans (postings and termdf), df/stats stay " +
+    "broadcast, the one exchange is the per-doc score agg") {
+    withStaticPlans {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-textindex-plan").toString + "/idx"
+      graft.ops.TextIndex.save(tmp,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      val df = graft.ops.TextIndex.search(spark, tmp,
+        "merge window sort", 10)
+      val plan = df.queryExecution.executedPlan
+      val termScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("PushedFilters")
+              .exists(_.contains("In(term")) => f
+      }
+      assert(termScans.length == 2,
+        "the term IN (...) filter must reach BOTH the postings and " +
+          "termdf parquet scans (PushedFilters) — without it a query " +
+          "reads the whole inverted index:\n" + plan.toString)
+      // ONE corpus-sized exchange (the per-doc score agg over matched
+      // postings); the other two are |query-terms|- and |batches|-sized
+      // rollups feeding the broadcasts — model-sized at any corpus
+      assert(shuffles(df) <= 3,
+        "search grew a fourth exchange — the only corpus-sized one " +
+          "must be the per-doc score agg:\n" + plan.toString)
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.joins
+              .BroadcastHashJoinExec => b
+      }
+      assert(bcasts.nonEmpty,
+        "df must join the postings by broadcast:\n" + plan.toString)
+    }
+  }
+
   test("q125 blocklist anti-join stays a broadcast join") {
     withStaticPlans {
       val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)
