@@ -69,11 +69,68 @@ object TextIndex {
   }
 
   /** Build and persist the index from scratch (the seed save the
-    * maintenance stream grows from). */
+    * maintenance stream grows from). The empty `deleted` part is the
+    * live-docs exclusion list [[delete]] appends to. */
   def save(path: String, docs: DataFrame, idCol: String,
       textCol: String): Unit =
-    AnnIndex.save(path, deltaParts(docs, idCol, textCol),
+    AnnIndex.save(path,
+      deltaParts(docs, idCol, textCol) +
+        ("deleted" -> docs.select(col(idCol)).limit(0)),
       Map("kind" -> Kind, "id_col" -> idCol, "text_col" -> textCol))
+
+  /** Delete documents — the Lucene live-docs semantics: the ids land
+    * on an exclusion list ([[search]] anti-joins matched postings
+    * against it), while their contribution to df and N stays in the
+    * statistics until [[compact]] physically merges them out. The
+    * write is |ids|-sized; nothing scans the index. A deleted id
+    * cannot be re-inserted until a compact frees it ([[append]] treats
+    * it as still stored — re-using external ids across a delete
+    * without compacting is the one unsupported order, as in Lucene,
+    * where internal doc numbers make it a non-question). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val (_, params) = AnnIndex.load(spark, path)
+    require(params.get("kind").contains(Kind),
+      s"TextIndex.delete: index at $path has kind " +
+        s"${params.getOrElse("kind", "?")}, expected $Kind")
+    AnnIndex.append(path,
+      Map("deleted" -> ids.select(col(idCol)).distinct()))
+  }
+
+  /** Fold the index to single-batch form AND physically apply the
+    * deletion list — the Lucene merge, computed entirely FROM THE
+    * INDEX (no text is ever re-tokenized): surviving postings are an
+    * anti-join, df is re-counted from them (one vocabulary-bounded
+    * agg over index rows), stats re-derive from the surviving doc
+    * list, and the deleted part empties — freeing those ids for
+    * re-insertion. After this, search's df/N are exact again
+    * (equality with save(survivors) is spec-pinned). `dst` must
+    * differ from `src`, as in [[AnnIndex.compact]]. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String)
+      : Unit = {
+    require(srcPath != dstPath,
+      "TextIndex.compact: dstPath must differ from srcPath")
+    val (parts, params) = AnnIndex.load(spark, srcPath)
+    require(params.get("kind").contains(Kind),
+      s"TextIndex.compact: index at $srcPath has kind " +
+        s"${params.getOrElse("kind", "?")}, expected $Kind")
+    val idCol = params("id_col")
+    val dead = parts("deleted").select(idCol).distinct()
+      .localCheckpoint(true)
+    val docs = parts("docs").join(dead, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val postings = parts("postings")
+      .join(dead, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val termdf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_delta"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("len_sum"))
+    AnnIndex.save(dstPath,
+      Map("postings" -> postings, "docs" -> docs, "termdf" -> termdf,
+        "stats" -> stats, "deleted" -> docs.select(col(idCol)).limit(0)),
+      params)
+  }
 
   /** Append a batch of documents as one more batch directory per part
     * (manifest bumped last — a torn append is invisible). Re-arrivals
@@ -118,8 +175,13 @@ object TextIndex {
       .filter(col("term").isin(qt: _*))
       .groupBy(col("term"))
       .agg(sum(col("df_delta")).as("df"))
+    // live-docs exclusion: deleted docs never score, but their df/N
+    // contribution persists until compact (the Lucene semantics); the
+    // list is deletions-since-last-compact — broadcast-sized
+    val dead = parts("deleted").select(idCol).distinct()
     parts("postings")
       .filter(col("term").isin(qt: _*))
+      .join(broadcast(dead), Seq(idCol), "left_anti")
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol),

@@ -269,7 +269,10 @@ object StreamOps {
         val sp = batch.sparkSession
         graft.ops.TextIndex.append(sp, indexPath, batch.toDF(),
           idCol, textCol)
-        maybeCompactInPlace(sp, indexPath, compactEvery)
+        // the BM25 fold also APPLIES the deletion list (Lucene merge)
+        // — deleted ids free up and df/N return to exact
+        maybeCompactInPlace(sp, indexPath, compactEvery,
+          graft.ops.TextIndex.compact)
         ()
     }
 
@@ -282,7 +285,9 @@ object StreamOps {
     * prior fold is cleared first. */
   private def maybeCompactInPlace(
       sp: org.apache.spark.sql.SparkSession, indexPath: String,
-      threshold: Int): Unit =
+      threshold: Int,
+      compactFn: (org.apache.spark.sql.SparkSession, String, String)
+        => Unit = graft.ops.AnnIndex.compact): Unit =
     if (threshold > 0 &&
         graft.ops.AnnIndex.maxBatches(sp, indexPath) >= threshold) {
       val tmp = s"$indexPath-compacting"
@@ -290,7 +295,7 @@ object StreamOps {
       val idxP = new org.apache.hadoop.fs.Path(indexPath)
       val fs = idxP.getFileSystem(sp.sparkContext.hadoopConfiguration)
       if (fs.exists(tmpP)) fs.delete(tmpP, true)
-      graft.ops.AnnIndex.compact(sp, indexPath, tmp)
+      compactFn(sp, indexPath, tmp)
       fs.delete(idxP, true)
       require(fs.rename(tmpP, idxP),
         s"index compaction: rename $tmp -> $indexPath failed — index " +

@@ -488,10 +488,11 @@ class PlanShapeSpec extends SparkSpec {
           "termdf parquet scans (PushedFilters) — without it a query " +
           "reads the whole inverted index:\n" + plan.toString)
       // ONE corpus-sized exchange (the per-doc score agg over matched
-      // postings); the other two are |query-terms|- and |batches|-sized
-      // rollups feeding the broadcasts — model-sized at any corpus
-      assert(shuffles(df) <= 3,
-        "search grew a fourth exchange — the only corpus-sized one " +
+      // postings); the other three are |query-terms|-, |batches|- and
+      // |deletions-since-compact|-sized rollups feeding the broadcasts
+      // — model-sized at any corpus
+      assert(shuffles(df) <= 4,
+        "search grew a fifth exchange — the only corpus-sized one " +
           "must be the per-doc score agg:\n" + plan.toString)
       val bcasts = plan.collect {
         case b: org.apache.spark.sql.execution.joins

@@ -97,6 +97,47 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delete is live-docs semantics: deleted docs stop scoring " +
+    "immediately (df/N stale, Lucene-style); compact applies the " +
+    "list physically and search equals save(survivors) exactly") {
+    val docs = corpus.toDF("doc_id", "text")
+    val path = dir("delete")
+    TextIndex.save(path, docs, "doc_id", "text")
+    TextIndex.delete(spark, path, Seq(3L, 5L).toDF("doc_id"), "doc_id")
+    val q = "merge window sort"
+    // deleted docs never appear; survivors keep PRE-delete df/N (3 and
+    // 5 still count toward df until the merge) — assert both halves
+    val preIds = asRows(TextIndex.search(spark, path, q, k = 7))
+      .map(_.head.asInstanceOf[Long])
+    assert(!preIds.contains(3L) && !preIds.contains(5L))
+    val staleScores = asRows(TextIndex.search(spark, path, q, k = 7))
+    val fullScores = asRows(
+      TextOps.bm25Search(docs, "doc_id", "text", q, k = 7))
+      .filter(r => r.head != 3L && r.head != 5L)
+    assert(staleScores == fullScores,
+      "pre-compact scores must be the full-corpus weights minus the " +
+        "deleted docs (stale df/N — the documented Lucene semantics)")
+    // a deleted id cannot sneak back in before the merge
+    assert(TextIndex.append(spark, path,
+      Seq((3L, "resurrected")).toDF("doc_id", "text"),
+      "doc_id", "text") == 0)
+    val merged = dir("merged")
+    TextIndex.compact(spark, path, merged)
+    val survivors = corpus.filter(d => d._1 != 3L && d._1 != 5L)
+    val want = dir("want")
+    TextIndex.save(want, survivors.toDF("doc_id", "text"),
+      "doc_id", "text")
+    for (query <- Seq(q, "dog", "fox")) {
+      assert(asRows(TextIndex.search(spark, merged, query, k = 7)) ==
+        asRows(TextIndex.search(spark, want, query, k = 7)),
+        s"post-compact '$query' must equal save(survivors)")
+    }
+    // the merge freed the ids: re-insertion works again
+    assert(TextIndex.append(spark, merged,
+      Seq((3L, "fresh text")).toDF("doc_id", "text"),
+      "doc_id", "text") == 1)
+  }
+
   test("kind guard: searching or appending a non-bm25 store fails " +
     "loudly") {
     val path = dir("kind")
