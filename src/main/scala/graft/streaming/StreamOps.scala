@@ -259,15 +259,36 @@ object StreamOps {
     * Caller seeds the path with [[graft.ops.TextIndex.save]] first.
     * `compactEvery` folds the batch list exactly as the ANN loop does
     * (same store, same measured read-cost growth —
-    * bench/ANN_LOAD_CURVE_SF1_r12.json). */
+    * bench/ANN_LOAD_CURVE_SF1_r12.json), and the BM25 fold ALSO
+    * applies the deletion list (the Lucene merge).
+    *
+    * CDC mode (`opCol` non-empty): rows whose `opCol` = "delete" ride
+    * [[graft.ops.TextIndex.delete]] (live-docs semantics — dead
+    * immediately, df/N stale until the fold); everything else appends.
+    * Deletes apply FIRST within a micro-batch, but NOTE the live-docs
+    * ordering rule: delete + re-insert of one id only completes after
+    * a compaction fold frees the id (append blocks it until then), so
+    * CDC updates want `compactEvery` small enough that folds keep up
+    * with update traffic — or the ANN loop's keyed-part store, where
+    * updates land in one batch. */
   def bm25MaintenanceStream(stream: DataFrame, idCol: String,
-      textCol: String, indexPath: String, compactEvery: Int = 0)
+      textCol: String, indexPath: String, compactEvery: Int = 0,
+      opCol: String = "")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
-        graft.ops.TextIndex.append(sp, indexPath, batch.toDF(),
+        if (opCol.nonEmpty) {
+          val dels = batch.toDF().filter(col(opCol) === "delete")
+            .select(idCol).localCheckpoint(true)
+          if (!dels.isEmpty)
+            graft.ops.TextIndex.delete(sp, indexPath, dels, idCol)
+        }
+        val arrivals =
+          if (opCol.isEmpty) batch.toDF()
+          else batch.toDF().filter(col(opCol) =!= "delete")
+        graft.ops.TextIndex.append(sp, indexPath, arrivals,
           idCol, textCol)
         // the BM25 fold also APPLIES the deletion list (Lucene merge)
         // — deleted ids free up and df/N return to exact

@@ -138,6 +138,39 @@ class TextIndexSpec extends SparkSpec {
       "doc_id", "text") == 1)
   }
 
+  test("bm25MaintenanceStream CDC mode: deletes ride the stream as " +
+    "live-docs marks; the compaction fold merges them out and the " +
+    "index equals save(survivors ∪ later arrivals)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (a, b) = corpus.splitAt(5)
+    val path = dir("cdc")
+    TextIndex.save(path, a.toDF("doc_id", "text"), "doc_id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "op")
+    // compactEvery=2 → every micro-batch folds, so each delete merges
+    // out immediately after its batch
+    val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
+      compactEvery = 2, opCol = "op").start()
+    try {
+      // batch 1: delete doc 3, insert doc 6
+      input.addData(Seq((3L, null.asInstanceOf[String], "delete"),
+        (b.head._1, b.head._2, "insert")))
+      q.processAllAvailable()
+      // batch 2: insert doc 7
+      input.addData(Seq((b(1)._1, b(1)._2, "insert")))
+      q.processAllAvailable()
+      val survivors = (a.filter(_._1 != 3L) ++ b)
+        .toDF("doc_id", "text")
+      val want = dir("cdc-want")
+      TextIndex.save(want, survivors, "doc_id", "text")
+      for (query <- Seq("merge window sort", "fox")) {
+        assert(asRows(TextIndex.search(spark, path, query, k = 7)) ==
+          asRows(TextIndex.search(spark, want, query, k = 7)),
+          s"CDC stream '$query' must equal save(survivors)")
+      }
+    } finally q.stop()
+  }
+
   test("kind guard: searching or appending a non-bm25 store fails " +
     "loudly") {
     val path = dir("kind")
