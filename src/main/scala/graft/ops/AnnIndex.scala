@@ -38,11 +38,22 @@ import org.apache.spark.sql.functions._
   * keyed resolve is one window over the key columns — the same
   * exchange a fresh build's final rank already pays), so a recall
   * audit against a reloaded index reads only what the search touches.
-  * Compaction = load → save to a fresh path. */
+  *
+  * Compaction is GENERATIONAL ([[compactToNextGen]]): a fold writes a
+  * complete fresh index under `root/gen-(N+1)/` and the generation's
+  * own manifest-last write IS the pointer flip — [[resolveGen]] picks
+  * the highest generation whose manifest committed, so a crash at ANY
+  * point leaves the previous index live (there is no delete→rename
+  * window), and the PRIOR generation is kept one extra cycle for
+  * in-flight readers whose lazy scans still point at it. Every reader
+  * entry point ([[load]], [[append]], [[maxBatches]]) resolves the
+  * generation first, so callers address the stable root path
+  * forever. */
 object AnnIndex {
 
   private val partName = "[A-Za-z0-9_]+".r
   private val batchCol = "__ann_batch"
+  private val genName = "gen-(\\d+)".r
 
   private def requireValidName(n: String): Unit =
     require(partName.matches(n) && !n.startsWith("_"),
@@ -54,6 +65,89 @@ object AnnIndex {
     import spark.implicits._
     rows.sortBy(_._1).toDF("part", "batches", "key_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  private def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** True once a directory's index layout is COMPLETE: its manifest
+    * job committed (the `_SUCCESS` marker the committer writes last).
+    * This is the generation-flip test — a torn fold has no committed
+    * manifest and is invisible. */
+  private def manifestCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifest/_SUCCESS"))
+
+  /** Generation numbers present under `root` (committed or not). */
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory =>
+        s.getPath.getName match {
+          case genName(n) => Some(n.toInt)
+          case _          => None
+        }
+    }.flatten
+
+  /** The concrete directory the index at `root` currently lives in:
+    * the highest `gen-N/` whose manifest committed, else `root` itself
+    * (a never-compacted index IS its own generation — backward
+    * compatible with every pre-generational layout). One filesystem
+    * listing; no data read. */
+  def resolveGen(spark: SparkSession, root: String): String = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    listGens(fs, rootP).sorted.reverse
+      .map(g => s"$root/gen-$g")
+      .find(manifestCommitted(fs, _))
+      .getOrElse(root)
+  }
+
+  /** Current committed generation number (0 = the root layout). */
+  def currentGen(spark: SparkSession, root: String): Int = {
+    val d = resolveGen(spark, root)
+    if (d == root) 0
+    else d.substring(d.lastIndexOf("gen-") + 4).toInt
+  }
+
+  /** Fold the index at `root` into its NEXT generation: compact the
+    * current generation into `root/gen-(N+1)/` (whose manifest-last
+    * save commits the flip), then prune generations OLDER than the
+    * prior one — the new current and its predecessor both stay on
+    * disk, so readers that resolved before the fold keep answering
+    * from lazy scans for a full extra cycle. Crash-safe at every
+    * point: an uncommitted `gen-(N+1)` is ignored by [[resolveGen]]
+    * and overwritten by the retried fold. `compactFn` defaults to the
+    * generic [[compact]]; index families with derived parts
+    * (e.g. [[TextIndex.compact]]'s Lucene merge) pass their own. */
+  def compactToNextGen(spark: SparkSession, root: String,
+      compactFn: (SparkSession, String, String) => Unit =
+        compact): Unit = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val cur = resolveGen(spark, root)
+    val curGen = currentGen(spark, root)
+    val next = s"$root/gen-${curGen + 1}"
+    val (_, nextP) = hadoopFs(spark, next)
+    if (fs.exists(nextP)) fs.delete(nextP, true) // torn prior fold
+    compactFn(spark, cur, next)
+    require(manifestCommitted(fs, next),
+      s"compactToNextGen: fold to $next did not commit a manifest")
+    // prune: keep the new current (N+1) and the prior (N); everything
+    // older goes — gen dirs below N, and the root layout once the
+    // prior generation is itself a gen dir
+    listGens(fs, rootP).filter(_ < curGen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen-$g"), true)
+    }
+    if (curGen >= 1 && manifestCommitted(fs, root)) {
+      readManifest(spark, root).foreach { case (n, _, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_params"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest"), true)
+    }
   }
 
   private def readManifest(spark: SparkSession, path: String)
@@ -91,6 +185,13 @@ object AnnIndex {
     }
     val spark = parts.head._2.sparkSession
     import spark.implicits._
+    // a fresh save writes the LITERAL path; refuse if a committed
+    // generation already shadows it (readers resolve to the gen dir,
+    // so the save would be silently invisible)
+    require(resolveGen(spark, path) == path,
+      s"AnnIndex.save: $path already has committed generations — " +
+        "append/compactToNextGen maintain a generational index; a " +
+        "fresh save needs a fresh root")
     parts.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$path/$name/b0")
     }
@@ -108,9 +209,10 @@ object AnnIndex {
     * full replacement rows per touched key group (plus all-null-non-key
     * tombstones for deleted groups); un-keyed parts take plain
     * additional rows. Write cost is the delta, never the index. */
-  def append(path: String, deltaParts: Map[String, DataFrame]): Unit = {
+  def append(root: String, deltaParts: Map[String, DataFrame]): Unit = {
     require(deltaParts.nonEmpty, "AnnIndex.append: no delta parts")
     val spark = deltaParts.head._2.sparkSession
+    val path = resolveGen(spark, root)
     val manifest = readManifest(spark, path)
     val byName = manifest.map(e => e._1 -> e).toMap
     deltaParts.foreach { case (n, df) =>
@@ -140,8 +242,9 @@ object AnnIndex {
   /** Read the index back: batches resolved per the manifest — plain
     * union for un-keyed parts; latest-batch-wins per key group then
     * tombstone drop for keyed parts. Lazy scans throughout. */
-  def load(spark: SparkSession, path: String)
+  def load(spark: SparkSession, root: String)
       : (Map[String, DataFrame], Map[String, String]) = {
+    val path = resolveGen(spark, root)
     val manifest = readManifest(spark, path)
     val parts = manifest.map { case (name, batches, keyCols) =>
       val union = (0 until batches).map { b =>
@@ -176,8 +279,9 @@ object AnnIndex {
     * the two existing primitives so there is nothing new to trust.
     * dst must differ from src (a self-overwrite would read its own
     * partially-deleted inputs). */
-  def compact(spark: SparkSession, srcPath: String, dstPath: String)
+  def compact(spark: SparkSession, srcRoot: String, dstPath: String)
       : Unit = {
+    val srcPath = resolveGen(spark, srcRoot)
     require(srcPath != dstPath,
       "AnnIndex.compact: dstPath must differ from srcPath")
     val manifest = readManifest(spark, srcPath)
@@ -190,8 +294,20 @@ object AnnIndex {
   /** Largest batch-directory count across parts — the compaction
     * trigger signal (read cost grows with this number, measured in
     * bench/ANN_LOAD_CURVE_SF1_r12.json). One small manifest read. */
-  def maxBatches(spark: SparkSession, path: String): Int =
-    readManifest(spark, path).map(_._2).max
+  def maxBatches(spark: SparkSession, root: String): Int =
+    readManifest(spark, resolveGen(spark, root)).map(_._2).max
+
+  /** Batch-directory count of ONE part — the monotone per-part write
+    * counter incremental maintainers stamp their rows with (the
+    * [[graft.ops.Hnsw]] membership ledger's `mb`). One manifest read. */
+  def partBatches(spark: SparkSession, root: String,
+      part: String): Int = {
+    val m = readManifest(spark, resolveGen(spark, root))
+    m.find(_._1 == part).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"AnnIndex.partBatches: no part '$part' in " +
+          s"(${m.map(_._1).mkString(", ")})"))
+  }
 
   /** Tombstone rows (all non-key columns null) delete their group. */
   private def dropTombstones(df: DataFrame, keyCols: String)

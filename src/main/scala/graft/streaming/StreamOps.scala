@@ -173,18 +173,18 @@ object StreamOps {
     *
     * In-loop compaction (`compactEvery` > 0): after a micro-batch
     * whose append leaves any part at ≥ `compactEvery` batch
-    * directories, the loop folds the index back to single-batch form
-    * ([[graft.ops.AnnIndex.compact]] to a sibling temp dir, then a
-    * delete + filesystem rename into place). Read cost of a keyed
-    * part grows ~linearly with the batch list (measured:
+    * directories, the loop folds the index into its NEXT GENERATION
+    * ([[graft.ops.AnnIndex.compactToNextGen]] — the fold's own
+    * manifest-last write commits the flip; the prior generation stays
+    * on disk one cycle for in-flight readers, and a crash at any point
+    * leaves the previous index live). Read cost of a keyed part grows
+    * ~linearly with the batch list (measured:
     * bench/ANN_LOAD_CURVE_SF1_r12.json — ~0.13 s per batch at sf1 vs
     * a 9 s rewrite), so a bounded batch list keeps every subsequent
-    * load flat at the one-rewrite price. The swap is safe for THIS
-    * loop (foreachBatch is the only writer, batches are serial); a
-    * CONCURRENT reader can catch the brief gap between delete and
-    * rename and must treat a missing/invalid manifest as "retry",
-    * never as data loss — readers needing stronger isolation should
-    * load from a snapshot copy instead. */
+    * load flat at the one-rewrite price. Concurrent searchers are
+    * safe throughout: [[graft.ops.AnnIndex.load]] resolves the
+    * highest committed generation, and scans already planned against
+    * the prior generation keep answering until the fold after next. */
   def annIndexMaintenanceStream(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, seed: Long, maxLevel: Int,
       m: Int, bands: Int,
@@ -219,9 +219,11 @@ object StreamOps {
         }
         val oldKnn = parts("knn")
         val oldVecs = parts("vectors")
+        // null-safe: a NULL/unknown op APPENDS as documented (plain
+        // `=!=` would evaluate to null and silently drop the row)
         val arrivals =
           if (opCol.isEmpty) batch.toDF()
-          else batch.toDF().filter(col(opCol) =!= "delete")
+          else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
         // one overlap anti-join shared by the kNN delta and the
         // vectors append (insertKnnDelta would re-drop internally,
         // but the vectors part must not store duplicate ids either);
@@ -264,13 +266,17 @@ object StreamOps {
     *
     * CDC mode (`opCol` non-empty): rows whose `opCol` = "delete" ride
     * [[graft.ops.TextIndex.delete]] (live-docs semantics — dead
-    * immediately, df/N stale until the fold); everything else appends.
-    * Deletes apply FIRST within a micro-batch, but NOTE the live-docs
-    * ordering rule: delete + re-insert of one id only completes after
-    * a compaction fold frees the id (append blocks it until then), so
-    * CDC updates want `compactEvery` small enough that folds keep up
-    * with update traffic — or the ANN loop's keyed-part store, where
-    * updates land in one batch. */
+    * immediately, df/N stale until the fold); everything else —
+    * including NULL/unknown ops — appends. Deletes apply FIRST within
+    * a micro-batch; when the same id also ARRIVES in that batch (the
+    * standard CDC update order: delete + re-insert), the live-docs
+    * rule would block the re-insert until a fold frees the id, so the
+    * loop FORCES an immediate compaction fold before the append —
+    * CDC updates therefore complete within their own micro-batch, at
+    * the price of one fold per colliding batch (the Lucene
+    * merge-on-update trade). Updates without compaction enabled
+    * cannot be honored and FAIL LOUDLY rather than silently degrading
+    * to a delete; pure inserts/deletes never force a fold. */
   def bm25MaintenanceStream(stream: DataFrame, idCol: String,
       textCol: String, indexPath: String, compactEvery: Int = 0,
       opCol: String = "")
@@ -279,15 +285,33 @@ object StreamOps {
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
+        // null-safe arrival split: a NULL/unknown op appends (plain
+        // `=!=` would evaluate to null and silently drop the row)
+        val arrivals =
+          if (opCol.isEmpty) batch.toDF()
+          else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
         if (opCol.nonEmpty) {
           val dels = batch.toDF().filter(col(opCol) === "delete")
             .select(idCol).localCheckpoint(true)
-          if (!dels.isEmpty)
+          if (!dels.isEmpty) {
             graft.ops.TextIndex.delete(sp, indexPath, dels, idCol)
+            // same-batch delete + re-arrival = a CDC UPDATE: the id
+            // is on the live-docs list we just wrote, so the append
+            // below would drop the new text forever; fold NOW (the
+            // merge frees the id) so the update lands in this batch
+            val collides = !arrivals.select(idCol)
+              .join(dels, Seq(idCol), "left_semi").isEmpty
+            if (collides) {
+              require(compactEvery > 0,
+                "bm25MaintenanceStream: a CDC update (delete + " +
+                  "re-arrival of one id in a micro-batch) needs " +
+                  "compactEvery > 0 — live-docs deletion only frees " +
+                  "the id at a compaction fold")
+              graft.ops.AnnIndex.compactToNextGen(sp, indexPath,
+                graft.ops.TextIndex.compact)
+            }
+          }
         }
-        val arrivals =
-          if (opCol.isEmpty) batch.toDF()
-          else batch.toDF().filter(col(opCol) =!= "delete")
         graft.ops.TextIndex.append(sp, indexPath, arrivals,
           idCol, textCol)
         // the BM25 fold also APPLIES the deletion list (Lucene merge)
@@ -298,30 +322,23 @@ object StreamOps {
     }
 
   /** Fold the index at `indexPath` back to single-batch form when any
-    * part's batch list has reached `threshold` (0 = never): compact to
-    * a sibling temp dir, delete, rename into place. Single-writer-safe
-    * (the maintenance loops serialize batches); a concurrent reader
-    * that catches the delete→rename gap sees a loudly-missing manifest
-    * and must retry — never torn data. A stale temp dir from a crashed
-    * prior fold is cleared first. */
+    * part's batch list has reached `threshold` (0 = never) — a
+    * GENERATIONAL fold ([[graft.ops.AnnIndex.compactToNextGen]]): the
+    * fresh index lands in `indexPath/gen-(N+1)/`, its own
+    * manifest-last write commits the flip, and the prior generation
+    * stays on disk one extra cycle for in-flight readers. A crash at
+    * any point (mid-fold, pre-commit) leaves the previous index live
+    * and the retried fold overwrites the torn generation — no manual
+    * recovery, no delete→rename window, safe for concurrent
+    * searchers. */
   private def maybeCompactInPlace(
       sp: org.apache.spark.sql.SparkSession, indexPath: String,
       threshold: Int,
       compactFn: (org.apache.spark.sql.SparkSession, String, String)
         => Unit = graft.ops.AnnIndex.compact): Unit =
     if (threshold > 0 &&
-        graft.ops.AnnIndex.maxBatches(sp, indexPath) >= threshold) {
-      val tmp = s"$indexPath-compacting"
-      val tmpP = new org.apache.hadoop.fs.Path(tmp)
-      val idxP = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = idxP.getFileSystem(sp.sparkContext.hadoopConfiguration)
-      if (fs.exists(tmpP)) fs.delete(tmpP, true)
-      compactFn(sp, indexPath, tmp)
-      fs.delete(idxP, true)
-      require(fs.rename(tmpP, idxP),
-        s"index compaction: rename $tmp -> $indexPath failed — index " +
-          "left at the temp path, re-seed or move it back manually")
-    }
+        graft.ops.AnnIndex.maxBatches(sp, indexPath) >= threshold)
+      graft.ops.AnnIndex.compactToNextGen(sp, indexPath, compactFn)
 
   /** Per-subject session windows: events closer than `gap` merge into one
     * session (native session_window — state per open session, evicted at

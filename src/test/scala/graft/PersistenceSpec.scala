@@ -186,6 +186,77 @@ class PersistenceSpec extends SparkSpec {
     assert(knnSet(pc("knn")) == wantKept)
   }
 
+  test("AnnIndex generational compaction: the fold commits via the new " +
+    "generation's own manifest (no delete→rename window) — a crash " +
+    "before commit leaves the old index live, a reader that resolved " +
+    "before the fold keeps answering, and pruning keeps exactly " +
+    "current + prior generations") {
+    import graft.ops.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ann-gen").toString +
+      "/idx"
+    AnnIndex.save(dir,
+      Map("knn" -> Seq((0, 1L, 2L, 0.5)).toDF("lvl", "src", "dst", "c")),
+      Map("kind" -> "hnsw"), keys = Map("knn" -> Seq("lvl", "src")))
+    AnnIndex.append(dir,
+      Map("knn" -> Seq((0, 3L, 4L, 0.7)).toDF("lvl", "src", "dst", "c")))
+    val want = Set(Seq(0, 1L, 2L, 0.5), Seq(0, 3L, 4L, 0.7))
+    def loaded() = AnnIndex.load(spark, dir)._1("knn")
+      .select("lvl", "src", "dst", "c").collect().map(_.toSeq).toSet
+
+    // a TORN fold (uncommitted gen dir, e.g. a crash mid-compact) is
+    // invisible: load keeps resolving the old index
+    val torn = java.nio.file.Paths.get(s"$dir/gen-1/knn/b0")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("junk"), "not parquet")
+    assert(AnnIndex.currentGen(spark, dir) == 0)
+    assert(loaded() == want)
+
+    // an in-flight reader resolves the CURRENT generation lazily...
+    val inFlight = AnnIndex.load(spark, dir)._1("knn")
+      .select("lvl", "src", "dst", "c")
+    // ...the fold overwrites the torn gen, commits gen-1, folds the
+    // two batches to one, keeps the root layout as the prior gen
+    AnnIndex.compactToNextGen(spark, dir)
+    assert(AnnIndex.currentGen(spark, dir) == 1)
+    assert(AnnIndex.maxBatches(spark, dir) == 1)
+    assert(loaded() == want)
+    // the pre-fold reader still answers from the prior generation
+    assert(inFlight.collect().map(_.toSeq).toSet == want)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_manifest")),
+      "prior generation (root layout) must survive one cycle")
+
+    // appends land in the current generation; params survive
+    AnnIndex.append(dir,
+      Map("knn" -> Seq((0, 5L, 6L, 0.9)).toDF("lvl", "src", "dst", "c")))
+    val want2 = want + Seq(0, 5L, 6L, 0.9)
+    assert(loaded() == want2)
+    assert(AnnIndex.load(spark, dir)._2("kind") == "hnsw")
+
+    // second fold: gen-2 commits, the root layout (two generations
+    // old) is pruned, gen-1 (the prior) is kept
+    AnnIndex.compactToNextGen(spark, dir)
+    assert(AnnIndex.currentGen(spark, dir) == 2)
+    assert(loaded() == want2)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/_manifest")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/knn")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/gen-1")))
+
+    // third fold prunes gen-1
+    AnnIndex.compactToNextGen(spark, dir)
+    assert(AnnIndex.currentGen(spark, dir) == 3)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/gen-1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/gen-2")))
+    assert(loaded() == want2)
+
+    // a fresh save to a generation-shadowed root refuses loudly
+    intercept[IllegalArgumentException] {
+      AnnIndex.save(dir,
+        Map("knn" -> Seq((0, 9L, 9L, 0.1)).toDF("lvl", "src", "dst", "c")),
+        Map("kind" -> "hnsw"))
+    }
+  }
+
   test("AnnIndex: overlapping-id arrivals are dropped (insert stays " +
     "idempotent); un-keyed parts append as plain row unions; a " +
     "corrupted manifest part name refuses to load") {
