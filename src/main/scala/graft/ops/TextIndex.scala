@@ -135,16 +135,43 @@ object TextIndex {
   /** Append a batch of documents as one more batch directory per part
     * (manifest bumped last — a torn append is invisible). Re-arrivals
     * of stored ids are dropped HERE so df_delta stays exact no matter
-    * the caller. Returns the number of genuinely-new docs appended. */
+    * the caller. Exact replays within a batch (same id, same text)
+    * collapse; two DIFFERENT texts under one id are a data bug and
+    * FAIL LOUDLY — a silent arbitrary winner would make the index
+    * partition-order dependent. Returns the number of genuinely-new
+    * docs appended.
+    *
+    * Scale shape: the stored-id overlap check collects the batch's
+    * ids to the driver (bounded by the micro-batch, the trigger-sized
+    * quantity) and probes the `docs` part with an `id IN (...)`
+    * predicate — parquet row-group stats/dictionary pruning keeps the
+    * probe ∝ matching row groups instead of re-scanning the stored
+    * corpus per batch (raise
+    * `spark.sql.parquet.pushdown.inFilterThreshold` above the batch
+    * size so large batches keep the In-pushdown instead of degrading
+    * to a min/max range). */
   def append(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Long = {
     val (parts, params) = AnnIndex.load(spark, path)
     require(params.get("kind").contains(Kind),
       s"TextIndex.append: index at $path has kind " +
         s"${params.getOrElse("kind", "?")}, expected $Kind")
-    val fresh = docs.select(col(idCol), col(textCol))
-      .dropDuplicates(idCol)
-      .join(parts("docs").select(idCol), Seq(idCol), "left_anti")
+    val arriving = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol, textCol)
+      .localCheckpoint(true)
+    val conflicts = arriving.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col(idCol)).limit(5).collect().map(_.get(0))
+    require(conflicts.isEmpty,
+      s"TextIndex.append: conflicting texts for id(s) " +
+        s"${conflicts.mkString(", ")} within one batch — an " +
+        "arbitrary winner would be partition-order dependent; " +
+        "resolve upstream (or delete + re-insert as a CDC update)")
+    val ids = arriving.select(col(idCol)).collect().map(_.get(0))
+    if (ids.isEmpty) return 0L
+    val stored = parts("docs").select(col(idCol))
+      .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+    val fresh = arriving.join(stored, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0)

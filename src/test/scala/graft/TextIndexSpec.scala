@@ -40,13 +40,21 @@ class TextIndexSpec extends SparkSpec {
   }
 
   test("append is additive and idempotent: seed + append ≡ " +
-    "save(everything); re-arrivals and in-batch duplicates are dropped") {
+    "save(everything); re-arrivals and exact in-batch replays are " +
+    "dropped; CONFLICTING texts under one id fail loudly") {
     val (a, b) = corpus.splitAt(4)
     val path = dir("append")
     TextIndex.save(path, a.toDF("doc_id", "text"), "doc_id", "text")
-    // re-arrival of id 2 (stored) + in-batch duplicate of id 7
+    // two different texts for one new id: no arbitrary winner — loud
+    intercept[IllegalArgumentException] {
+      TextIndex.append(spark, path,
+        (b ++ Seq((7L, "conflicting text"))).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    // re-arrival of id 2 (stored, changed text: ignored — deletes are
+    // the CDC path) + an exact in-batch replay of id 7 (collapsed)
     val batch = (b ++ Seq((2L, "changed text must be ignored"),
-      (7L, "duplicate arrival"))).toDF("doc_id", "text")
+      b.last)).toDF("doc_id", "text")
     val appended = TextIndex.append(spark, path, batch, "doc_id", "text")
     assert(appended == 3, s"expected 3 fresh docs, got $appended")
     val full = dir("full")
@@ -168,6 +176,61 @@ class TextIndexSpec extends SparkSpec {
           asRows(TextIndex.search(spark, want, query, k = 7)),
           s"CDC stream '$query' must equal save(survivors)")
       }
+    } finally q.stop()
+  }
+
+  test("bm25MaintenanceStream CDC UPDATE: delete + re-arrival of one " +
+    "id in the SAME micro-batch replaces its text (the forced fold " +
+    "frees the id); a NULL op appends as documented") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = dir("cdc-upd")
+    TextIndex.save(path, corpus.take(5).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "op")
+    val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
+      compactEvery = 4, opCol = "op").start()
+    try {
+      // ONE batch: update doc 3's text (delete + insert), insert doc 6
+      // with a NULL op (must append, not drop)
+      input.addData(Seq(
+        (3L, null.asInstanceOf[String], "delete"),
+        (3L, "replacement text about window sort", "insert"),
+        (corpus(5)._1, corpus(5)._2, null.asInstanceOf[String])))
+      q.processAllAvailable()
+      val want = dir("cdc-upd-want")
+      val survivors = (corpus.take(5).filter(_._1 != 3L) ++
+        Seq((3L, "replacement text about window sort"), corpus(5)))
+        .toDF("doc_id", "text")
+      TextIndex.save(want, survivors, "doc_id", "text")
+      for (query <- Seq("merge window sort", "replacement", "fox")) {
+        assert(asRows(TextIndex.search(spark, path, query, k = 7)) ==
+          asRows(TextIndex.search(spark, want, query, k = 7)),
+          s"same-batch CDC update: '$query' must equal " +
+            "save(updated corpus)")
+      }
+    } finally q.stop()
+  }
+
+  test("bm25MaintenanceStream CDC UPDATE without compaction enabled " +
+    "fails loudly instead of silently degrading to a delete") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = dir("cdc-noupd")
+    TextIndex.save(path, corpus.take(3).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "op")
+    val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
+      compactEvery = 0, opCol = "op").start()
+    try {
+      input.addData(Seq((2L, null.asInstanceOf[String], "delete"),
+        (2L, "new text", "insert")))
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("compactEvery")),
+        s"wanted the loud CDC-update refusal, got: $err")
     } finally q.stop()
   }
 
