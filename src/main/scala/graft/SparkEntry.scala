@@ -1885,9 +1885,11 @@ object SparkEntry {
         val stage = root.resolve(s"stage$snap")
         docs.filter(col("doc_id") % 3 === snap).coalesce(1)
           .write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage)
-          .filter(p => p.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val listing = Files.list(stage)
+        val part =
+          try listing.filter(p => p.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close() // directory handle — don't leak
         val dst = inDir.resolve(s"snap$snap.parquet")
         Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
@@ -2438,9 +2440,10 @@ object SparkEntry {
       // AnnIndex (batch-partitioned parquet, manifest last), the
       // remaining arrivals stream in as two mtime-ordered snapshot
       // files (maxFilesPerTrigger=1 → one micro-batch each, the q149
-      // discipline), each micro-batch runs Hnsw.insertKnnDelta and
-      // AnnIndex.append (delta-sized write: only the touched
-      // (lvl, src) groups land in the new batch directory), and the
+      // discipline), each micro-batch runs Hnsw.insertKnnDeltaIndexed
+      // (cell-pruned probes of the persisted banded membership — no
+      // corpus re-hash) and AnnIndex.append (delta-sized write: only
+      // (lvl, src) groups whose top-M CHANGED land in the batch), and the
       // result is the index READ BACK FROM DISK (latest-batch-wins
       // resolution). The oracle replays the FULL from-scratch build
       // over everything (q253's claim, now through a real streaming
@@ -2457,13 +2460,14 @@ object SparkEntry {
         .filter(col("vec_id") % 4 === 1)
         .select("vec_id", "embedding")
       val a = corpus.filter(col("vec_id") % 3 =!= 1)
-      graft.ops.AnnIndex.save(idxPath,
-        Map("knn" -> Hnsw.buildKnn(a, "vec_id", "embedding",
-            HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
-            HnswReplay.bands, HnswReplay.bucketFn),
-          "vectors" -> a),
-        Map("seed" -> HnswReplay.seed.toString, "kind" -> "hnsw"),
-        keys = Map("knn" -> Seq("lvl", "src")))
+      // membership-bearing seed (Hnsw.saveIndex): the stream's
+      // micro-batches run the INDEXED probes — per-batch compute reads
+      // the persisted banded membership through cell-pruned scans
+      // instead of re-hashing the stored corpus, and the oracle still
+      // replays the from-scratch build (the identity is unchanged)
+      graft.ops.Hnsw.saveIndex(idxPath, a, "vec_id", "embedding",
+        HnswReplay.seed, HnswReplay.maxLevel, HnswReplay.m,
+        HnswReplay.bands, HnswReplay.bucketFn)
       // arrivals (vec_id % 3 = 1, all ≡ 1 mod 4 → ≡ 1 or 5 mod 8)
       // as two snapshot files in pinned mtime order
       Seq(1, 5).zipWithIndex.foreach { case (r8, snap) =>
@@ -2471,9 +2475,11 @@ object SparkEntry {
         corpus.filter(col("vec_id") % 3 === 1 &&
             col("vec_id") % 8 === r8)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage)
-          .filter(p => p.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val listing = Files.list(stage)
+        val part =
+          try listing.filter(p => p.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close() // directory handle — don't leak
         val dst = inDir.resolve(s"snap$snap.parquet")
         Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
@@ -2520,9 +2526,11 @@ object SparkEntry {
         val stage = root.resolve(s"stage$snap")
         docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === r2)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage)
-          .filter(p => p.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val listing = Files.list(stage)
+        val part =
+          try listing.filter(p => p.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close() // directory handle — don't leak
         val dst = inDir.resolve(s"snap$snap.parquet")
         Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst,
@@ -5484,8 +5492,9 @@ object SparkEntry {
         |FROM knn ORDER BY 1, 2, 3""".stripMargin),
 
     // q256: the lifecycle-composition contract — Spark seeds a
-    // persisted index with build(A), streams the remaining arrivals
-    // through insertKnnDelta + AnnIndex.append in two real
+    // persisted index with Hnsw.saveIndex(A) (knn + vectors + banded
+    // membership + deletion ledger), streams the remaining arrivals
+    // through insertKnnDeltaIndexed + AnnIndex.append in two real
     // micro-batches, and returns the index READ BACK FROM DISK; the
     // oracle replays the from-scratch build over the whole % 4 = 1
     // corpus. Stream + append + load ≡ build, cosines included.

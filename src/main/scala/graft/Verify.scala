@@ -13,6 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // measured-safe parquet IN-pushdown bound (see Hnsw.sortedByKey):
+      // maintenance probes row-group-prune up to 1000 inlined keys
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // bucketed-variant tables land in scratch, never the repo cwd

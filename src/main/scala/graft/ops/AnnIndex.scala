@@ -284,12 +284,16 @@ object AnnIndex {
     val srcPath = resolveGen(spark, srcRoot)
     require(srcPath != dstPath,
       "AnnIndex.compact: dstPath must differ from srcPath")
-    val manifest = readManifest(spark, srcPath)
     val (parts, params) = load(spark, srcPath)
-    val keys = manifest.collect { case (n, _, ks) if ks.nonEmpty =>
-      n -> ks.split(",").toSeq }.toMap
-    save(dstPath, parts, params, keys)
+    save(dstPath, parts, params, partKeys(spark, srcPath))
   }
+
+  /** The upsert-key declaration of every keyed part, as saved. */
+  def partKeys(spark: SparkSession, root: String)
+      : Map[String, Seq[String]] =
+    readManifest(spark, resolveGen(spark, root)).collect {
+      case (n, _, ks) if ks.nonEmpty => n -> ks.split(",").toSeq
+    }.toMap
 
   /** Largest batch-directory count across parts — the compaction
     * trigger signal (read cost grows with this number, measured in

@@ -272,13 +272,17 @@ object Hnsw {
   }
 
   /** DELTA form of [[insertKnn]] for [[AnnIndex.append]]: only the
-    * (lvl, src) groups that gained at least one fresh candidate are
-    * returned, each as its FULL replacement top-M (old stored edges of
-    * the group merged with the fresh candidates and re-ranked — the
-    * same topM(P∪Q) identity as insertKnn, scoped to touched groups).
-    * Latest-batch-wins resolution over key (lvl, src) then yields
-    * exactly insertKnn's relation: untouched groups keep their stored
-    * rows, touched groups take the delta — so
+    * (lvl, src) groups whose top-M ACTUALLY CHANGES are returned, each
+    * as its FULL replacement top-M (old stored edges of the group
+    * merged with the fresh candidates and re-ranked — the same
+    * topM(P∪Q) identity as insertKnn, scoped to touched groups — then
+    * diffed against the stored rows by [[changedGroups]]: a group that
+    * merely GAINED a candidate but kept its exact top-M stays out of
+    * the delta, which is what keeps moderate batches from saturating
+    * the "delta" into a full index rewrite — most gained candidates
+    * lose to every stored edge). Latest-batch-wins resolution over key
+    * (lvl, src) then yields exactly insertKnn's relation: unchanged
+    * groups keep their stored rows, changed groups take the delta — so
     * `load(save(knn(A)) + append(insertKnnDelta(..B..)))` ≡
     * `buildKnn(A ∪ B)` at DELTA-sized write cost (the storage half of
     * incremental insert; PersistenceSpec pins the identity). */
@@ -289,11 +293,257 @@ object Hnsw {
     val fresh = freshTopM(oldKnn, oldVecs, newVecs, idCol, vecCol,
       seed, maxLevel, m, bands, bucketFn)
     val touched = fresh.select("lvl", "src").distinct()
-    topMEdges(
-      oldKnn.select("lvl", "src", "dst", "c")
-        .join(touched, Seq("lvl", "src"), "left_semi")
-        .unionByName(fresh),
+    val stored = oldKnn.select("lvl", "src", "dst", "c")
+      .join(touched, Seq("lvl", "src"), "left_semi")
+    changedGroups(topMEdges(stored.unionByName(fresh), m), stored)
+  }
+
+  /** Only the (lvl, src) groups whose replacement rows differ from the
+    * stored rows, each in full. Sound for insert-side deltas because a
+    * replacement is the top-M of a candidate SUPERSET of the stored
+    * group — equality of the row sets means latest-batch-wins
+    * resolution is a no-op for that group, and a genuine change always
+    * surfaces as a replacement row absent from the stored set (the
+    * superset top-M can never only LOSE rows). Cosine equality is
+    * exact: both sides are the same round-6 pure function of the same
+    * stored vectors (or parquet-round-tripped doubles of it). */
+  private def changedGroups(replacement: DataFrame,
+      stored: DataFrame): DataFrame = {
+    val changed = replacement
+      .join(stored, Seq("lvl", "src", "dst", "c"), "left_anti")
+      .select("lvl", "src").distinct()
+    replacement.join(changed, Seq("lvl", "src"), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // Stored-membership maintenance: probes ∝ batch, never ∝ corpus
+  // ------------------------------------------------------------------
+
+  /** Literal-inlining bound for driver-collected prune keys (cells,
+    * touched srcs, delete ids): below it the probe pushes an
+    * `IN (...)` predicate into the parquet scan (batch-sized literal
+    * lists — the micro-batch regime); above it the same relation
+    * joins distributively instead (correct, one more exchange). */
+  private val MaxInlineKeys = 100000
+
+  private def inlineKeys(df: DataFrame, c: String): Option[Seq[Long]] = {
+    val ks = df.select(col(c).cast("long")).distinct()
+      .limit(MaxInlineKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
+    if (ks.length > MaxInlineKeys) None else Some(ks)
+  }
+
+  /** Prune `df` to rows whose `c` ∈ `keys`-column of `keys` — as
+    * inlined IN literals when the key set is micro-batch-sized (the
+    * predicate reaches the parquet scan as PushedFilters; on keyed
+    * parts a KEY-column predicate also commutes below the
+    * latest-batch-wins window), else as a semi-join. */
+  private def pruneBy(df: DataFrame, c: String, keys: DataFrame,
+      keyCol: String): DataFrame =
+    inlineKeys(keys, keyCol) match {
+      case Some(ks) if ks.isEmpty => df.limit(0)
+      case Some(ks)               => df.filter(col(c).isin(ks: _*))
+      case None => df.join(
+        keys.select(col(keyCol).cast("long").as(c)).distinct(),
+        Seq(c), "left_semi")
+    }
+
+  /** The PERSISTED form of the banded membership relation — the index
+    * part that makes maintenance compute delta-sized: `(lvl, band,
+    * bkt, cell, vid, v, mb)` where `cell = xxhash64(lvl, band, bkt)`
+    * (ONE comparable pruning key; hash collisions only widen the
+    * pruned superset — the exact (lvl, band, bkt) equi-join follows)
+    * and `mb` is the members part's batch number at write time, the
+    * version the deletion ledger thresholds against. Membership is a
+    * pure function of (id, vec, seed), so it is written ONCE per
+    * vector at save/insert time and probed forever after — the
+    * alternative (re-hashing the stored corpus per micro-batch) makes
+    * maintenance wall ∝ corpus instead of ∝ batch (measured 3.6 s →
+    * 21.6 s per fixed 16-row batch across one corpus decade before
+    * this part existed — bench/ANN_STREAM_AUDIT_*_r12). */
+  def memberRows(vecs: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxLevel: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column, mb: Int): DataFrame =
+    bandedMembers(vecs, idCol, vecCol, seed, maxLevel, bands, bucketFn)
+      .withColumn("cell", xxhash64(col("lvl"), col("band"), col("bkt")))
+      .withColumn("mb", lit(mb))
+      .select("lvl", "band", "bkt", "cell", "vid", "v", "mb")
+
+  /** Live rows of a stored membership part under the deletion ledger
+    * `memdead (vid, th)`: a member row is dead iff its `mb` precedes
+    * some ledger threshold for its vid (`mb < max th`). Deleting marks
+    * (one ledger append, never a member rewrite); re-inserting the
+    * same id later writes fresh rows with `mb` ≥ every prior
+    * threshold, so updates need no ledger cleanup. The ledger is
+    * deletions-since-compact — broadcast-sized (the
+    * [[TextIndex]] live-docs discipline, applied to membership). */
+  def liveMembers(members: DataFrame, memdead: DataFrame): DataFrame = {
+    val th = memdead.groupBy(col("vid")).agg(max(col("th")).as("__th"))
+    members.join(broadcast(th), Seq("vid"), "left")
+      .filter(col("__th").isNull || col("mb") >= col("__th"))
+      .drop("__th")
+  }
+
+  /** Seed a maintenance-ready persisted index: the kNN (keyed), the
+    * corpus vectors (keyed — CDC tombstones need it), the banded
+    * membership part and an empty deletion ledger. This is the save
+    * [[graft.streaming.StreamOps.annIndexMaintenanceStream]] grows
+    * from with batch-sized per-micro-batch COMPUTE (a store seeded
+    * without the membership parts still works — the stream falls back
+    * to corpus-rescan probes). */
+  def saveIndex(path: String, vecs: DataFrame, idCol: String,
+      vecCol: String, seed: Long, maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column,
+      params: Map[String, String] = Map.empty): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col(idCol), col(vecCol))
+    AnnIndex.save(path,
+      Map(
+        "knn" -> sortedByKey(buildKnn(base, idCol, vecCol, seed,
+          maxLevel, m, bands, bucketFn), "src"),
+        "vectors" -> base,
+        "members" -> sortedByKey(memberRows(base, idCol, vecCol, seed,
+          maxLevel, bands, bucketFn, mb = 0), "cell"),
+        "memdead" -> Seq.empty[(Long, Int)].toDF("vid", "th")),
+      params ++ Map("kind" -> "hnsw", "seed" -> seed.toString,
+        "max_level" -> maxLevel.toString, "m" -> m.toString,
+        "bands" -> bands.toString),
+      keys = Map("knn" -> Seq("lvl", "src"),
+        "vectors" -> Seq(idCol)))
+  }
+
+  /** Members-aware physical fold for [[AnnIndex.compactToNextGen]]:
+    * keyed parts resolve as usual, dead member rows drop, `mb` resets
+    * to 0 and the ledger empties — REQUIRED instead of the generic
+    * [[AnnIndex.compact]] whenever a members part exists, because a
+    * generic fold would preserve old `mb` stamps while the batch
+    * counter restarts, letting a post-fold delete threshold undercut
+    * pre-fold rows (they would survive their own deletion). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    val (parts, params) = AnnIndex.load(spark, src)
+    require(parts.contains("members") && parts.contains("memdead"),
+      s"Hnsw.compactIndex: $src has no membership parts — use " +
+        "AnnIndex.compact")
+    val members = liveMembers(parts("members"), parts("memdead"))
+      .withColumn("mb", lit(0))
+    AnnIndex.save(dst,
+      parts ++ Map("knn" -> sortedByKey(parts("knn"), "src"),
+        "members" -> sortedByKey(members, "cell"),
+        "memdead" -> parts("memdead").limit(0)),
+      params, keys = AnnIndex.partKeys(spark, src))
+  }
+
+  /** Range-cluster a part on its prune key before the parquet write:
+    * each row group then covers a narrow key span, so a maintenance
+    * probe's `IN (...)` predicate skips every row group whose
+    * [min, max] misses all of its batch-sized key list — the probe
+    * reads ∝ batch × row-group size instead of the part. Set
+    * `spark.sql.parquet.pushdown.inFilterThreshold` to ~1000 (its
+    * measured safe ceiling — parquet evaluates the pushed or-chain
+    * recursively and ~4000 values overflow the executor stack; the
+    * default 10 barely ever prunes): lists under it row-group-prune,
+    * larger lists remain row-level InSet filters that still commute
+    * below the keyed-resolve window — a narrow un-shuffled scan, the
+    * graceful middle before [[MaxInlineKeys]] falls back to a
+    * semi-join. */
+  private def sortedByKey(df: DataFrame, key: String): DataFrame =
+    df.repartitionByRange(col(key)).sortWithinPartitions(key)
+
+  /** [[insertKnnDelta]] answered from the PERSISTED membership part:
+    * per-batch compute is one cell-pruned scan of stored membership
+    * (the batch's own banded cells, inlined as an `IN` predicate the
+    * parquet scan prunes row groups by) joined against the batch —
+    * O(|B| · bucketPop · bands · levels) candidate cosines and
+    * blast-radius-sized scans, NEVER a corpus re-hash. Exact: members
+    * outside the batch's cells cannot pair with it, so the pruned
+    * relation feeds [[insertKnn]]'s own fresh-pair algebra unchanged.
+    * Returns (knn delta, member delta) — the two parts the caller
+    * appends together, `mb`-stamped with the members part's current
+    * batch count. Caller guarantees `newVecs` ids are not live in the
+    * index (the stream's pruned overlap anti-join). */
+  /** The cell-pruned live-membership probe [[insertKnnDeltaIndexed]]
+    * scans — public so the plan-shape ratchet can pin that the cell
+    * predicate reaches the members part's parquet scan as
+    * PushedFilters (the same discipline [[TextIndex.search]] pins for
+    * query terms). */
+  def memberProbe(members: DataFrame, memdead: DataFrame,
+      batchMembers: DataFrame): DataFrame =
+    pruneBy(liveMembers(members, memdead), "cell", batchMembers, "cell")
+
+  def insertKnnDeltaIndexed(oldKnn: DataFrame, members: DataFrame,
+      memdead: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, seed: Long, maxLevel: Int, m: Int, bands: Int,
+      bucketFn: (Int, Int, Column) => Column, mb: Int)
+      : (DataFrame, DataFrame) = {
+    val memB = memberRows(newVecs, idCol, vecCol, seed, maxLevel,
+      bands, bucketFn, mb).localCheckpoint(true)
+    val slim = Seq("lvl", "band", "bkt", "vid", "v")
+    val memBSlim = memB.select(slim.map(col): _*)
+    val memA = memberProbe(members, memdead, memB)
+      .select(slim.map(col): _*)
+    val fresh = topMPerSrc(
+      pairsOf(memA.unionByName(memBSlim), memBSlim)
+        .unionByName(pairsOf(memBSlim, memA)),
+      m).localCheckpoint(true)
+    val touched = fresh.select("lvl", "src").distinct()
+    val stored = pruneBy(oldKnn, "src", touched, "src")
+      .select("lvl", "src", "dst", "c")
+      .join(touched, Seq("lvl", "src"), "left_semi")
+      .localCheckpoint(true)
+    val delta =
+      changedGroups(topMEdges(stored.unionByName(fresh), m), stored)
+    (delta, memB)
+  }
+
+  /** [[deleteKnnDelta]] answered from the PERSISTED membership part —
+    * note it needs NO vectors, seed or bucket family: the deleted ids'
+    * stored member rows already carry their cells, affected groups are
+    * found by pruning the stored kNN to vids sharing those cells (a
+    * KEY-column predicate that commutes below the keyed-resolve
+    * window; sound because every stored edge was born in a shared
+    * cell of the CURRENT live membership), and the recompute joins
+    * cell-pruned live members only. Returns (knn delta with
+    * tombstones, ledger delta (vid, th)) where `th` must be the
+    * members part's CURRENT batch count — rows a same-batch re-insert
+    * appends get `mb = th` and stay alive, the CDC update order. */
+  def deleteKnnDeltaIndexed(oldKnn: DataFrame, members: DataFrame,
+      memdead: DataFrame, deleteIds: DataFrame, idCol: String,
+      m: Int, th: Int): (DataFrame, DataFrame) = {
+    val del = deleteIds.select(col(idCol).cast("long").as("vid"))
+      .distinct().localCheckpoint(true)
+    val newDead = del.select(col("vid"),
+      lit(th).cast("int").as("th"))
+    val live = liveMembers(members, memdead)
+    val delMem = pruneBy(live, "vid", del, "vid")
+      .localCheckpoint(true)
+    val liveAfter = live.join(del, Seq("vid"), "left_anti")
+    // candidate affected srcs: live vids sharing a cell with D
+    val candSrcs = pruneBy(liveAfter, "cell", delMem, "cell")
+      .select("vid").distinct().localCheckpoint(true)
+    // groups that actually lost a stored edge (src filter commutes
+    // below the keyed window; the dst test runs on the pruned rows)
+    val affected = pruneBy(oldKnn, "src", candSrcs, "vid")
+      .join(del.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      .select("lvl", "src").distinct().localCheckpoint(true)
+    val gone = pruneBy(oldKnn, "src", del, "vid")
+      .select("lvl", "src").distinct()
+    val memAff = pruneBy(liveAfter, "vid", affected, "src")
+      .join(affected.select(col("lvl"), col("src").as("vid")),
+        Seq("lvl", "vid"))
+      .localCheckpoint(true)
+    val slim = Seq("lvl", "band", "bkt", "vid", "v")
+    val memAll = pruneBy(liveAfter, "cell", memAff, "cell")
+    val recomputed = topMPerSrc(
+      pairsOf(memAff.select(slim.map(col): _*),
+        memAll.select(slim.map(col): _*)),
       m)
+    val delta = affected.unionByName(gone)
+      .select(col("lvl"), col("src"),
+        lit(null).cast("long").as("dst"),
+        lit(null).cast("double").as("c"))
+      .unionByName(recomputed)
+    (delta, newDead)
   }
 
   /** INCREMENTAL deletion from the layered kNN — the

@@ -143,17 +143,23 @@ object StreamOps {
     * path at any time for a fully-consistent index (torn appends are
     * invisible until the manifest bump).
     *
-    * Caller seeds `indexPath` first —
-    * `AnnIndex.save(path, Map("knn" -> buildKnn(A), "vectors" -> A),
-    * params, keys = Map("knn" -> Seq("lvl", "src")))` — the
-    * [[incrementalDedupStream]] seeding discipline. Re-arrivals of
-    * stored ids are dropped (insert idempotence); deletes ride the
-    * same storage path via [[graft.ops.Hnsw.deleteKnnDelta]] from an
-    * orchestrator.
+    * Caller seeds `indexPath` with [[graft.ops.Hnsw.saveIndex]] —
+    * which persists the BANDED MEMBERSHIP part + deletion ledger
+    * alongside knn/vectors, making per-batch COMPUTE batch-sized:
+    * probes read the stored membership through cell-pruned parquet
+    * scans ([[graft.ops.Hnsw.insertKnnDeltaIndexed]] /
+    * [[graft.ops.Hnsw.deleteKnnDeltaIndexed]]) instead of re-hashing
+    * the stored corpus every micro-batch. A legacy store (knn +
+    * vectors only, the pre-membership seeding) still works — the loop
+    * falls back to the corpus-rescan probes. Re-arrivals of stored
+    * ids are dropped (insert idempotence) via an id-pruned anti-join
+    * (the batch's own ids pushed into the stored scan — never a
+    * corpus re-scan).
     *
     * State is parquet DATA, never executor memory: per batch, compute
-    * is one banded bucket join of the arrivals against the corpus +
-    * a merge bounded by the touched groups' stored edges; write is
+    * is one cell-pruned membership probe joined against the batch +
+    * a merge bounded by the touched groups' stored edges (and only
+    * groups whose top-M ACTUALLY CHANGES are written); write is
     * delta-sized (measured curve: bench/ANN_STREAM_AUDIT_*). The
     * streamed final index is contractually the from-scratch build
     * over everything that arrived, however the stream sliced into
@@ -197,20 +203,36 @@ object StreamOps {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
         var (parts, _) = graft.ops.AnnIndex.load(sp, indexPath)
+        // a store seeded by Hnsw.saveIndex carries the persisted
+        // banded-membership part + deletion ledger: maintenance
+        // COMPUTE is then batch-sized (cell-pruned probes) instead of
+        // a per-batch corpus re-hash; legacy stores fall back
+        val indexed = parts.contains("members")
         if (opCol.nonEmpty) {
           val dels = batch.toDF()
             .filter(col(opCol) === "delete")
             .select(idCol).distinct().localCheckpoint(true)
           if (!dels.isEmpty) {
-            val delta = graft.ops.Hnsw.deleteKnnDelta(parts("knn"),
-                parts("vectors"), dels, idCol, vecCol, seed, maxLevel,
-                m, bands, bucketFn)
-              .localCheckpoint(true)
             val vecType = parts("vectors").schema(vecCol).dataType
             val vecTombs = dels.select(col(idCol),
               lit(null).cast(vecType).as(vecCol))
-            graft.ops.AnnIndex.append(indexPath,
-              Map("knn" -> delta, "vectors" -> vecTombs))
+            if (indexed) {
+              val th = graft.ops.AnnIndex.partBatches(sp, indexPath,
+                "members")
+              val (delta, dead) = graft.ops.Hnsw.deleteKnnDeltaIndexed(
+                parts("knn"), parts("members"), parts("memdead"),
+                dels, idCol, m, th)
+              graft.ops.AnnIndex.append(indexPath,
+                Map("knn" -> delta.localCheckpoint(true),
+                  "vectors" -> vecTombs, "memdead" -> dead))
+            } else {
+              val delta = graft.ops.Hnsw.deleteKnnDelta(parts("knn"),
+                  parts("vectors"), dels, idCol, vecCol, seed, maxLevel,
+                  m, bands, bucketFn)
+                .localCheckpoint(true)
+              graft.ops.AnnIndex.append(indexPath,
+                Map("knn" -> delta, "vectors" -> vecTombs))
+            }
             // re-read so the insert half sees the post-delete state
             // (a deleted-then-reinserted id must not be dropped as an
             // overlap, and its old edges must not survive the merge)
@@ -225,26 +247,52 @@ object StreamOps {
           if (opCol.isEmpty) batch.toDF()
           else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
         // one overlap anti-join shared by the kNN delta and the
-        // vectors append (insertKnnDelta would re-drop internally,
-        // but the vectors part must not store duplicate ids either);
-        // dropDuplicates also collapses duplicate ids WITHIN a batch
-        // (the anti-join only guards against stored ids — an at-least-
-        // once source can replay a row inside one micro-batch too);
-        // localCheckpoint pins the batch + loaded state so the two
-        // appended parts are computed from the same snapshot
-        val fresh = arrivals
+        // vectors append (the vectors part must not store duplicate
+        // ids); dropDuplicates also collapses duplicate ids WITHIN a
+        // batch (an at-least-once source can replay a row inside one
+        // micro-batch too). The stored side of the anti-join is
+        // PRUNED to the batch's own ids (micro-batch-sized driver
+        // list, an id-column predicate that commutes below the keyed
+        // window and into the parquet scan) — the stored corpus is
+        // never re-scanned per batch; localCheckpoint pins the batch
+        // + loaded state so the appended parts share one snapshot
+        val deduped = arrivals
           .select(col(idCol), col(vecCol))
           .dropDuplicates(idCol)
-          .join(oldVecs.select(idCol), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        val arrIds = deduped.select(col(idCol))
+          .limit(100001).collect().map(_.get(0)).toIndexedSeq
+        val storedIds =
+          if (arrIds.length > 100000) oldVecs.select(idCol)
+          else oldVecs.select(idCol)
+            .filter(col(idCol).isin(arrIds: _*))
+        val fresh = deduped
+          .join(storedIds, Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (!fresh.isEmpty) {
-          val delta = graft.ops.Hnsw.insertKnnDelta(oldKnn, oldVecs,
-              fresh, idCol, vecCol, seed, maxLevel, m, bands, bucketFn)
-            .localCheckpoint(true)
-          graft.ops.AnnIndex.append(indexPath,
-            Map("knn" -> delta, "vectors" -> fresh))
+          if (indexed) {
+            val mb = graft.ops.AnnIndex.partBatches(sp, indexPath,
+              "members")
+            val (delta, memDelta) = graft.ops.Hnsw.insertKnnDeltaIndexed(
+              oldKnn, parts("members"), parts("memdead"), fresh,
+              idCol, vecCol, seed, maxLevel, m, bands, bucketFn, mb)
+            graft.ops.AnnIndex.append(indexPath,
+              Map("knn" -> delta.localCheckpoint(true),
+                "vectors" -> fresh, "members" -> memDelta))
+          } else {
+            val delta = graft.ops.Hnsw.insertKnnDelta(oldKnn, oldVecs,
+                fresh, idCol, vecCol, seed, maxLevel, m, bands, bucketFn)
+              .localCheckpoint(true)
+            graft.ops.AnnIndex.append(indexPath,
+              Map("knn" -> delta, "vectors" -> fresh))
+          }
         }
-        maybeCompactInPlace(sp, indexPath, compactEvery)
+        // a members-bearing store needs the ledger-aware fold: a
+        // generic fold would keep old mb stamps while the batch
+        // counter restarts, letting later deletes undercut them
+        maybeCompactInPlace(sp, indexPath, compactEvery,
+          if (indexed) graft.ops.Hnsw.compactIndex
+          else graft.ops.AnnIndex.compact)
         ()
     }
 

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
 
 /** CDC cost-curve audit for the persisted ANN index — the
   * delete/update half of what [[AnnStreamAudit]] measures for inserts.
-  * Seeds a CDC-ready index (BOTH parts keyed, the
-  * [[graft.streaming.StreamOps.annIndexMaintenanceStream]] `opCol`
-  * configuration) with 90% of the corpus under PRODUCTION auto-scaled
-  * params, then drives a geometric sweep of mixed CDC batches — each
-  * batch half deletes, a quarter updates (delete + re-arrival of the
-  * same id with a changed vector, the standard CDC order), a quarter
-  * fresh inserts — through exactly the chain the stream's foreachBatch
-  * runs: deleteKnnDelta → append(knn delta + vector tombstones) →
-  * reload → anti-join → insertKnnDelta → append. Per batch it records
+  * Seeds a membership-bearing CDC-ready index ([[Hnsw.saveIndex]])
+  * with 90% of the corpus under PRODUCTION auto-scaled params, then
+  * drives a geometric sweep of mixed CDC batches — each batch half
+  * deletes, a quarter updates (delete + re-arrival of the same id
+  * with a changed vector, the standard CDC order), a quarter fresh
+  * inserts — through exactly the chain the stream's foreachBatch
+  * runs: [[Hnsw.deleteKnnDeltaIndexed]] (cell-pruned probes of the
+  * PERSISTED membership + the mb/th deletion ledger — no corpus
+  * re-hash) → append(knn delta + vector tombstones + ledger) →
+  * reload → id-pruned anti-join → [[Hnsw.insertKnnDeltaIndexed]] →
+  * append(knn delta + vectors + member rows). Per batch it records
   * the delete-side and insert-side delta row counts and fractions of
   * the index (the storage claim: a CDC batch's write is proportional
   * to its blast radius — the groups that lost an edge plus the banded
@@ -37,6 +39,13 @@ object AnnCdcAudit {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep batch-sized IN lists pushed as real per-row-group
+      // filters (the default threshold 10 degrades them to one global
+      // min/max range, which never prunes hash-valued keys). 1000 is
+      // the measured safe bound: parquet evaluates the or-chain
+      // recursively and ~4000 values overflow the executor stack;
+      // larger lists stay row-level InSet filters below the window
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,14 +67,8 @@ object AnnCdcAudit {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ann-cdc-audit").toString + "/idx"
     val seedSec = timeSec {
-      AnnIndex.save(idx,
-        Map("knn" -> Hnsw.buildKnn(seedVecs, "vec_id", "embedding",
-            9L, ml, 10, 4, bf),
-          "vectors" -> seedVecs),
-        Map("seed" -> "9", "planes" -> planes.toString,
-          "max_level" -> ml.toString, "kind" -> "hnsw"),
-        keys = Map("knn" -> Seq("lvl", "src"),
-          "vectors" -> Seq("vec_id")))
+      Hnsw.saveIndex(idx, seedVecs, "vec_id", "embedding", 9L, ml, 10,
+        4, bf, Map("planes" -> planes.toString))
     }
     // held-out insert pool, ranked for deterministic slicing
     val pool = emb.filter(col("vec_id") % 10 === 0)
@@ -103,43 +106,57 @@ object AnnCdcAudit {
       // delete wave too — delete + re-arrival in one batch)
       val dels = delIds.unionByName(updVecs.select("vec_id"))
         .distinct().localCheckpoint(true)
-      var preRows = 0L
       var delDeltaRows = 0L
       var delDelta: DataFrame = null
+      var dead: DataFrame = null
+      // audit instrumentation, outside the timed section
+      val preRows = AnnIndex.load(spark, idx)._1("knn").count()
       val delSec = timeSec {
         val (p, _) = AnnIndex.load(spark, idx)
-        delDelta = Hnsw.deleteKnnDelta(p("knn"), p("vectors"), dels,
-            "vec_id", "embedding", 9L, ml, 10, 4, bf)
-          .localCheckpoint(true)
+        val out = Hnsw.deleteKnnDeltaIndexed(p("knn"), p("members"),
+          p("memdead"), dels, "vec_id", 10,
+          AnnIndex.partBatches(spark, idx, "members"))
+        delDelta = out._1.localCheckpoint(true)
+        dead = out._2
         delDeltaRows = delDelta.count()
-        preRows = p("knn").count()
       }
       val delAppendSec = timeSec {
         AnnIndex.append(idx, Map("knn" -> delDelta,
           "vectors" -> dels.select(col("vec_id"),
             lit(null).cast(seedVecs.schema("embedding").dataType)
-              .as("embedding"))))
+              .as("embedding")),
+          "memdead" -> dead))
       }
       // re-read so the insert half sees the post-delete state, then
       // the stream's exact arrival handling
       var insDeltaRows = 0L
       var insDelta: DataFrame = null
+      var memDelta: DataFrame = null
       var fresh: DataFrame = null
       val insSec = timeSec {
         val (p, _) = AnnIndex.load(spark, idx)
-        fresh = updVecs.unionByName(insVecs)
-          .dropDuplicates("vec_id")
-          .join(p("vectors").select("vec_id"), Seq("vec_id"),
-            "left_anti")
+        // the stream's id-pruned overlap anti-join: the batch's own
+        // ids push into the stored vectors scan
+        val deduped = updVecs.unionByName(insVecs)
+          .dropDuplicates("vec_id").localCheckpoint(true)
+        val ids = deduped.select("vec_id").collect()
+          .map(_.get(0)).toIndexedSeq
+        fresh = deduped
+          .join(p("vectors").select("vec_id")
+              .filter(col("vec_id").isin(ids: _*)),
+            Seq("vec_id"), "left_anti")
           .localCheckpoint(true)
-        insDelta = Hnsw.insertKnnDelta(p("knn"), p("vectors"), fresh,
-            "vec_id", "embedding", 9L, ml, 10, 4, bf)
-          .localCheckpoint(true)
+        val out = Hnsw.insertKnnDeltaIndexed(p("knn"), p("members"),
+          p("memdead"), fresh, "vec_id", "embedding", 9L, ml, 10, 4,
+          bf, AnnIndex.partBatches(spark, idx, "members"))
+        insDelta = out._1.localCheckpoint(true)
+        memDelta = out._2
         insDeltaRows = insDelta.count()
       }
       val insAppendSec = timeSec {
         AnnIndex.append(idx,
-          Map("knn" -> insDelta, "vectors" -> fresh))
+          Map("knn" -> insDelta, "vectors" -> fresh,
+            "members" -> memDelta))
       }
       state = state
         .join(dels, Seq("vec_id"), "left_anti")

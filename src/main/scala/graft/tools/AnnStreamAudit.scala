@@ -4,42 +4,70 @@ import graft.ops.{AnnIndex, Hnsw, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Delta-sized-maintenance audit for the persisted ANN index: seed an
-  * index with 90% of the corpus (PRODUCTION auto-scaled params —
-  * [[Similarity.autoNPlanes]] sizes planes/levels), then drive a
-  * GEOMETRIC SWEEP of insert batch sizes through exactly the chain
+/** Delta-sized-maintenance audit for the persisted ANN index: seed a
+  * membership-bearing index ([[Hnsw.saveIndex]], PRODUCTION
+  * auto-scaled params) with 90% of the corpus, then drive a GEOMETRIC
+  * SWEEP of insert batch sizes through exactly the chain
   * [[graft.streaming.StreamOps.annIndexMaintenanceStream]]'s
-  * foreachBatch runs (load → [[Hnsw.insertKnnDelta]] →
-  * [[AnnIndex.append]]), measuring per batch:
+  * foreachBatch runs (load → [[Hnsw.insertKnnDeltaIndexed]] —
+  * cell-pruned probes of the PERSISTED membership, never a corpus
+  * re-hash → [[AnnIndex.append]]), measuring per batch:
   *
-  *  - `delta_rows` / `delta_frac`: the storage claim, QUANTIFIED — a
-  *    batch touches ≈ its banded bucket footprint, so the delta (and
-  *    the append write) is PROPORTIONAL TO THE BATCH, saturating at
-  *    the full index only when batch·bands ≳ bucket count. With
-  *    auto-scaled planes the bucket count is n/bucketTarget, so the
-  *    production regime (daily batch ≪ corpus/bucketTarget/bands —
-  *    e.g. 1M arrivals against a 25B-vector index) sits far down the
-  *    proportional part of the curve; the sweep makes the whole curve
-  *    visible instead of asserting one point.
+  *  - `delta_rows` / `delta_frac`: the storage claim, QUANTIFIED — and
+  *    since r13's changed-group diff, a delta row means the group's
+  *    top-M actually changed, so moderate batches no longer saturate
+  *    the delta into a full index rewrite.
   *  - `insert_wall_sec` / `append_wall_sec`: compute/storage walls at
   *    batch granularity (vs `seed_build_save_sec`, the rebuild cost
-  *    an overwrite-save would re-pay every day).
+  *    an overwrite-save would re-pay every day). The scale claim is
+  *    walls ~FLAT across corpus decades at fixed batch size (they
+  *    were ∝ corpus before the stored-membership probes:
+  *    3.6 s → 21.6 s per 16-row batch across one decade,
+  *    bench/ANN_STREAM_AUDIT_*_r12).
   *  - a final count check: the loaded index's row count equals the
   *    from-scratch build over seed + all inserted arrivals
   *    (row-level equality is spec-pinned in PersistenceSpec /
-  *    StreamingSpec — the audit adds the at-scale cost numbers the
-  *    specs can't).
+  *    StreamingSpec — the audit adds the at-scale cost numbers).
   *
-  * Usage: runMain graft.tools.AnnStreamAudit [sfDir] [outPath]
+  * A third corpus decade comes from the SYNTHETIC-GROWTH path:
+  * `grow` > 1 unions `grow` copies of the corpus, each with offset ids
+  * and the embedding ROTATED by the copy number (codegen'd
+  * slice/concat — deterministic, distinct directions, fresh buckets).
+  *
+  * Usage: runMain graft.tools.AnnStreamAudit [sfDir] [outPath] [grow]
+  *        [norebuild]
   */
 object AnnStreamAudit {
+  def grownEmbeddings(spark: SparkSession, sfDir: String,
+      grow: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    if (grow <= 1) emb
+    else (0 until grow).map { c =>
+      emb.select(
+        (col("vec_id") + lit(c.toLong * 1000000000L)).as("vec_id"),
+        (if (c == 0) col("embedding")
+         else concat(slice(col("embedding"), c + 1, 64 - c),
+           slice(col("embedding"), 1, c))).as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val outPath = args.lift(1).getOrElse("ANN_STREAM_AUDIT.json")
+    val grow = args.lift(2).map(_.toInt).getOrElse(1)
+    val rebuildCheck = !args.lift(3).contains("norebuild")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep batch-sized IN lists pushed as real per-row-group
+      // filters (the default threshold 10 degrades them to one global
+      // min/max range, which never prunes hash-valued keys). 1000 is
+      // the measured safe bound: parquet evaluates the or-chain
+      // recursively and ~4000 values overflow the executor stack;
+      // larger lists stay row-level InSet filters below the window
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,8 +78,7 @@ object AnnStreamAudit {
     }
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding").localCheckpoint(true)
+    val emb = grownEmbeddings(spark, sfDir, grow).localCheckpoint(true)
     val seedVecs = emb.filter(col("vec_id") % 10 =!= 0)
     val n = seedVecs.count()
     val planes = math.max(4, Similarity.autoNPlanes(n, 256L))
@@ -60,13 +87,8 @@ object AnnStreamAudit {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ann-stream-audit").toString + "/idx"
     val seedSec = timeSec {
-      AnnIndex.save(idx,
-        Map("knn" -> Hnsw.buildKnn(seedVecs, "vec_id", "embedding",
-            9L, ml, 10, 4, bf),
-          "vectors" -> seedVecs),
-        Map("seed" -> "9", "planes" -> planes.toString,
-          "max_level" -> ml.toString, "kind" -> "hnsw"),
-        keys = Map("knn" -> Seq("lvl", "src")))
+      Hnsw.saveIndex(idx, seedVecs, "vec_id", "embedding", 9L, ml, 10,
+        4, bf, Map("planes" -> planes.toString))
     }
     // arrival pool ranked by vec_id; batches are consecutive slices of
     // geometrically growing size so the delta∝batch curve is visible
@@ -86,19 +108,25 @@ object AnnStreamAudit {
       used += take
       val nb = take
       var deltaRows = 0L
-      var indexRows = 0L
       var delta: DataFrame = null
+      var memDelta: DataFrame = null
+      // audit instrumentation, not the production path: count the
+      // index OUTSIDE the timed section
+      val indexRows = AnnIndex.load(spark, idx)._1("knn").count()
       val insertSec = timeSec {
         val (parts, _) = AnnIndex.load(spark, idx)
-        delta = Hnsw.insertKnnDelta(parts("knn"), parts("vectors"),
-            arrivals, "vec_id", "embedding", 9L, ml, 10, 4, bf)
-          .localCheckpoint(true)
+        val out = Hnsw.insertKnnDeltaIndexed(parts("knn"),
+          parts("members"), parts("memdead"), arrivals, "vec_id",
+          "embedding", 9L, ml, 10, 4, bf,
+          AnnIndex.partBatches(spark, idx, "members"))
+        delta = out._1.localCheckpoint(true)
+        memDelta = out._2
         deltaRows = delta.count()
-        indexRows = parts("knn").count()
       }
       val appendSec = timeSec {
         AnnIndex.append(idx,
-          Map("knn" -> delta, "vectors" -> arrivals))
+          Map("knn" -> delta, "vectors" -> arrivals,
+            "members" -> memDelta))
       }
       s"""{"batch":$bnum,"arrivals":$nb,"delta_rows":$deltaRows,""" +
         s""""index_rows_before":$indexRows,""" +
@@ -107,16 +135,19 @@ object AnnStreamAudit {
         s""""append_wall_sec":${r3(appendSec)}}"""
     }
     val finalRows = AnnIndex.load(spark, idx)._1("knn").count()
-    val insertedAll = seedVecs.unionByName(
-      pool.filter(col("__rk") <= used).drop("__rk"))
-    val fullRows = Hnsw.buildKnn(insertedAll, "vec_id", "embedding",
-      9L, ml, 10, 4, bf).count()
-    val json = s"""{"sf":"$sfDir","n_seed":$n,"planes":$planes,""" +
-      s""""max_level":$ml,"seed_build_save_sec":${r3(seedSec)},""" +
+    val checkJson = if (rebuildCheck) {
+      val insertedAll = seedVecs.unionByName(
+        pool.filter(col("__rk") <= used).drop("__rk"))
+      val fullRows = Hnsw.buildKnn(insertedAll, "vec_id", "embedding",
+        9L, ml, 10, 4, bf).count()
+      s""","full_rebuild_rows":$fullRows,""" +
+        s""""rows_match":${finalRows == fullRows}"""
+    } else ""
+    val json = s"""{"sf":"$sfDir","grow":$grow,"n_seed":$n,""" +
+      s""""planes":$planes,"max_level":$ml,"probe":"indexed",""" +
+      s""""seed_build_save_sec":${r3(seedSec)},""" +
       s""""batches":[${batches.mkString(",")}],""" +
-      s""""final_loaded_rows":$finalRows,""" +
-      s""""full_rebuild_rows":$fullRows,""" +
-      s""""rows_match":${finalRows == fullRows}}"""
+      s""""final_loaded_rows":$finalRows$checkJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>

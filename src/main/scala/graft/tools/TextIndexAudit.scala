@@ -34,6 +34,10 @@ object TextIndexAudit {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // append's stored-id overlap probe pushes the batch's ids into
+      // the docs scan; ≤1000 ids row-group-prune (the measured safe
+      // parquet or-chain bound), larger batches stay row-level InSet
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

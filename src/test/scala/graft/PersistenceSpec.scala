@@ -186,6 +186,106 @@ class PersistenceSpec extends SparkSpec {
     assert(knnSet(pc("knn")) == wantKept)
   }
 
+  test("Hnsw indexed maintenance lifecycle: insert/delete/update deltas " +
+    "computed from the PERSISTED membership part (cell-pruned probes, " +
+    "no corpus re-hash) keep the loaded index ≡ the from-scratch " +
+    "build; the ledger-aware fold resets mb so post-fold deletes " +
+    "still land") {
+    import graft.ops.{AnnIndex, Hnsw}
+    import org.apache.spark.sql.functions.{col, reverse}
+    def mkVecs(ids: Seq[Int]) = ids.map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == c) 1.0f else 0.0f) +
+          (math.sin(i * 7.31 + j) * 0.05).toFloat).toSeq)
+    }.toDF("id", "v")
+    val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+    def knnSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("lvl", "src", "dst", "c").collect().map(_.toSeq).toSet
+    def rebuild(state: org.apache.spark.sql.DataFrame) =
+      knnSet(Hnsw.buildKnn(state, "id", "v", 9, 2, 6, 2, bf))
+    val vecsA = mkVecs(0 until 240)
+    val vecsB = mkVecs(240 until 280 by 2)
+    val dir = Files.createTempDirectory("graft-hnsw-indexed")
+      .toString + "/idx"
+    Hnsw.saveIndex(dir, vecsA, "id", "v", 9, 2, 6, 2, bf)
+
+    // INSERT from stored membership
+    val (p1, _) = AnnIndex.load(spark, dir)
+    val (insDelta, memDelta) = Hnsw.insertKnnDeltaIndexed(p1("knn"),
+      p1("members"), p1("memdead"), vecsB, "id", "v", 9, 2, 6, 2, bf,
+      mb = AnnIndex.partBatches(spark, dir, "members"))
+    AnnIndex.append(dir, Map("knn" -> insDelta, "vectors" -> vecsB,
+      "members" -> memDelta))
+    var state = vecsA.unionByName(vecsB).localCheckpoint(true)
+    assert(knnSet(AnnIndex.load(spark, dir)._1("knn")) == rebuild(state))
+    // changed-diff: the delta is strictly smaller than the index
+    assert(insDelta.count() <
+      AnnIndex.load(spark, dir)._1("knn").count())
+
+    // DELETE from stored membership (ids from both epochs)
+    val delIds = ((0 until 240 by 11) ++ Seq(240, 250)).map(_.toLong)
+      .toDF("id")
+    val (p2, _) = AnnIndex.load(spark, dir)
+    val (delDelta, dead) = Hnsw.deleteKnnDeltaIndexed(p2("knn"),
+      p2("members"), p2("memdead"), delIds, "id", m = 6,
+      th = AnnIndex.partBatches(spark, dir, "members"))
+    val vecType = p2("vectors").schema("v").dataType
+    AnnIndex.append(dir, Map("knn" -> delDelta,
+      "vectors" -> delIds.select(col("id"),
+        org.apache.spark.sql.functions.lit(null).cast(vecType).as("v")),
+      "memdead" -> dead))
+    state = state.join(delIds, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    assert(knnSet(AnnIndex.load(spark, dir)._1("knn")) == rebuild(state))
+
+    // UPDATE: re-insert a deleted id with a NEW vector — the ledger
+    // kills its old member rows, the fresh mb-stamped rows stay live
+    val upd = mkVecs(Seq(11)).select(col("id"),
+      reverse(col("v")).as("v"))
+    val (p3, _) = AnnIndex.load(spark, dir)
+    val (insDelta2, memDelta2) = Hnsw.insertKnnDeltaIndexed(p3("knn"),
+      p3("members"), p3("memdead"), upd, "id", "v", 9, 2, 6, 2, bf,
+      mb = AnnIndex.partBatches(spark, dir, "members"))
+    AnnIndex.append(dir, Map("knn" -> insDelta2, "vectors" -> upd,
+      "members" -> memDelta2))
+    state = state.unionByName(upd).localCheckpoint(true)
+    assert(knnSet(AnnIndex.load(spark, dir)._1("knn")) == rebuild(state))
+
+    // ledger-aware generational fold: identity holds, ledger empties,
+    // membership equals a fresh mb=0 write over the surviving state
+    AnnIndex.compactToNextGen(spark, dir, Hnsw.compactIndex)
+    val (pc, _) = AnnIndex.load(spark, dir)
+    assert(knnSet(pc("knn")) == rebuild(state))
+    assert(pc("memdead").count() == 0)
+    // structural row compare (the embedded vector is an Array — Row
+    // .toSeq would compare it by reference)
+    def memSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lvl").cast("long"), col("band").cast("long"),
+        col("bkt").cast("long"), col("cell"), col("vid"),
+        col("mb").cast("long"), col("v").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Double](6)))
+      .toSet
+    assert(memSet(pc("members")) ==
+      memSet(Hnsw.memberRows(state, "id", "v", 9, 2, 2, bf, 0)))
+
+    // post-fold delete of the updated id — the mb reset makes the new
+    // threshold (1) kill the folded rows (mb=0); a generic fold would
+    // have kept mb=2 rows alive through their own deletion
+    val (p4, _) = AnnIndex.load(spark, dir)
+    val (delDelta2, dead2) = Hnsw.deleteKnnDeltaIndexed(p4("knn"),
+      p4("members"), p4("memdead"), Seq(11L).toDF("id"), "id", m = 6,
+      th = AnnIndex.partBatches(spark, dir, "members"))
+    AnnIndex.append(dir, Map("knn" -> delDelta2,
+      "vectors" -> Seq(11L).toDF("id").select(col("id"),
+        org.apache.spark.sql.functions.lit(null).cast(vecType).as("v")),
+      "memdead" -> dead2))
+    state = state.filter(col("id") =!= 11L).localCheckpoint(true)
+    assert(knnSet(AnnIndex.load(spark, dir)._1("knn")) == rebuild(state))
+  }
+
   test("AnnIndex generational compaction: the fold commits via the new " +
     "generation's own manifest (no delete→rename window) — a crash " +
     "before commit leaves the old index live, a reader that resolved " +

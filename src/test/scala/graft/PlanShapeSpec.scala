@@ -503,6 +503,70 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ANN maintenance probes: the batch's cell predicate is PUSHED " +
+    "into the members part's parquet scan, and a key-column predicate " +
+    "commutes below the keyed-resolve window into the knn scan — " +
+    "per-batch maintenance reads ∝ batch, never ∝ corpus") {
+    withStaticPlans {
+      import graft.ops.{AnnIndex, Hnsw}
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      def vec(i: Int) = {
+        val c = i % 8
+        Array.tabulate(8)(j =>
+          (if (j == c) 1.0 else 0.0) + math.sin(i * 7.31 + j) * 0.05)
+      }
+      val vecsA = (0 until 160).map(i => (i.toLong, vec(i)))
+        .toDF("id", "v")
+      val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ann-plan").toString + "/idx"
+      Hnsw.saveIndex(dir, vecsA, "id", "v", 9, 2, 6, 2, bf)
+      // two knn batches so the keyed-resolve window exists in the plan
+      val (p0, _) = AnnIndex.load(spark, dir)
+      val batch = Seq((160L, vec(160))).toDF("id", "v")
+      val (d, md) = Hnsw.insertKnnDeltaIndexed(p0("knn"), p0("members"),
+        p0("memdead"), batch, "id", "v", 9, 2, 6, 2, bf,
+        AnnIndex.partBatches(spark, dir, "members"))
+      AnnIndex.append(dir, Map("knn" -> d, "vectors" -> batch,
+        "members" -> md))
+      val (parts, _) = AnnIndex.load(spark, dir)
+
+      def pushedScans(df: DataFrame, marker: String) =
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("PushedFilters")
+                .exists(_.contains(marker)) => f
+        }
+      // 1) the members probe: one arriving vector's banded cells,
+      // inlined as IN literals, must reach the members parquet scan
+      val memB = Hnsw.memberRows(Seq((161L, vec(161))).toDF("id", "v"),
+        "id", "v", 9, 2, 2, bf, 1)
+      val probe = Hnsw.memberProbe(parts("members"), parts("memdead"),
+        memB)
+      assert(pushedScans(probe, "In(cell").nonEmpty,
+        "the cell IN (...) predicate must reach the members part's " +
+          "parquet scan as PushedFilters — without it every " +
+          "micro-batch re-reads the stored membership corpus:\n" +
+          probe.queryExecution.executedPlan.toString)
+      // 2) a KEY-column predicate on the loaded keyed knn part (what
+      // the maintenance merge does for touched srcs) must commute
+      // below the latest-batch-wins window into the parquet scan
+      val pruned = parts("knn").filter(col("src").isin(1L, 2L, 3L))
+      val knnPlan = pruned.queryExecution.executedPlan
+      assert(knnPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.nonEmpty,
+        "expected the keyed-resolve window in the plan (two batches):\n"
+          + knnPlan.toString)
+      assert(pushedScans(pruned, "In(src").nonEmpty,
+        "the src IN (...) predicate must push BELOW the keyed-resolve " +
+          "window into the knn parquet scan — without it every " +
+          "maintenance merge shuffles the whole stored kNN:\n" +
+          knnPlan.toString)
+    }
+  }
+
   test("q125 blocklist anti-join stays a broadcast join") {
     withStaticPlans {
       val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)

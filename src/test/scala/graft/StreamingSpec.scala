@@ -532,11 +532,9 @@ class StreamingSpec extends SparkSpec {
     val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ann-compact-stream").toString + "/idx"
-    AnnIndex.save(dir,
-      Map("knn" -> Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf),
-        "vectors" -> vecsA),
-      Map("seed" -> "9", "kind" -> "hnsw"),
-      keys = Map("knn" -> Seq("lvl", "src"), "vectors" -> Seq("id")))
+    // membership-bearing seed: the stream runs the INDEXED probes and
+    // the ledger-aware fold (Hnsw.compactIndex)
+    Hnsw.saveIndex(dir, vecsA, "id", "v", 9, 2, 6, 2, bf)
     val input = MemoryStream[(Long, Array[Double])]
     val df = input.toDF().toDF("id", "v")
     // compactEvery=2: every append takes the index to 2 batches, so
@@ -585,11 +583,9 @@ class StreamingSpec extends SparkSpec {
     val bf = Hnsw.defaultBucketFn(nPlanes = 3, dim = 8, seed = 9)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ann-cdc").toString + "/idx"
-    AnnIndex.save(dir,
-      Map("knn" -> Hnsw.buildKnn(vecsA, "id", "v", 9, 2, 6, 2, bf),
-        "vectors" -> vecsA),
-      Map("seed" -> "9", "kind" -> "hnsw"),
-      keys = Map("knn" -> Seq("lvl", "src"), "vectors" -> Seq("id")))
+    // membership-bearing seed: deletes/updates ride the INDEXED
+    // probes (deleteKnnDeltaIndexed + the mb/th deletion ledger)
+    Hnsw.saveIndex(dir, vecsA, "id", "v", 9, 2, 6, 2, bf)
     val input = MemoryStream[(Long, Array[Double], String)]
     val df = input.toDF().toDF("id", "v", "op")
     val q = StreamOps.annIndexMaintenanceStream(df, "id", "v", dir,
