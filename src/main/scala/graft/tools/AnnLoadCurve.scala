@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * row counts match. The artifact turns "run compact when load's
   * per-batch scans + the keyed window outweigh a rewrite" from prose
   * into a measured crossover curve a deployment can read its own
-  * compaction cadence from.
+  * compaction cadence from. r13: the store is the membership-bearing
+  * production layout ([[Hnsw.saveIndex]]), appends ride the INDEXED
+  * probe chain (knn + vectors + members deltas per batch), and the
+  * fold is the generational ledger-aware [[Hnsw.compactIndex]] via
+  * [[AnnIndex.compactToNextGen]] — the exact fold the maintenance
+  * stream runs, measured instead of the bare two-part rewrite.
   *
   * Usage: runMain graft.tools.AnnLoadCurve [sfDir] [outPath]
   */
@@ -28,6 +33,7 @@ object AnnLoadCurve {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,14 +62,8 @@ object AnnLoadCurve {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ann-load-curve").toString
     val idx = s"$root/idx"
-    AnnIndex.save(idx,
-      Map("knn" -> Hnsw.buildKnn(seedVecs, "vec_id", "embedding",
-          9L, ml, 10, 4, bf),
-        "vectors" -> seedVecs),
-      Map("seed" -> "9", "planes" -> planes.toString,
-        "max_level" -> ml.toString, "kind" -> "hnsw"),
-      keys = Map("knn" -> Seq("lvl", "src"),
-        "vectors" -> Seq("vec_id")))
+    Hnsw.saveIndex(idx, seedVecs, "vec_id", "embedding", 9L, ml, 10,
+      4, bf, Map("planes" -> planes.toString))
     val pool = emb.filter(col("vec_id") % 10 === 0)
       .withColumn("__rk", row_number().over(Window.orderBy("vec_id")))
       .localCheckpoint(true)
@@ -83,22 +83,23 @@ object AnnLoadCurve {
         .drop("__rk").localCheckpoint(true)
       used += batchSize
       val (p, _) = AnnIndex.load(spark, idx)
-      val delta = Hnsw.insertKnnDelta(p("knn"), p("vectors"), arrivals,
-          "vec_id", "embedding", 9L, ml, 10, 4, bf)
-        .localCheckpoint(true)
-      AnnIndex.append(idx, Map("knn" -> delta, "vectors" -> arrivals))
+      val (delta, memDelta) = Hnsw.insertKnnDeltaIndexed(p("knn"),
+        p("members"), p("memdead"), arrivals, "vec_id", "embedding",
+        9L, ml, 10, 4, bf, AnnIndex.partBatches(spark, idx, "members"))
+      AnnIndex.append(idx, Map("knn" -> delta.localCheckpoint(true),
+        "vectors" -> arrivals, "members" -> memDelta))
       if (measureAt(b)) {
         val (s, r) = loadCountSec(idx)
         points +=
           s"""{"appends":$b,"load_count_sec":${r3(s)},"rows":$r}"""
       }
     }
-    val compacted = s"$root/idx_compact"
-    val compactSec = timeSec {
-      AnnIndex.compact(spark, idx, compacted)
-    }
-    val (secC, rowsC) = loadCountSec(compacted)
+    // the maintenance stream's actual fold: generational + ledger-aware
     val (secF, rowsF) = loadCountSec(idx)
+    val compactSec = timeSec {
+      AnnIndex.compactToNextGen(spark, idx, Hnsw.compactIndex)
+    }
+    val (secC, rowsC) = loadCountSec(idx)
     val json = s"""{"sf":"$sfDir","n_seed":$n,"planes":$planes,""" +
       s""""max_level":$ml,"batch_size":$batchSize,""" +
       s""""points":[${points.result().mkString(",")}],""" +
