@@ -103,54 +103,74 @@ object Bench {
     // warmup).
     var forcedGcMs = 0L
     // Per-query record: (rep times, headline sec, per-rep gc ms,
-    // per-rep 1-min loadavg, best-two spread, contended flag).
+    // per-rep 1-min loadavg, best-two spread, contended flag, and —
+    // when a contended row was retried — the first pass's rep times).
     case class QRec(times: Seq[Double], sec: Double, gcs: Seq[Long],
-      loads: Seq[Double], spread: Double, contended: Boolean)
+      loads: Seq[Double], spread: Double, contended: Boolean,
+      firstPass: Option[Seq[Double]] = None)
     def bestTwoSpread(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length < 2 || s.head <= 0) Double.PositiveInfinity
       else s(1) / s.head
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : QRec = {
+      var times = Vector.empty[Double]
+      var gcs = Vector.empty[Long]
+      var loads = Vector.empty[Double]
+      var failed = false
+      // adaptive loop: stop as soon as the best two reps agree, or a
+      // rep fails (plans are deterministic — a pass/fail flicker
+      // would mean nondeterminism worth surfacing), or the cap hits
+      while (!failed && times.length < maxReps &&
+          (times.length < 2 || bestTwoSpread(times) > agree)) {
+        val i = times.length + 1
+        // stderr marker so session-level WARNs (large task binaries,
+        // capped-candidate audits) are attributable to a query
+        System.err.println(s"[bench] $name rep $i")
+        loads :+= osBean.getSystemLoadAverage
+        val g0 = gcMs
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        if (!ok) { failed = true; times :+= -1.0 }
+        else times :+= (System.nanoTime() - t0) / 1e9
+        gcs :+= gcMs - g0
+      }
+      val fg0 = gcMs
+      System.gc()
+      forcedGcMs += gcMs - fg0
+      val spread = bestTwoSpread(times)
+      val contended = !failed && spread > agree
+      if (contended) System.err.println(
+        s"[bench] $name CONTENDED: best-two spread ${spread} after " +
+          s"${times.length} reps (times ${times.mkString(",")})")
+      QRec(times, if (failed) -1.0 else times.min, gcs, loads,
+        spread, contended)
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-      .map {
-      case (name, fn) =>
-        var times = Vector.empty[Double]
-        var gcs = Vector.empty[Long]
-        var loads = Vector.empty[Double]
-        var failed = false
-        // adaptive loop: stop as soon as the best two reps agree, or a
-        // rep fails (plans are deterministic — a pass/fail flicker
-        // would mean nondeterminism worth surfacing), or the cap hits
-        while (!failed && times.length < maxReps &&
-            (times.length < 2 || bestTwoSpread(times) > agree)) {
-          val i = times.length + 1
-          // stderr marker so session-level WARNs (large task binaries,
-          // capped-candidate audits) are attributable to a query
-          System.err.println(s"[bench] $name rep $i")
-          loads :+= osBean.getSystemLoadAverage
-          val g0 = gcMs
-          val t0 = System.nanoTime()
-          val ok =
-            try { run(fn(spark, sfDir)); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-            }
-          if (!ok) { failed = true; times :+= -1.0 }
-          else times :+= (System.nanoTime() - t0) / 1e9
-          gcs :+= gcMs - g0
-        }
-        val fg0 = gcMs
-        System.gc()
-        forcedGcMs += gcMs - fg0
-        val spread = bestTwoSpread(times)
-        val contended = !failed && spread > agree
-        if (contended) System.err.println(
-          s"[bench] $name CONTENDED: best-two spread ${spread} after " +
-            s"${times.length} reps (times ${times.mkString(",")})")
-        name -> QRec(times, if (failed) -1.0 else times.min, gcs, loads,
-          spread, contended)
+      .map { case (name, fn) => name -> measure(name, fn) }
+    // Contended-row RETRY pass: a query whose best two reps never
+    // agreed within the cap gets one more adaptive pass AFTER the full
+    // sweep — transient box contention has usually moved on by then
+    // (the r12/r13 sf1 sessions each carried 1–2 such rows). A retry
+    // that agrees is promoted (both rep lists stay in the artifact,
+    // retried=true); a retry that is still contended keeps whichever
+    // pass has the smaller spread — the artifact stays self-impeaching
+    // either way.
+    val results = firstPass.map {
+      case (name, r) if r.contended =>
+        System.err.println(s"[bench] $name retrying contended row")
+        val r2 = measure(s"$name (retry)", SparkEntry.queries(name))
+        val keep = if (r2.spread <= r.spread) r2 else r
+        name -> keep.copy(firstPass = Some(r.times))
+      case kept => kept
     }
     // -1.0 failure sentinels must not reduce the total. The headline is
     // the sum of per-query MINs — for every agreeing query that min is
@@ -229,11 +249,13 @@ object Bench {
       // uniformly slow session scales sec and calib together)
       val norm = if (r.sec < 0 || calibSec <= 0) "null"
         else r3(r.sec / calibSec).toString
+      val retry = r.firstPass.fold("")(fp =>
+        s""","retried":true,"first_pass_reps":[${fp.mkString(",")}]""")
       s""""$k":{"sec":${r.sec},"norm":$norm,""" +
         s""""reps":[${r.times.mkString(",")}],""" +
         s""""gc_ms":[${r.gcs.mkString(",")}],""" +
         s""""loads":[${r.loads.map(r3).mkString(",")}],""" +
-        s""""spread":$sp,"contended":${r.contended}}"""
+        s""""spread":$sp,"contended":${r.contended}$retry}"""
     }.mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
     val gcSec = r3(results.map(_._2.gcs.sum).sum / 1e3)

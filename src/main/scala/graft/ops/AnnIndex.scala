@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `path/<part>/b<i>/` parquet per part BATCH (b0 at save,
   * b1.. appended), `path/_params/` (param, value) strings,
-  * `path/_manifest/` (part, batches, key_cols) — written LAST and
-  * rewritten last again on every append, so a torn save has no
-  * manifest and `load` fails loudly, and a torn APPEND (delta batch
-  * written, manifest not yet bumped) loads the PREVIOUS index intact;
-  * the retried append simply overwrites the orphan batch directory.
+  * `path/_manifest/` (part, batches, key_cols) — written LAST, so a
+  * torn save has no manifest and `load` fails loudly. Every append
+  * writes its bumped manifest as a NEW `_manifest-v(N+1)/` directory
+  * (readers resolve the highest committed version; the prior version
+  * is kept one cycle, then pruned) — a torn APPEND (delta batch
+  * written, manifest version not yet committed) loads the PREVIOUS
+  * index intact, the retried append simply overwrites the orphan
+  * batch directory, and a load CONCURRENT with an append always sees
+  * a whole manifest (there is no delete→rewrite window on a shared
+  * manifest file).
   *
   * Incremental maintenance ([[append]]): a part saved with `keys`
   * declared (e.g. the kNN's `(lvl, src)`) is a KEYED part — `load`
@@ -54,17 +59,52 @@ object AnnIndex {
   private val partName = "[A-Za-z0-9_]+".r
   private val batchCol = "__ann_batch"
   private val genName = "gen-(\\d+)".r
+  private val manifestVName = "_manifest-v(\\d+)".r
 
   private def requireValidName(n: String): Unit =
     require(partName.matches(n) && !n.startsWith("_"),
       s"AnnIndex part name '$n' must be alphanumeric/underscore and " +
         "not start with '_'")
 
-  private def writeManifest(path: String,
+  private def writeManifest(dir: String,
       rows: Seq[(String, Int, String)], spark: SparkSession): Unit = {
     import spark.implicits._
     rows.sortBy(_._1).toDF("part", "batches", "key_cols")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Manifests are VERSIONED like generations: a fresh [[save]] writes
+    * `_manifest` (version 0); every [[append]] writes the bumped
+    * manifest as a NEW `_manifest-v(N+1)` directory and only then
+    * prunes versions older than the prior one — readers resolve the
+    * highest committed version, so a load concurrent with an append
+    * sees either the pre-append or the post-append index, never a
+    * missing/uncommitted manifest (the delete→rewrite window a
+    * `mode("overwrite")` of one shared `_manifest` dir would open:
+    * a concurrent reader could silently fall back a generation, or
+    * fail outright on a never-compacted root). Committed versions
+    * under `dir`, as (version, concrete directory). */
+  private def committedManifests(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val legacy =
+      if (fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/_manifest/_SUCCESS")))
+        Seq(0 -> s"$dir/_manifest")
+      else Seq.empty
+    val versioned =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.collect {
+        case s if s.isDirectory =>
+          s.getPath.getName match {
+            case manifestVName(n) if fs.exists(
+                new org.apache.hadoop.fs.Path(
+                  s"$dir/${s.getPath.getName}/_SUCCESS")) =>
+              Some(n.toInt -> s"$dir/${s.getPath.getName}")
+            case _ => None
+          }
+      }.flatten
+    legacy ++ versioned
   }
 
   private def hadoopFs(spark: SparkSession, path: String)
@@ -73,13 +113,12 @@ object AnnIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** True once a directory's index layout is COMPLETE: its manifest
-    * job committed (the `_SUCCESS` marker the committer writes last).
-    * This is the generation-flip test — a torn fold has no committed
-    * manifest and is invisible. */
+  /** True once a directory's index layout is COMPLETE: some manifest
+    * version's job committed (the `_SUCCESS` marker the committer
+    * writes last). This is the generation-flip test — a torn fold has
+    * no committed manifest and is invisible. */
   private def manifestCommitted(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifest/_SUCCESS"))
+      dir: String): Boolean = committedManifests(fs, dir).nonEmpty
 
   /** Generation numbers present under `root` (committed or not). */
   private def listGens(fs: org.apache.hadoop.fs.FileSystem,
@@ -146,13 +185,23 @@ object AnnIndex {
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true)
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/_params"), true)
+      // every manifest version of the retired root layout goes
+      committedManifests(fs, root).foreach { case (_, d) =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      }
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest"), true)
     }
   }
 
   private def readManifest(spark: SparkSession, path: String)
-      : Seq[(String, Int, String)] =
-    spark.read.parquet(s"$path/_manifest")
+      : Seq[(String, Int, String)] = {
+    val (fs, _) = hadoopFs(spark, path)
+    // highest committed version wins (v0 = the legacy `_manifest`);
+    // fall back to the plain path so a genuinely-missing manifest
+    // still fails with the familiar parquet error
+    val dir = committedManifests(fs, path).sortBy(-_._1).headOption
+      .map(_._2).getOrElse(s"$path/_manifest")
+    spark.read.parquet(dir)
       .select("part", "batches", "key_cols")
       .collect()
       .map { r =>
@@ -162,6 +211,7 @@ object AnnIndex {
         requireValidName(n)
         (n, r.getInt(1), r.getString(2))
       }.toSeq
+  }
 
   /** Write a fresh index: every part as batch `b0`, params, then the
     * manifest LAST. `keys(part)` declares the upsert key columns that
@@ -197,7 +247,7 @@ object AnnIndex {
     }
     params.toSeq.sortBy(_._1).toDF("param", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
-    writeManifest(path,
+    writeManifest(s"$path/_manifest",
       parts.keys.toSeq.map(n =>
         (n, 1, keys.get(n).map(_.mkString(",")).getOrElse(""))),
       spark)
@@ -233,10 +283,23 @@ object AnnIndex {
       df.write.mode("overwrite")
         .parquet(s"$path/$name/b${byName(name)._2}")
     }
-    writeManifest(path,
+    // the bumped manifest lands as a NEW version directory (its own
+    // _SUCCESS commits it), then versions older than the prior one are
+    // pruned — a concurrent load resolves pre- or post-append state,
+    // never a mid-rewrite hole (the generational discipline, applied
+    // to the manifest itself; the prior version stays one cycle for
+    // in-flight readers)
+    val (fs, _) = hadoopFs(spark, path)
+    val versions = committedManifests(fs, path).map(_._1)
+    val cur = if (versions.isEmpty) 0 else versions.max
+    writeManifest(s"$path/_manifest-v${cur + 1}",
       manifest.map { case (n, b, ks) =>
         (n, if (deltaParts.contains(n)) b + 1 else b, ks)
       }, spark)
+    versions.filter(_ < cur).foreach { v =>
+      val d = if (v == 0) s"$path/_manifest" else s"$path/_manifest-v$v"
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
   }
 
   /** Read the index back: batches resolved per the manifest — plain

@@ -320,11 +320,27 @@ object Hnsw {
   // ------------------------------------------------------------------
 
   /** Literal-inlining bound for driver-collected prune keys (cells,
-    * touched srcs, delete ids): below it the probe pushes an
-    * `IN (...)` predicate into the parquet scan (batch-sized literal
-    * lists — the micro-batch regime); above it the same relation
-    * joins distributively instead (correct, one more exchange). */
+    * touched srcs, delete ids): below it the probe pushes `IN (...)`
+    * predicates into the parquet scan (batch-sized literal lists —
+    * the micro-batch regime); above it the same relation joins
+    * distributively instead (correct, one more exchange — the
+    * bulk-arrival regime, where the key set is itself a sizable
+    * fraction of the part). */
   private val MaxInlineKeys = 100000
+
+  /** Chunk width for inlined prune lists — matched to the measured
+    * parquet In-pushdown ceiling (`spark.sql.parquet.pushdown
+    * .inFilterThreshold` ≈ 1000, see [[sortedByKey]]): an `IN` list at
+    * or below it reaches the scan as a real per-row-group filter.
+    * Lists ABOVE it are sliced into chunk-sized scans over the SORTED
+    * key list, each conjoined with its own `[lo, hi]` range bound —
+    * on the range-clustered parts the min/max bound row-group-prunes
+    * even where a big `IN` would degrade to a row-level InSet over a
+    * full-part scan, so probe reads stay ∝ keys instead of hitting a
+    * corpus-scan floor (measured: the r13 sf100 bulk taper — a 4096-
+    * row batch cost 134.7 s at 1.8M vectors vs 25.2 s at 180k because
+    * its ~25k-cell list scanned the whole members part row-level). */
+  private val InlineChunk = 1000
 
   private def inlineKeys(df: DataFrame, c: String): Option[Seq[Long]] = {
     val ks = df.select(col(c).cast("long")).distinct()
@@ -336,12 +352,21 @@ object Hnsw {
     * inlined IN literals when the key set is micro-batch-sized (the
     * predicate reaches the parquet scan as PushedFilters; on keyed
     * parts a KEY-column predicate also commutes below the
-    * latest-batch-wins window), else as a semi-join. */
-  private def pruneBy(df: DataFrame, c: String, keys: DataFrame,
+    * latest-batch-wins window), as a UNION of range-bounded
+    * chunk-sized IN scans when it exceeds the In-pushdown ceiling
+    * (disjoint sorted slices — exact, and each branch row-group-prunes
+    * on its own [lo, hi]), else as a semi-join. */
+  private[graft] def pruneBy(df: DataFrame, c: String, keys: DataFrame,
       keyCol: String): DataFrame =
     inlineKeys(keys, keyCol) match {
       case Some(ks) if ks.isEmpty => df.limit(0)
-      case Some(ks)               => df.filter(col(c).isin(ks: _*))
+      case Some(ks) if ks.length <= InlineChunk =>
+        df.filter(col(c).isin(ks: _*))
+      case Some(ks) =>
+        ks.sorted.grouped(InlineChunk).map { ch =>
+          df.filter(col(c).between(lit(ch.head), lit(ch.last)) &&
+            col(c).isin(ch: _*))
+        }.reduce(_ unionByName _)
       case None => df.join(
         keys.select(col(keyCol).cast("long").as(c)).distinct(),
         Seq(c), "left_semi")

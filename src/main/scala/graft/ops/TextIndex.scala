@@ -70,13 +70,18 @@ object TextIndex {
 
   /** Build and persist the index from scratch (the seed save the
     * maintenance stream grows from). The empty `deleted` part is the
-    * live-docs exclusion list [[delete]] appends to. */
+    * live-docs exclusion list [[delete]] appends to; the empty
+    * `pending` part — KEYED on the id, latest batch wins — is where
+    * [[stageUpdates]] parks CDC-updated texts until the next fold
+    * merges them in. */
   def save(path: String, docs: DataFrame, idCol: String,
       textCol: String): Unit =
     AnnIndex.save(path,
       deltaParts(docs, idCol, textCol) +
-        ("deleted" -> docs.select(col(idCol)).limit(0)),
-      Map("kind" -> Kind, "id_col" -> idCol, "text_col" -> textCol))
+        ("deleted" -> docs.select(col(idCol)).limit(0)) +
+        ("pending" -> docs.select(col(idCol), col(textCol)).limit(0)),
+      Map("kind" -> Kind, "id_col" -> idCol, "text_col" -> textCol),
+      keys = Map("pending" -> Seq(idCol)))
 
   /** Delete documents — the Lucene live-docs semantics: the ids land
     * on an exclusion list ([[search]] anti-joins matched postings
@@ -89,23 +94,72 @@ object TextIndex {
     * where internal doc numbers make it a non-question). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit = {
-    val (_, params) = AnnIndex.load(spark, path)
+    val (parts, params) = AnnIndex.load(spark, path)
     require(params.get("kind").contains(Kind),
       s"TextIndex.delete: index at $path has kind " +
         s"${params.getOrElse("kind", "?")}, expected $Kind")
-    AnnIndex.append(path,
-      Map("deleted" -> ids.select(col(idCol)).distinct()))
+    val dels = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    // a delete must also retract any PENDING text for the id — a
+    // keyed tombstone (null text) in the same append, so a staged
+    // update that is later deleted can never resurrect at the fold;
+    // ids with no pending entry resolve to a lone tombstone and drop
+    val pendingTomb =
+      if (!parts.contains("pending")) Map.empty[String, DataFrame]
+      else Map("pending" -> dels.select(col(idCol),
+        lit(null).cast("string").as(params("text_col"))))
+    AnnIndex.append(path, Map("deleted" -> dels) ++ pendingTomb)
+  }
+
+  /** Stage CDC UPDATES (id → replacement text) on the keyed `pending`
+    * part — the amortized alternative to forcing a full Lucene merge
+    * per colliding micro-batch: the caller has already [[delete]]d the
+    * ids (old version dead immediately), the replacement text lands
+    * here at |batch| write cost, [[search]] serves it right away (its
+    * query-term postings and df/N contribution are computed from the
+    * broadcast-sized pending relation at query time — exactly the
+    * statistics an [[append]] would have added, while the DELETED old
+    * version's stats stay stale until the fold, the same Lucene
+    * staleness deletes already carry), and the next scheduled
+    * [[compact]] merges pending into the index proper. Within a batch
+    * the same id must carry ONE text (exact replays collapse;
+    * conflicts FAIL LOUDLY — resolve upstream with a CDC sequence
+    * column, see the maintenance stream's `seqCol`). */
+  def stageUpdates(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (parts, params) = AnnIndex.load(spark, path)
+    require(params.get("kind").contains(Kind),
+      s"TextIndex.stageUpdates: index at $path has kind " +
+        s"${params.getOrElse("kind", "?")}, expected $Kind")
+    require(parts.contains("pending"),
+      s"TextIndex.stageUpdates: index at $path has no pending part " +
+        "(a legacy store) — compact it once to upgrade the layout")
+    val staged = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol, textCol).localCheckpoint(true)
+    val conflicts = staged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col(idCol)).limit(5).collect().map(_.get(0))
+    require(conflicts.isEmpty,
+      s"TextIndex.stageUpdates: conflicting texts for id(s) " +
+        s"${conflicts.mkString(", ")} within one batch — an " +
+        "arbitrary winner would be partition-order dependent; " +
+        "resolve upstream (the maintenance stream's seqCol)")
+    if (!staged.isEmpty)
+      AnnIndex.append(path, Map("pending" -> staged))
   }
 
   /** Fold the index to single-batch form AND physically apply the
-    * deletion list — the Lucene merge, computed entirely FROM THE
-    * INDEX (no text is ever re-tokenized): surviving postings are an
-    * anti-join, df is re-counted from them (one vocabulary-bounded
-    * agg over index rows), stats re-derive from the surviving doc
-    * list, and the deleted part empties — freeing those ids for
+    * deletion list and the staged pending updates — the Lucene merge:
+    * surviving postings are an anti-join (no stored text is ever
+    * re-tokenized), PENDING texts — the only rows not yet indexed —
+    * are tokenized once here and unioned in as fresh docs, df is
+    * re-counted from the merged postings (one vocabulary-bounded agg
+    * over index rows), stats re-derive from the merged doc list, and
+    * the deleted/pending parts empty — freeing those ids for
     * re-insertion. After this, search's df/N are exact again
-    * (equality with save(survivors) is spec-pinned). `dst` must
-    * differ from `src`, as in [[AnnIndex.compact]]. */
+    * (equality with save(survivors ∪ updates) is spec-pinned). A
+    * legacy (pre-pending) store folds fine and comes out UPGRADED
+    * with an empty pending part. `dst` must differ from `src`, as in
+    * [[AnnIndex.compact]]. */
   def compact(spark: SparkSession, srcPath: String, dstPath: String)
       : Unit = {
     require(srcPath != dstPath,
@@ -115,12 +169,21 @@ object TextIndex {
       s"TextIndex.compact: index at $srcPath has kind " +
         s"${params.getOrElse("kind", "?")}, expected $Kind")
     val idCol = params("id_col")
+    val textCol = params("text_col")
     val dead = parts("deleted").select(idCol).distinct()
       .localCheckpoint(true)
-    val docs = parts("docs").join(dead, Seq(idCol), "left_anti")
+    // pending ids are on the dead list by construction (an update is
+    // delete + stage), so survivors never overlap the pending docs
+    val pend = parts.get("pending")
+      .map(_.select(col(idCol), col(textCol)).localCheckpoint(true))
+    val pendDelta = pend.map(p => deltaParts(p, idCol, textCol))
+    def merged(part: String, survivors: DataFrame): DataFrame =
+      pendDelta.fold(survivors)(d => survivors.unionByName(d(part)))
+    val docs = merged("docs",
+        parts("docs").join(dead, Seq(idCol), "left_anti"))
       .localCheckpoint(true)
-    val postings = parts("postings")
-      .join(dead, Seq(idCol), "left_anti")
+    val postings = merged("postings",
+        parts("postings").join(dead, Seq(idCol), "left_anti"))
       .localCheckpoint(true)
     val termdf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df_delta"))
@@ -128,8 +191,11 @@ object TextIndex {
       coalesce(sum(col("dl")), lit(0L)).as("len_sum"))
     AnnIndex.save(dstPath,
       Map("postings" -> postings, "docs" -> docs, "termdf" -> termdf,
-        "stats" -> stats, "deleted" -> docs.select(col(idCol)).limit(0)),
-      params)
+        "stats" -> stats,
+        "deleted" -> docs.select(col(idCol)).limit(0),
+        "pending" -> docs.select(col(idCol),
+          lit(null).cast("string").as(textCol)).limit(0)),
+      params, keys = Map("pending" -> Seq(idCol)))
   }
 
   /** Append a batch of documents as one more batch directory per part
@@ -141,15 +207,21 @@ object TextIndex {
     * partition-order dependent. Returns the number of genuinely-new
     * docs appended.
     *
-    * Scale shape: the stored-id overlap check collects the batch's
-    * ids to the driver (bounded by the micro-batch, the trigger-sized
-    * quantity) and probes the `docs` part with an `id IN (...)`
-    * predicate — parquet row-group stats/dictionary pruning keeps the
-    * probe ∝ matching row groups instead of re-scanning the stored
-    * corpus per batch (raise
+    * Scale shape: the stored-id overlap check collects UP TO
+    * [[MaxInlineIds]] batch ids to the driver (bounded by the
+    * micro-batch, the trigger-sized quantity) and probes the `docs`
+    * part with an `id IN (...)` predicate — parquet row-group
+    * stats/dictionary pruning keeps the probe ∝ matching row groups
+    * instead of re-scanning the stored corpus per batch (raise
     * `spark.sql.parquet.pushdown.inFilterThreshold` above the batch
     * size so large batches keep the In-pushdown instead of degrading
-    * to a min/max range). */
+    * to a min/max range). A batch past the cap — the bulk-load
+    * regime, where a driver-side literal list would OOM the driver or
+    * blow up planning — falls back to the distributed anti-join
+    * against the full `docs` part (correct, one more exchange; the
+    * same two-regime discipline as [[Hnsw]]'s prune keys). */
+  private val MaxInlineIds = 100000
+
   def append(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Long = {
     val (parts, params) = AnnIndex.load(spark, path)
@@ -167,10 +239,13 @@ object TextIndex {
         s"${conflicts.mkString(", ")} within one batch — an " +
         "arbitrary winner would be partition-order dependent; " +
         "resolve upstream (or delete + re-insert as a CDC update)")
-    val ids = arriving.select(col(idCol)).collect().map(_.get(0))
+    val ids = arriving.select(col(idCol))
+      .limit(MaxInlineIds + 1).collect().map(_.get(0))
     if (ids.isEmpty) return 0L
-    val stored = parts("docs").select(col(idCol))
-      .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+    val stored =
+      if (ids.length > MaxInlineIds) parts("docs").select(col(idCol))
+      else parts("docs").select(col(idCol))
+        .filter(col(idCol).isin(ids.toIndexedSeq: _*))
     val fresh = arriving.join(stored, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
@@ -181,7 +256,15 @@ object TextIndex {
 
   /** BM25 top-`k` from the persisted index: (idCol, n_hit, score) by
     * (round-6 score desc, id asc) — the [[TextOps.bm25Search]]
-    * contract, answered from disk with term-pruned scans. */
+    * contract, answered from disk with term-pruned scans. PENDING
+    * updates (staged by [[stageUpdates]], not yet folded) are served
+    * live: the pending relation is updates-since-last-compact —
+    * broadcast-sized — so its query-term postings, df deltas and one
+    * stats row are computed here at query time and unioned in,
+    * which is EXACTLY the contribution an [[append]] of those texts
+    * would have persisted; the deleted OLD versions' stats stay
+    * stale until the fold (the Lucene semantics deletes already
+    * carry). */
   def search(spark: SparkSession, path: String, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qt = query.trim.toLowerCase.split("\\s+")
@@ -192,23 +275,35 @@ object TextIndex {
       s"TextIndex.search: index at $path has kind " +
         s"${params.getOrElse("kind", "?")}, expected $Kind")
     val idCol = params("id_col")
+    // the emptiness probe is one job over the updates-since-last-
+    // compact relation (broadcast-sized); when pending is empty —
+    // after every fold, the steady state — the plan is EXACTLY the
+    // pre-pending shape (the PlanShapeSpec exchange ratchet)
+    val pendDelta = parts.get("pending").filter(p => !p.isEmpty)
+      .map(p => deltaParts(p, idCol, params("text_col")))
     // batches-sized and |terms|-sized rollups — broadcast into the
     // posting scan so the only wide stage is the per-doc score agg
-    val stats = parts("stats")
+    val stats = pendDelta.fold(parts("stats"))(d =>
+        parts("stats").unionByName(d("stats")))
       .agg(sum(col("n_docs")).cast("double").as("__n_docs"),
         (sum(col("len_sum")).cast("double") /
           sum(col("n_docs")).cast("double")).as("__avg_dl"))
-    val df = parts("termdf")
+    val df = pendDelta.fold(parts("termdf"))(d =>
+        parts("termdf").unionByName(d("termdf")))
       .filter(col("term").isin(qt: _*))
       .groupBy(col("term"))
       .agg(sum(col("df_delta")).as("df"))
     // live-docs exclusion: deleted docs never score, but their df/N
     // contribution persists until compact (the Lucene semantics); the
-    // list is deletions-since-last-compact — broadcast-sized
+    // list is deletions-since-last-compact — broadcast-sized. Pending
+    // ids are dead by construction (update = delete + stage), so only
+    // their query-time postings score, never their stored rows.
     val dead = parts("deleted").select(idCol).distinct()
-    parts("postings")
+    val matched = parts("postings")
       .filter(col("term").isin(qt: _*))
       .join(broadcast(dead), Seq(idCol), "left_anti")
+    pendDelta.fold(matched)(d =>
+        matched.unionByName(d("postings").filter(col("term").isin(qt: _*))))
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol),

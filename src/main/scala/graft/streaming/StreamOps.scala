@@ -170,6 +170,10 @@ object StreamOps {
     * removals (only `idCol` is read); everything else inserts. Within
     * a micro-batch deletes apply FIRST, so delete+insert of the same
     * id in one batch is an UPDATE (the standard CDC-upsert order).
+    * `seqCol` (optional, insert-or-CDC mode): a CDC sequence/offset
+    * column — several versions of one id in a batch resolve to the
+    * HIGHEST sequence deterministically; without it, conflicting
+    * same-id vectors fail loudly (see [[resolveLatest]]).
     * Deletes ride [[graft.ops.Hnsw.deleteKnnDelta]] + a vector
     * TOMBSTONE append — which requires the seed save to have declared
     * BOTH parts keyed: `keys = Map("knn" -> Seq("lvl", "src"),
@@ -196,7 +200,7 @@ object StreamOps {
       m: Int, bands: Int,
       bucketFn: (Int, Int, org.apache.spark.sql.Column) =>
         org.apache.spark.sql.Column, opCol: String = "",
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, seqCol: String = "")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
@@ -248,18 +252,35 @@ object StreamOps {
           else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
         // one overlap anti-join shared by the kNN delta and the
         // vectors append (the vectors part must not store duplicate
-        // ids); dropDuplicates also collapses duplicate ids WITHIN a
-        // batch (an at-least-once source can replay a row inside one
-        // micro-batch too). The stored side of the anti-join is
+        // ids). In-batch version resolution is DETERMINISTIC: with
+        // seqCol the highest-sequence vector wins (resolveLatest);
+        // without it, exact replays collapse (an at-least-once source
+        // can replay a row inside one micro-batch) and genuinely
+        // CONFLICTING same-id vectors FAIL LOUDLY — an arbitrary
+        // partition-order winner would make the stream ≡ rebuild
+        // identity nondeterministic (the TextIndex.append policy,
+        // applied to vectors). The stored side of the anti-join is
         // PRUNED to the batch's own ids (micro-batch-sized driver
         // list, an id-column predicate that commutes below the keyed
         // window and into the parquet scan) — the stored corpus is
         // never re-scanned per batch; localCheckpoint pins the batch
         // + loaded state so the appended parts share one snapshot
-        val deduped = arrivals
+        val resolved = resolveLatest(arrivals, idCol, seqCol, vecCol)
           .select(col(idCol), col(vecCol))
-          .dropDuplicates(idCol)
-          .localCheckpoint(true)
+        val deduped = (if (seqCol.nonEmpty) resolved
+          else {
+            val d = resolved.dropDuplicates(idCol, vecCol)
+            val conflicts = d.groupBy(col(idCol))
+              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+              .select(col(idCol)).limit(5).collect().map(_.get(0))
+            require(conflicts.isEmpty,
+              s"annIndexMaintenanceStream: conflicting vectors for " +
+                s"id(s) ${conflicts.mkString(", ")} within one " +
+                "micro-batch — pass seqCol (a CDC sequence/offset " +
+                "column) or dedup upstream; an arbitrary winner " +
+                "would be partition-order dependent")
+            d
+          }).localCheckpoint(true)
         val arrIds = deduped.select(col(idCol))
           .limit(100001).collect().map(_.get(0)).toIndexedSeq
         val storedIds =
@@ -317,17 +338,30 @@ object StreamOps {
     * immediately, df/N stale until the fold); everything else —
     * including NULL/unknown ops — appends. Deletes apply FIRST within
     * a micro-batch; when the same id also ARRIVES in that batch (the
-    * standard CDC update order: delete + re-insert), the live-docs
-    * rule would block the re-insert until a fold frees the id, so the
-    * loop FORCES an immediate compaction fold before the append —
-    * CDC updates therefore complete within their own micro-batch, at
-    * the price of one fold per colliding batch (the Lucene
-    * merge-on-update trade). Updates without compaction enabled
-    * cannot be honored and FAIL LOUDLY rather than silently degrading
-    * to a delete; pure inserts/deletes never force a fold. */
+    * standard CDC update order: delete + re-insert), the replacement
+    * text is STAGED on the index's keyed `pending` part
+    * ([[graft.ops.TextIndex.stageUpdates]]) at |batch| write cost:
+    * search serves it immediately (query-time postings over the
+    * broadcast-sized pending relation) and the next SCHEDULED fold
+    * merges it in — N colliding batches cost N small appends and ONE
+    * fold, not N Lucene merges. A LEGACY store (seeded before the
+    * pending part existed) keeps the old behavior — an immediate
+    * forced fold, requiring `compactEvery > 0`, failing loudly
+    * otherwise rather than silently degrading the update to a delete.
+    *
+    * `seqCol` (optional): a CDC sequence/offset column. A micro-batch
+    * can legitimately carry SEVERAL versions of one id (delete X,
+    * insert A, delete X, insert B); with `seqCol` set the non-delete
+    * arrival with the HIGHEST sequence wins (ties broken on the text
+    * itself, so the winner is a pure function of the data, never of
+    * partition order). Without it, conflicting same-id texts in one
+    * batch FAIL LOUDLY (the [[graft.ops.TextIndex.append]] /
+    * `stageUpdates` guard) — and because a restart replays the same
+    * batch, an upstream that can collide MUST either pass `seqCol` or
+    * dedup before the sink. */
   def bm25MaintenanceStream(stream: DataFrame, idCol: String,
       textCol: String, indexPath: String, compactEvery: Int = 0,
-      opCol: String = "")
+      opCol: String = "", seqCol: String = "")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
@@ -335,39 +369,72 @@ object StreamOps {
         val sp = batch.sparkSession
         // null-safe arrival split: a NULL/unknown op appends (plain
         // `=!=` would evaluate to null and silently drop the row)
-        val arrivals =
+        val raw =
           if (opCol.isEmpty) batch.toDF()
           else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
+        val arrivals = resolveLatest(raw, idCol, seqCol, textCol)
+        var toAppend = arrivals
         if (opCol.nonEmpty) {
           val dels = batch.toDF().filter(col(opCol) === "delete")
             .select(idCol).localCheckpoint(true)
           if (!dels.isEmpty) {
             graft.ops.TextIndex.delete(sp, indexPath, dels, idCol)
             // same-batch delete + re-arrival = a CDC UPDATE: the id
-            // is on the live-docs list we just wrote, so the append
-            // below would drop the new text forever; fold NOW (the
-            // merge frees the id) so the update lands in this batch
-            val collides = !arrivals.select(idCol)
-              .join(dels, Seq(idCol), "left_semi").isEmpty
-            if (collides) {
-              require(compactEvery > 0,
-                "bm25MaintenanceStream: a CDC update (delete + " +
-                  "re-arrival of one id in a micro-batch) needs " +
-                  "compactEvery > 0 — live-docs deletion only frees " +
-                  "the id at a compaction fold")
-              graft.ops.AnnIndex.compactToNextGen(sp, indexPath,
-                graft.ops.TextIndex.compact)
+            // is on the live-docs list we just wrote, so the plain
+            // append below would drop the new text forever
+            val colliding = arrivals
+              .join(dels, Seq(idCol), "left_semi")
+              .localCheckpoint(true)
+            if (!colliding.isEmpty) {
+              if (graft.ops.AnnIndex.partKeys(sp, indexPath)
+                  .contains("pending")) {
+                graft.ops.TextIndex.stageUpdates(sp, indexPath,
+                  colliding, idCol, textCol)
+                toAppend = arrivals.join(dels, Seq(idCol), "left_anti")
+              } else {
+                // legacy store: fold NOW (the merge frees the id) so
+                // the update lands in this batch
+                require(compactEvery > 0,
+                  "bm25MaintenanceStream: a CDC update (delete + " +
+                    "re-arrival of one id in a micro-batch) on a " +
+                    "legacy store (no pending part) needs " +
+                    "compactEvery > 0 — live-docs deletion only " +
+                    "frees the id at a compaction fold")
+                graft.ops.AnnIndex.compactToNextGen(sp, indexPath,
+                  graft.ops.TextIndex.compact)
+              }
             }
           }
         }
-        graft.ops.TextIndex.append(sp, indexPath, arrivals,
+        graft.ops.TextIndex.append(sp, indexPath, toAppend,
           idCol, textCol)
-        // the BM25 fold also APPLIES the deletion list (Lucene merge)
-        // — deleted ids free up and df/N return to exact
+        // the BM25 fold also APPLIES the deletion list and merges the
+        // staged pending updates in (Lucene merge) — deleted ids free
+        // up and df/N return to exact
         maybeCompactInPlace(sp, indexPath, compactEvery,
           graft.ops.TextIndex.compact)
         ()
     }
+
+  /** Deterministic in-batch CDC version resolution: with `seqCol`
+    * set, keep ONE row per id — the highest sequence, ties broken on
+    * the remaining columns' xxhash64 so the winner is a pure function
+    * of the DATA (an exact-duplicate replay resolves to that same
+    * row; two different payloads under one (id, seq) resolve
+    * deterministically, never by partition order). With `seqCol`
+    * empty the batch passes through untouched — the downstream
+    * conflict guards then fail loudly on genuinely conflicting
+    * payloads. */
+  private def resolveLatest(batch: DataFrame, idCol: String,
+      seqCol: String, payloadCols: String*): DataFrame =
+    if (seqCol.isEmpty) batch
+    else batch.withColumn("__rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol))
+            .orderBy(desc(seqCol),
+              xxhash64(payloadCols.map(col): _*).desc_nulls_last)))
+      .filter(col("__rn") === 1).drop("__rn")
 
   /** Fold the index at `indexPath` back to single-batch form when any
     * part's batch list has reached `threshold` (0 = never) — a

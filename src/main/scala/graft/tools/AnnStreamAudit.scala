@@ -43,13 +43,22 @@ object AnnStreamAudit {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     if (grow <= 1) emb
-    else (0 until grow).map { c =>
-      emb.select(
-        (col("vec_id") + lit(c.toLong * 1000000000L)).as("vec_id"),
-        (if (c == 0) col("embedding")
-         else concat(slice(col("embedding"), c + 1, 64 - c),
-           slice(col("embedding"), 1, c))).as("embedding"))
-    }.reduce(_ unionByName _)
+    else {
+      // rotation width comes from the data, not a constant — a
+      // hardcoded 64 on a different-dim corpus would silently emit
+      // wrong-length vectors and invalidate the synthetic decade
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      require(grow < dim,
+        s"grow=$grow must be < embedding dim $dim (each copy rotates " +
+          "by its copy number)")
+      (0 until grow).map { c =>
+        emb.select(
+          (col("vec_id") + lit(c.toLong * 1000000000L)).as("vec_id"),
+          (if (c == 0) col("embedding")
+           else concat(slice(col("embedding"), c + 1, dim - c),
+             slice(col("embedding"), 1, c))).as("embedding"))
+      }.reduce(_ unionByName _)
+    }
   }
 
   def main(args: Array[String]): Unit = {

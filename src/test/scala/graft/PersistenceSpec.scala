@@ -357,6 +357,37 @@ class PersistenceSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex manifest versioning: every append commits a NEW " +
+    "manifest version (no delete→rewrite window on a shared dir), " +
+    "the prior version survives one cycle for in-flight readers, " +
+    "and older versions are pruned") {
+    import graft.ops.AnnIndex
+    val dir = Files.createTempDirectory("graft-ann-manv").toString +
+      "/idx"
+    AnnIndex.save(dir,
+      Map("rows" -> Seq((1L, "a")).toDF("k", "v")),
+      Map("kind" -> "test"))
+    def exists(p: String) =
+      Files.exists(java.nio.file.Paths.get(s"$dir/$p"))
+    assert(exists("_manifest"), "save writes the v0 manifest")
+    AnnIndex.append(dir, Map("rows" -> Seq((2L, "b")).toDF("k", "v")))
+    // first append: v1 committed, v0 (the prior) retained — a load
+    // racing the append resolves one of the two whole manifests
+    assert(exists("_manifest") && exists("_manifest-v1"))
+    assert(AnnIndex.maxBatches(spark, dir) == 2)
+    AnnIndex.append(dir, Map("rows" -> Seq((3L, "c")).toDF("k", "v")))
+    // second append: v2 committed, v1 retained, v0 pruned
+    assert(!exists("_manifest") && exists("_manifest-v1") &&
+      exists("_manifest-v2"))
+    assert(AnnIndex.maxBatches(spark, dir) == 3)
+    assert(AnnIndex.load(spark, dir)._1("rows").count() == 3)
+    // an UNCOMMITTED higher version (torn append crash point: dir
+    // exists, _SUCCESS not yet written) is invisible to readers
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_manifest-v9"))
+    assert(AnnIndex.maxBatches(spark, dir) == 3)
+  }
+
   test("AnnIndex: overlapping-id arrivals are dropped (insert stays " +
     "idempotent); un-keyed parts append as plain row unions; a " +
     "corrupted manifest part name refuses to load") {
@@ -420,10 +451,11 @@ class PersistenceSpec extends SparkSpec {
 
     // manifest hardening: a crafted part name pointing outside the
     // index directory refuses to load (the save-side name rule is
-    // re-applied to whatever the manifest claims)
+    // re-applied to whatever the manifest claims) — planted as the
+    // HIGHEST manifest version, which is the one readers resolve
     Seq(("../evil", 1, "")).toDF("part", "batches", "key_cols")
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/_manifest")
+      .parquet(s"$dir/_manifest-v99")
     intercept[IllegalArgumentException] {
       AnnIndex.load(spark, dir)
     }

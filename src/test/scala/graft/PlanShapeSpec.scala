@@ -567,6 +567,45 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pruneBy beyond the In-pushdown ceiling: the sorted key list " +
+    "chunks into range-bounded IN scans — each branch row-group-" +
+    "prunable on its own [lo, hi] against a range-clustered part — " +
+    "and the union stays exactly the single-IN semantics") {
+    withStaticPlans {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-prune-chunk").toString + "/part"
+      (0L until 20000L).map(i => (i * 7L, i)).toDF("cell", "payload")
+        .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+        .write.parquet(dir)
+      val part = spark.read.parquet(dir)
+      val keyVals = (0L until 2500L).map(_ * 56L)
+      val pruned = graft.ops.Hnsw.pruneBy(part, "cell",
+        keyVals.toDF("cell"), "cell")
+      // >1000 keys → ≥2 chunk branches, each scan carrying BOTH its
+      // range bound (the row-group pruner that survives any In-pushdown
+      // degradation) and its chunk-sized In
+      val chunkScans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("PushedFilters").exists(m =>
+              m.contains("GreaterThanOrEqual(cell") &&
+                m.contains("LessThanOrEqual(cell") &&
+                m.contains("In(cell")) => f
+      }
+      assert(chunkScans.length >= 2,
+        "an over-ceiling key list must slice into ≥2 range-bounded IN " +
+          "scans — a single InSet filter re-reads the whole part per " +
+          "probe (the r13 sf100 bulk-batch corpus-scan floor):\n" +
+          pruned.queryExecution.executedPlan.toString)
+      val want = part.filter(col("cell").isin(keyVals: _*))
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val got = pruned.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(got.toSeq == want.toSeq,
+        "chunked pruneBy must equal the single-IN filter exactly")
+    }
+  }
+
   test("q125 blocklist anti-join stays a broadcast join") {
     withStaticPlans {
       val df = SparkEntry.queries("q125_url_canonical")(spark, sfDir)

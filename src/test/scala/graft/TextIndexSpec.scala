@@ -180,16 +180,19 @@ class TextIndexSpec extends SparkSpec {
   }
 
   test("bm25MaintenanceStream CDC UPDATE: delete + re-arrival of one " +
-    "id in the SAME micro-batch replaces its text (the forced fold " +
-    "frees the id); a NULL op appends as documented") {
+    "id in the SAME micro-batch replaces its text (staged pending, " +
+    "merged by the scheduled fold); a NULL op appends as documented") {
     implicit val sqlCtx = spark.sqlContext
     val path = dir("cdc-upd")
     TextIndex.save(path, corpus.take(5).toDF("doc_id", "text"),
       "doc_id", "text")
     val input = MemoryStream[(Long, String, String)]
     val df = input.toDF().toDF("doc_id", "text", "op")
+    // compactEvery=2: the delete append takes a part to 2 batches, so
+    // the SCHEDULED fold runs right after the batch and merges the
+    // staged update in — post-fold answers are exact
     val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
-      compactEvery = 4, opCol = "op").start()
+      compactEvery = 2, opCol = "op").start()
     try {
       // ONE batch: update doc 3's text (delete + insert), insert doc 6
       // with a NULL op (must append, not drop)
@@ -212,12 +215,17 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("bm25MaintenanceStream CDC UPDATE without compaction enabled " +
-    "fails loudly instead of silently degrading to a delete") {
+  test("bm25MaintenanceStream CDC UPDATE on a LEGACY store (no " +
+    "pending part) without compaction enabled fails loudly instead " +
+    "of silently degrading to a delete") {
     implicit val sqlCtx = spark.sqlContext
     val path = dir("cdc-noupd")
-    TextIndex.save(path, corpus.take(3).toDF("doc_id", "text"),
-      "doc_id", "text")
+    // a pre-pending-layout store: the four original parts only
+    val legacyDocs = corpus.take(3).toDF("doc_id", "text")
+    AnnIndex.save(path,
+      TextIndex.deltaParts(legacyDocs, "doc_id", "text") +
+        ("deleted" -> legacyDocs.select(col("doc_id")).limit(0)),
+      Map("kind" -> "bm25", "id_col" -> "doc_id", "text_col" -> "text"))
     val input = MemoryStream[(Long, String, String)]
     val df = input.toDF().toDF("doc_id", "text", "op")
     val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
@@ -232,6 +240,114 @@ class TextIndexSpec extends SparkSpec {
       assert(messages(err).exists(_.contains("compactEvery")),
         s"wanted the loud CDC-update refusal, got: $err")
     } finally q.stop()
+  }
+
+  test("bm25MaintenanceStream CDC UPDATE BURST: N colliding batches " +
+    "stage N pending appends and ZERO folds; search serves each " +
+    "staged text immediately (latest wins); ONE fold then makes the " +
+    "index exactly save(final corpus)") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = dir("cdc-burst")
+    TextIndex.save(path, corpus.take(5).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "op")
+    // compactEvery=0: NO scheduled folds — the burst must not force any
+    val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
+      compactEvery = 0, opCol = "op").start()
+    try {
+      val versions = Seq(
+        "first replacement about zebras",
+        "second replacement about quokkas",
+        "third replacement about window sort merges")
+      versions.foreach { text =>
+        input.addData(Seq((3L, null.asInstanceOf[String], "delete"),
+          (3L, text, "insert")))
+        q.processAllAvailable()
+        // no generation fold happened — the update was STAGED
+        assert(AnnIndex.currentGen(spark, path) == 0,
+          "a colliding batch must stage, not force a Lucene merge")
+        // ...and the staged text is searchable right away, newest wins
+        val hit = asRows(TextIndex.search(spark, path,
+          text.split(" ").last, k = 7)).map(_.head.asInstanceOf[Long])
+        assert(hit.contains(3L), s"staged '$text' must be live")
+      }
+      // pending resolved keyed: exactly one live row, the LAST version
+      val pend = AnnIndex.load(spark, path)._1("pending").collect()
+      assert(pend.length == 1 && pend.head.getString(1) == versions.last)
+      // ONE fold merges the burst; the index then equals save(final)
+      AnnIndex.compactToNextGen(spark, path, TextIndex.compact)
+      val want = dir("cdc-burst-want")
+      TextIndex.save(want,
+        (corpus.take(5).filter(_._1 != 3L) :+ ((3L, versions.last)))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      for (query <- Seq("merge window sort", "merges", "fox")) {
+        assert(asRows(TextIndex.search(spark, path, query, k = 7)) ==
+          asRows(TextIndex.search(spark, want, query, k = 7)),
+          s"post-burst fold: '$query' must equal save(final corpus)")
+      }
+    } finally q.stop()
+  }
+
+  test("bm25MaintenanceStream seqCol: a micro-batch carrying TWO CDC " +
+    "updates of one id (the restart poison-pill shape) resolves to " +
+    "the highest sequence deterministically instead of dying") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = dir("cdc-seq")
+    TextIndex.save(path, corpus.take(4).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "text", "op", "seq")
+    val q = StreamOps.bm25MaintenanceStream(df, "doc_id", "text", path,
+      compactEvery = 2, opCol = "op", seqCol = "seq").start()
+    try {
+      // delete 2, insert A, delete 2, insert B — normal CDC traffic;
+      // without seqCol the in-batch conflict guard would kill the
+      // stream and every restart would replay the same batch forever
+      input.addData(Seq(
+        (2L, null.asInstanceOf[String], "delete", 1L),
+        (2L, "intermediate text about llamas", "insert", 2L),
+        (2L, null.asInstanceOf[String], "delete", 3L),
+        (2L, "final text about window sort", "insert", 4L)))
+      q.processAllAvailable()
+      val want = dir("cdc-seq-want")
+      TextIndex.save(want,
+        (corpus.take(4).filter(_._1 != 2L) :+
+          ((2L, "final text about window sort")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      for (query <- Seq("merge window sort", "llamas", "fox")) {
+        assert(asRows(TextIndex.search(spark, path, query, k = 7)) ==
+          asRows(TextIndex.search(spark, want, query, k = 7)),
+          s"seqCol resolution: '$query' must equal save(last version)")
+      }
+    } finally q.stop()
+  }
+
+  test("append BULK regime: a batch past the 100k inline-id cap " +
+    "takes the distributed anti-join (no driver-side literal list) " +
+    "and lands the same index contents") {
+    val path = dir("bulk")
+    TextIndex.save(path,
+      (0L until 10L).map(i => (i, s"seed doc w$i"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    // 100_001 arrivals, one of them (id 5) a stored re-arrival that
+    // must still be dropped by the fallback anti-join
+    val bulk = spark.range(100001)
+      .selectExpr("CASE WHEN id = 0 THEN 5 ELSE id + 1000 END AS doc_id",
+        "concat('bulk doc w', id % 97) AS text")
+    val appended = TextIndex.append(spark, path, bulk, "doc_id", "text")
+    assert(appended == 100000L,
+      s"expected 100000 fresh docs (re-arrival dropped), got $appended")
+    val (parts, _) = AnnIndex.load(spark, path)
+    assert(parts("docs").count() == 100010L)
+    // df stayed exact through the bulk path: every bulk doc carries
+    // the term 'bulk', none of the 10 seed docs do
+    val df = parts("termdf").filter(col("term") === "bulk")
+      .agg(sum(col("df_delta"))).collect().head.getLong(0)
+    assert(df == 100000L)
   }
 
   test("kind guard: searching or appending a non-bm25 store fails " +
