@@ -192,7 +192,7 @@ object Bench {
     // and the headline stays the full sum.
     val contractTier = Set("q230_hnsw_ann", "q231_hnsw_recall",
       "q253_hnsw_insert", "q255_hnsw_delete", "q256_ann_index_stream",
-      "q257_bm25_index_stream")
+      "q257_bm25_index_stream", "q258_bm25_cdc_update")
     val contractSec = results
       .filter(r => contractTier(r._1) && r._2.sec >= 0)
       .map(_._2.sec).sum

@@ -2548,6 +2548,70 @@ object SparkEntry {
       graft.ops.TextIndex.search(s, idxPath, "merge window sort", 20)
     }),
 
+    "q258_bm25_cdc_update" -> ((s, dir) => {
+      // The BM25 CDC-UPDATE lifecycle (the q257 discipline, update
+      // edition): a TextIndex is seeded from the WHOLE corpus, then
+      // two CDC micro-batches each UPDATE a slice of it (delete +
+      // re-arrival of the same id in one batch — batch 1 even carries
+      // TWO versions per id, resolved to the highest `seq`
+      // deterministically). With compactEvery=0 the burst forces ZERO
+      // Lucene merges: every replacement text is STAGED on the keyed
+      // pending part and already searchable; ONE explicit fold then
+      // merges the burst, and the search FROM DISK must equal scoring
+      // the updated corpus from scratch (the oracle replays the
+      // updates as a CASE over `documents` + the q257 BM25 chain).
+      import java.nio.file.{Files, StandardCopyOption}
+      val root = Files.createTempDirectory("graft-q258")
+      val inDir = Files.createDirectory(root.resolve("in"))
+      val idxPath = root.resolve("idx").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TextIndex.save(idxPath, docs, "doc_id", "text")
+      def cdc(sel: Column, suffixes: Seq[String]): DataFrame = {
+        val dels = docs.filter(sel).select(col("doc_id"),
+          lit(null).cast("string").as("text"),
+          lit("delete").as("op"), lit(0L).as("seq"))
+        suffixes.zipWithIndex.map { case (sfx, i) =>
+          docs.filter(sel).select(col("doc_id"),
+            concat(col("text"), lit(sfx)).as("text"),
+            lit("insert").as("op"), lit(i + 1L).as("seq"))
+        }.foldLeft(dels)(_ unionByName _)
+      }
+      // batch 1: ids % 7 = 2 get two candidate versions — ' updated
+      // alpha' (seq 1) loses to ' updated beta' (seq 2); batch 2:
+      // ids % 7 = 3 get ' updated gamma'
+      val snaps = Seq(
+        cdc(col("doc_id") % 7 === 2,
+          Seq(" updated alpha", " updated beta")),
+        cdc(col("doc_id") % 7 === 3, Seq(" updated gamma")))
+      snaps.zipWithIndex.foreach { case (b, snap) =>
+        val stage = root.resolve(s"stage$snap")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part =
+          try listing.filter(p => p.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close() // directory handle — don't leak
+        val dst = inDir.resolve(s"snap$snap.parquet")
+        Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + snap * 60000L))
+      }
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, op STRING, seq LONG")
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val sq = graft.streaming.StreamOps.bm25MaintenanceStream(
+          stream, "doc_id", "text", idxPath, compactEvery = 0,
+          opCol = "op", seqCol = "seq")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      // ONE fold merges the whole update burst (the amortized trade)
+      graft.ops.AnnIndex.compactToNextGen(s, idxPath,
+        graft.ops.TextIndex.compact)
+      graft.ops.TextIndex.search(s, idxPath, "merge window updated", 20)
+    }),
+
     "q254_stage2_curation" -> ((s, dir) => {
       // The COMPOSED stage-2 curation pipeline, end-to-end on raw
       // documents — every stage is a proven operator, chained the way
@@ -5541,6 +5605,51 @@ object SparkEntry {
         |      AS bm25
         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
         |  WHERE term IN ('merge', 'window', 'sort'))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |  round(sum(bm25), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q258: the CDC-update lifecycle — the oracle applies the two
+    // update slices as a CASE over `documents` (batch 1's two staged
+    // versions resolve to the highest seq = ' updated beta'; batch 2
+    // appends ' updated gamma') and replays the q257 BM25 chain over
+    // the UPDATED corpus. Staged pending + one fold ≡ full recompute.
+    "q258_bm25_cdc_update" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' updated beta'
+        |         WHEN doc_id % 7 = 3 THEN text || ' updated gamma'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, text FROM u
+        |  WHERE length(trim(text)) > 0),
+        |lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |      AS dl
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+        |  FROM lens),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avg_dl))
+        |      AS bm25
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), c
+        |  WHERE term IN ('merge', 'window', 'updated'))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
         |  round(sum(bm25), 6) AS score
         |FROM w GROUP BY doc_id

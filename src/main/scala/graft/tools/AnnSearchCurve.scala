@@ -88,26 +88,36 @@ object AnnSearchCurve {
 
     def searchWalls(tag: String): String = {
       val batches = AnnIndex.maxBatches(spark, idx)
-      def once(): Unit = {
+      // the realistic serving split: ONE load + adjacency
+      // materialization per index generation (amortized across every
+      // query the server answers), then per-query-set descent walls
+      // against the materialized adjacency — without the split, each
+      // beam step re-pays the keyed-resolve window + symmetrize join
+      // and the "search latency" mostly measures index loading
+      var adjRows = 0L
+      var adj: org.apache.spark.sql.DataFrame = null
+      var vecs: org.apache.spark.sql.DataFrame = null
+      val loadSec = timeSec {
         val (parts, _) = AnnIndex.load(spark, idx)
-        val adj = Hnsw.adjacencyFromKnn(parts("knn"), parts("vectors"),
-          "vec_id", "embedding")
-        Hnsw.searchTopK(adj, parts("vectors"), "vec_id", "embedding",
+        vecs = parts("vectors").localCheckpoint(true)
+        adj = Hnsw.adjacencyFromKnn(parts("knn"), vecs,
+          "vec_id", "embedding").localCheckpoint(true)
+        adjRows = adj.count()
+      }
+      def once(): Unit =
+        Hnsw.searchTopK(adj, vecs, "vec_id", "embedding",
           queries, "qid", "qv", 9L, ml, steps = 2, ef = 10, k = 10)
           .write.mode("overwrite").format("noop").save()
-      }
       val walls = (1 to 3).map(_ => timeSec(once()))
       // one counted pass: exact candidate-cosine work of the descent
-      val (parts, _) = AnnIndex.load(spark, idx)
-      val adj = Hnsw.adjacencyFromKnn(parts("knn"), parts("vectors"),
-        "vec_id", "embedding")
-      val (res, work) = Hnsw.searchTopKCounted(adj, parts("vectors"),
+      val (res, work) = Hnsw.searchTopKCounted(adj, vecs,
         "vec_id", "embedding", queries, "qid", "qv", 9L, ml,
         steps = 2, ef = 10, k = 10, counted = true)
       val nRows = res.count()
       val candCos = work.map(_.cand_cos).sum
       val initCos = work.filter(_.phase == "init").map(_.cand_cos).sum
-      s""""$tag":{"batches":$batches,""" +
+      s""""$tag":{"batches":$batches,"load_adj_sec":${r3(loadSec)},""" +
+        s""""adj_rows":$adjRows,""" +
         s""""walls_sec":[${walls.map(r3).mkString(",")}],""" +
         s""""wall_sec":${r3(walls.min)},"cand_cos":$candCos,""" +
         s""""init_cos":$initCos,"result_rows":$nRows}"""
