@@ -42,6 +42,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full contract surface (re-raised at 170 queries: the 512m cache
   // re-saturated and the whole run measured a uniform 1.5×).
   "-XX:ReservedCodeCacheSize=1g",
+  // parquet evaluates pushed IN or-chains recursively; the default
+  // ~1 MB task-thread stack overflowed once at 1000 literals under a
+  // deep codegen calling context. 4 MB gives the pushed-filter depth
+  // 4× headroom (the code side also chunks at 500 — belt and braces).
+  "-Xss4m",
 ) ++
   // ad-hoc JVM flags for GC experiments (space-separated), e.g.
   // SPARK_GRAFT_JVM="-XX:+UseParallelGC -Xmn16g"

@@ -328,18 +328,28 @@ object Hnsw {
     * fraction of the part). */
   private val MaxInlineKeys = 100000
 
-  /** Chunk width for inlined prune lists — matched to the measured
-    * parquet In-pushdown ceiling (`spark.sql.parquet.pushdown
-    * .inFilterThreshold` ≈ 1000, see [[sortedByKey]]): an `IN` list at
-    * or below it reaches the scan as a real per-row-group filter.
-    * Lists ABOVE it are sliced into chunk-sized scans over the SORTED
-    * key list, each conjoined with its own `[lo, hi]` range bound —
-    * on the range-clustered parts the min/max bound row-group-prunes
-    * even where a big `IN` would degrade to a row-level InSet over a
-    * full-part scan, so probe reads stay ∝ keys instead of hitting a
-    * corpus-scan floor (measured: the r13 sf100 bulk taper — a 4096-
-    * row batch cost 134.7 s at 1.8M vectors vs 25.2 s at 180k because
-    * its ~25k-cell list scanned the whole members part row-level). */
+  /** Chunk width for inlined prune lists — matched to the parquet
+    * In-pushdown setting (`spark.sql.parquet.pushdown
+    * .inFilterThreshold` = 1000, see [[sortedByKey]]): an `IN` list at
+    * or below the threshold reaches the scan as a real per-row-group
+    * or-chain filter, and parquet evaluates that chain RECURSIVELY —
+    * ~4000 literals always overflow a default-size executor stack,
+    * and 1000 overflowed ONCE under a deep whole-stage-codegen
+    * calling context (an r14 search-curve run). The fix is at the
+    * root: the JVMs run `-Xss4m` (build.sbt), 4× the default task
+    * stack, which moves the overflow boundary far above the chunk
+    * width; the width itself stays at the threshold so every slice is
+    * a real pushed or-chain and the slice count (scan passes) stays
+    * minimal. Lists above the width are sliced into chunk-sized scans
+    * over the SORTED key list, each conjoined with its own `[lo, hi]`
+    * range bound — on the range-clustered parts the min/max bound
+    * row-group-prunes even where a big `IN` would degrade to a
+    * row-level InSet over a full-part scan, so probe reads stay
+    * ∝ keys instead of hitting a corpus-scan floor (measured: the r13
+    * sf100 bulk taper — a 4096-row batch cost 134.7 s at 1.8M vectors
+    * vs 25.2 s at 180k because its ~25k-cell list scanned the whole
+    * members part row-level; chunked r14: 55.9 s, walls tracking
+    * delta rows — bench/ANN_STREAM_AUDIT_SF100_r14.json). */
   private val InlineChunk = 1000
 
   private def inlineKeys(df: DataFrame, c: String): Option[Seq[Long]] = {
