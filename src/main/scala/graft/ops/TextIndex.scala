@@ -43,6 +43,27 @@ import org.apache.spark.sql.functions._
 object TextIndex {
   private val Kind = "bm25"
 
+  /** Range-cluster a part on its probe key before writing — the same
+    * discipline as [[Hnsw]]'s `sortedByKey`: `postings` clustered on
+    * `term` makes a query's pushed term-IN prune at the row-group
+    * level (min/max stats bound each group's term range) instead of
+    * decoding the whole part per query; `docs` clustered on the id
+    * makes [[append]]'s stored-id overlap probe ∝ matching row
+    * groups. No explicit partition count — AQE coalesces a
+    * micro-batch delta to one file while an index-sized compact
+    * write spreads across the cluster. Applied at WRITE sites only
+    * (save/append/compact), never to [[search]]'s query-time pending
+    * delta (clustering a broadcast-sized relation per query would be
+    * a wasted exchange). */
+  private def clustered(df: DataFrame, key: String): DataFrame =
+    df.repartitionByRange(col(key)).sortWithinPartitions(key)
+
+  private def clusteredParts(d: Map[String, DataFrame], idCol: String)
+      : Map[String, DataFrame] =
+    d + ("postings" -> clustered(d("postings"), "term")) +
+      ("docs" -> clustered(d("docs"), idCol)) +
+      ("termdf" -> clustered(d("termdf"), "term"))
+
   /** The four delta parts for a batch of NEW documents (caller
     * guarantees ids are not already stored — the maintenance stream
     * anti-joins against `docs` first). Rows with empty/whitespace text
@@ -77,7 +98,7 @@ object TextIndex {
   def save(path: String, docs: DataFrame, idCol: String,
       textCol: String): Unit =
     AnnIndex.save(path,
-      deltaParts(docs, idCol, textCol) +
+      clusteredParts(deltaParts(docs, idCol, textCol), idCol) +
         ("deleted" -> docs.select(col(idCol)).limit(0)) +
         ("pending" -> docs.select(col(idCol), col(textCol)).limit(0)),
       Map("kind" -> Kind, "id_col" -> idCol, "text_col" -> textCol),
@@ -190,10 +211,12 @@ object TextIndex {
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("len_sum"))
     AnnIndex.save(dstPath,
-      Map("postings" -> postings, "docs" -> docs, "termdf" -> termdf,
-        "stats" -> stats,
-        "deleted" -> docs.select(col(idCol)).limit(0),
-        "pending" -> docs.select(col(idCol),
+      clusteredParts(
+        Map("postings" -> postings, "docs" -> docs,
+          "termdf" -> termdf), idCol) +
+        ("stats" -> stats) +
+        ("deleted" -> docs.select(col(idCol)).limit(0)) +
+        ("pending" -> docs.select(col(idCol),
           lit(null).cast("string").as(textCol)).limit(0)),
       params, keys = Map("pending" -> Seq(idCol)))
   }
@@ -210,9 +233,10 @@ object TextIndex {
     * Scale shape: the stored-id overlap check collects UP TO
     * [[MaxInlineIds]] batch ids to the driver (bounded by the
     * micro-batch, the trigger-sized quantity) and probes the `docs`
-    * part with an `id IN (...)` predicate — parquet row-group
-    * stats/dictionary pruning keeps the probe ∝ matching row groups
-    * instead of re-scanning the stored corpus per batch (raise
+    * part with an `id IN (...)` predicate — and because every write
+    * site id-clusters the docs part ([[clusteredParts]]), parquet
+    * row-group min/max pruning keeps the probe ∝ matching row groups
+    * BY CONSTRUCTION instead of re-scanning the stored corpus (raise
     * `spark.sql.parquet.pushdown.inFilterThreshold` above the batch
     * size so large batches keep the In-pushdown instead of degrading
     * to a min/max range). A batch past the cap — the bulk-load
@@ -250,7 +274,8 @@ object TextIndex {
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0)
-      AnnIndex.append(path, deltaParts(fresh, idCol, textCol))
+      AnnIndex.append(path,
+        clusteredParts(deltaParts(fresh, idCol, textCol), idCol))
     n
   }
 
