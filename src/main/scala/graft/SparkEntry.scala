@@ -2639,10 +2639,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val eav = TextOps.hashedEmbedding(docs, "doc_id", "text",
         dim = 64, seed = 7, family = "md5")
+      // the dense embedding table feeds SEVEN downstream scans (2
+      // k-means iterations, both sides of the salted pair join, the
+      // survivors anti-join, the ridge fit and the ridge score) — pin
+      // it once so the md5 hash-embed + pivot chain doesn't re-run per
+      // scan (guide §5: reuse + recompute-cost justifies persisting;
+      // same rows, plan-only change)
       val vecs = new graft.ml.EavToVector()
         .setIdCol("doc_id").setDimCol("dim").setValCol("val")
         .setOutputCol("embedding").setDim(64)
         .transform(eav)
+        .localCheckpoint(true)
       val cents0 = s.range(8).select(col("id").as("centroid_id"),
         expr("transform(sequence(0, 63)," +
           " i -> CAST((id * 31 + i * 7) % 17 - 8 AS DOUBLE) / 8.0)")

@@ -308,6 +308,28 @@ final class TopKBuf(val k: Int) extends Serializable {
       if (beats(s, id, scores(w), ids(w))) { scores(w) = s; ids(w) = id }
     }
 
+  /** [[insert]] with per-id dedup: an id already tracked keeps its
+    * best score instead of occupying a second slot (O(k) scan — k is
+    * small by construction in every ANN use). Makes top-k-DISTINCT
+    * a single partial-aggregatable stage: callers that previously
+    * needed `dropDuplicates(group, id)` BEFORE the top-k agg (one
+    * extra full exchange of the candidate stream) fold the dedup into
+    * the aggregation buffer. Exact whenever per-id scores are unique
+    * (the ANN family's case — the score is a pure function of the id's
+    * stored vector); with genuinely differing per-id scores the result
+    * is top-k over per-id best, still associative/commutative. */
+  def insertDistinct(s: Double, id: Long): Unit = {
+    var i = 0
+    while (i < n) {
+      if (ids(i) == id) {
+        if (s > scores(i)) scores(i) = s
+        return
+      }
+      i += 1
+    }
+    insert(s, id)
+  }
+
   /** Indices 0..n-1 ordered by (score DESC, id ASC). */
   def sortedIdx: Array[Int] =
     Array.range(0, n).sortWith { (a, b) =>
@@ -336,6 +358,7 @@ case class TopKByScoreAgg(
     score: Expression,
     id: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuf] with Serializable {
@@ -369,14 +392,20 @@ case class TopKByScoreAgg(
   override def update(buffer: TopKBuf, input: InternalRow): TopKBuf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      if (distinctIds)
+        buffer.insertDistinct(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      else buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
     buffer
   }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
     var i = 0
-    while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+    if (distinctIds)
+      while (i < b.n) { a.insertDistinct(b.scores(i), b.ids(i)); i += 1 }
+    else
+      while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
     a
   }
 
@@ -422,7 +451,8 @@ case class TopKByScoreAgg(
       newChildren: IndexedSeq[Expression]): TopKByScoreAgg =
     copy(score = newChildren(0), id = newChildren(1))
 
-  override def prettyName: String = "top_k_by_score"
+  override def prettyName: String =
+    if (distinctIds) "top_k_by_score_distinct" else "top_k_by_score"
 }
 
 /** One-pass raw second moments of a vector column: the buffer holds
@@ -561,6 +591,17 @@ object AggregateFunctions {
     Bridge.toColumn(
       TopKByScoreAgg(Bridge.toExpression(score), Bridge.toExpression(id),
         k).toAggregateExpression())
+
+  /** [[topKByScore]] with per-id dedup INSIDE the aggregation buffer
+    * (ids keep their best score) — replaces the
+    * `dropDuplicates(group, id)` + top-k two-exchange pattern with ONE
+    * map-side-combinable stage. Exact replacement whenever duplicate
+    * ids carry identical scores (the ANN candidate streams: the score
+    * is a pure 6dp function of the id's stored vector). */
+  def topKByScoreDistinct(score: Column, id: Column, k: Int): Column =
+    Bridge.toColumn(
+      TopKByScoreAgg(Bridge.toExpression(score), Bridge.toExpression(id),
+        k, distinctIds = true).toAggregateExpression())
 
   /** Column-level API: flat `bases.length × width` Count-Min sketch of
     * whitespace-token counts over a text column; `split = false`

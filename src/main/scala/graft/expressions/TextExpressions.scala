@@ -901,6 +901,76 @@ case class UnigramViterbiExpr(child: Expression, pieces: Array[String],
       : UnigramViterbiExpr = copy(child = newChild)
 }
 
+/** Greedy BPE merge application over ONE word: the `nMerges`
+  * sequential [[graft.ops.Bpe.mergeStep]] relational passes (each a
+  * per-word window + island rank + two positional joins + a renumber
+  * window — ~3 exchanges and a blocking localCheckpoint PER MERGE),
+  * collapsed into one narrow expression walk (the
+  * [[UnigramViterbiExpr]]/[[WordPieceExpr]] embed-the-model idiom,
+  * applied to the BPE merge table — guide §1.2: fix the pass count
+  * first).
+  *
+  * Exact semantics of the relational walk, per merge rank: hits are
+  * the positions where (sym(i), sym(i+1)) = (lhs, rhs) BEFORE any
+  * merge of this rank applies; islands of consecutive hits (only
+  * self-pairs produce them) keep their odd-ranked members — which is
+  * precisely a left-to-right scan that merges on match and skips past
+  * the consumed right half. Char split matches `initialSymbols`'s
+  * `split(w, "(?!^)(?=[\s\S])")` (one symbol per Java regex boundary —
+  * BpeSpec/BpePropertySpec pin equality against the relational form).
+  * O(nMerges · |word|) per row; merge tables are model-sized
+  * (params-as-data), embedded as literals like every other trained
+  * tokenizer expression here. */
+case class BpeApplyExpr(child: Expression, lhs: Seq[String],
+    rhs: Seq[String])
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(lhs.length == rhs.length,
+    s"bpe_apply: ${lhs.length} lhs vs ${rhs.length} rhs halves")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    var syms = w.split("(?!^)(?=[\\s\\S])")
+    var m = 0
+    while (m < lhs.length) {
+      val a = lhs(m)
+      val b = rhs(m)
+      // left-to-right greedy scan; only rewrite when a hit exists
+      var j = 0
+      var hits = 0
+      while (j < syms.length - 1) {
+        if (syms(j) == a && syms(j + 1) == b) { hits += 1; j += 2 }
+        else j += 1
+      }
+      if (hits > 0) {
+        val out = new Array[String](syms.length - hits)
+        var i = 0
+        var o = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out(o) = a + b; o += 1; i += 2
+          } else { out(o) = syms(i); o += 1; i += 1 }
+        }
+        syms = out
+      }
+      m += 1
+    }
+    val out = new Array[Any](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      out(i) = UTF8String.fromString(syms(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeApplyExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct character n-gram shingles of a string column (insertion
     * order = first occurrence, matching the composable form's
@@ -986,4 +1056,11 @@ object TextExpressions {
       contPieces: Array[String]): Column =
     Bridge.toColumn(WordPieceExpr(Bridge.toExpression(word),
       startPieces, contPieces))
+
+  /** ARRAY<STRING>: greedy BPE merge application over one word under
+    * a rank-ordered merge table embedded in the expression (the
+    * relational per-rank walk, one narrow pass). */
+  def bpeApply(word: Column, lhs: Seq[String], rhs: Seq[String])
+      : Column =
+    Bridge.toColumn(BpeApplyExpr(Bridge.toExpression(word), lhs, rhs))
 }

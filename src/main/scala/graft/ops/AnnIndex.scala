@@ -66,6 +66,31 @@ object AnnIndex {
       s"AnnIndex part name '$n' must be alphanumeric/underscore and " +
         "not start with '_'")
 
+  /** Run independent part writes as CONCURRENT Spark jobs (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — overlapping lets the next part's tasks back-fill
+    * executors freed by the current part's stragglers; an index save
+    * writes 4–6 parts whose job tails otherwise serialize). Failures
+    * propagate: the manifest is still written LAST by the caller, so a
+    * failed or torn multi-part write stays invisible to readers. */
+  private def writeAll(jobs: Seq[() => Unit]): Unit =
+    if (jobs.lengthCompare(1) <= 0) jobs.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(jobs.length, 4))
+      try {
+        val futs = jobs.map { j =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = j()
+          })
+        }
+        futs.foreach(_.get()) // rethrows the first failure
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      } finally pool.shutdownNow()
+    }
+
   private def writeManifest(dir: String,
       rows: Seq[(String, Int, String)], spark: SparkSession): Unit = {
     import spark.implicits._
@@ -242,9 +267,9 @@ object AnnIndex {
       s"AnnIndex.save: $path already has committed generations — " +
         "append/compactToNextGen maintain a generational index; a " +
         "fresh save needs a fresh root")
-    parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name/b0")
-    }
+    writeAll(parts.toSeq.sortBy(_._1).map { case (name, df) =>
+      () => df.write.mode("overwrite").parquet(s"$path/$name/b0")
+    })
     params.toSeq.sortBy(_._1).toDF("param", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
     writeManifest(s"$path/_manifest",
@@ -279,10 +304,10 @@ object AnnIndex {
           s"${df.columns.sorted.mkString("[", ",", "]")} != stored " +
           s"${stored.toSeq.sorted.mkString("[", ",", "]")}")
     }
-    deltaParts.foreach { case (name, df) =>
-      df.write.mode("overwrite")
+    writeAll(deltaParts.toSeq.sortBy(_._1).map { case (name, df) =>
+      () => df.write.mode("overwrite")
         .parquet(s"$path/$name/b${byName(name)._2}")
-    }
+    })
     // the bumped manifest lands as a NEW version directory (its own
     // _SUCCESS commits it), then versions older than the prior one are
     // pruned — a concurrent load resolves pre- or post-append state,

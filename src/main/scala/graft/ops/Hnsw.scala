@@ -159,12 +159,16 @@ object Hnsw {
   /** Global (lvl, src) top-M under (c DESC, dst ASC) over DISTINCT
     * (lvl, src, dst) edges — identical edges carry identical c (the
     * cosine is a pure 6dp-rounded function of the endpoint vectors),
-    * so the dedup is sound on the edge key alone. */
+    * so the dedup is sound on the edge key alone, and it runs INSIDE
+    * the top-k aggregation buffer ([[AggregateFunctions
+    * .topKByScoreDistinct]]): one map-side-combinable exchange where
+    * the former `dropDuplicates(lvl, src, dst)` + top-k pattern
+    * shuffled the full candidate stream twice (guide §2.4 — two
+    * operations keyed the same way share one exchange). */
   private def topMEdges(edges: DataFrame, m: Int): DataFrame =
-    edges.dropDuplicates("lvl", "src", "dst")
-      .groupBy("lvl", "src")
-      .agg(AggregateFunctions.topKByScore(col("c"), col("dst"), m)
-        .as("t"))
+    edges.groupBy("lvl", "src")
+      .agg(AggregateFunctions.topKByScoreDistinct(col("c"), col("dst"),
+        m).as("t"))
       .select(col("lvl"), col("src"), explode(col("t")).as("e"))
       .select(col("lvl"), col("src"), col("e.id").as("dst"),
         col("e.score").as("c"))
@@ -432,13 +436,20 @@ object Hnsw {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = vecs.select(col(idCol), col(vecCol))
+    // ONE banded-membership materialization feeds BOTH the kNN build
+    // and the persisted members part — they are the same relation
+    // modulo the derived cell/mb columns, and computing it twice
+    // re-paid the md5 level walk + per-band hyperplane hashing over
+    // corpus × bands × levels rows (guide §1.2: don't compute things
+    // twice before tuning anything else)
+    val mem0 = memberRows(base, idCol, vecCol, seed, maxLevel, bands,
+      bucketFn, mb = 0).localCheckpoint(true)
+    val slim = mem0.select("lvl", "band", "bkt", "vid", "v")
     AnnIndex.save(path,
       Map(
-        "knn" -> sortedByKey(buildKnn(base, idCol, vecCol, seed,
-          maxLevel, m, bands, bucketFn), "src"),
+        "knn" -> sortedByKey(topMPerSrc(pairsOf(slim, slim), m), "src"),
         "vectors" -> base,
-        "members" -> sortedByKey(memberRows(base, idCol, vecCol, seed,
-          maxLevel, bands, bucketFn, mb = 0), "cell"),
+        "members" -> sortedByKey(mem0, "cell"),
         "memdead" -> Seq.empty[(Long, Int)].toDF("vid", "th")),
       params ++ Map("kind" -> "hnsw", "seed" -> seed.toString,
         "max_level" -> maxLevel.toString, "m" -> m.toString,
@@ -754,17 +765,25 @@ object Hnsw {
         .select(col("src"), col("dst"), col("dvec"))
       var s = 0
       while (s < steps) {
-        val cand = state.join(lvlAdj, state("id") === lvlAdj("src"))
+        // the frontier is ≤ |queries|·ef rows by construction — BROADCAST
+        // it so the layer adjacency (the big side) is probed in place
+        // instead of being shuffled+sorted once per expansion step
+        // (guide §3.1: a broadcast join replaces a shuffle of the large
+        // side with a broadcast of the small side)
+        val cand = broadcast(state)
+          .join(lvlAdj, state("id") === lvlAdj("src"))
           .join(broadcast(qv), "qid")
           .select(col("qid"), col("dst").as("id"),
             round(VectorFunctions.cosineSimilarity(col("qv"),
               col("dvec")), 6).as("c"))
         if (counted) work += SearchWork("beam", lvl, s, cand.count())
+        // per-(qid, id) dedup runs inside the top-ef buffer (duplicate
+        // ids carry identical c — a pure function of the stored vector),
+        // folding the former dropDuplicates exchange into the agg
         state = state.unionByName(cand)
-          .dropDuplicates("qid", "id")
           .groupBy("qid")
-          .agg(AggregateFunctions.topKByScore(col("c"), col("id"), ef)
-            .as("t"))
+          .agg(AggregateFunctions.topKByScoreDistinct(col("c"),
+            col("id"), ef).as("t"))
           .select(col("qid"), explode(col("t")).as("e"))
           .select(col("qid"), col("e.id").as("id"),
             col("e.score").as("c"))

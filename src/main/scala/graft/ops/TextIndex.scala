@@ -72,8 +72,19 @@ object TextIndex {
       : Map[String, DataFrame] = {
     val d = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), col(textCol))
+    // The four parts are all derived from two relations — (id, dl) and
+    // the (id, term, tf, dl) postings — and every caller materializes
+    // ALL of them (save/append write the four parts; search's pending
+    // path reads three). Without pinning, the tokenize→explode→agg
+    // chain re-ran once PER PART (guide §1.2: don't compute things
+    // twice); localCheckpoint runs it once and the derived rollups
+    // (termdf, stats) fold over the pinned rows. termdf counts
+    // postings rows per term, which equals tf rows per term exactly:
+    // the tf→lens join is 1:1 (both sides derive from the same
+    // non-empty-text rows, one lens row per id).
     val lens = d.select(col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
+      .localCheckpoint(true)
     val tf = d
       .select(col(idCol),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
@@ -81,7 +92,8 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"))
     val postings = tf.join(lens, Seq(idCol))
       .select(col(idCol), col("term"), col("tf"), col("dl"))
-    val termdf = tf.groupBy(col("term"))
+      .localCheckpoint(true)
+    val termdf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df_delta"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("len_sum"))
@@ -166,6 +178,84 @@ object TextIndex {
         "resolve upstream (the maintenance stream's seqCol)")
     if (!staged.isEmpty)
       AnnIndex.append(path, Map("pending" -> staged))
+  }
+
+  /** ONE CDC micro-batch — deletes, staged updates and plain appends —
+    * applied as ONE index load and ONE multi-part [[AnnIndex.append]]
+    * (one manifest version), where the maintenance loop previously
+    * chained [[delete]] → [[stageUpdates]] → [[append]]: three full
+    * load/validate/append cycles per colliding micro-batch, each with
+    * its own part writes and manifest rewrite (measured at sf0.1:
+    * 2.3 s + 3.2 s + 1.7 s per batch → one ~2.5 s call; guide §1.2 —
+    * fix the number of passes before tuning anything inside them).
+    *
+    * Semantics are EXACTLY the sequential chain's (TextIndexSpec pins
+    * equality): `staged` ids must be a subset of `dels` (the CDC
+    * update order — delete + re-arrival in one batch; the maintenance
+    * stream guarantees it). The fused pending delta resolves
+    * identically to the two sequential appends: a deleted id WITH a
+    * replacement gets the staged row (which would have won the keyed
+    * window anyway), a deleted id WITHOUT one gets the tombstone; the
+    * dedup/conflict guards of stageUpdates and append both run
+    * unchanged. `appends` rows whose ids are already stored are
+    * dropped exactly as [[append]] drops them (the `docs` part deletes
+    * never rewrite is the same part the sequential chain checked). */
+  def applyCdc(spark: SparkSession, path: String, dels: DataFrame,
+      staged: DataFrame, appends: DataFrame, idCol: String,
+      textCol: String): Long = {
+    val (parts, params) = AnnIndex.load(spark, path)
+    require(params.get("kind").contains(Kind),
+      s"TextIndex.applyCdc: index at $path has kind " +
+        s"${params.getOrElse("kind", "?")}, expected $Kind")
+    require(parts.contains("pending"),
+      s"TextIndex.applyCdc: index at $path has no pending part " +
+        "(a legacy store) — compact it once to upgrade the layout")
+    val delIds = dels.select(col(idCol)).distinct().localCheckpoint(true)
+    // stageUpdates' guard, unchanged: one text per id or fail loudly
+    val stg = staged.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol, textCol).localCheckpoint(true)
+    val stgConf = stg.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col(idCol)).limit(5).collect().map(_.get(0))
+    require(stgConf.isEmpty,
+      s"TextIndex.applyCdc: conflicting staged texts for id(s) " +
+        s"${stgConf.mkString(", ")} within one batch — resolve " +
+        "upstream (the maintenance stream's seqCol)")
+    // append's guards, unchanged: dedup, conflicts, stored-id prune
+    val arriving = appends.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol, textCol).localCheckpoint(true)
+    val appConf = arriving.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col(idCol)).limit(5).collect().map(_.get(0))
+    require(appConf.isEmpty,
+      s"TextIndex.applyCdc: conflicting texts for id(s) " +
+        s"${appConf.mkString(", ")} within one batch — resolve " +
+        "upstream (the maintenance stream's seqCol)")
+    val ids = arriving.select(col(idCol))
+      .limit(MaxInlineIds + 1).collect().map(_.get(0))
+    val fresh =
+      if (ids.isEmpty) arriving
+      else {
+        val stored =
+          if (ids.length > MaxInlineIds) parts("docs").select(col(idCol))
+          else parts("docs").select(col(idCol))
+            .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+        arriving.join(stored, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+      }
+    val n = if (ids.isEmpty) 0L else fresh.count()
+    // fused pending delta: staged rows win their ids; deleted ids with
+    // no replacement carry the keyed tombstone (retracting any
+    // earlier-batch pending text exactly like delete's tombstone append)
+    val pendDelta = stg.unionByName(
+      delIds.join(stg.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit(null).cast("string").as(textCol)))
+    AnnIndex.append(path,
+      Map("deleted" -> delIds, "pending" -> pendDelta) ++
+        (if (n > 0) clusteredParts(deltaParts(fresh, idCol, textCol),
+          idCol)
+        else Map.empty[String, DataFrame]))
+    n
   }
 
   /** Fold the index to single-batch form AND physically apply the

@@ -373,25 +373,33 @@ object StreamOps {
           if (opCol.isEmpty) batch.toDF()
           else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
         val arrivals = resolveLatest(raw, idCol, seqCol, textCol)
-        var toAppend = arrivals
+        var fused = false
         if (opCol.nonEmpty) {
           val dels = batch.toDF().filter(col(opCol) === "delete")
             .select(idCol).localCheckpoint(true)
           if (!dels.isEmpty) {
-            graft.ops.TextIndex.delete(sp, indexPath, dels, idCol)
-            // same-batch delete + re-arrival = a CDC UPDATE: the id
-            // is on the live-docs list we just wrote, so the plain
-            // append below would drop the new text forever
-            val colliding = arrivals
-              .join(dels, Seq(idCol), "left_semi")
-              .localCheckpoint(true)
-            if (!colliding.isEmpty) {
-              if (graft.ops.AnnIndex.partKeys(sp, indexPath)
-                  .contains("pending")) {
-                graft.ops.TextIndex.stageUpdates(sp, indexPath,
-                  colliding, idCol, textCol)
-                toAppend = arrivals.join(dels, Seq(idCol), "left_anti")
-              } else {
+            if (graft.ops.AnnIndex.partKeys(sp, indexPath)
+                .contains("pending")) {
+              // same-batch delete + re-arrival = a CDC UPDATE, staged
+              // on the keyed pending part; the whole micro-batch —
+              // deletes, staged updates, leftover appends — lands as
+              // ONE load + ONE multi-part append (TextIndex.applyCdc;
+              // previously delete → stageUpdates → append = three full
+              // load/append cycles and three manifest versions per
+              // colliding batch)
+              val colliding = arrivals
+                .join(dels, Seq(idCol), "left_semi")
+              graft.ops.TextIndex.applyCdc(sp, indexPath, dels,
+                colliding,
+                arrivals.join(dels, Seq(idCol), "left_anti"),
+                idCol, textCol)
+              fused = true
+            } else {
+              graft.ops.TextIndex.delete(sp, indexPath, dels, idCol)
+              val colliding = arrivals
+                .join(dels, Seq(idCol), "left_semi")
+                .localCheckpoint(true)
+              if (!colliding.isEmpty) {
                 // legacy store: fold NOW (the merge frees the id) so
                 // the update lands in this batch
                 require(compactEvery > 0,
@@ -406,8 +414,9 @@ object StreamOps {
             }
           }
         }
-        graft.ops.TextIndex.append(sp, indexPath, toAppend,
-          idCol, textCol)
+        if (!fused)
+          graft.ops.TextIndex.append(sp, indexPath, arrivals,
+            idCol, textCol)
         // the BM25 fold also APPLIES the deletion list and merges the
         // staged pending updates in (Lucene merge) — deleted ids free
         // up and df/N return to exact

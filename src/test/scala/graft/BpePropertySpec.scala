@@ -72,6 +72,32 @@ class BpePropertySpec extends SparkSpec {
     }
   }
 
+  test("applyMerges (native BpeApplyExpr walk) == the per-rank " +
+    "relational mergeStep chain it replaced, on fit-derived merge " +
+    "tables over self-pair-heavy corpora") {
+    (21 to 28).foreach { seed =>
+      val c = corpus(seed)
+      val docs = c.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val merges = Bpe.fit(docs, "text", 4)
+      def segs(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("w", "freq")
+        .agg(collect_list(struct(col("i"), col("sym"))).as("ss"))
+        .select(col("w"), col("freq"),
+          expr("transform(array_sort(ss), x -> x.sym)").as("syms"))
+        .as[(String, Long, Seq[String])].collect().sortBy(_._1).toList
+      // the relational chain applyMerges replaced
+      var rel = Bpe.initialSymbols(docs, "text").localCheckpoint(true)
+      merges.select("rank", "lhs", "rhs").orderBy("rank").collect()
+        .foreach { r =>
+          rel = Bpe.mergeStep(rel, r.getString(1), r.getString(2))
+            .localCheckpoint(true)
+        }
+      assert(segs(Bpe.applyMerges(docs, "text", merges)) == segs(rel),
+        s"seed $seed corpus $c")
+    }
+  }
+
   test("mergeStep == reference merge for a forced self-pair") {
     (13 to 20).foreach { seed =>
       val c = corpus(seed)

@@ -93,9 +93,12 @@ class PlanShapeSpec extends SparkSpec {
     // Char-entropy gate: one narrow native pass — ZERO exchanges.
     "q150_char_entropy" -> 0,
     // Tokenize-and-pack: the word-count join broadcasts the distinct-
-    // word side; the two exchanges are the per-doc agg and the shard
-    // cumsum window.
-    "q152_tokenize_pack" -> 2,
+    // word side; the exchanges are the per-doc agg, the shard cumsum
+    // window, and (r14) the distinct-word agg feeding the native BPE
+    // walk — previously the same exchange ran as an EAGER job behind
+    // applyMerges' per-merge checkpoints (plus ~3 exchanges per merge
+    // rank, all gone now); the whole query is one lazy plan.
+    "q152_tokenize_pack" -> 3,
     // Corpus diff: two distinct-content aggs (partial-aggregatable)
     // + the fp-keyed full-outer join; wire is 16 B/distinct doc.
     "q153_corpus_diff" -> 3,
@@ -148,10 +151,12 @@ class PlanShapeSpec extends SparkSpec {
     // PNG sniff: synthesis + header projection + union — narrow,
     // ZERO exchanges.
     "q172_png_sniff" -> 0,
-    // Fertility: the merge walk runs behind applyMerges' internal
-    // checkpoints and the word table broadcasts into the occurrence
-    // join; the ONE exchange is the lang rollup.
-    "q173_tokenizer_fertility" -> 1,
+    // Fertility: the word table broadcasts into the occurrence join;
+    // the exchanges are the lang rollup and (r14) the distinct-word
+    // agg feeding the native BPE walk — previously an eager job
+    // behind applyMerges' per-merge checkpoints (which also cost ~3
+    // exchanges per merge rank, all gone now).
+    "q173_tokenizer_fertility" -> 2,
     // Transition matrix: the subject window + the pair rollup — the
     // subject exchange is the one bucketed storage would remove.
     "q174_event_transitions" -> 2,
@@ -331,13 +336,20 @@ class PlanShapeSpec extends SparkSpec {
     // (same shape as q230's build); the insert's own final job is the
     // fresh-pair banded bucket join (both membership sides derive from
     // level/bucket projections + the level join) feeding the two
-    // k-bounded topM stages and the merge re-rank.
-    "q253_hnsw_insert" -> 9,
+    // k-bounded topM stages and the merge re-rank. r14: 9 → 7 — the
+    // edge dedup moved INSIDE the top-M aggregation buffer
+    // (topKByScoreDistinct), so the two dropDuplicates exchanges
+    // (fresh-pair re-rank + merge re-rank) folded into their agg
+    // exchanges (guide §2.4: same-keyed operations share one exchange).
+    "q253_hnsw_insert" -> 7,
     // Composed curation: kmeans fit + ridge fit run as EAGER driver
-    // jobs at build time (params-as-data); the final mixture job spans
-    // embed (2 aggs) + pivot (2) + salted pair join + survivor
-    // anti-join + kept semi-join + the plan/count aggs.
-    "q254_stage2_curation" -> 10
+    // jobs at build time (params-as-data), and r14 pins the dense
+    // embedding table once (localCheckpoint — it feeds 7 downstream
+    // scans), so embed (2 aggs) + pivot (2) + the salted pair join +
+    // survivor anti-join + kept semi-join all run BEHIND checkpoints
+    // as build-time jobs; the final mixture job is the per-lang token
+    // inventory agg (10 → 1).
+    "q254_stage2_curation" -> 1
   )
 
   expected.foreach { case (name, want) =>

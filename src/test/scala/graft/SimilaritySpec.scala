@@ -121,6 +121,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topKByScoreDistinct == dropDuplicates + topKByScore (the " +
+    "two-exchange pattern it folds into one stage), partition-invariant") {
+    import graft.expressions.AggregateFunctions
+    val r = new scala.util.Random(23)
+    // duplicate (grp, id) rows with IDENTICAL scores (the ANN candidate
+    // stream shape: score is a pure function of the id's vector), plus
+    // score ties ACROSS ids to exercise the (score DESC, id ASC) order
+    val rows = for {
+      g <- 0L until 5L
+      id <- 0L until 40L
+      dup <- 0 until (1 + r.nextInt(3))
+    } yield (g, id, (id % 7).toDouble, dup)
+    val df = rows.toDF("grp", "id", "score", "dup")
+      .drop("dup")
+    def explode_(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.explode(c)
+    for (k <- Seq(1, 3, 11)) {
+      def flat(agged: org.apache.spark.sql.DataFrame) = agged
+        .select(col("grp"), explode_(col("t")).as("e"))
+        .select(col("grp"), col("e.id").as("id"),
+          col("e.score").as("score"))
+        .as[(Long, Long, Double)].collect().sortBy(x => (x._1, x._2))
+        .toSeq
+      val want = flat(df.dropDuplicates("grp", "id").groupBy("grp")
+        .agg(AggregateFunctions.topKByScore(col("score"), col("id"), k)
+          .as("t")))
+      val got = flat(df.groupBy("grp")
+        .agg(AggregateFunctions.topKByScoreDistinct(col("score"),
+          col("id"), k).as("t")))
+      assert(got == want, s"k=$k")
+      // merge-order invariance (partial buffers dedup across merges)
+      val got13 = flat(df.repartition(13).groupBy("grp")
+        .agg(AggregateFunctions.topKByScoreDistinct(col("score"),
+          col("id"), k).as("t")))
+      assert(got13 == want, s"k=$k repartitioned")
+    }
+  }
+
   test("ivfAssign narrow projection == the crossJoin+window form it " +
     "replaced (order, ties, probe ranks)") {
     // the reference form: expand by k, rank per vector id — the shape

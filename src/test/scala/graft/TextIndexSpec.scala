@@ -215,6 +215,51 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyCdc (one load + one multi-part append) ≡ the sequential " +
+    "delete → stageUpdates → append chain it fused: same search " +
+    "answers before AND after a fold, deletes-without-replacement " +
+    "included, conflicting staged texts still fail loudly") {
+    val docs = corpus.toDF("doc_id", "text")
+    val fusedPath = dir("cdc-fused")
+    val seqPath = dir("cdc-seq")
+    TextIndex.save(fusedPath, docs, "doc_id", "text")
+    TextIndex.save(seqPath, docs, "doc_id", "text")
+    // one CDC batch: update ids 2 and 5, delete id 6 outright (no
+    // replacement), append fresh id 8
+    val dels = Seq(2L, 5L, 6L).toDF("doc_id")
+    val staged = Seq((2L, "rewritten merge article"),
+      (5L, "rewritten window survey")).toDF("doc_id", "text")
+    val appends = Seq((8L, "a brand new sorting paper"))
+      .toDF("doc_id", "text")
+    // sequential chain (the pre-r14 loop body)
+    TextIndex.delete(spark, seqPath, dels, "doc_id")
+    TextIndex.stageUpdates(spark, seqPath, staged, "doc_id", "text")
+    TextIndex.append(spark, seqPath, appends, "doc_id", "text")
+    // fused
+    val n = TextIndex.applyCdc(spark, fusedPath, dels, staged, appends,
+      "doc_id", "text")
+    assert(n == 1L, s"one genuinely-new doc appended, got $n")
+    for (q <- Seq("merge window sort", "rewritten", "fox", "sorting")) {
+      assert(asRows(TextIndex.search(spark, fusedPath, q, k = 8)) ==
+        asRows(TextIndex.search(spark, seqPath, q, k = 8)),
+        s"pre-fold '$q' must match the sequential chain")
+    }
+    AnnIndex.compactToNextGen(spark, fusedPath, TextIndex.compact)
+    AnnIndex.compactToNextGen(spark, seqPath, TextIndex.compact)
+    for (q <- Seq("merge window sort", "rewritten", "fox", "sorting")) {
+      assert(asRows(TextIndex.search(spark, fusedPath, q, k = 8)) ==
+        asRows(TextIndex.search(spark, seqPath, q, k = 8)),
+        s"post-fold '$q' must match the sequential chain")
+    }
+    // the stageUpdates conflict guard still fires through applyCdc
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.applyCdc(spark, fusedPath, Seq(1L).toDF("doc_id"),
+        Seq((1L, "version a"), (1L, "version b")).toDF("doc_id", "text"),
+        appends.limit(0), "doc_id", "text")
+    }
+    assert(err.getMessage.contains("conflicting staged texts"))
+  }
+
   test("bm25MaintenanceStream CDC UPDATE on a LEGACY store (no " +
     "pending part) without compaction enabled fails loudly instead " +
     "of silently degrading to a delete") {
