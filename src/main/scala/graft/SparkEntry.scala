@@ -2661,9 +2661,15 @@ object SparkEntry {
       // big cluster spread across ≥ cores tasks — measured 104 → 49 s
       // at sf1 vs the bare k-key join (results identical; salting is
       // content-invariant)
+      // pin the pair-scan verdict and the keep list: the quadratic
+      // salted pair join otherwise re-runs for every downstream
+      // consumer (ridge fit, the mixture plan's eager token counts,
+      // the final materialize scan — measured 3 full re-runs of the
+      // ~4.3 s stage at sf0.1); with both pinned it runs exactly once
       val dupIds = Dedup.embeddingNearDupsKmeans(vecs, "doc_id",
           "embedding", threshold = 0.9, cents, saltSlices = 32)
         .select(col("id_b").as("doc_id")).distinct()
+        .localCheckpoint(true)
       val survivors = vecs.join(dupIds, Seq("doc_id"), "left_anti")
       val labeled = survivors.join(
         docs.select(col("doc_id"),
@@ -2671,6 +2677,7 @@ object SparkEntry {
       val kept = Linalg.ridgeScore(labeled, "doc_id", "embedding",
           "y", lambda = 0.1, eta = 0.5, iters = 30, threshold = 0.4)
         .filter(col("keep")).select("doc_id")
+        .localCheckpoint(true)
       val keptDocs = docs.join(kept, Seq("doc_id"))
       val counts = keptDocs.groupBy("lang")
         .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
