@@ -45,7 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // parquet evaluates pushed IN or-chains recursively; the default
   // ~1 MB task-thread stack overflowed once at 1000 literals under a
   // deep codegen calling context. 4 MB gives the pushed-filter depth
-  // 4× headroom (the code side also chunks at 500 — belt and braces).
+  // 4× headroom (the code side also chunks at 1000, Hnsw.InlineChunk —
+  // belt and braces).
   "-Xss4m",
 ) ++
   // ad-hoc JVM flags for GC experiments (space-separated), e.g.

@@ -63,7 +63,23 @@ class KMeansClusterer(override val uid: String)
 
   override def fit(dataset: Dataset[_]): KMeansClustererModel = {
     transformSchema(dataset.schema)
-    val df = dataset.toDF()
+    val df0 = dataset.toDF()
+    // fit re-scans its input iters+1 times (the dim probe plus one
+    // Lloyd's pass per iteration). When the input is a bare columnar
+    // scan (± project/filter) each re-scan is the cheapest possible
+    // pass and pinning would materialize corpus-sized vectors — a
+    // loss at 100 TB. When the input carries a WIDE or generating
+    // chain (the q246 Pipeline: tokenize → explode → hash-agg pivot),
+    // every re-scan re-pays that chain — pin the projected vectors
+    // ONCE (guide §5: persist only when reuse beats recompute; the
+    // decision reads the PLAN, not a constant). Only the input column
+    // is pinned, never the caller's full row.
+    val slim = df0.select(col($(inputCol)))
+    // the ANALYZED plan (not the parsed one): a generator in a select
+    // list only surfaces as a Generate node after analysis
+    val df =
+      if (KMeansClusterer.cheapRescan(df0.queryExecution.analyzed)) slim
+      else slim.localCheckpoint(true)
     val first = df.filter(col($(inputCol)).isNotNull)
       .select(size(col($(inputCol)))).head(1)
     require(first.nonEmpty, s"k-means fit: no non-null ${$(inputCol)}")
@@ -86,7 +102,26 @@ class KMeansClusterer(override val uid: String)
   override def copy(extra: ParamMap): KMeansClusterer = defaultCopy(extra)
 }
 
-object KMeansClusterer extends DefaultParamsReadable[KMeansClusterer]
+object KMeansClusterer extends DefaultParamsReadable[KMeansClusterer] {
+  /** The fit-input cost signal: true iff re-scanning the plan is as
+    * cheap as reading it back — every node is a leaf relation, a
+    * projection, a filter or an alias. Any other INNER node (an
+    * aggregate/pivot, join, generate/explode, window, union …) means
+    * a re-scan re-executes real dataflow, so [[KMeansClusterer.fit]]
+    * pins the projected input once instead. A bare parquet scan MUST
+    * come back true — checkpointing it would materialize corpus-sized
+    * vectors to win nothing (pinned by MlPipelineSpec). */
+  private[graft] def cheapRescan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean =
+    plan.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+          _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+          _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+          => false
+      case p => p.children.nonEmpty // any other inner node = dataflow
+    }.isEmpty
+}
 
 /** Fitted clustering model: id-sorted surviving centroids. */
 class KMeansClustererModel private[ml] (override val uid: String,

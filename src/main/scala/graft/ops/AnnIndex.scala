@@ -71,25 +71,62 @@ object AnnIndex {
     * sequentially — overlapping lets the next part's tasks back-fill
     * executors freed by the current part's stragglers; an index save
     * writes 4–6 parts whose job tails otherwise serialize). Failures
-    * propagate: the manifest is still written LAST by the caller, so a
-    * failed or torn multi-part write stays invisible to readers. */
-  private def writeAll(jobs: Seq[() => Unit]): Unit =
-    if (jobs.lengthCompare(1) <= 0) jobs.foreach(_.apply())
+    * propagate AND cancel the sibling jobs (one job group per
+    * invocation): the manifest is still written LAST by the caller, so
+    * a failed or torn multi-part write stays invisible to readers.
+    *
+    * The r14 driver's q256/q257 32-core regression named this pool as
+    * a suspect; r15 TESTED that hypothesis at the driver's both core
+    * counts (sf0.1, quiet box, same session pairs) and REFUTED it:
+    * sequential part writes are 25–30% SLOWER for the fold-heavy BM25
+    * lifecycle at local[32] (q257 15.2 s sequential vs 10.1 s 4-way,
+    * calib-normalized 21.4 vs 14.9) and still slower at local[8]
+    * (12.9 vs 9.9) — local[] caps in-flight TASKS at its core count
+    * across all jobs, so overlap hides the small parts' per-job
+    * latency without multiplying task threads. The measured r14
+    * regression came from per-delta range clustering + per-batch
+    * manifest re-reads (both fixed in r15), not from this pool.
+    * `spark.graft.index.writeConcurrency` overrides the default 4
+    * (a cluster caller can raise it; 1 forces sequential). */
+  private def writeAll(spark: SparkSession,
+      jobs: Seq[() => Unit]): Unit = {
+    val conc = writeConcurrency(spark, jobs.length)
+    if (conc <= 1 || jobs.lengthCompare(1) <= 0) jobs.foreach(_.apply())
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(jobs.length, 4))
+      val sc = spark.sparkContext
+      val group = "annindex-write-" +
+        java.util.UUID.randomUUID().toString
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
       try {
         val futs = jobs.map { j =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = j()
+            override def call(): Unit = {
+              // job group is thread-local: tag every pool thread so a
+              // sibling failure can cancel the whole invocation's jobs
+              sc.setJobGroup(group, "AnnIndex.writeAll",
+                interruptOnCancel = true)
+              try j() finally sc.clearJobGroup()
+            }
           })
         }
         futs.foreach(_.get()) // rethrows the first failure
       } catch {
         case e: java.util.concurrent.ExecutionException =>
+          sc.cancelJobGroup(group) // stop siblings, not just threads
           throw e.getCause
+        case e: InterruptedException =>
+          sc.cancelJobGroup(group)
+          throw e
       } finally pool.shutdownNow()
     }
+  }
+
+  private def writeConcurrency(spark: SparkSession, n: Int): Int = {
+    val conf = spark.conf
+      .get("spark.graft.index.writeConcurrency", "").trim
+    if (conf.nonEmpty) math.max(1, math.min(conf.toInt, n))
+    else math.min(n, 4)
+  }
 
   private def writeManifest(dir: String,
       rows: Seq[(String, Int, String)], spark: SparkSession): Unit = {
@@ -267,7 +304,7 @@ object AnnIndex {
       s"AnnIndex.save: $path already has committed generations — " +
         "append/compactToNextGen maintain a generational index; a " +
         "fresh save needs a fresh root")
-    writeAll(parts.toSeq.sortBy(_._1).map { case (name, df) =>
+    writeAll(spark, parts.toSeq.sortBy(_._1).map { case (name, df) =>
       () => df.write.mode("overwrite").parquet(s"$path/$name/b0")
     })
     params.toSeq.sortBy(_._1).toDF("param", "value")
@@ -287,8 +324,21 @@ object AnnIndex {
   def append(root: String, deltaParts: Map[String, DataFrame]): Unit = {
     require(deltaParts.nonEmpty, "AnnIndex.append: no delta parts")
     val spark = deltaParts.head._2.sparkSession
-    val path = resolveGen(spark, root)
-    val manifest = readManifest(spark, path)
+    appendTo(open(spark, root), deltaParts)
+    ()
+  }
+
+  /** [[append]] against an OPEN handle: skips the per-call generation
+    * resolve, manifest scan and per-part schema footer re-reads (the
+    * handle already carries all three), and returns the successor
+    * handle so a maintenance loop chains delete → insert → compact
+    * probes off ONE store snapshot per micro-batch. */
+  def appendTo(store: Store, deltaParts: Map[String, DataFrame])
+      : Store = {
+    require(deltaParts.nonEmpty, "AnnIndex.append: no delta parts")
+    val spark = store.spark
+    val path = store.path
+    val manifest = store.manifest
     val byName = manifest.map(e => e._1 -> e).toMap
     deltaParts.foreach { case (n, df) =>
       requireValidName(n)
@@ -297,14 +347,16 @@ object AnnIndex {
           s"(${manifest.map(_._1).mkString(", ")})")
       // schema drift fails at APPEND time, not at some future load's
       // unionByName — the batch directories of one part must stay
-      // column-compatible forever
-      val stored = spark.read.parquet(s"$path/$n/b0").columns.toSet
+      // column-compatible forever. The handle's resolved part relation
+      // carries exactly the stored columns, so this needs NO fresh
+      // footer read.
+      val stored = store.parts(n).columns.toSet
       require(df.columns.toSet == stored,
         s"AnnIndex.append: part '$n' delta columns " +
           s"${df.columns.sorted.mkString("[", ",", "]")} != stored " +
           s"${stored.toSeq.sorted.mkString("[", ",", "]")}")
     }
-    writeAll(deltaParts.toSeq.sortBy(_._1).map { case (name, df) =>
+    writeAll(spark, deltaParts.toSeq.sortBy(_._1).map { case (name, df) =>
       () => df.write.mode("overwrite")
         .parquet(s"$path/$name/b${byName(name)._2}")
     })
@@ -317,24 +369,23 @@ object AnnIndex {
     val (fs, _) = hadoopFs(spark, path)
     val versions = committedManifests(fs, path).map(_._1)
     val cur = if (versions.isEmpty) 0 else versions.max
-    writeManifest(s"$path/_manifest-v${cur + 1}",
-      manifest.map { case (n, b, ks) =>
-        (n, if (deltaParts.contains(n)) b + 1 else b, ks)
-      }, spark)
+    val bumped = manifest.map { case (n, b, ks) =>
+      (n, if (deltaParts.contains(n)) b + 1 else b, ks)
+    }
+    writeManifest(s"$path/_manifest-v${cur + 1}", bumped, spark)
     versions.filter(_ < cur).foreach { v =>
       val d = if (v == 0) s"$path/_manifest" else s"$path/_manifest-v$v"
       fs.delete(new org.apache.hadoop.fs.Path(d), true)
     }
+    new Store(spark, path, bumped)
   }
 
-  /** Read the index back: batches resolved per the manifest — plain
-    * union for un-keyed parts; latest-batch-wins per key group then
-    * tombstone drop for keyed parts. Lazy scans throughout. */
-  def load(spark: SparkSession, root: String)
-      : (Map[String, DataFrame], Map[String, String]) = {
-    val path = resolveGen(spark, root)
-    val manifest = readManifest(spark, path)
-    val parts = manifest.map { case (name, batches, keyCols) =>
+  /** Batch-resolved part relations for a manifest already in hand:
+    * plain union for un-keyed parts; latest-batch-wins per key group
+    * then tombstone drop for keyed parts. Lazy scans throughout. */
+  private def partsFrom(spark: SparkSession, path: String,
+      manifest: Seq[(String, Int, String)]): Map[String, DataFrame] =
+    manifest.map { case (name, batches, keyCols) =>
       val union = (0 until batches).map { b =>
         spark.read.parquet(s"$path/$name/b$b")
           .withColumn(batchCol, lit(b))
@@ -354,9 +405,53 @@ object AnnIndex {
         }
       name -> resolved
     }.toMap
-    val params = spark.read.parquet(s"$path/_params")
+
+  /** An OPEN index: generation resolved and manifest read ONCE, part
+    * relations and params derived from that snapshot. The maintenance
+    * loops open one handle per micro-batch where they previously paid
+    * a fresh resolveGen + manifest scan + params collect for EVERY
+    * load / partBatches / maxBatches / append call in the batch
+    * (3–4 manifest jobs and per-part schema footer re-reads per
+    * micro-batch at sf0.1 — pure per-batch fixed cost, guide §1.2).
+    * Handles are snapshots: [[appendTo]] returns the successor handle;
+    * a stale handle keeps reading its own committed state (the same
+    * guarantee concurrent readers already have). */
+  final class Store private[AnnIndex] (val spark: SparkSession,
+      val path: String, val manifest: Seq[(String, Int, String)]) {
+    /** Batch-resolved part relations (see [[load]]). */
+    lazy val parts: Map[String, DataFrame] =
+      partsFrom(spark, path, manifest)
+    lazy val params: Map[String, String] = readParams(spark, path)
+    def partBatches(part: String): Int =
+      manifest.find(_._1 == part).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"Store.partBatches: no part '$part' in " +
+            s"(${manifest.map(_._1).mkString(", ")})"))
+    def maxBatches: Int = manifest.map(_._2).max
+    def partKeys: Map[String, Seq[String]] = manifest.collect {
+      case (n, _, ks) if ks.nonEmpty => n -> ks.split(",").toSeq
+    }.toMap
+  }
+
+  private def readParams(spark: SparkSession, path: String)
+      : Map[String, String] =
+    spark.read.parquet(s"$path/_params")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    (parts, params)
+
+  /** Open the index at `root`: ONE generation resolve + ONE manifest
+    * read backing every accessor on the returned handle. */
+  def open(spark: SparkSession, root: String): Store = {
+    val path = resolveGen(spark, root)
+    new Store(spark, path, readManifest(spark, path))
+  }
+
+  /** Read the index back: batches resolved per the manifest — plain
+    * union for un-keyed parts; latest-batch-wins per key group then
+    * tombstone drop for keyed parts. Lazy scans throughout. */
+  def load(spark: SparkSession, root: String)
+      : (Map[String, DataFrame], Map[String, String]) = {
+    val s = open(spark, root)
+    (s.parts, s.params)
   }
 
   /** Fold an appended index back to single-batch form: load (batches
@@ -372,34 +467,27 @@ object AnnIndex {
     val srcPath = resolveGen(spark, srcRoot)
     require(srcPath != dstPath,
       "AnnIndex.compact: dstPath must differ from srcPath")
-    val (parts, params) = load(spark, srcPath)
-    save(dstPath, parts, params, partKeys(spark, srcPath))
+    val src = open(spark, srcPath)
+    save(dstPath, src.parts, src.params, src.partKeys)
   }
 
   /** The upsert-key declaration of every keyed part, as saved. */
   def partKeys(spark: SparkSession, root: String)
       : Map[String, Seq[String]] =
-    readManifest(spark, resolveGen(spark, root)).collect {
-      case (n, _, ks) if ks.nonEmpty => n -> ks.split(",").toSeq
-    }.toMap
+    open(spark, root).partKeys
 
   /** Largest batch-directory count across parts — the compaction
     * trigger signal (read cost grows with this number, measured in
     * bench/ANN_LOAD_CURVE_SF1_r12.json). One small manifest read. */
   def maxBatches(spark: SparkSession, root: String): Int =
-    readManifest(spark, resolveGen(spark, root)).map(_._2).max
+    open(spark, root).maxBatches
 
   /** Batch-directory count of ONE part — the monotone per-part write
     * counter incremental maintainers stamp their rows with (the
     * [[graft.ops.Hnsw]] membership ledger's `mb`). One manifest read. */
   def partBatches(spark: SparkSession, root: String,
-      part: String): Int = {
-    val m = readManifest(spark, resolveGen(spark, root))
-    m.find(_._1 == part).map(_._2).getOrElse(
-      throw new IllegalArgumentException(
-        s"AnnIndex.partBatches: no part '$part' in " +
-          s"(${m.map(_._1).mkString(", ")})"))
-  }
+      part: String): Int =
+    open(spark, root).partBatches(part)
 
   /** Tombstone rows (all non-key columns null) delete their group. */
   private def dropTombstones(df: DataFrame, keyCols: String)

@@ -199,8 +199,14 @@ object Hnsw {
   def buildKnn(vecs: DataFrame, idCol: String, vecCol: String,
       seed: Long, maxLevel: Int, m: Int, bands: Int,
       bucketFn: (Int, Int, Column) => Column): DataFrame = {
+    // ONE banded-membership materialization feeds BOTH sides of the
+    // candidate self-join (the saveIndex discipline, guide §1.2): the
+    // two join inputs are the same relation under different column
+    // roles, which defeats exchange reuse (canonicalized plans differ),
+    // so without the pin each side re-paid the md5 level walk +
+    // per-band hyperplane hashing over corpus × bands × levels rows.
     val withB = bandedMembers(vecs, idCol, vecCol, seed, maxLevel,
-      bands, bucketFn)
+      bands, bucketFn).localCheckpoint(true)
     topMPerSrc(pairsOf(withB, withB), m)
   }
 
@@ -355,6 +361,14 @@ object Hnsw {
     * members part row-level; chunked r14: 55.9 s, walls tracking
     * delta rows — bench/ANN_STREAM_AUDIT_SF100_r14.json). */
   private val InlineChunk = 1000
+
+  /** Upper bound on the beam frontier (|queries|·ef rows) the search
+    * loop will still broadcast: 4M narrow (qid, id, c) triples is
+    * ~100–400 MB as a built hash relation — inside guide §3.1's
+    * comfortable range, far under the 8 GB/512M-row hard cap. Above
+    * it the frontier joins without the hint (the planner's size-safe
+    * default). */
+  private val MaxBroadcastFrontierRows = 4000000
 
   private def inlineKeys(df: DataFrame, c: String): Option[Seq[Long]] = {
     val ks = df.select(col(c).cast("long")).distinct()
@@ -748,6 +762,17 @@ object Hnsw {
       .select(col("vid"), col("v"))
     val qv = queries.select(col(qIdCol).as("qid"),
       col(qVecCol).as("qv"))
+    // the beam frontier is ≤ |queries|·ef rows by construction, but an
+    // explicit broadcast() hint BYPASSES the planner's size threshold —
+    // for an over-sized query set that would turn a size-safe shuffle
+    // join into a driver OOM. One cheap bounded count gates the hint:
+    // count at most (bound/ef + 1) query rows, and only hint when the
+    // implied frontier stays under MaxBroadcastFrontierRows (narrow
+    // (qid, id, c) triples — well inside guide §3.1's "few hundred MB").
+    val qCap = MaxBroadcastFrontierRows / math.max(1, ef) + 1
+    val smallFrontier = qv.limit(qCap).count() < qCap.toLong
+    def hinted(df: DataFrame): DataFrame =
+      if (smallFrontier) broadcast(df) else df
     if (counted)
       work += SearchWork("init", maxLevel, -1, qv.count() * head.count())
     var state = qv.crossJoin(broadcast(head))
@@ -769,10 +794,11 @@ object Hnsw {
         // it so the layer adjacency (the big side) is probed in place
         // instead of being shuffled+sorted once per expansion step
         // (guide §3.1: a broadcast join replaces a shuffle of the large
-        // side with a broadcast of the small side)
-        val cand = broadcast(state)
+        // side with a broadcast of the small side); the hint is gated
+        // above on the counted |queries|·ef bound
+        val cand = hinted(state)
           .join(lvlAdj, state("id") === lvlAdj("src"))
-          .join(broadcast(qv), "qid")
+          .join(hinted(qv), "qid")
           .select(col("qid"), col("dst").as("id"),
             round(VectorFunctions.cosineSimilarity(col("qv"),
               col("dvec")), 6).as("c"))

@@ -51,10 +51,17 @@ object TextIndex {
     * makes [[append]]'s stored-id overlap probe ∝ matching row
     * groups. No explicit partition count — AQE coalesces a
     * micro-batch delta to one file while an index-sized compact
-    * write spreads across the cluster. Applied at WRITE sites only
-    * (save/append/compact), never to [[search]]'s query-time pending
-    * delta (clustering a broadcast-sized relation per query would be
-    * a wasted exchange). */
+    * write spreads across the cluster. Applied at INDEX-SIZED write
+    * sites only (save/compact, plus bulk-regime appends past
+    * [[ClusterDeltaMinDocs]]) — never to [[search]]'s query-time
+    * pending delta, and NOT to micro-batch delta appends: a
+    * `repartitionByRange` costs a range-sampling job + an exchange
+    * PER PART PER BATCH, and a batch-sized delta lands in a couple of
+    * row groups whatever its order, so there is nothing for the
+    * min/max bounds to prune (the driver's r14 protocol measured the
+    * per-delta clustering as a net loss at local[32]: q257
+    * 9.3 → 14.2 s). The scheduled [[compact]] clusters the folded
+    * index — where the row-group pruning actually pays. */
   private def clustered(df: DataFrame, key: String): DataFrame =
     df.repartitionByRange(col(key)).sortWithinPartitions(key)
 
@@ -64,12 +71,31 @@ object TextIndex {
       ("docs" -> clustered(d("docs"), idCol)) +
       ("termdf" -> clustered(d("termdf"), "term"))
 
+  /** Literal-inlining bound for driver-collected batch ids (see the
+    * scale-shape note above [[append]]); declared HERE because
+    * [[ClusterDeltaMinDocs]] below aligns with it (Scala object vals
+    * initialize in declaration order). */
+  private val MaxInlineIds = 100000
+
+  /** Delta-append clustering boundary, aligned with the
+    * [[MaxInlineIds]] two-regime line: at or below it (the micro-batch
+    * regime) the delta writes UNCLUSTERED — its files are too small
+    * for row-group pruning to matter and later probes push inlined
+    * id/term IN lists anyway; above it (the bulk-load regime, where
+    * probes fall back to distributed joins over the whole part) the
+    * range clustering pays at read and is kept. */
+  private val ClusterDeltaMinDocs = MaxInlineIds
+
+  private def deltaWriteParts(d: Map[String, DataFrame], idCol: String,
+      nDocs: Long): Map[String, DataFrame] =
+    if (nDocs > ClusterDeltaMinDocs) clusteredParts(d, idCol) else d
+
   /** The four delta parts for a batch of NEW documents (caller
     * guarantees ids are not already stored — the maintenance stream
     * anti-joins against `docs` first). Rows with empty/whitespace text
     * are excluded from every statistic, matching [[TextOps.bm25]]. */
-  def deltaParts(docs: DataFrame, idCol: String, textCol: String)
-      : Map[String, DataFrame] = {
+  def deltaParts(docs: DataFrame, idCol: String, textCol: String,
+      pin: Boolean = true): Map[String, DataFrame] = {
     val d = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), col(textCol))
     // The four parts are all derived from two relations — (id, dl) and
@@ -82,17 +108,24 @@ object TextIndex {
     // postings rows per term, which equals tf rows per term exactly:
     // the tf→lens join is 1:1 (both sides derive from the same
     // non-empty-text rows, one lens row per id).
-    val lens = d.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
-      .localCheckpoint(true)
+    //
+    // `pin = false` is the QUERY-TIME variant for [[search]]'s pending
+    // path: the pending relation is broadcast-sized, and an eager
+    // checkpoint per SEARCH would run blocking materialization jobs at
+    // plan-build time and pin blocks in executor storage until GC — a
+    // hot query loop between folds would accumulate them. Write paths
+    // keep the pin (every part is materialized there anyway).
+    def maybePin(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint(true) else df
+    val lens = maybePin(d.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("dl")))
     val tf = d
       .select(col(idCol),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val postings = tf.join(lens, Seq(idCol))
-      .select(col(idCol), col("term"), col("tf"), col("dl"))
-      .localCheckpoint(true)
+    val postings = maybePin(tf.join(lens, Seq(idCol))
+      .select(col(idCol), col("term"), col("tf"), col("dl")))
     val termdf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df_delta"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
@@ -127,20 +160,22 @@ object TextIndex {
     * where internal doc numbers make it a non-question). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit = {
-    val (parts, params) = AnnIndex.load(spark, path)
-    require(params.get("kind").contains(Kind),
+    val store = AnnIndex.open(spark, path)
+    require(store.params.get("kind").contains(Kind),
       s"TextIndex.delete: index at $path has kind " +
-        s"${params.getOrElse("kind", "?")}, expected $Kind")
+        s"${store.params.getOrElse("kind", "?")}, expected $Kind")
     val dels = ids.select(col(idCol)).distinct().localCheckpoint(true)
     // a delete must also retract any PENDING text for the id — a
     // keyed tombstone (null text) in the same append, so a staged
     // update that is later deleted can never resurrect at the fold;
     // ids with no pending entry resolve to a lone tombstone and drop
     val pendingTomb =
-      if (!parts.contains("pending")) Map.empty[String, DataFrame]
+      if (!store.manifest.exists(_._1 == "pending"))
+        Map.empty[String, DataFrame]
       else Map("pending" -> dels.select(col(idCol),
-        lit(null).cast("string").as(params("text_col"))))
-    AnnIndex.append(path, Map("deleted" -> dels) ++ pendingTomb)
+        lit(null).cast("string").as(store.params("text_col"))))
+    AnnIndex.appendTo(store, Map("deleted" -> dels) ++ pendingTomb)
+    ()
   }
 
   /** Stage CDC UPDATES (id → replacement text) on the keyed `pending`
@@ -157,27 +192,50 @@ object TextIndex {
     * the same id must carry ONE text (exact replays collapse;
     * conflicts FAIL LOUDLY — resolve upstream with a CDC sequence
     * column, see the maintenance stream's `seqCol`). */
+  /** Bounded driver-side id collection WITH the conflict guard folded
+    * in: `rel` is already dropDuplicates(id, text)-collapsed, so a
+    * repeated id in the collected list IS a conflict (two different
+    * texts under one id) — detected on the driver for free instead of
+    * as a separate groupBy job per micro-batch. Past [[MaxInlineIds]]
+    * (the bulk regime, where a driver list would bloat) returns None
+    * after running the distributed conflict check unchanged. */
+  private def idsWithConflictGuard(rel: DataFrame, idCol: String,
+      msg: Seq[Any] => String): Option[IndexedSeq[Any]] = {
+    val rows = rel.select(col(idCol)).limit(MaxInlineIds + 1)
+      .collect().map(_.get(0)).toIndexedSeq
+    if (rows.length > MaxInlineIds) {
+      val conflicts = rel.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .select(col(idCol)).limit(5).collect().map(_.get(0))
+      require(conflicts.isEmpty, msg(conflicts.toSeq))
+      None
+    } else {
+      val dups = rows.groupBy(identity).collect {
+        case (k, v) if v.size > 1 => k
+      }.take(5).toSeq
+      require(dups.isEmpty, msg(dups))
+      Some(rows)
+    }
+  }
+
   def stageUpdates(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val (parts, params) = AnnIndex.load(spark, path)
-    require(params.get("kind").contains(Kind),
+    val store = AnnIndex.open(spark, path)
+    require(store.params.get("kind").contains(Kind),
       s"TextIndex.stageUpdates: index at $path has kind " +
-        s"${params.getOrElse("kind", "?")}, expected $Kind")
-    require(parts.contains("pending"),
+        s"${store.params.getOrElse("kind", "?")}, expected $Kind")
+    require(store.manifest.exists(_._1 == "pending"),
       s"TextIndex.stageUpdates: index at $path has no pending part " +
         "(a legacy store) — compact it once to upgrade the layout")
     val staged = docs.select(col(idCol), col(textCol))
       .dropDuplicates(idCol, textCol).localCheckpoint(true)
-    val conflicts = staged.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(col(idCol)).limit(5).collect().map(_.get(0))
-    require(conflicts.isEmpty,
+    val ids = idsWithConflictGuard(staged, idCol, cs =>
       s"TextIndex.stageUpdates: conflicting texts for id(s) " +
-        s"${conflicts.mkString(", ")} within one batch — an " +
+        s"${cs.mkString(", ")} within one batch — an " +
         "arbitrary winner would be partition-order dependent; " +
         "resolve upstream (the maintenance stream's seqCol)")
-    if (!staged.isEmpty)
-      AnnIndex.append(path, Map("pending" -> staged))
+    if (ids.forall(_.nonEmpty))
+      AnnIndex.appendTo(store, Map("pending" -> staged))
   }
 
   /** ONE CDC micro-batch — deletes, staged updates and plain appends —
@@ -202,60 +260,79 @@ object TextIndex {
     * never rewrite is the same part the sequential chain checked). */
   def applyCdc(spark: SparkSession, path: String, dels: DataFrame,
       staged: DataFrame, appends: DataFrame, idCol: String,
-      textCol: String): Long = {
-    val (parts, params) = AnnIndex.load(spark, path)
-    require(params.get("kind").contains(Kind),
+      textCol: String): Long =
+    applyCdc(AnnIndex.open(spark, path), dels, staged, appends,
+      idCol, textCol)._1
+
+  /** [[applyCdc]] against an OPEN [[AnnIndex.Store]] handle — the
+    * maintenance loop's per-micro-batch entry point: the caller's
+    * handle already carries the resolved generation, manifest, parts
+    * and params, and the returned successor handle serves the
+    * follow-up compaction probe, so ONE manifest read backs the whole
+    * micro-batch (previously: partKeys + load + append + maxBatches
+    * each re-read it). */
+  def applyCdc(store: AnnIndex.Store, dels: DataFrame,
+      staged: DataFrame, appends: DataFrame, idCol: String,
+      textCol: String): (Long, AnnIndex.Store) = {
+    val path = store.path
+    require(store.params.get("kind").contains(Kind),
       s"TextIndex.applyCdc: index at $path has kind " +
-        s"${params.getOrElse("kind", "?")}, expected $Kind")
-    require(parts.contains("pending"),
+        s"${store.params.getOrElse("kind", "?")}, expected $Kind")
+    require(store.manifest.exists(_._1 == "pending"),
       s"TextIndex.applyCdc: index at $path has no pending part " +
         "(a legacy store) — compact it once to upgrade the layout")
     val delIds = dels.select(col(idCol)).distinct().localCheckpoint(true)
     // stageUpdates' guard, unchanged: one text per id or fail loudly
     val stg = staged.select(col(idCol), col(textCol))
       .dropDuplicates(idCol, textCol).localCheckpoint(true)
-    val stgConf = stg.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(col(idCol)).limit(5).collect().map(_.get(0))
-    require(stgConf.isEmpty,
+    idsWithConflictGuard(stg, idCol, cs =>
       s"TextIndex.applyCdc: conflicting staged texts for id(s) " +
-        s"${stgConf.mkString(", ")} within one batch — resolve " +
+        s"${cs.mkString(", ")} within one batch — resolve " +
         "upstream (the maintenance stream's seqCol)")
+    // the documented precondition `staged ⊆ dels` (the CDC update
+    // order: delete + re-arrival in one batch), ENFORCED: a direct
+    // caller violating it would leave the id's stored postings live
+    // while the pending part also serves the replacement — silently
+    // double-counting the doc in scores/df until the next fold
+    val strays = stg.select(col(idCol))
+      .join(delIds, Seq(idCol), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(strays.isEmpty,
+      s"TextIndex.applyCdc: staged id(s) ${strays.mkString(", ")} " +
+        "not in the delete set — a staged update must be the " +
+        "re-arrival half of a delete (stage without delete would " +
+        "double-count the doc until the next fold)")
     // append's guards, unchanged: dedup, conflicts, stored-id prune
     val arriving = appends.select(col(idCol), col(textCol))
       .dropDuplicates(idCol, textCol).localCheckpoint(true)
-    val appConf = arriving.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(col(idCol)).limit(5).collect().map(_.get(0))
-    require(appConf.isEmpty,
+    val ids = idsWithConflictGuard(arriving, idCol, cs =>
       s"TextIndex.applyCdc: conflicting texts for id(s) " +
-        s"${appConf.mkString(", ")} within one batch — resolve " +
+        s"${cs.mkString(", ")} within one batch — resolve " +
         "upstream (the maintenance stream's seqCol)")
-    val ids = arriving.select(col(idCol))
-      .limit(MaxInlineIds + 1).collect().map(_.get(0))
     val fresh =
-      if (ids.isEmpty) arriving
+      if (ids.exists(_.isEmpty)) arriving
       else {
-        val stored =
-          if (ids.length > MaxInlineIds) parts("docs").select(col(idCol))
-          else parts("docs").select(col(idCol))
-            .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+        val stored = ids match {
+          case Some(ks) => store.parts("docs").select(col(idCol))
+            .filter(col(idCol).isin(ks: _*))
+          case None => store.parts("docs").select(col(idCol))
+        }
         arriving.join(stored, Seq(idCol), "left_anti")
           .localCheckpoint(true)
       }
-    val n = if (ids.isEmpty) 0L else fresh.count()
+    val n = if (ids.exists(_.isEmpty)) 0L else fresh.count()
     // fused pending delta: staged rows win their ids; deleted ids with
     // no replacement carry the keyed tombstone (retracting any
     // earlier-batch pending text exactly like delete's tombstone append)
     val pendDelta = stg.unionByName(
       delIds.join(stg.select(col(idCol)), Seq(idCol), "left_anti")
         .select(col(idCol), lit(null).cast("string").as(textCol)))
-    AnnIndex.append(path,
+    val next = AnnIndex.appendTo(store,
       Map("deleted" -> delIds, "pending" -> pendDelta) ++
-        (if (n > 0) clusteredParts(deltaParts(fresh, idCol, textCol),
-          idCol)
+        (if (n > 0) deltaWriteParts(
+          deltaParts(fresh, idCol, textCol), idCol, n)
         else Map.empty[String, DataFrame]))
-    n
+    (n, next)
   }
 
   /** Fold the index to single-batch form AND physically apply the
@@ -323,10 +400,12 @@ object TextIndex {
     * Scale shape: the stored-id overlap check collects UP TO
     * [[MaxInlineIds]] batch ids to the driver (bounded by the
     * micro-batch, the trigger-sized quantity) and probes the `docs`
-    * part with an `id IN (...)` predicate — and because every write
-    * site id-clusters the docs part ([[clusteredParts]]), parquet
-    * row-group min/max pruning keeps the probe ∝ matching row groups
-    * BY CONSTRUCTION instead of re-scanning the stored corpus (raise
+    * part with an `id IN (...)` predicate — and because the
+    * INDEX-SIZED write sites id-cluster the docs part (save/compact
+    * via [[clusteredParts]]; micro-batch deltas stay unclustered —
+    * they are a couple of row groups regardless), parquet row-group
+    * min/max pruning keeps the probe ∝ matching row groups on the
+    * bulk of the store (raise
     * `spark.sql.parquet.pushdown.inFilterThreshold` above the batch
     * size so large batches keep the In-pushdown instead of degrading
     * to a min/max range). A batch past the cap — the bulk-load
@@ -334,39 +413,39 @@ object TextIndex {
     * blow up planning — falls back to the distributed anti-join
     * against the full `docs` part (correct, one more exchange; the
     * same two-regime discipline as [[Hnsw]]'s prune keys). */
-  private val MaxInlineIds = 100000
-
   def append(spark: SparkSession, path: String, docs: DataFrame,
-      idCol: String, textCol: String): Long = {
-    val (parts, params) = AnnIndex.load(spark, path)
-    require(params.get("kind").contains(Kind),
-      s"TextIndex.append: index at $path has kind " +
-        s"${params.getOrElse("kind", "?")}, expected $Kind")
+      idCol: String, textCol: String): Long =
+    append(AnnIndex.open(spark, path), docs, idCol, textCol)._1
+
+  /** [[append]] against an OPEN [[AnnIndex.Store]] handle (see
+    * [[applyCdc]]'s handle overload for why): one manifest read per
+    * micro-batch, successor handle returned for the compaction probe. */
+  def append(store: AnnIndex.Store, docs: DataFrame,
+      idCol: String, textCol: String): (Long, AnnIndex.Store) = {
+    require(store.params.get("kind").contains(Kind),
+      s"TextIndex.append: index at ${store.path} has kind " +
+        s"${store.params.getOrElse("kind", "?")}, expected $Kind")
     val arriving = docs.select(col(idCol), col(textCol))
       .dropDuplicates(idCol, textCol)
       .localCheckpoint(true)
-    val conflicts = arriving.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(col(idCol)).limit(5).collect().map(_.get(0))
-    require(conflicts.isEmpty,
+    val ids = idsWithConflictGuard(arriving, idCol, cs =>
       s"TextIndex.append: conflicting texts for id(s) " +
-        s"${conflicts.mkString(", ")} within one batch — an " +
+        s"${cs.mkString(", ")} within one batch — an " +
         "arbitrary winner would be partition-order dependent; " +
         "resolve upstream (or delete + re-insert as a CDC update)")
-    val ids = arriving.select(col(idCol))
-      .limit(MaxInlineIds + 1).collect().map(_.get(0))
-    if (ids.isEmpty) return 0L
-    val stored =
-      if (ids.length > MaxInlineIds) parts("docs").select(col(idCol))
-      else parts("docs").select(col(idCol))
-        .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+    if (ids.exists(_.isEmpty)) return (0L, store)
+    val stored = ids match {
+      case Some(ks) => store.parts("docs").select(col(idCol))
+        .filter(col(idCol).isin(ks: _*))
+      case None => store.parts("docs").select(col(idCol))
+    }
     val fresh = arriving.join(stored, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0)
-      AnnIndex.append(path,
-        clusteredParts(deltaParts(fresh, idCol, textCol), idCol))
-    n
+      (n, AnnIndex.appendTo(store,
+        deltaWriteParts(deltaParts(fresh, idCol, textCol), idCol, n)))
+    else (n, store)
   }
 
   /** BM25 top-`k` from the persisted index: (idCol, n_hit, score) by
@@ -394,8 +473,13 @@ object TextIndex {
     // compact relation (broadcast-sized); when pending is empty —
     // after every fold, the steady state — the plan is EXACTLY the
     // pre-pending shape (the PlanShapeSpec exchange ratchet)
+    // pin = false: the pending relation is broadcast-sized and this is
+    // the QUERY path — an eager checkpoint here would run blocking
+    // materialization jobs per search and pin executor storage blocks
+    // between folds (write paths keep the pin; they materialize
+    // every part anyway)
     val pendDelta = parts.get("pending").filter(p => !p.isEmpty)
-      .map(p => deltaParts(p, idCol, params("text_col")))
+      .map(p => deltaParts(p, idCol, params("text_col"), pin = false))
     // batches-sized and |terms|-sized rollups — broadcast into the
     // posting scan so the only wide stage is the per-doc score agg
     val stats = pendDelta.fold(parts("stats"))(d =>

@@ -206,45 +206,50 @@ object StreamOps {
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
-        var (parts, _) = graft.ops.AnnIndex.load(sp, indexPath)
+        // ONE store handle per micro-batch: generation + manifest
+        // resolved once; the delete/insert appends chain successor
+        // handles, so the loop's former per-call manifest re-reads
+        // (load, partBatches, append, maxBatches — 3–4 small jobs a
+        // batch) and per-part schema footer re-reads collapse into
+        // the open (guide §1.2: per-batch fixed cost is pass count)
+        var store = graft.ops.AnnIndex.open(sp, indexPath)
         // a store seeded by Hnsw.saveIndex carries the persisted
         // banded-membership part + deletion ledger: maintenance
         // COMPUTE is then batch-sized (cell-pruned probes) instead of
         // a per-batch corpus re-hash; legacy stores fall back
-        val indexed = parts.contains("members")
+        val indexed = store.manifest.exists(_._1 == "members")
         if (opCol.nonEmpty) {
           val dels = batch.toDF()
             .filter(col(opCol) === "delete")
             .select(idCol).distinct().localCheckpoint(true)
           if (!dels.isEmpty) {
-            val vecType = parts("vectors").schema(vecCol).dataType
+            val vecType = store.parts("vectors").schema(vecCol).dataType
             val vecTombs = dels.select(col(idCol),
               lit(null).cast(vecType).as(vecCol))
             if (indexed) {
-              val th = graft.ops.AnnIndex.partBatches(sp, indexPath,
-                "members")
+              val th = store.partBatches("members")
               val (delta, dead) = graft.ops.Hnsw.deleteKnnDeltaIndexed(
-                parts("knn"), parts("members"), parts("memdead"),
-                dels, idCol, m, th)
-              graft.ops.AnnIndex.append(indexPath,
+                store.parts("knn"), store.parts("members"),
+                store.parts("memdead"), dels, idCol, m, th)
+              store = graft.ops.AnnIndex.appendTo(store,
                 Map("knn" -> delta.localCheckpoint(true),
                   "vectors" -> vecTombs, "memdead" -> dead))
             } else {
-              val delta = graft.ops.Hnsw.deleteKnnDelta(parts("knn"),
-                  parts("vectors"), dels, idCol, vecCol, seed, maxLevel,
-                  m, bands, bucketFn)
+              val delta = graft.ops.Hnsw.deleteKnnDelta(
+                  store.parts("knn"), store.parts("vectors"), dels,
+                  idCol, vecCol, seed, maxLevel, m, bands, bucketFn)
                 .localCheckpoint(true)
-              graft.ops.AnnIndex.append(indexPath,
+              store = graft.ops.AnnIndex.appendTo(store,
                 Map("knn" -> delta, "vectors" -> vecTombs))
             }
-            // re-read so the insert half sees the post-delete state
-            // (a deleted-then-reinserted id must not be dropped as an
-            // overlap, and its old edges must not survive the merge)
-            parts = graft.ops.AnnIndex.load(sp, indexPath)._1
+            // the successor handle IS the post-delete state — the
+            // insert half reads it (a deleted-then-reinserted id must
+            // not be dropped as an overlap, and its old edges must
+            // not survive the merge) with no fresh load
           }
         }
-        val oldKnn = parts("knn")
-        val oldVecs = parts("vectors")
+        val oldKnn = store.parts("knn")
+        val oldVecs = store.parts("vectors")
         // null-safe: a NULL/unknown op APPENDS as documented (plain
         // `=!=` would evaluate to null and silently drop the row)
         val arrivals =
@@ -267,53 +272,68 @@ object StreamOps {
         // + loaded state so the appended parts share one snapshot
         val resolved = resolveLatest(arrivals, idCol, seqCol, vecCol)
           .select(col(idCol), col(vecCol))
-        val deduped = (if (seqCol.nonEmpty) resolved
-          else {
-            val d = resolved.dropDuplicates(idCol, vecCol)
-            val conflicts = d.groupBy(col(idCol))
-              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-              .select(col(idCol)).limit(5).collect().map(_.get(0))
-            require(conflicts.isEmpty,
-              s"annIndexMaintenanceStream: conflicting vectors for " +
-                s"id(s) ${conflicts.mkString(", ")} within one " +
-                "micro-batch — pass seqCol (a CDC sequence/offset " +
-                "column) or dedup upstream; an arbitrary winner " +
-                "would be partition-order dependent")
-            d
-          }).localCheckpoint(true)
+        val deduped =
+          (if (seqCol.nonEmpty) resolved
+          else resolved.dropDuplicates(idCol, vecCol))
+            .localCheckpoint(true)
         val arrIds = deduped.select(col(idCol))
           .limit(100001).collect().map(_.get(0)).toIndexedSeq
+        // conflict guard (no seqCol): deduped collapsed exact replays,
+        // so a REPEATED id in the collected list is two DIFFERENT
+        // vectors under one id — checked driver-side for free on the
+        // micro-batch-sized list (the separate groupBy job this used
+        // to cost ran EVERY batch); the bulk regime past the inline
+        // cap keeps the distributed check
+        if (seqCol.isEmpty) {
+          val conflicts =
+            if (arrIds.length <= 100000)
+              arrIds.groupBy(identity).collect {
+                case (k, v) if v.size > 1 => k
+              }.take(5).toSeq
+            else deduped.groupBy(col(idCol))
+              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+              .select(col(idCol)).limit(5).collect().map(_.get(0)).toSeq
+          require(conflicts.isEmpty,
+            s"annIndexMaintenanceStream: conflicting vectors for " +
+              s"id(s) ${conflicts.mkString(", ")} within one " +
+              "micro-batch — pass seqCol (a CDC sequence/offset " +
+              "column) or dedup upstream; an arbitrary winner " +
+              "would be partition-order dependent")
+        }
         val storedIds =
           if (arrIds.length > 100000) oldVecs.select(idCol)
           else oldVecs.select(idCol)
-            .filter(col(idCol).isin(arrIds: _*))
+            .filter(col(idCol).isin(arrIds.distinct: _*))
         val fresh = deduped
           .join(storedIds, Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (!fresh.isEmpty) {
           if (indexed) {
-            val mb = graft.ops.AnnIndex.partBatches(sp, indexPath,
-              "members")
+            val mb = store.partBatches("members")
             val (delta, memDelta) = graft.ops.Hnsw.insertKnnDeltaIndexed(
-              oldKnn, parts("members"), parts("memdead"), fresh,
-              idCol, vecCol, seed, maxLevel, m, bands, bucketFn, mb)
-            graft.ops.AnnIndex.append(indexPath,
+              oldKnn, store.parts("members"), store.parts("memdead"),
+              fresh, idCol, vecCol, seed, maxLevel, m, bands, bucketFn,
+              mb)
+            store = graft.ops.AnnIndex.appendTo(store,
               Map("knn" -> delta.localCheckpoint(true),
                 "vectors" -> fresh, "members" -> memDelta))
           } else {
             val delta = graft.ops.Hnsw.insertKnnDelta(oldKnn, oldVecs,
                 fresh, idCol, vecCol, seed, maxLevel, m, bands, bucketFn)
               .localCheckpoint(true)
-            graft.ops.AnnIndex.append(indexPath,
+            store = graft.ops.AnnIndex.appendTo(store,
               Map("knn" -> delta, "vectors" -> fresh))
           }
         }
         // a members-bearing store needs the ledger-aware fold: a
         // generic fold would keep old mb stamps while the batch
-        // counter restarts, letting later deletes undercut them
-        maybeCompactInPlace(sp, indexPath, compactEvery,
-          if (indexed) graft.ops.Hnsw.compactIndex
-          else graft.ops.AnnIndex.compact)
+        // counter restarts, letting later deletes undercut them.
+        // the successor handle's manifest answers the trigger probe —
+        // no fresh manifest read
+        if (compactEvery > 0 && store.maxBatches >= compactEvery)
+          graft.ops.AnnIndex.compactToNextGen(sp, indexPath,
+            if (indexed) graft.ops.Hnsw.compactIndex
+            else graft.ops.AnnIndex.compact)
         ()
     }
 
@@ -373,13 +393,16 @@ object StreamOps {
           if (opCol.isEmpty) batch.toDF()
           else batch.toDF().filter(!(col(opCol) <=> lit("delete")))
         val arrivals = resolveLatest(raw, idCol, seqCol, textCol)
+        // ONE store handle per micro-batch (see the ANN loop): the
+        // former partKeys + load-per-call + trigger-probe manifest
+        // re-reads collapse into this open; appends chain successors
+        var store = graft.ops.AnnIndex.open(sp, indexPath)
         var fused = false
         if (opCol.nonEmpty) {
           val dels = batch.toDF().filter(col(opCol) === "delete")
             .select(idCol).localCheckpoint(true)
           if (!dels.isEmpty) {
-            if (graft.ops.AnnIndex.partKeys(sp, indexPath)
-                .contains("pending")) {
+            if (store.partKeys.contains("pending")) {
               // same-batch delete + re-arrival = a CDC UPDATE, staged
               // on the keyed pending part; the whole micro-batch —
               // deletes, staged updates, leftover appends — lands as
@@ -389,10 +412,11 @@ object StreamOps {
               // colliding batch)
               val colliding = arrivals
                 .join(dels, Seq(idCol), "left_semi")
-              graft.ops.TextIndex.applyCdc(sp, indexPath, dels,
+              val (_, next) = graft.ops.TextIndex.applyCdc(store, dels,
                 colliding,
                 arrivals.join(dels, Seq(idCol), "left_anti"),
                 idCol, textCol)
+              store = next
               fused = true
             } else {
               graft.ops.TextIndex.delete(sp, indexPath, dels, idCol)
@@ -411,17 +435,22 @@ object StreamOps {
                 graft.ops.AnnIndex.compactToNextGen(sp, indexPath,
                   graft.ops.TextIndex.compact)
               }
+              // the legacy branch mutated the store behind the handle
+              // (delete append, possibly a generation flip) — reopen
+              store = graft.ops.AnnIndex.open(sp, indexPath)
             }
           }
         }
         if (!fused)
-          graft.ops.TextIndex.append(sp, indexPath, arrivals,
-            idCol, textCol)
+          store = graft.ops.TextIndex.append(store, arrivals,
+            idCol, textCol)._2
         // the BM25 fold also APPLIES the deletion list and merges the
         // staged pending updates in (Lucene merge) — deleted ids free
-        // up and df/N return to exact
-        maybeCompactInPlace(sp, indexPath, compactEvery,
-          graft.ops.TextIndex.compact)
+        // up and df/N return to exact; the successor handle's manifest
+        // answers the trigger probe with no fresh read
+        if (compactEvery > 0 && store.maxBatches >= compactEvery)
+          graft.ops.AnnIndex.compactToNextGen(sp, indexPath,
+            graft.ops.TextIndex.compact)
         ()
     }
 
@@ -444,25 +473,6 @@ object StreamOps {
             .orderBy(desc(seqCol),
               xxhash64(payloadCols.map(col): _*).desc_nulls_last)))
       .filter(col("__rn") === 1).drop("__rn")
-
-  /** Fold the index at `indexPath` back to single-batch form when any
-    * part's batch list has reached `threshold` (0 = never) — a
-    * GENERATIONAL fold ([[graft.ops.AnnIndex.compactToNextGen]]): the
-    * fresh index lands in `indexPath/gen-(N+1)/`, its own
-    * manifest-last write commits the flip, and the prior generation
-    * stays on disk one extra cycle for in-flight readers. A crash at
-    * any point (mid-fold, pre-commit) leaves the previous index live
-    * and the retried fold overwrites the torn generation — no manual
-    * recovery, no delete→rename window, safe for concurrent
-    * searchers. */
-  private def maybeCompactInPlace(
-      sp: org.apache.spark.sql.SparkSession, indexPath: String,
-      threshold: Int,
-      compactFn: (org.apache.spark.sql.SparkSession, String, String)
-        => Unit = graft.ops.AnnIndex.compact): Unit =
-    if (threshold > 0 &&
-        graft.ops.AnnIndex.maxBatches(sp, indexPath) >= threshold)
-      graft.ops.AnnIndex.compactToNextGen(sp, indexPath, compactFn)
 
   /** Per-subject session windows: events closer than `gap` merge into one
     * session (native session_window — state per open session, evicted at

@@ -170,4 +170,42 @@ class MlPipelineSpec extends SparkSpec {
       out.columns.contains("key_idx"))
     assert(out.count() == df.count())
   }
+
+  test("KMeansClusterer.fit input pinning is plan-gated: a bare " +
+    "columnar scan (± project/filter) is NOT checkpointed, a " +
+    "wide/generating chain is") {
+    import graft.ml.KMeansClusterer
+    def cheap(df: org.apache.spark.sql.DataFrame): Boolean =
+      KMeansClusterer.cheapRescan(df.queryExecution.analyzed)
+    val dir = java.nio.file.Files
+      .createTempDirectory("kmeans-pin").toString
+    val vecs = (0 until 32)
+      .map(i => (i.toLong, Array(i * 0.5, 1.0 - i * 0.25)))
+      .toDF("id", "embedding")
+    vecs.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // bare scan, projected scan, filtered scan: re-scan is the
+    // cheapest pass — fit must NOT materialize corpus-sized vectors
+    assert(cheap(scan))
+    assert(cheap(scan.select("embedding")))
+    assert(cheap(scan.filter($"id" % 2 === 0).select("embedding")))
+    // a generating / aggregating chain re-pays real dataflow per
+    // re-scan — fit pins it once
+    assert(!cheap(scan.groupBy("id")
+      .agg(first($"embedding").as("embedding"))))
+    assert(!cheap(scan.select(explode(sequence(lit(0), lit(1))),
+      $"embedding")))
+    assert(!cheap(scan.join(scan.select("id"), "id")))
+    // and the pinned fit is semantics-preserving: same centroids from
+    // the chain input as from its materialized twin
+    val chain = scan.groupBy("id")
+      .agg(first($"embedding").as("embedding"))
+    val km = new KMeansClusterer().setInputCol("embedding")
+      .setOutputCol("cid").setK(2).setIters(2)
+    val viaChain = km.fit(chain).transform(vecs)
+      .select("id", "cid").collect().map(r => r.getLong(0) -> r.get(1))
+    val viaFlat = km.fit(chain.localCheckpoint(true)).transform(vecs)
+      .select("id", "cid").collect().map(r => r.getLong(0) -> r.get(1))
+    assert(viaChain.toMap == viaFlat.toMap)
+  }
 }

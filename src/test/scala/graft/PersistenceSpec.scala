@@ -460,4 +460,49 @@ class PersistenceSpec extends SparkSpec {
       AnnIndex.load(spark, dir)
     }
   }
+
+  test("AnnIndex.open handle: appendTo chains successor snapshots — " +
+    "the successor's manifest, parts and probes equal a fresh open " +
+    "after every append (the maintenance loops' one-manifest-read-" +
+    "per-micro-batch contract)") {
+    import graft.ops.AnnIndex
+    val dir = Files.createTempDirectory("graft-ann-handle")
+      .toString + "/idx"
+    AnnIndex.save(dir,
+      Map("knn" -> Seq((0, 1L, 2L, 0.5)).toDF("lvl", "src", "dst", "c"),
+        "vectors" -> Seq((1L, Seq(1.0))).toDF("id", "v")),
+      Map("kind" -> "hnsw"),
+      keys = Map("knn" -> Seq("lvl", "src"), "vectors" -> Seq("id")))
+    var h = AnnIndex.open(spark, dir)
+    assert(h.maxBatches == 1 && h.partBatches("knn") == 1)
+    assert(h.partKeys == Map("knn" -> Seq("lvl", "src"),
+      "vectors" -> Seq("id")))
+    // two chained appends off the SAME handle lineage, no re-open
+    h = AnnIndex.appendTo(h,
+      Map("knn" -> Seq((0, 3L, 4L, 0.7)).toDF("lvl", "src", "dst", "c")))
+    h = AnnIndex.appendTo(h,
+      Map("knn" -> Seq((0, 1L, 5L, 0.9)).toDF("lvl", "src", "dst", "c"),
+        "vectors" -> Seq((5L, Seq(0.5))).toDF("id", "v")))
+    assert(h.partBatches("knn") == 3 && h.partBatches("vectors") == 2)
+    // successor handle ≡ fresh open: same manifest, same resolved rows
+    val fresh = AnnIndex.open(spark, dir)
+    assert(h.manifest.sortBy(_._1) == fresh.manifest.sortBy(_._1))
+    def rows(p: Map[String, org.apache.spark.sql.DataFrame]) =
+      p("knn").select("lvl", "src", "dst", "c").collect()
+        .map(_.toSeq).toSet
+    assert(rows(h.parts) == rows(fresh.parts))
+    // latest-batch-wins resolution flows through the handle exactly
+    // like load: (0, 1L) group resolved to the b2 replacement row
+    assert(rows(h.parts) ==
+      Set(Seq(0, 1L, 5L, 0.9), Seq(0, 3L, 4L, 0.7)))
+    assert(h.params("kind") == "hnsw")
+    // a STALE handle refuses nothing but writes to the batch dirs its
+    // manifest knows — appendTo's manifest bump is derived from the
+    // handle, so chaining from `fresh` (same snapshot) still works
+    val h2 = AnnIndex.appendTo(fresh,
+      Map("vectors" -> Seq((7L, Seq(0.25))).toDF("id", "v")))
+    assert(h2.partBatches("vectors") == 3)
+    assert(AnnIndex.open(spark, dir).manifest.sortBy(_._1) ==
+      h2.manifest.sortBy(_._1))
+  }
 }

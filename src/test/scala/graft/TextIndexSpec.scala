@@ -258,6 +258,16 @@ class TextIndexSpec extends SparkSpec {
         appends.limit(0), "doc_id", "text")
     }
     assert(err.getMessage.contains("conflicting staged texts"))
+    // the staged ⊆ dels precondition is ENFORCED, not just documented:
+    // a stray staged id (stage without delete) would double-count the
+    // doc in scores/df until the next fold — it must fail loudly
+    val stray = intercept[IllegalArgumentException] {
+      TextIndex.applyCdc(spark, fusedPath, Seq(1L).toDF("doc_id"),
+        Seq((1L, "fine"), (3L, "stray staged text"))
+          .toDF("doc_id", "text"),
+        appends.limit(0), "doc_id", "text")
+    }
+    assert(stray.getMessage.contains("not in the delete set"))
   }
 
   test("bm25MaintenanceStream CDC UPDATE on a LEGACY store (no " +

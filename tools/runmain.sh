@@ -21,4 +21,5 @@ exec java $ADD_OPENS \
   -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-24g}" \
   -XX:ReservedCodeCacheSize=1g \
+  -Xss4m \
   -cp "$CP" "$MAIN" "$@"
