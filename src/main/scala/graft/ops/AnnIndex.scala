@@ -304,11 +304,15 @@ object AnnIndex {
       s"AnnIndex.save: $path already has committed generations — " +
         "append/compactToNextGen maintain a generational index; a " +
         "fresh save needs a fresh root")
+    // the params table is independent of every part — it rides the
+    // same overlapped-write pool; only the manifest must land LAST
     writeAll(spark, parts.toSeq.sortBy(_._1).map { case (name, df) =>
       () => df.write.mode("overwrite").parquet(s"$path/$name/b0")
+    } :+ { () =>
+      params.toSeq.sortBy(_._1).toDF("param", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+      ()
     })
-    params.toSeq.sortBy(_._1).toDF("param", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
     writeManifest(s"$path/_manifest",
       parts.keys.toSeq.map(n =>
         (n, 1, keys.get(n).map(_.mkString(",")).getOrElse(""))),

@@ -199,14 +199,18 @@ object Hnsw {
   def buildKnn(vecs: DataFrame, idCol: String, vecCol: String,
       seed: Long, maxLevel: Int, m: Int, bands: Int,
       bucketFn: (Int, Int, Column) => Column): DataFrame = {
-    // ONE banded-membership materialization feeds BOTH sides of the
-    // candidate self-join (the saveIndex discipline, guide §1.2): the
-    // two join inputs are the same relation under different column
-    // roles, which defeats exchange reuse (canonicalized plans differ),
-    // so without the pin each side re-paid the md5 level walk +
-    // per-band hyperplane hashing over corpus × bands × levels rows.
+    // NOT pinned, by measurement (r15): the self-join sides each
+    // recompute the md5 level walk + hyperplane hashing, but a
+    // localCheckpoint here stores the membership DESERIALIZED —
+    // corpus × bands × levels rows each carrying the vector — and the
+    // paired A/B bench showed the pin SLOWER (q231 16.5 s pinned vs
+    // 9.7 s unpinned at equal calibration) plus collateral block-
+    // manager/GC pressure on queries sharing the JVM (q257 13.9 vs
+    // 10.8). The hashing is cheap relative to materializing the
+    // blown-up relation; saveIndex pins its member rows only because
+    // the WRITE path must materialize them anyway.
     val withB = bandedMembers(vecs, idCol, vecCol, seed, maxLevel,
-      bands, bucketFn).localCheckpoint(true)
+      bands, bucketFn)
     topMPerSrc(pairsOf(withB, withB), m)
   }
 
@@ -805,7 +809,10 @@ object Hnsw {
         if (counted) work += SearchWork("beam", lvl, s, cand.count())
         // per-(qid, id) dedup runs inside the top-ef buffer (duplicate
         // ids carry identical c — a pure function of the stored vector),
-        // folding the former dropDuplicates exchange into the agg
+        // folding the former dropDuplicates exchange into the agg.
+        // (r15 measured a per-STEP localCheckpoint here — it doubled
+        // q231's wall at sf0.1: the eager frontier-sized jobs cost more
+        // than the in-plan duplication they remove. Kept per-layer.)
         state = state.unionByName(cand)
           .groupBy("qid")
           .agg(AggregateFunctions.topKByScoreDistinct(col("c"),

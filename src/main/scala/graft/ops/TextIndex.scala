@@ -358,21 +358,35 @@ object TextIndex {
         s"${params.getOrElse("kind", "?")}, expected $Kind")
     val idCol = params("id_col")
     val textCol = params("text_col")
-    val dead = parts("deleted").select(idCol).distinct()
-      .localCheckpoint(true)
+    // no-op fast paths: the deleted and pending parts hold only the
+    // SINCE-LAST-COMPACT burst, and the scheduled-fold steady state
+    // (q257's compactEvery loop) folds with BOTH empty — two bounded
+    // emptiness probes then skip the anti-joins, the empty-relation
+    // tokenize chain and the four blocking localCheckpoints that
+    // existed only to pin those merge legs (the fold degenerates to
+    // resolve-batches + re-save, which is all it ever did in that
+    // case; results are identical — an anti-join against an empty set
+    // and a union with an empty delta are both identities)
+    val dead = if (parts("deleted").isEmpty) None
+      else Some(parts("deleted").select(col(idCol)).distinct()
+        .localCheckpoint(true))
+    val pend = parts.get("pending").filter(p => !p.isEmpty)
+      .map(_.select(col(idCol), col(textCol)).localCheckpoint(true))
     // pending ids are on the dead list by construction (an update is
     // delete + stage), so survivors never overlap the pending docs
-    val pend = parts.get("pending")
-      .map(_.select(col(idCol), col(textCol)).localCheckpoint(true))
     val pendDelta = pend.map(p => deltaParts(p, idCol, textCol))
     def merged(part: String, survivors: DataFrame): DataFrame =
       pendDelta.fold(survivors)(d => survivors.unionByName(d(part)))
-    val docs = merged("docs",
-        parts("docs").join(dead, Seq(idCol), "left_anti"))
-      .localCheckpoint(true)
-    val postings = merged("postings",
-        parts("postings").join(dead, Seq(idCol), "left_anti"))
-      .localCheckpoint(true)
+    def survivorsOf(df: DataFrame): DataFrame =
+      dead.fold(df)(d => df.join(d, Seq(idCol), "left_anti"))
+    // pin only when there are merge legs to share; a plain resolved
+    // batch union is cheaper to scan twice than to materialize
+    def pinned(df: DataFrame): DataFrame =
+      if (dead.isEmpty && pendDelta.isEmpty) df
+      else df.localCheckpoint(true)
+    val docs = pinned(merged("docs", survivorsOf(parts("docs"))))
+    val postings = pinned(
+      merged("postings", survivorsOf(parts("postings"))))
     val termdf = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df_delta"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),

@@ -121,6 +121,35 @@ object OptProbe {
           }
         }
 
+      case "q257" =>
+        import java.nio.file.Files
+        (1 to 2).foreach { rep =>
+          val root = Files.createTempDirectory(s"probe-q257-$rep")
+          val idxPath = root.resolve("idx").toString
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          time(s"rep$rep save(2/3 corpus)") {
+            graft.ops.TextIndex.save(idxPath,
+              docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text")
+          }
+          Seq(1, 0).foreach { r2 =>
+            time(s"rep$rep append(r2=$r2)") {
+              graft.ops.TextIndex.append(spark, idxPath,
+                docs.filter(col("doc_id") % 3 === 1 &&
+                  col("doc_id") % 2 === r2),
+                "doc_id", "text")
+            }
+            time(s"rep$rep fold(r2=$r2)") {
+              graft.ops.AnnIndex.compactToNextGen(spark, idxPath,
+                graft.ops.TextIndex.compact)
+            }
+          }
+          time(s"rep$rep search") {
+            run(graft.ops.TextIndex.search(spark, idxPath,
+              "merge window sort", 20))
+          }
+        }
+
       case "q230" =>
         (1 to 2).foreach { rep =>
           val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

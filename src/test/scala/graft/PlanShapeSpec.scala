@@ -341,15 +341,10 @@ class PlanShapeSpec extends SparkSpec {
     // (topKByScoreDistinct), so the two dropDuplicates exchanges
     // (fresh-pair re-rank + merge re-rank) folded into their agg
     // exchanges (guide §2.4: same-keyed operations share one exchange).
-    // r15: 7 → 8 — buildKnn pins its banded membership once
-    // (localCheckpoint; the self-join sides re-computed the md5 level
-    // walk + hyperplane hashing over corpus × bands × levels rows,
-    // TWICE), which costs ONE extra exchange over the m·|A|-bounded
-    // pinned kNN (UnknownPartitioning after the checkpoint) in this
-    // final plan while removing a full duplicate corpus-side pass that
-    // used to run inside it (bench: q253 norm 4.0 → ~3.3, q255 6.1 →
-    // ~4.2 at equal calibration).
-    "q253_hnsw_insert" -> 8,
+    // (r15 A/B-tested pinning buildKnn's banded membership here — the
+    // deserialized corpus × bands × levels checkpoint measured SLOWER
+    // than the duplicate hashing it removes, so the shape stays.)
+    "q253_hnsw_insert" -> 7,
     // Composed curation: kmeans fit + ridge fit run as EAGER driver
     // jobs at build time (params-as-data), and r14 pins the dense
     // embedding table once (localCheckpoint — it feeds 7 downstream
